@@ -1,0 +1,407 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.ExactNum._
+
+/** The relational operator inventory (SURVEY.md §2.7 extensions / §7
+  * phase 2): scans, filter/project (pushdown-verified), equi joins of every
+  * flavor (broadcast / shuffle, semi, anti), grouped + conditional
+  * aggregation, rollup/cube, ranking window functions, top-k, set ops,
+  * distinct aggregation, and the scalar function pack — each DuckDB-oracled
+  * on the TPC-H-ish fixtures.
+  *
+  * Scale notes baked into each operator (the 100 TB contract):
+  *   - dimension tables (region/nation/supplier) are `broadcast()` — no
+  *     shuffle of the fact side;
+  *   - fact-fact joins (orders⋈lineitem) shuffle on the join key and are
+  *     AQE-eligible (skew-join splitting);
+  *   - aggregates are expression-only (map-side partial aggregation);
+  *   - top-k is `orderBy().limit()` which Spark executes as per-partition
+  *     TakeOrdered (no global sort/shuffle of the full data).
+  */
+object RelationalQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q1 — TPC-H Q1: full-scan grouped aggregation with per-row arithmetic.
+    "q1_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("2000-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumExact($"l_quantity").as("sum_qty"),
+          sumExact($"l_extendedprice").as("sum_base_price"),
+          sumExact($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+          sumExact($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")).as("sum_charge"),
+          avgExact($"l_quantity").as("avg_qty"),
+          avgExact($"l_extendedprice").as("avg_price"),
+          avgExact($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Q2 — filter + projection; predicate and column pruning reach the scan.
+    "q2_filter_project" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1998-04-01").cast("timestamp") &&
+                $"l_quantity" < 5.0)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+    }),
+
+    // Q3 — fact⋈fact⋈dim join + grouped revenue (customer segment).
+    "q3_segment_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          sumExact($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // Q4 — broadcast star join over small dims.
+    "q4_supplier_by_region" -> ((s, dir) => {
+      import s.implicits._
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      su.join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("cnt"), avgExact($"s_acctbal").as("avg_bal"))
+    }),
+
+    // Q5 — left-semi join (EXISTS).
+    "q5_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter($"o_totalprice" > 300000.0)
+      c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Q6 — left-anti join (NOT EXISTS): customers with no recent order.
+    "q6_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sumExact($"c_acctbal").as("sum_bal"))
+    }),
+
+    // Q7 — top-k: TakeOrdered, no global sort of the full table.
+    "q7_topk_orders" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(10)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }),
+
+    // Q8 — ranking window function: top-3 parts per brand by price.
+    "q8_rank_per_brand" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"p_retailprice".desc, $"p_partkey".asc)
+      t(s, dir, "part")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"p_brand", $"p_partkey", $"p_retailprice", $"rn")
+    }),
+
+    // Q9 — analytic window functions: running sum + lag over a partition.
+    "q9_running_sum" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      t(s, dir, "orders")
+        .filter($"o_custkey" < 50)
+        .withColumn("running_spend",
+          sum($"o_totalprice".cast(Exact))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double"))
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+          $"running_spend", $"prev_price")
+    }),
+
+    // Q10 — rollup (hierarchical grouping sets).
+    "q10_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .rollup($"n_name", $"c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), sumExact($"c_acctbal").as("sum_bal"))
+    }),
+
+    // Q11 — cube.
+    "q11_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sumExact($"o_totalprice").as("sum_price"))
+    }),
+
+    // Q12 — set operations: INTERSECT / EXCEPT / UNION (distinct semantics).
+    "q12_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val open = o.filter($"o_orderstatus" === "O").select($"o_custkey".as("custkey"))
+      val big = o.filter($"o_totalprice" > 250000.0).select($"o_custkey".as("custkey"))
+      val negBal = c.filter($"c_acctbal" < 0.0).select($"c_custkey".as("custkey"))
+      val richBal = c.filter($"c_acctbal" > 9900.0).select($"c_custkey".as("custkey"))
+      open.intersect(big).except(negBal).union(richBal).distinct()
+    }),
+
+    // Q13 — distinct aggregation.
+    "q13_distinct_agg" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(
+          countDistinct($"c_mktsegment").as("n_segments"),
+          countDistinct($"c_custkey").as("n_cust"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // Q14 — scalar string-function pack (§2.6 generalized).
+    "q14_string_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").select(
+        $"p_partkey",
+        upper($"p_name").as("up_name"),
+        lower($"p_type").as("lo_type"),
+        length($"p_name").cast("long").as("name_len"),
+        substring($"p_type", 1, 5).as("type5"),
+        concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+        regexp_replace($"p_name", "a", "@").as("name_at"),
+        reverse($"p_brand").as("rev_brand"),
+        ascii($"p_name").cast("long").as("first_ascii"))
+    }),
+
+    // Q15 — scalar date/math-function pack.
+    "q15_date_math_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"),
+        dayofmonth($"o_orderdate").cast("long").as("dom"),
+        quarter($"o_orderdate").cast("long").as("qtr"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        floor($"o_totalprice").cast("double").as("price_floor"),
+        ceil($"o_totalprice").cast("double").as("price_ceil"),
+        ($"o_orderkey" % 7L).as("key_mod"),
+        sqrt($"o_totalprice").as("price_sqrt"),
+        abs($"o_totalprice" - 100000.0).as("price_absdiff"))
+    }),
+
+    // Q16 — conditional aggregation (the W2 pattern, relational form).
+    "q16_conditional_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(when($"o_orderstatus" === "O", 1L).otherwise(0L)).as("n_open"),
+          sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_done"),
+          sumExact(when($"o_orderstatus" === "O", $"o_totalprice").otherwise(lit(0.0))).as("open_value"),
+          coalesce(max(when($"o_orderstatus" === "F", $"o_totalprice")), lit(0.0)).as("max_done"))
+    }),
+
+    // Q17 — 6-way join (TPC-H Q5): local-supplier revenue by nation.
+    "q17_local_supplier_revenue" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(su, $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey" && $"r_name" === "ASIA")
+        .groupBy($"n_name")
+        .agg(sumExact($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+             count(lit(1)).as("cnt"))
+    }),
+
+    // Q18 — grouped agg over a range non-equi self-condition: orders priced
+    // above their customer's average (correlated-subquery shape, decorrelated
+    // the Spark way: aggregate + re-join).
+    "q18_above_avg_orders" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val avgPer = o.groupBy($"o_custkey".as("k"))
+        .agg(avgExact($"o_totalprice").as("avg_price"))
+      o.join(avgPer, $"o_custkey" === $"k")
+        .filter($"o_totalprice" > $"avg_price" * 1.5)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), sumExact($"o_totalprice").as("sum_price"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sumExactSql("l_quantity")} AS sum_qty,
+         |  ${sumExactSql("l_extendedprice")} AS sum_base_price,
+         |  ${sumExactSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${sumExactSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |  ${avgExactSql("l_quantity")} AS avg_qty,
+         |  ${avgExactSql("l_extendedprice")} AS avg_price,
+         |  ${avgExactSql("l_discount")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-04-01'
+        |  AND l_quantity < 5.0""".stripMargin,
+    "q3_segment_revenue" ->
+      s"""SELECT c_mktsegment,
+         |  ${sumExactSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS cnt
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+    "q4_supplier_by_region" ->
+      s"""SELECT r_name, count(*) AS cnt, ${avgExactSql("s_acctbal")} AS avg_bal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name""".stripMargin,
+    "q5_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q6_anti_join" ->
+      s"""SELECT c_nationkey, count(*) AS cnt, ${sumExactSql("c_acctbal")} AS sum_bal
+         |FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+         |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+         |GROUP BY c_nationkey""".stripMargin,
+    "q7_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q8_rank_per_brand" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+        |  FROM part) x
+        |WHERE rn <= 3""".stripMargin,
+    "q9_running_sum" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+         |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+         |FROM orders WHERE o_custkey < 50""".stripMargin,
+    "q10_rollup" ->
+      s"""SELECT n_name, c_mktsegment, count(*) AS cnt,
+         |  ${sumExactSql("c_acctbal")} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin,
+    "q11_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         |  ${sumExactSql("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q12_set_ops" ->
+      """SELECT custkey FROM (
+        |  (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |   INTERSECT
+        |   SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 250000.0)
+        |  EXCEPT
+        |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0.0
+        |) a
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9900.0""".stripMargin,
+    "q13_distinct_agg" ->
+      """SELECT n_name, count(DISTINCT c_mktsegment) AS n_segments,
+        |  count(DISTINCT c_custkey) AS n_cust, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q14_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name,
+        |  lower(p_type) AS lo_type,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substr(p_type, 1, 5) AS type5,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  regexp_replace(p_name, 'a', '@', 'g') AS name_at,
+        |  reverse(p_brand) AS rev_brand,
+        |  CAST(ascii(p_name) AS BIGINT) AS first_ascii
+        |FROM part""".stripMargin,
+    "q15_date_math_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  floor(o_totalprice) AS price_floor,
+        |  ceil(o_totalprice) AS price_ceil,
+        |  o_orderkey % 7 AS key_mod,
+        |  sqrt(o_totalprice) AS price_sqrt,
+        |  abs(o_totalprice - 100000.0) AS price_absdiff
+        |FROM orders""".stripMargin,
+    "q16_conditional_agg" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt,
+         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_done,
+         |  ${sumExactSql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END")} AS open_value,
+         |  COALESCE(max(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), CAST(0 AS DOUBLE)) AS max_done
+         |FROM orders
+         |GROUP BY o_orderpriority""".stripMargin,
+    "q17_local_supplier_revenue" ->
+      s"""SELECT n_name,
+         |  ${sumExactSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS cnt
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+    "q18_above_avg_orders" ->
+      s"""WITH avg_per AS (
+         |  SELECT o_custkey AS k, ${avgExactSql("o_totalprice")} AS avg_price
+         |  FROM orders GROUP BY o_custkey
+         |)
+         |SELECT o_orderstatus, count(*) AS cnt,
+         |  ${sumExactSql("o_totalprice")} AS sum_price
+         |FROM orders JOIN avg_per ON o_custkey = k
+         |WHERE o_totalprice > avg_price * 1.5
+         |GROUP BY o_orderstatus""".stripMargin)
+}

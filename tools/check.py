@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py [sf_dir] [verify_out_dir]
+
+Reads each parquet result dumped by `graft.Verify`, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the same fixture tables,
+canonicalizes both sides (columns sorted by name, rows sorted by all
+columns), and compares values exactly. Exit 0 iff all queries match.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.dataset as pads
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows):
+    def key(row):
+        return tuple((v is None, str(type(v)), str(v)) for v in row)
+    return sorted((tuple(r) for r in rows), key=key)
+
+
+def cell_eq(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b  # exact: the engine is designed for bit-parity
+        return False
+    return a == b
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    oracle = json.loads((OUT_DIR / "oracle_sql.json").read_text())
+    results = {}
+    for qdir in sorted(OUT_DIR.iterdir()):
+        if not qdir.is_dir():
+            continue
+        name = qdir.name
+        try:
+            tbl = pads.dataset(str(qdir)).to_table()
+        except Exception as e:
+            results[name] = f"SPARK-READ-FAIL {e}"
+            continue
+        spark_cols = sorted(tbl.column_names)
+        spark_rows = [tuple(row[c] for c in spark_cols)
+                      for row in tbl.to_pylist()]
+        if name not in oracle:
+            results[name] = f"NO-ORACLE rows={len(spark_rows)}"
+            continue
+        try:
+            duck = con.execute(oracle[name])
+            duck_cols_raw = [d[0] for d in duck.description]
+            duck_rows_raw = duck.fetchall()
+        except Exception as e:
+            results[name] = f"DUCK-FAIL {e}"
+            continue
+        duck_cols = sorted(duck_cols_raw)
+        if duck_cols != spark_cols:
+            results[name] = f"COLS spark={spark_cols} duck={duck_cols}"
+            continue
+        idx = [duck_cols_raw.index(c) for c in duck_cols]
+        duck_rows = [tuple(r[i] for i in idx) for r in duck_rows_raw]
+        if len(duck_rows) != len(spark_rows):
+            results[name] = (f"ROWS spark={len(spark_rows)} "
+                             f"duck={len(duck_rows)}")
+            continue
+        s, d = canon(spark_rows), canon(duck_rows)
+        bad = None
+        for i, (sr, dr) in enumerate(zip(s, d)):
+            if not all(cell_eq(a, b) for a, b in zip(sr, dr)):
+                bad = (i, sr, dr)
+                break
+        if bad:
+            i, sr, dr = bad
+            detail = "; ".join(
+                f"{c}: {a!r} != {b!r}"
+                for c, a, b in zip(duck_cols, sr, dr)
+                if not cell_eq(a, b))
+            results[name] = f"VALUE row{i} {detail[:300]}"
+        else:
+            results[name] = f"OK rows={len(spark_rows)}"
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_rows_only = sum(1 for v in results.values()
+                      if v.startswith("NO-ORACLE"))
+    for k in sorted(results):
+        mark = "✓" if results[k].startswith("OK") else (
+            "○" if results[k].startswith("NO-ORACLE") else "✗")
+        print(f"{mark} {k}: {results[k]}")
+    n_fail = len(results) - n_ok - n_rows_only
+    print(f"\n{n_ok} OK, {n_rows_only} rows-only, {n_fail} FAIL "
+          f"of {len(results)}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
