@@ -14,7 +14,9 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     ReferenceQueries,
-    RelationalQueries)
+    RelationalQueries,
+    TextQueries,
+    SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's analytical core (W2 10 s tumbling window metrics). */

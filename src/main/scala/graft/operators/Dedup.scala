@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document deduplication at training-pipeline scale: exact (hash groupBy),
+  * n-gram Jaccard (blocked pair verification), MinHash+LSH (shingle →
+  * minhash → band → bucket equi-join), and SimHash (bit-sketch hamming).
+  *
+  * Scale design: nothing here ever compares all N² pairs. Exact dedup is a
+  * single hash aggregation; Jaccard runs inside blocking keys; MinHash/LSH
+  * turns near-dup candidate generation into an equi-join on (band,
+  * band-signature) — the standard 100 TB shape (shuffle is O(N·bands),
+  * candidate verification is O(candidates)).
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized key: keep the smallest id per key.
+    * (Reference has no dedup — north-star extension, BASELINE.json.) */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-k-gram shingles per doc (+ pass-through block columns). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int,
+               blockCols: Seq[String]): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val sh = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    docs.select((col(idCol).as("doc") +: blockCols.map(col)) :+
+      explode(array_distinct(sh)).as("shingle"): _*)
+  }
+
+  /** N-gram Jaccard similarity for all doc pairs sharing a blocking key and
+    * at least one shingle. Output: (doc_a, doc_b, common, n_a, n_b,
+    * jaccard). Blocking keeps the self-join from going O(N²). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, blockCols: Seq[String]): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, k, blockCols)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.shingle") === col("b.shingle") &&
+      col("a.doc") < col("b.doc")
+    val common = sh.as("a").join(sh.as("b"), joinCond)
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("common"), col("n_a"),
+        col("n_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum xxhash64 over the doc's shingle set. Engine-native hashing
+    * (xxhash64) — deterministic within Spark, not SQL-portable, hence
+    * rows-only oracle + property tests (DedupSpec). */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
+    * bands·rowsPerBand = numHashes; a pair is a candidate iff some band of
+    * the signature matches exactly (equi-join on (band, band-sig)). */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                 jaccardThreshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val shArr = array_distinct(when(n >= shingleK,
+      transform(sequence(lit(1), n - (shingleK - 1)), i =>
+        concat_ws(" ", (0 until shingleK).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>")))
+    val sigd = docs.select(col(idCol).as("doc"), shArr.as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sigd.select(col("doc"), col("sh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bsig"))
+      }: _*)).as("bb"))
+      .select(col("doc"), col("sh"), col("bb.band"), col("bb.bsig"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+    cands
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over token xxhash64s: bit i of the sketch is the sign
+    * of Σ_tokens (bit i set ? +1 : -1). Near-dups have small hamming
+    * distance between sketches. */
+  def simhash(textCol: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(textCol), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0L, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, plus the decode / feature-extract plumbing
+  * a training-data pipeline needs.
+  *
+  * The actual codecs (JPEG/PNG/audio decode) are NOT in this container, so
+  * the decode step is a clearly-marked deterministic STUB (`decodeStub`)
+  * — what is real and tested is the Spark-side shape of the operator: the
+  * binary column schema, typed output rows, per-partition batched
+  * execution (`mapPartitions`, the Scala analog of `mapInPandas` batch
+  * processing), and partition sizing so one task never holds more than a
+  * bounded number of payload bytes.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a binary media payload. */
+  case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      checksum: String)
+
+  /** Column-level metadata: byte length + magic-prefix format sniff +
+    * content hash. Pure expressions — codegen'd, no decode needed. This is
+    * the cheap pass that runs on all 100 TB before any decode. */
+  def binaryMeta(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      octet_length(col(binCol)).cast("long").as("n_bytes"),
+      hex(substring(col(binCol), 1, 4)).as("magic_hex"),
+      md5(col(binCol)).as("checksum"),
+      when(hex(substring(col(binCol), 1, 2)) === "FFD8", "jpeg")
+        .when(hex(substring(col(binCol), 1, 4)) === "89504E47", "png")
+        .otherwise("unknown").as("format"))
+
+  /** ===== STUB ===== deterministic fake decode: derives plausible
+    * dimensions from the payload bytes instead of decoding them. Replace
+    * with a real codec (e.g. javax.imageio / ffmpeg bindings) in a
+    * deployment that has the libraries. */
+  def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = if (bytes == null) 0 else bytes.length
+    val h = bytes.take(16).foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
+    MediaMeta(
+      doc_id = id,
+      n_bytes = n.toLong,
+      format = if (n % 2 == 0) "jpeg" else "png",
+      width = 64 + (h % 576).toInt.abs,
+      height = 64 + ((h / 576) % 416).toInt.abs,
+      checksum = f"${h}%016x")
+  }
+
+  /** The decode operator: per-partition batched decode of binary payloads
+    * into typed metadata. `mapPartitions` keeps decoder init (a real codec
+    * would load native libs) per-task not per-row, and the input should be
+    * pre-repartitioned so Σbytes per partition is bounded (see
+    * `repartitionByBytes`). */
+  def decodeMeta(spark: SparkSession, df: DataFrame, idCol: String,
+                 binCol: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => fakeDecode(id, bytes) } }
+  }
+
+  /** Size-aware repartitioning: target ≤ `bytesPerPartition` of payload per
+    * task so decode tasks neither OOM nor straggle. At 100 TB this is the
+    * difference between a working decode pass and a dead cluster. */
+  def repartitionByBytes(df: DataFrame, binCol: String,
+                         bytesPerPartition: Long): DataFrame = {
+    val total = df.agg(sum(octet_length(col(binCol)).cast("long"))).head.getLong(0)
+    val parts = math.max(1, (total / bytesPerPartition).toInt + 1)
+    df.repartition(parts)
+  }
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal}
+
+/** Text-analysis + dedup + multimodal-metadata queries over `documents`
+  * (north-star LLM-pipeline operators, BASELINE.json). Oracle-checked
+  * except where the operator depends on engine-native hashing (minhash /
+  * simhash) — those get rows-only checks plus property tests (DedupSpec).
+  */
+object TextQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // token counting ('\S+' tokens; BPE-ish subword count as a second col:
+    // alnum runs + punctuation marks each count as one subword).
+    "tx1_token_count" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id",
+        tokenCount($"text").as("n_tokens"),
+        regexp_count($"text", lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+          .as("n_subwords"),
+        length($"text").cast("long").as("n_chars_actual"))
+    }),
+
+    // quality scoring: length / punctuation / stopword ratios.
+    "tx2_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id",
+        tokenCount($"text").as("n_tokens"),
+        punctCount($"text").as("n_punct"),
+        wordListCount(lower($"text"),
+          Seq("the", "and", "of", "a", "in", "is", "to", "for")).as("n_stop"),
+        qualityScore($"text").as("quality"))
+    }),
+
+    // language-ID heuristic (stopword-marker argmax), compared to the
+    // labeled lang column.
+    "tx3_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id", $"lang",
+        langId($"text").as("pred_lang"))
+        .withColumn("is_match", ($"lang" === $"pred_lang").cast("boolean"))
+    }),
+
+    // order-sensitive rolling fingerprint over the token stream.
+    "tx4_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id",
+        fingerprint($"text").as("fp"))
+    }),
+
+    // exact dedup: hash-groupBy, keep min doc_id per content hash.
+    "tx5_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(docs(s, dir), "doc_id", "text")),
+
+    // n-gram Jaccard near-dup pairs, blocked by (lang, source).
+    "tx6_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3,
+        Seq("lang", "source"))),
+
+    // multimodal metadata pass: documents' text bytes stand in for binary
+    // payloads (no image fixtures in the container); expressions identical
+    // for a real binary column.
+    "mm1_binary_meta" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.binaryMeta(
+        docs(s, dir).withColumn("payload", $"text".cast("binary")),
+        "doc_id", "payload")
+    }),
+
+    // MinHash+LSH near-dup (engine-native xxhash64 — rows-only oracle;
+    // correctness via DedupSpec property tests against exact Jaccard).
+    "dd1_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.3)),
+
+    // SimHash sketches + near-dup pairs by hamming distance (rows-only).
+    "dd2_simhash" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select($"doc_id", Dedup.simhash($"text").as("sketch"))
+    }))
+
+  private val subwordRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  def oracles: Map[String, String] = Map(
+    "tx1_token_count" ->
+      s"""SELECT doc_id,
+         |  ${tokenCountSql("text")} AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '$subwordRe')) AS BIGINT) AS n_subwords,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual
+         |FROM documents""".stripMargin,
+    "tx2_quality_score" -> {
+      val nTok = tokenCountSql("text")
+      val nStop = wordListCountSql("lower(text)",
+        Seq("the", "and", "of", "a", "in", "is", "to", "for"))
+      val nPunct = punctCountSql("text")
+      s"""SELECT doc_id,
+         |  $nTok AS n_tokens,
+         |  $nPunct AS n_punct,
+         |  $nStop AS n_stop,
+         |  COALESCE(
+         |    (CAST($nStop AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE)) * 2.0
+         |    + (1.0 - abs(CAST(length(text) AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE) - 5.0) / 10.0)
+         |    - (CAST($nPunct AS DOUBLE) / CAST(NULLIF(CAST(length(text) AS BIGINT), 0) AS DOUBLE)) * 5.0,
+         |    CAST(0 AS DOUBLE)) AS quality
+         |FROM documents""".stripMargin
+    },
+    "tx3_lang_id" -> {
+      val score = langMarkers.map { case (l, ws) =>
+        s"${wordListCountSql("lower(text)", ws)} AS s_$l"
+      }.mkString(",\n    ")
+      val best = "greatest(" + langMarkers.map(m => s"s_${m._1}").mkString(", ") + ")"
+      val pick = langMarkers.reverse.foldLeft("'und'") { case (acc, (l, _)) =>
+        s"CASE WHEN s_$l = $best AND s_$l > 0 THEN '$l' ELSE $acc END"
+      }
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    $score
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang, pred_lang, (lang = pred_lang) AS is_match
+         |FROM (SELECT doc_id, lang, $pick AS pred_lang FROM sc) p""".stripMargin
+    },
+    "tx4_fingerprint" ->
+      s"""SELECT doc_id, ${fingerprintSql("text")} AS fp
+         |FROM documents""".stripMargin,
+    "tx5_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "tx6_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source, regexp_extract_all(text, '\S+') AS ts
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, lang, source, ts,
+        |    unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+        |  FROM tok
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+        |  FROM pos
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.source = b.source
+        |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT doc_a, doc_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin,
+    "mm1_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  hex(encode(substr(text, 1, 4))) AS magic_hex,
+        |  md5(text) AS checksum,
+        |  CASE WHEN hex(encode(substr(text, 1, 2))) = 'FFD8' THEN 'jpeg'
+        |       WHEN hex(encode(substr(text, 1, 4))) = '89504E47' THEN 'png'
+        |       ELSE 'unknown' END AS format
+        |FROM documents""".stripMargin)
+}
