@@ -19,11 +19,19 @@ import graft.core.Schemas
 object JsonCodec {
 
   /** Parse a DataFrame with a string `value` column (Kafka wire shape) into
-    * typed transaction columns + `_corrupt` flag. */
-  def parseTransactions(df: DataFrame, value: Column): DataFrame =
-    df.withColumn("_parsed", from_json(value, Schemas.transactionSchema))
-      .withColumn("_corrupt", col("_parsed").isNull)
-      .select(col("_parsed.*"), col("_corrupt"))
+    * typed transaction columns + `_corrupt` flag (PERMISSIVE mode maps
+    * unparseable records to the corrupt-record column rather than a null
+    * struct, so both are checked). */
+  def parseTransactions(df: DataFrame, value: Column): DataFrame = {
+    val schema = Schemas.transactionSchema
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    df.withColumn("_parsed", from_json(value, schema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .withColumn("_corrupt",
+        col("_parsed").isNull || col("_parsed._corrupt_record").isNotNull)
+      .select(Schemas.transactionSchema.fieldNames.toSeq
+        .map(f => col(s"_parsed.$f")) :+ col("_corrupt"): _*)
+  }
 
   /** P4 — the metrics JSON line, byte-identical to the reference's printf
     * (StreamJob.java:150-169: %d for longs/counts, %.2f amounts, %.4f rate). */

@@ -83,27 +83,13 @@ object ReferenceQueries extends QueryPack {
     // minstd LCG over the row index — same arithmetic in any engine).
     "s3_generator" -> ((s, dir) => {
       import s.implicits._
-      val n = 5000L
-      val a = 48271L; val m = 2147483647L
-      val x1 = ($"i" * a + 11L) % m
-      s.range(0, n).toDF("i")
-        .withColumn("x1", x1)
-        .withColumn("x2", ($"x1" * a + 11L) % m)
-        .withColumn("x3", ($"x2" * a + 11L) % m)
-        .select(
-          $"i",
-          md5($"i".cast("string")).as("transaction_id"),
-          concat(lit("SENDER-"), ($"x3" % 100000L).cast("string")).as("sender_id"),
-          ($"x1".cast("double") / m.toDouble).as("amount"),
-          element_at(
-            array(graft.core.Schemas.currencies.map(lit): _*),
-            ($"x2" % 6L + 1L).cast("int")).as("currency"),
-          (lit(1700000000000L) + $"i" * 2000L).as("ts_ms"))
-        .withColumn("exchange_rate",
-          graft.core.Schemas.fxRates.foldLeft(lit(null).cast("double")) {
-            case (acc, (cur, rate)) =>
-              when($"currency" === cur, lit(rate)).otherwise(acc)
-          })
+      graft.streaming.Generator.batch(s, 5000).select(
+        $"transactionId".as("transaction_id"),
+        $"senderId".as("sender_id"),
+        $"receiverId".as("receiver_id"),
+        $"amount", $"currency",
+        $"exchangeRate".as("exchange_rate"),
+        $"timestamp".as("ts_ms"))
     }),
     // T1-generalization: sliding window (1 h / 30 min) — the reference has
     // only tumbling; sliding is the SURVEY §7 phase-2 extension.
@@ -162,17 +148,20 @@ object ReferenceQueries extends QueryPack {
         |  SELECT i, x1, (x1 * 48271 + 11) % 2147483647 AS x2 FROM g
         |), g3 AS (
         |  SELECT i, x1, x2, (x2 * 48271 + 11) % 2147483647 AS x3 FROM g2
+        |), g4 AS (
+        |  SELECT i, x1, x2, x3, (x3 * 48271 + 11) % 2147483647 AS x4 FROM g3
         |)
-        |SELECT i, md5(CAST(i AS VARCHAR)) AS transaction_id,
-        |  'SENDER-' || CAST(x3 % 100000 AS VARCHAR) AS sender_id,
-        |  CAST(x1 AS DOUBLE) / 2147483647.0 AS amount,
-        |  (['USD','NPR','INR','CNY','AUD','EUR'])[CAST(x2 % 6 AS INT) + 1] AS currency,
-        |  1700000000000 + i * 2000 AS ts_ms,
-        |  CAST(CASE (['USD','NPR','INR','CNY','AUD','EUR'])[CAST(x2 % 6 AS INT) + 1]
+        |SELECT md5(CAST(i AS VARCHAR)) AS transaction_id,
+        |  'SENDER-' || CAST(x4 % 100000 AS VARCHAR) AS sender_id,
+        |  'RECEIVER-' || CAST((x4 // 7) % 100000 AS VARCHAR) AS receiver_id,
+        |  CAST(x2 AS DOUBLE) / 2147483647.0 AS amount,
+        |  (['USD','NPR','INR','CNY','AUD','EUR'])[CAST(x3 % 6 AS INT) + 1] AS currency,
+        |  CAST(CASE (['USD','NPR','INR','CNY','AUD','EUR'])[CAST(x3 % 6 AS INT) + 1]
         |    WHEN 'USD' THEN 1.0 WHEN 'NPR' THEN 133.5 WHEN 'INR' THEN 133.0
         |    WHEN 'CNY' THEN 0.0 WHEN 'AUD' THEN 1.54 WHEN 'EUR' THEN 0.92
-        |  END AS DOUBLE) AS exchange_rate
-        |FROM g3""".stripMargin,
+        |  END AS DOUBLE) AS exchange_rate,
+        |  1700000000000 + i * 2000 AS ts_ms
+        |FROM g4""".stripMargin,
     "t1_sliding_1h_30m" ->
       s"""SELECT
          |  (epoch_ms(ts) // 1800000) * 1800000 - k.k * 1800000 AS window_start,

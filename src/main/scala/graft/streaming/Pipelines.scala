@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.JsonCodec
+import graft.operators.{RiskLabeler, WindowMetrics}
+
+/** The reference's two dataflow pipelines (StreamJob.java:29-221),
+  * re-expressed as source-agnostic `DataFrame => DataFrame` combinators —
+  * the same column expressions run in batch (fixture parquet) and under
+  * Structured Streaming (Kafka / MemoryStream / rate source). That single
+  * definition executing in both modes is the core Spark-native design win
+  * (SURVEY.md §7 phase 0.4).
+  *
+  * Input contract: a DataFrame with a string `value` column holding the
+  * JSON wire shape (Kafka value), or already-parsed transaction columns.
+  */
+object Pipelines {
+
+  /** Event-time column derived from the epoch-millis `timestamp` field. */
+  val eventTime: Column = timestamp_millis(col("timestamp"))
+
+  /** Pipeline B ("Metrics", StreamJob.java:94-218): parse → watermark →
+    * 10 s tumbling window → conditional aggregate → metric JSON line.
+    *
+    * @param watermark allowed lateness; reference uses monotonous
+    *                  timestamps ≈ "0 seconds" (SURVEY.md §2.4 T2)
+    */
+  def metricsPipeline(raw: DataFrame, watermark: String = "0 seconds",
+                      windowDur: String = "10 seconds"): DataFrame = {
+    val parsed = JsonCodec.parseTransactions(raw, col("value"))
+      .filter(!col("_corrupt"))
+      .withColumn("event_time", eventTime)
+      .withWatermark("event_time", watermark)
+    val m = WindowMetrics.tumbling(parsed, col("event_time"),
+      col("exchangeRate") =!= 0.0, col("amount"), col("exchangeRate"),
+      windowDur)
+    m.withColumn("line", JsonCodec.metricJson(
+      col("window_start"), col("window_end"), col("cnt"),
+      col("success_cnt"), col("failure_cnt"), col("avg_amount"),
+      col("avg_rate"), col("min_amount"), col("max_amount")))
+  }
+
+  /** Pipeline A ("Risk", StreamJob.java:55-90): parse → label → latency
+    * stamp → printf line. Stateless; watermark kept for parity (T1) though
+    * nothing downstream consumes it. */
+  def riskPipeline(raw: DataFrame, threshold: Double = 1000.0): DataFrame = {
+    val parsed = JsonCodec.parseTransactions(raw, col("value"))
+      .filter(!col("_corrupt"))
+    val labeled = RiskLabeler.labelWithLatency(
+      parsed, col("amount"), col("timestamp"), threshold)
+    RiskLabeler.formatted(labeled, col("transactionId"), col("amount"))
+  }
+
+  /** Deterministic part of pipeline A (no wall-clock columns) — used by the
+    * streaming-equals-batch equivalence tests. */
+  def riskPipelineDeterministic(raw: DataFrame,
+                                threshold: Double = 1000.0): DataFrame = {
+    val parsed = JsonCodec.parseTransactions(raw, col("value"))
+      .filter(!col("_corrupt"))
+    RiskLabeler.formatted(
+      RiskLabeler.label(parsed, col("amount"), threshold),
+      col("transactionId"), col("amount"))
+      .select(col("transactionId"), col("amount"), col("risk_type"), col("line"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Dedup operator properties on planted duplicates (the fixture corpus has
+  * none, so correctness needs constructed cases). */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while " +
+    "seven wizards brew strong coffee near the old stone bridge at dawn"
+  private val nearDup = base.replace("coffee", "tea") // 1 token differs
+  private val unrelated = "completely different words about spark engines " +
+    "catalyst optimizer tungsten codegen shuffle partitions broadcast joins"
+
+  private val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 3)
+    val byKeep = out.map(r => r.getAs[Long]("keep_id") ->
+      r.getAs[Long]("n_copies")).toMap
+    assert(byKeep(1L) == 2L && byKeep(2L) == 1L && byKeep(3L) == 1L)
+  }
+
+  test("n-gram jaccard: near-dup pair scores high, unrelated pair absent") {
+    val blocked = docs.withColumn("blk", lit("all"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", 3, Seq("blk"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 4L)) == 1.0)            // exact dup
+    assert(pairs((1L, 2L)) > 0.5)             // near dup
+    assert(!pairs.contains((1L, 3L)))         // no shared shingle
+  }
+
+  test("minhash LSH recovers planted near-dups with exact-jaccard verification") {
+    val out = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 16, bands = 8, jaccardThreshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(out.contains((1L, 4L)))
+    assert(out.contains((1L, 2L)) || out.contains((2L, 4L)))
+    assert(!out.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: hamming(near-dups) < hamming(unrelated)") {
+    val sk = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sk(1L) == sk(4L)) // identical text, identical sketch
+    val near = java.lang.Long.bitCount(sk(1L) ^ sk(2L))
+    val far = java.lang.Long.bitCount(sk(1L) ^ sk(3L))
+    assert(near < far)
+    assert(near <= 8)
+  }
+}

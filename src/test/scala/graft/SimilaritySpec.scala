@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** Similarity-search properties: exact dot/norm numerics, brute-force
+  * top-k ordering, LSH ANN recall on planted near-identical vectors. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val dims = 16
+  private val rnd = new scala.util.Random(7)
+  private def randVec(): Seq[Float] = Seq.fill(dims)(rnd.nextGaussian().toFloat)
+  private val v0 = randVec()
+  private val v1 = v0.map(x => x + (rnd.nextGaussian() * 0.01).toFloat) // cos ≈ 1
+  private val vecs = Seq((0L, v0), (1L, v1)) ++
+    (2L to 19L).map(i => (i, randVec()))
+  private val df = vecs.toDF("vec_id", "embedding")
+    .withColumn("embedding", $"embedding".cast("array<float>"))
+
+  test("dotExact matches a driver-side computation") {
+    val got = df.filter($"vec_id" === 0L)
+      .select(Similarity.dotExact($"embedding", $"embedding").as("d"))
+      .as[Double].head()
+    val want = v0.map(x => x.toDouble * x.toDouble).sum
+    assert(math.abs(got - want) < 1e-9)
+  }
+
+  test("brute-force top-k: planted near-identical vector ranks first") {
+    val out = Similarity.cosineTopK(df, df.filter($"vec_id" < 2), "vec_id",
+      "embedding", 3).collect()
+    val top = out.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(top(0L) == 1L && top(1L) == 0L)
+    val cos01 = out.find(r => r.getAs[Long]("query_id") == 0L &&
+      r.getAs[Long]("neighbor_id") == 1L).get.getAs[Double]("cos_sim")
+    assert(cos01 > 0.99)
+  }
+
+  test("LSH ANN recalls the planted near-dup pair and verifies with exact cosine") {
+    val out = Similarity.annLsh(df, "vec_id", "embedding", dims = dims,
+      planes = 16, bands = 8, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos_sim")))
+    assert(out.exists { case (a, b, c) => a == 0L && b == 1L && c > 0.99 })
+    // verification step keeps precision: nothing below the threshold leaks
+    assert(out.forall(_._3 >= 0.9))
+  }
+
+  test("label centroids: exact mean per dimension") {
+    val tiny = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)),
+      (1, Seq(10.0f, 20.0f))).toDF("label", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val out = Similarity.labelCentroids(tiny, "label", "embedding")
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Long]("dim")) ->
+        r.getAs[Double]("centroid")).toMap
+    assert(out((0, 1L)) == 2.0 && out((0, 2L)) == 4.0)
+    assert(out((1, 1L)) == 10.0 && out((1, 2L)) == 20.0)
+  }
+}

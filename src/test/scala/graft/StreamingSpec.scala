@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{Generator, Pipelines}
+
+/** Streaming ≡ batch: the same combinators produce the same rows under
+  * MemoryStream + watermark as in batch, late rows behind the watermark are
+  * dropped, and append-mode windows are final (SURVEY.md §5.2). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def runStream(jsonRows: Seq[String], queryName: String,
+                        pipeline: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        outputMode: String): org.apache.spark.sql.DataFrame = {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = pipeline(mem.toDF().withColumnRenamed("value", "value"))
+      .writeStream.outputMode(outputMode).format("memory")
+      .queryName(queryName).start()
+    try {
+      mem.addData(jsonRows)
+      q.processAllAvailable()
+      // a far-future sentinel advances the watermark so all real windows close
+      mem.addData(Seq("""{"transactionId":"sentinel","senderId":"s","receiverId":"r","amount":0.0,"currency":"USD","exchangeRate":1.0,"timestamp":99999999999999}"""))
+      q.processAllAvailable()
+      // one more batch so windows closed by the sentinel's watermark emit
+      mem.addData(Seq("""{"transactionId":"sentinel2","senderId":"s","receiverId":"r","amount":0.0,"currency":"USD","exchangeRate":1.0,"timestamp":99999999999999}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(queryName)
+  }
+
+  test("windowed metrics: streaming (append, watermark-closed) equals batch") {
+    val wire = Generator.toWire(Generator.batch(spark, 300))
+      .as[String].collect().toSeq
+    val streamed = runStream(wire, "stream_metrics",
+      df => Pipelines.metricsPipeline(df), "append")
+      .filter($"window_start" < 90000000000000L)
+    val batch = Pipelines.metricsPipeline(
+      wire.toDF("value"))
+    val s = streamed.orderBy("window_start").collect().toSeq
+    val b = batch.orderBy("window_start").collect().toSeq
+    assert(s.nonEmpty && s == b)
+  }
+
+  test("late rows behind the watermark are dropped from closed windows (T4)") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    def tx(id: String, ts: Long) =
+      s"""{"transactionId":"$id","senderId":"s","receiverId":"r","amount":1.0,"currency":"USD","exchangeRate":1.0,"timestamp":$ts}"""
+    val q = Pipelines.metricsPipeline(mem.toDF(), watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_drop").start()
+    try {
+      mem.addData(Seq(tx("a", 5000L), tx("b", 15000L)))
+      q.processAllAvailable()
+      mem.addData(Seq(tx("future", 1000000L))) // watermark -> 1000s; closes [0,10s)
+      q.processAllAvailable()
+      mem.addData(Seq(tx("late", 6000L))) // behind watermark: must be dropped
+      q.processAllAvailable()
+      mem.addData(Seq(tx("future2", 2000000L)))
+      q.processAllAvailable()
+      val rows = spark.table("late_drop")
+        .select("window_start", "cnt").as[(Long, Long)].collect().toMap
+      assert(rows(0L) == 1L) // the late "6000" row did NOT reopen/raise it
+      val dropped = q.lastProgress // progress of the final batch
+      assert(rows.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("risk pipeline: streaming equals batch on deterministic columns") {
+    implicit val sc = spark.sqlContext
+    val wire = Generator.toWire(Generator.batch(spark, 100))
+      .as[String].collect().toSeq
+    val mem = MemoryStream[String]
+    val q = Pipelines.riskPipelineDeterministic(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_risk").start()
+    try {
+      mem.addData(wire)
+      q.processAllAvailable()
+    } finally q.stop()
+    val s = spark.table("stream_risk").orderBy("transactionId").collect().toSeq
+    val b = Pipelines.riskPipelineDeterministic(wire.toDF("value"))
+      .orderBy("transactionId").collect().toSeq
+    assert(s.nonEmpty && s == b)
+  }
+
+  test("metrics reporter captures progress with the reference metric ids") {
+    implicit val sc = spark.sqlContext
+    val rep = new graft.streaming.MetricsReporter
+    spark.streams.addListener(rep)
+    val mem = MemoryStream[String]
+    val q = Pipelines.metricsPipeline(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rep_q").start()
+    try {
+      mem.addData(Generator.toWire(Generator.batch(spark, 20))
+        .as[String].collect().toSeq)
+      q.processAllAvailable()
+    } finally { q.stop(); spark.streams.removeListener(rep) }
+    val ids = Seq("records_in_rate", "records_out_rate", "avg_latency",
+      "checkpoint_size", "heap_used", "dropped_late_rows")
+    ids.foreach(id => assert(rep.latest.containsKey(id), s"missing $id"))
+    assert(rep.snapshotJson.startsWith("{"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions._
+import graft.operators.Multimodal
+
+/** Text-analysis edge cases + multimodal decode plumbing. */
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("token counting is whitespace-robust") {
+    val out = Seq("a  b\t c", "", "   ", "single")
+      .toDF("text").select(tokenCount($"text").as("n")).as[Long].collect().toSeq
+    assert(out == Seq(3L, 0L, 0L, 1L))
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val fps = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma")
+      .toDF("text").select(fingerprint($"text").as("fp")).as[Long].collect()
+    assert(fps(0) != fps(1))
+    assert(fps(0) == fps(2))
+  }
+
+  test("language ID picks the marker-dense language, 'und' when no markers") {
+    val out = Seq(
+      "the cat and the dog sat in a box",
+      "der hund und die katze ist nicht da",
+      "el perro y la casa es que los gatos",
+      "xyzzy qwerty plugh").toDF("text")
+      .select(langId($"text").as("l")).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "es", "und"))
+  }
+
+  test("quality score: clean prose beats punctuation soup") {
+    val out = Seq(
+      "the report of the committee is ready for review and approval today",
+      ";;;;!!!! ,,,, ???? ;;;; !!!!").toDF("text")
+      .select(qualityScore($"text").as("q")).as[Double].collect()
+    assert(out(0) > out(1))
+  }
+
+  test("multimodal: binaryMeta sniffs format and decodeStub is deterministic") {
+    val jpegMagic = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2)
+    val pngMagic = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 3, 4)
+    val df = Seq((1L, jpegMagic), (2L, pngMagic), (3L, Array[Byte](9, 9)))
+      .toDF("doc_id", "payload")
+    val meta = Multimodal.binaryMeta(df, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("format")).toMap
+    assert(meta(1L) == "jpeg" && meta(2L) == "png" && meta(3L) == "unknown")
+    val decoded = Multimodal.decodeMeta(spark, df, "doc_id", "payload")
+      .collect().sortBy(_.doc_id)
+    assert(decoded.length == 3)
+    assert(decoded.forall(m => m.width >= 64 && m.height >= 64))
+    val again = Multimodal.decodeMeta(spark, df, "doc_id", "payload")
+      .collect().sortBy(_.doc_id)
+    assert(decoded.toSeq == again.toSeq)
+  }
+
+  test("multimodal: repartitionByBytes bounds partition payload") {
+    val df = Seq.tabulate(64)(i => (i.toLong, Array.fill[Byte](1000)(i.toByte)))
+      .toDF("doc_id", "payload")
+    val re = Multimodal.repartitionByBytes(df, "payload", 8000L)
+    assert(re.rdd.getNumPartitions >= 8)
+  }
+}
