@@ -31,8 +31,11 @@ object Dedup {
       transform(sequence(lit(1), n - (k - 1)), i =>
         concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-    docs.select((col(idCol).as("doc") +: blockCols.map(col)) :+
-      explode(array_distinct(sh)).as("shingle"): _*)
+    // spread the per-doc tokenize/shingle work: a small parquet scan is a
+    // single partition, and regex+shingling is the CPU-heavy step.
+    docs.repartition(col(idCol))
+      .select((col(idCol).as("doc") +: blockCols.map(col)) :+
+        explode(array_distinct(sh)).as("shingle"): _*)
   }
 
   /** N-gram Jaccard similarity for all doc pairs sharing a blocking key and
@@ -58,48 +61,52 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64 over the doc's shingle set. Engine-native hashing
-    * (xxhash64) — deterministic within Spark, not SQL-portable, hence
-    * rows-only oracle + property tests (DedupSpec). */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(lit(i), s)))
-    }: _*)
-
   /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
     * bands·rowsPerBand = numHashes; a pair is a candidate iff some band of
-    * the signature matches exactly (equi-join on (band, band-sig)). */
+    * the signature matches exactly.
+    *
+    * Execution shape (the 100 TB contract): shingles are EXPLODED once and
+    * every stage is a codegen'd hash-agg or equi-join over narrow rows —
+    * the minhash mins are `numHashes` MIN aggregates in one groupBy pass
+    * (not per-row interpreted array transforms), candidate generation
+    * joins (doc, band, bsig) rows only, and Jaccard verification re-joins
+    * the shingle table instead of carrying shingle arrays through the
+    * shuffle. Hashing is engine-native xxhash64 — deterministic within
+    * Spark, not SQL-portable, hence rows-only oracle + property tests
+    * (DedupSpec). */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  jaccardThreshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val toks = TextFunctions.tokens(col(textCol))
-    val n = size(toks)
-    val shArr = array_distinct(when(n >= shingleK,
-      transform(sequence(lit(1), n - (shingleK - 1)), i =>
-        concat_ws(" ", (0 until shingleK).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>")))
-    val sigd = docs.select(col(idCol).as("doc"), shArr.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = sigd.select(col("doc"), col("sh"),
+    val sh = shingles(docs, idCol, textCol, shingleK, Nil)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val sig = sh.groupBy(col("doc")).agg(minAggs.head, minAggs.tail: _*)
+    val banded = sig.select(col("doc"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bsig"))
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+            .as("bsig"))
       }: _*)).as("bb"))
-      .select(col("doc"), col("sh"), col("bb.band"), col("bb.bsig"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    cands
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+    val common = cands
+      .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard", col("common").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("common")).cast("double"))
+        (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
   }

@@ -7,20 +7,24 @@ import graft.functions.ExactNum._
 import graft.operators.Similarity
 
 /** Similarity-search queries over `embeddings` (ArrayType(FloatType),
-  * dim 64). Dot products fold in exact decimal (Similarity.dotExact) so
-  * Spark and DuckDB produce bit-identical doubles — rankings, thresholds
-  * and hash-compares all agree. The LSH ANN path is engine-native
-  * (rows-only oracle) with recall asserted against brute force in
-  * SimilaritySpec.
+  * dim 64). Per-row dot products are sequential double folds — DuckDB's
+  * `list_reduce` folds in the same left-to-right order, so both engines
+  * produce bit-identical doubles (see Similarity's class doc). The LSH ANN
+  * path uses engine-native signature aggregation (rows-only oracle) with
+  * recall asserted against brute force in SimilaritySpec.
   */
 object SimilarityQueries extends QueryPack {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** DuckDB: exact decimal dot-product of two unnested float lists. */
+  /** DuckDB twin of Similarity.dotSeq: sequential fold over the zipped
+    * product list, same order as Spark's `aggregate`. */
   private def dotSql(a: String, b: String): String =
-    s"CAST(sum(CAST(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)"
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(acc, x) -> acc + x)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -43,38 +47,31 @@ object SimilarityQueries extends QueryPack {
     "sim3_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(emb(s, dir), "label", "embedding")),
 
-    // vector norms + norm stats per label (sanity surface for embeddings).
+    // vector norms (sanity surface for embeddings).
     "sim4_norms" -> ((s, dir) => {
       import s.implicits._
       emb(s, dir).select($"vec_id", $"label",
-        Similarity.normExact($"embedding").as("l2_norm"))
+        Similarity.normSeq($"embedding").as("l2_norm"))
     }),
 
     // LSH-bucketed ANN (engine-native signatures — rows-only oracle;
     // recall vs sim1 asserted in SimilaritySpec).
     "sim5_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(emb(s, dir), "vec_id", "embedding", dims = 64,
-        planes = 16, bands = 4, threshold = 0.35)))
-
-  private val normSql: String =
-    s"""SELECT vec_id, sqrt(${dotSql("x", "x")}) AS nrm
-       |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
-       |  GROUP BY vec_id""".stripMargin
+        planes = 24, bands = 4, threshold = 0.35)))
 
   def oracles: Map[String, String] = Map(
     "sim1_cosine_topk" ->
-      s"""WITH n AS ($normSql),
-         |d AS (
-         |  SELECT query_id, neighbor_id, ${dotSql("a", "b")} AS dot
-         |  FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |           unnest(q.embedding) AS a, unnest(c.embedding) AS b
-         |    FROM embeddings q, embeddings c
-         |    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
-         |  ) z GROUP BY query_id, neighbor_id
+      s"""WITH n AS (
+         |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), d AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotSql("q.embedding", "c.embedding")} AS dot
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 20
          |), cos AS (
-         |  SELECT query_id, neighbor_id,
-         |         dot / (nq.nrm * nc.nrm) AS cos_sim
+         |  SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cos_sim
          |  FROM d JOIN n nq ON nq.vec_id = query_id
          |         JOIN n nc ON nc.vec_id = neighbor_id
          |)
@@ -85,20 +82,18 @@ object SimilarityQueries extends QueryPack {
          |  FROM cos) r
          |WHERE rank <= 5""".stripMargin,
     "sim2_cosine_neardup" ->
-      s"""WITH n AS ($normSql),
-         |d AS (
-         |  SELECT id_a, id_b, ${dotSql("a", "b")} AS dot
-         |  FROM (
-         |    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-         |           unnest(x.embedding) AS a, unnest(y.embedding) AS b
-         |    FROM embeddings x, embeddings y
-         |    WHERE x.vec_id < y.vec_id
-         |  ) z GROUP BY id_a, id_b
+      s"""WITH n AS (
+         |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), cos AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |         ${dotSql("x.embedding", "y.embedding")} / (nx.nrm * ny.nrm) AS cos_sim
+         |  FROM embeddings x
+         |  JOIN embeddings y ON x.vec_id < y.vec_id
+         |  JOIN n nx ON nx.vec_id = x.vec_id
+         |  JOIN n ny ON ny.vec_id = y.vec_id
          |)
-         |SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos_sim
-         |FROM d JOIN n na ON na.vec_id = id_a
-         |       JOIN n nb ON nb.vec_id = id_b
-         |WHERE dot / (na.nrm * nb.nrm) >= 0.45""".stripMargin,
+         |SELECT id_a, id_b, cos_sim FROM cos WHERE cos_sim >= 0.45""".stripMargin,
     "sim3_label_centroids" ->
       s"""SELECT label, CAST(i AS BIGINT) AS dim,
          |  ${sumExactSql("CAST(embedding[i] AS DOUBLE)")} / count(embedding[i]) AS centroid,
@@ -108,6 +103,7 @@ object SimilarityQueries extends QueryPack {
          |      FROM embeddings) p
          |GROUP BY label, i""".stripMargin,
     "sim4_norms" ->
-      s"""SELECT e.vec_id, e.label, n.nrm AS l2_norm
-         |FROM embeddings e JOIN ($normSql) n ON n.vec_id = e.vec_id""".stripMargin)
+      s"""SELECT vec_id, label,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS l2_norm
+         |FROM embeddings""".stripMargin)
 }

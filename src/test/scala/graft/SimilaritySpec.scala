@@ -20,12 +20,12 @@ class SimilaritySpec extends AnyFunSuite {
   private val df = vecs.toDF("vec_id", "embedding")
     .withColumn("embedding", $"embedding".cast("array<float>"))
 
-  test("dotExact matches a driver-side computation") {
+  test("dotSeq matches a driver-side left-fold computation exactly") {
     val got = df.filter($"vec_id" === 0L)
-      .select(Similarity.dotExact($"embedding", $"embedding").as("d"))
+      .select(Similarity.dotSeq($"embedding", $"embedding").as("d"))
       .as[Double].head()
-    val want = v0.map(x => x.toDouble * x.toDouble).sum
-    assert(math.abs(got - want) < 1e-9)
+    val want = v0.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+    assert(got == want)
   }
 
   test("brute-force top-k: planted near-identical vector ranks first") {
