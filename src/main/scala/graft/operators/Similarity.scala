@@ -34,9 +34,16 @@ object Similarity {
   /** Fixed-point scale for cross-row sums: 1e-12 resolution. */
   val Scale: Double = 1e12
 
-  /** Engine-portable per-row dot product: sequential double fold over the
-    * zipped product array (see class doc for why this is deterministic). */
+  /** Engine-portable per-row dot product: sequential double fold, executed
+    * by the native codegen'd [[graft.functions.VectorDot]] expression (see
+    * class doc for why the sequential fold is deterministic; VectorDotSpec
+    * pins bit-equality between the native expression and the HOF fold). */
   def dotSeq(a: Column, b: Column): Column =
+    graft.functions.VectorDot.vector_dot(a, b)
+
+  /** The built-ins-only fold (zip_with + aggregate) — same semantics as
+    * [[dotSeq]]; kept as the portable reference implementation. */
+  def dotSeqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
