@@ -246,6 +246,62 @@ object RelationalQueries extends QueryPack {
              count(lit(1)).as("cnt"))
     }),
 
+    // Q19 — stream-static enrichment join (the Structured Streaming
+    // stream⋈static dim pattern, batch twin): events against a broadcast
+    // dimension on a derived key.
+    "q19_stream_static_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val n = t(s, dir, "nation")
+      e.join(broadcast(n), pmod($"user_id", lit(25L)) === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("cnt"), sumExact($"value").as("sum_value"))
+    }),
+
+    // Q20 — scalar function pack 2: trim/pad/split/greatest/least,
+    // interval arithmetic, datediff, last_day, epoch seconds.
+    "q20_scalar_pack2" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        trim(concat(lit("  "), $"o_orderpriority", lit("  "))).as("prio_trim"),
+        lpad($"o_orderstatus", 5, "*").as("status_lpad"),
+        rpad($"o_orderstatus", 5, "#").as("status_rpad"),
+        split_part($"o_orderpriority", lit("-"), lit(1)).as("prio_code"),
+        greatest($"o_totalprice", lit(100000.0)).as("price_floor100k"),
+        least($"o_totalprice", lit(100000.0)).as("price_cap100k"),
+        ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("ship_by"),
+        datediff(lit("2002-01-01").cast("timestamp"), $"o_orderdate")
+          .cast("long").as("days_to_2002"),
+        last_day($"o_orderdate").as("month_end"),
+        unix_timestamp($"o_orderdate").as("epoch_s"))
+    }),
+
+    // Q21 — approx_count_distinct (HLL++). Sketch internals are
+    // engine-specific → rows-only check; accuracy vs exact distinct is
+    // asserted in RelationalSpec.
+    "q21_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"),
+          approx_count_distinct($"l_orderkey").as("approx_orders"))
+    }),
+
+    // Q22 — as-of/previous-event analytics per key (lag + gap).
+    "q22_asof_prev_event" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables.load(s, dir, "events")
+        .withColumn("prev_value", lag($"value", 1).over(w))
+        .withColumn("prev_ts_us", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("gap_us", unix_micros($"ts") - $"prev_ts_us")
+        .select($"event_id", $"user_id", $"value", $"prev_value", $"gap_us")
+    }),
+
     // Q18 — grouped agg over a range non-equi self-condition: orders priced
     // above their customer's average (correlated-subquery shape, decorrelated
     // the Spark way: aggregate + re-join).
@@ -394,6 +450,29 @@ object RelationalQueries extends QueryPack {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
          |GROUP BY n_name""".stripMargin,
+    "q19_stream_static_enrich" ->
+      s"""SELECT n_name, count(*) AS cnt, ${sumExactSql("value")} AS sum_value
+         |FROM events JOIN nation ON user_id % 25 = n_nationkey
+         |GROUP BY n_name""".stripMargin,
+    "q20_scalar_pack2" ->
+      """SELECT o_orderkey,
+        |  trim('  ' || o_orderpriority || '  ') AS prio_trim,
+        |  lpad(o_orderstatus, 5, '*') AS status_lpad,
+        |  rpad(o_orderstatus, 5, '#') AS status_rpad,
+        |  split_part(o_orderpriority, '-', 1) AS prio_code,
+        |  greatest(o_totalprice, CAST(100000.0 AS DOUBLE)) AS price_floor100k,
+        |  least(o_totalprice, CAST(100000.0 AS DOUBLE)) AS price_cap100k,
+        |  o_orderdate + INTERVAL 30 DAY AS ship_by,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS days_to_2002,
+        |  last_day(o_orderdate) AS month_end,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders""".stripMargin,
+    "q22_asof_prev_event" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
     "q18_above_avg_orders" ->
       s"""WITH avg_per AS (
          |  SELECT o_custkey AS k, ${avgExactSql("o_totalprice")} AS avg_price
