@@ -107,4 +107,30 @@ class StreamingSpec extends AnyFunSuite {
     ids.foreach(id => assert(rep.latest.containsKey(id), s"missing $id"))
     assert(rep.snapshotJson.startsWith("{"))
   }
+
+  test("flatMapGroupsWithState: per-sender running totals with alerts") {
+    implicit val sc = spark.sqlContext
+    import graft.core.Schemas.RemittanceTransaction
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[RemittanceTransaction]
+    val out = graft.streaming.StatefulOps
+      .senderRunningTotals(spark, mem.toDS(), alertThreshold = 1.5)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sender_stats").start()
+    def tx(s: String, amt: Double, ts: Long) = RemittanceTransaction(
+      s"t$ts", s, "r", amt, "USD", 1.0, ts)
+    try {
+      mem.addData(tx("A", 1.0, 1), tx("B", 0.2, 2))
+      q.processAllAvailable()
+      mem.addData(tx("A", 1.0, 3)) // A crosses 1.5 -> alert, state persisted
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val rows = spark.table("sender_stats")
+      .as[graft.streaming.StatefulOps.SenderStats].collect()
+    val a2 = rows.filter(r => r.senderId == "A" && r.txCount == 2L)
+    assert(a2.length == 1 && a2.head.alert && a2.head.totalAmount == 2.0)
+    assert(rows.filter(_.senderId == "B").forall(!_.alert))
+  }
 }
+
