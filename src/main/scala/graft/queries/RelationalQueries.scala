@@ -302,6 +302,45 @@ object RelationalQueries extends QueryPack {
         .select($"event_id", $"user_id", $"value", $"prev_value", $"gap_us")
     }),
 
+    // Q23 — pivot (grouped transpose with a fixed value set).
+    "q23_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"O", lit(0L)).as("n_open"),
+          coalesce($"F", lit(0L)).as("n_finished"),
+          coalesce($"P", lit(0L)).as("n_pending"))
+    }),
+
+    // Q24 — generator/UDTF surface: explode token stream → global top-k.
+    "q24_explode_topk" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens($"text")).as("token"))
+        .groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc)
+        .limit(20)
+    }),
+
+    // Q25 — exact percentiles (linear interpolation) + deterministic
+    // arg-max via a composite ordering key.
+    "q25_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("median_price"),
+          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          max_by($"o_orderkey", $"o_totalprice" * 1e6 + $"o_orderkey")
+            .as("top_order"),
+          min_by($"o_orderkey", $"o_totalprice" * 1e6 + $"o_orderkey")
+            .as("bottom_order"))
+    }),
+
     // Q18 — grouped agg over a range non-equi self-condition: orders priced
     // above their customer's average (correlated-subquery shape, decorrelated
     // the Spark way: aggregate + re-join).
@@ -473,6 +512,26 @@ object RelationalQueries extends QueryPack {
         |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+    "q23_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_finished,
+        |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_pending
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q24_explode_topk" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+        |  FROM documents) t
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 20""".stripMargin,
+    "q25_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  arg_max(o_orderkey, o_totalprice * 1e6 + CAST(o_orderkey AS DOUBLE)) AS top_order,
+        |  arg_min(o_orderkey, o_totalprice * 1e6 + CAST(o_orderkey AS DOUBLE)) AS bottom_order
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q18_above_avg_orders" ->
       s"""WITH avg_per AS (
          |  SELECT o_custkey AS k, ${avgExactSql("o_totalprice")} AS avg_price

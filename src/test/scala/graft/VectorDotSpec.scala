@@ -26,6 +26,15 @@ class VectorDotSpec extends AnyFunSuite {
     assert(cmp.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("GraftExtensions-injected SQL function resolves without temp registration") {
+    val df2 = Seq((Seq(2.0f, 3.0f), Seq(4.0f, 5.0f))).toDF("a", "b")
+      .withColumn("a", $"a".cast("array<float>"))
+      .withColumn("b", $"b".cast("array<float>"))
+    df2.createOrReplaceTempView("vd_ext")
+    assert(spark.sql("SELECT vector_dot(a, b) AS d FROM vd_ext")
+      .head().getDouble(0) == 23.0)
+  }
+
   test("registered SQL function works") {
     VectorDot.register(spark)
     df.createOrReplaceTempView("vd")
