@@ -68,6 +68,18 @@ object Multimodal {
       .mapPartitions { it => it.map { case (id, bytes) => fakeDecode(id, bytes) } }
   }
 
+  /** Frame sampling for video-like columns (`array<binary>` of frames):
+    * keep every `everyN`-th frame, preserving frame index. Pure
+    * posexplode + filter — codegen'd, narrow, no shuffle; the standard
+    * decimation pass before any per-frame decode at 100 TB. */
+  def frameSample(df: DataFrame, idCol: String, framesCol: String,
+                  everyN: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(col(framesCol)).as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") % everyN === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame"))
+
   /** Size-aware repartitioning: target ≤ `bytesPerPartition` of payload per
     * task so decode tasks neither OOM nor straggle. At 100 TB this is the
     * difference between a working decode pass and a dead cluster. */

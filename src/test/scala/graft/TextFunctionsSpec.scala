@@ -58,6 +58,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(decoded.toSeq == again.toSeq)
   }
 
+  test("multimodal: frameSample keeps every Nth frame with indices") {
+    val frames = (0 until 10).map(i => Array[Byte](i.toByte)).toSeq
+    val df = Seq((7L, frames)).toDF("vid_id", "frames")
+    val out = Multimodal.frameSample(df, "vid_id", "frames", 3)
+      .collect().map(r => (r.getAs[Long]("frame_idx"),
+        r.getAs[Array[Byte]]("frame")(0)))
+    assert(out.map(_._1).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(out.forall { case (i, b) => b.toLong == i })
+  }
+
   test("multimodal: repartitionByBytes bounds partition payload") {
     val df = Seq.tabulate(64)(i => (i.toLong, Array.fill[Byte](1000)(i.toByte)))
       .toDF("doc_id", "payload")
