@@ -341,6 +341,21 @@ object RelationalQueries extends QueryPack {
             .as("bottom_order"))
     }),
 
+    // Q26 — salted skew join: provably identical to the plain join (the
+    // oracle SQL IS the plain join), but the hot key's rows spread over
+    // saltFactor reducers.
+    "q26_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+      graft.operators.SkewJoin.saltedJoin(
+        l, o, $"l_orderkey", $"o_orderkey", saltFactor = 8,
+        saltSource = $"l_orderkey" * 131L + $"l_linenumber")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sumExact($"l_extendedprice").as("sum_price"))
+    }),
+
     // Q18 — grouped agg over a range non-equi self-condition: orders priced
     // above their customer's average (correlated-subquery shape, decorrelated
     // the Spark way: aggregate + re-join).
@@ -532,6 +547,11 @@ object RelationalQueries extends QueryPack {
         |  arg_max(o_orderkey, o_totalprice * 1e6 + CAST(o_orderkey AS DOUBLE)) AS top_order,
         |  arg_min(o_orderkey, o_totalprice * 1e6 + CAST(o_orderkey AS DOUBLE)) AS bottom_order
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q26_salted_join" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt,
+         |  ${sumExactSql("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
     "q18_above_avg_orders" ->
       s"""WITH avg_per AS (
          |  SELECT o_custkey AS k, ${avgExactSql("o_totalprice")} AS avg_price
