@@ -356,6 +356,51 @@ object RelationalQueries extends QueryPack {
           sumExact($"l_extendedprice").as("sum_price"))
     }),
 
+    // Q27 — scalar string pack 3: translate/repeat/instr/left/right,
+    // predicates, regexp extraction.
+    "q27_string_pack3" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").select(
+        $"p_partkey",
+        translate($"p_name", "aeiou", "AEIOU").as("vowel_up"),
+        repeat($"p_brand", 2).as("brand_x2"),
+        instr($"p_name", "al").cast("long").as("al_pos"),
+        expr("left(p_name, 6)").as("name6"),
+        expr("right(p_type, 4)").as("type_tail"),
+        $"p_name".contains("al").as("has_al"),
+        $"p_type".startsWith("STANDARD").as("is_standard"),
+        $"p_type".endsWith("TIN").as("is_tin"),
+        regexp_extract($"p_name", "[0-9]+", 0).as("first_num"))
+    }),
+
+    // Q28 — non-equi range join: event pairs per user within a 60 s
+    // forward window (interval-join semantics; equi key + range condition
+    // ⇒ sort-merge with band predicate, never a cartesian).
+    "q28_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val a = e.select($"user_id", $"event_id".as("eid_a"),
+        unix_micros($"ts").as("us_a"))
+      val b = e.select($"user_id".as("uid_b"), $"event_id".as("eid_b"),
+        unix_micros($"ts").as("us_b"))
+      a.join(b, $"user_id" === $"uid_b" && $"us_b" > $"us_a" &&
+          $"us_b" <= $"us_a" + 60000000L)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("pair_cnt"),
+          max($"us_b" - $"us_a").as("max_gap_us"))
+    }),
+
+    // Q29 — ordered array aggregation (collect + sort for determinism).
+    "q29_array_agg" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sort_array(collect_set($"c_mktsegment")).as("segments"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // Q18 — grouped agg over a range non-equi self-condition: orders priced
     // above their customer's average (correlated-subquery shape, decorrelated
     // the Spark way: aggregate + re-join).
@@ -552,6 +597,31 @@ object RelationalQueries extends QueryPack {
          |  ${sumExactSql("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
+    "q27_string_pack3" ->
+      """SELECT p_partkey,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS vowel_up,
+        |  repeat(p_brand, 2) AS brand_x2,
+        |  CAST(strpos(p_name, 'al') AS BIGINT) AS al_pos,
+        |  left(p_name, 6) AS name6,
+        |  right(p_type, 4) AS type_tail,
+        |  contains(p_name, 'al') AS has_al,
+        |  starts_with(p_type, 'STANDARD') AS is_standard,
+        |  ends_with(p_type, 'TIN') AS is_tin,
+        |  regexp_extract(p_name, '[0-9]+') AS first_num
+        |FROM part""".stripMargin,
+    "q28_range_join" ->
+      """SELECT a.user_id, count(*) AS pair_cnt,
+        |  max(epoch_us(b.ts) - epoch_us(a.ts)) AS max_gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
+        |GROUP BY a.user_id""".stripMargin,
+    "q29_array_agg" ->
+      """SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "q18_above_avg_orders" ->
       s"""WITH avg_per AS (
          |  SELECT o_custkey AS k, ${avgExactSql("o_totalprice")} AS avg_price
