@@ -401,6 +401,47 @@ object RelationalQueries extends QueryPack {
           count(lit(1)).as("cnt"))
     }),
 
+    // Q30 — arbitrary GROUPING SETS + grouping_id (SQL surface).
+    "q30_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          |  count(1) AS cnt
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |""".stripMargin)
+    }),
+
+    // Q31 — multiset set ops: EXCEPT ALL / INTERSECT ALL keep
+    // multiplicities (unlike q12's distinct set semantics).
+    "q31_multiset_ops" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      val r = l.filter($"l_returnflag" === "R").select($"l_orderkey")
+      val f = l.filter($"l_linestatus" === "F").select($"l_orderkey")
+      r.exceptAll(f)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+    }),
+
+    // Q32 — window navigation: first/last/nth value over a full frame,
+    // ntile, percent_rank, cume_dist.
+    "q32_window_navigation" -> ((s, dir) => {
+      import s.implicits._
+      val full = Window.partitionBy($"o_orderstatus").orderBy($"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ord = Window.partitionBy($"o_orderstatus").orderBy($"o_orderkey")
+      t(s, dir, "orders")
+        .filter($"o_custkey" < 100)
+        .select($"o_orderkey", $"o_orderstatus",
+          first($"o_totalprice").over(full).as("first_price"),
+          last($"o_totalprice").over(full).as("last_price"),
+          nth_value($"o_totalprice", 2).over(full).as("second_price"),
+          ntile(4).over(ord).cast("long").as("quartile"),
+          percent_rank().over(ord).as("pct_rank"),
+          cume_dist().over(ord).as("cume"))
+    }),
+
     // Q18 — grouped agg over a range non-equi self-condition: orders priced
     // above their customer's average (correlated-subquery shape, decorrelated
     // the Spark way: aggregate + re-join).
@@ -622,6 +663,30 @@ object RelationalQueries extends QueryPack {
         |  count(*) AS cnt
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q30_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(1) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q31_multiset_ops" ->
+      """SELECT l_orderkey, count(*) AS n FROM (
+        |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |  EXCEPT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+        |) t GROUP BY l_orderkey""".stripMargin,
+    "q32_window_navigation" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  CAST(ntile(4) OVER o AS BIGINT) AS quartile,
+        |  percent_rank() OVER o AS pct_rank,
+        |  cume_dist() OVER o AS cume
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |       o AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)""".stripMargin,
     "q18_above_avg_orders" ->
       s"""WITH avg_per AS (
          |  SELECT o_custkey AS k, ${avgExactSql("o_totalprice")} AS avg_price

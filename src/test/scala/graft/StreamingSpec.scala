@@ -132,5 +132,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(a2.length == 1 && a2.head.alert && a2.head.totalAmount == 2.0)
     assert(rows.filter(_.senderId == "B").forall(!_.alert))
   }
+
+  test("update-mode keyed windows emit refined results per micro-batch") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    def tx(id: String, amt: Double, ts: Long) =
+      s"""{"transactionId":"$id","senderId":"s","receiverId":"r","amount":$amt,"currency":"USD","exchangeRate":1.0,"timestamp":$ts}"""
+    val q = Pipelines.metricsPipeline(mem.toDF(), watermark = "0 seconds")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("upd_metrics").start()
+    try {
+      mem.addData(Seq(tx("a", 1.0, 1000L)))
+      q.processAllAvailable()
+      mem.addData(Seq(tx("b", 3.0, 2000L))) // same window, refined row
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val emitted = spark.table("upd_metrics")
+      .select("window_start", "cnt").as[(Long, Long)].collect().toSeq
+    // update mode re-emits the [0,10s) window: once with cnt=1, then cnt=2
+    assert(emitted.sorted == Seq((0L, 1L), (0L, 2L)))
+  }
+
+  test("metric JSON line round-trips through from_json (K2 re-parse path)") {
+    import graft.functions.JsonCodec
+    val m = Pipelines.metricsPipeline(
+      Generator.toWire(Generator.batch(spark, 100)).as[String].toDF("value"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("windowStart", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("successCount", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("avgAmount", org.apache.spark.sql.types.DoubleType)))
+    val back = m.select(from_json($"line", schema).as("p"), $"window_start", $"cnt", $"success_cnt")
+    val bad = back.filter($"p.windowStart" =!= $"window_start" ||
+      $"p.count" =!= $"cnt" || $"p.successCount" =!= $"success_cnt")
+    assert(bad.count() == 0)
+  }
 }
 
