@@ -16,7 +16,8 @@ object SparkEntry {
     ReferenceQueries,
     RelationalQueries,
     TextQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's analytical core (W2 10 s tumbling window metrics). */

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions
+
+/** Training-data pipeline build steps beyond dedup/similarity: embedding
+  * quantization, TF-DF vocabulary statistics, deterministic stratified
+  * sampling, and document-length histograms. All are pure arithmetic /
+  * counting — engine-portable and DuckDB-oracled.
+  */
+object PipelineQueries extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // int8 symmetric quantization per vector (scale = max |x|); the
+    // compression pass before ANN index build. floor(x+0.5) rounding is
+    // portable (round() tie semantics differ across engines).
+    "pl1_quantize_int8" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "embeddings")
+        .withColumn("max_abs",
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => greatest(acc, abs(x.cast("double")))))
+        .select($"vec_id", $"max_abs",
+          transform($"embedding", x =>
+            floor(x.cast("double") / $"max_abs" * 127.0 + 0.5).cast("int"))
+            .as("q8"))
+    }),
+
+    // TF-DF build table: per (doc, token) term frequency + per-token
+    // document frequency — the exact-count core of TF-IDF (the idf log is
+    // libm-dependent, so the oracle stops at the counts).
+    "pl2_tf_df" -> ((s, dir) => {
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .repartition($"doc_id")
+        .select($"doc_id",
+          explode(TextFunctions.tokens($"text")).as("token"))
+      val tf = tok.groupBy($"doc_id", $"token")
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy($"token")
+        .agg(count(lit(1)).as("df"))
+      tf.join(df_, "token")
+        .filter($"df" >= 50)
+        .select($"doc_id", $"token", $"tf", $"df")
+    }),
+
+    // deterministic stratified sampling: ~20% per lang via an arithmetic
+    // hash on the id (engine-portable, retry-safe — no rand()).
+    "pl3_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .filter(pmod($"doc_id" * 2654435761L, lit(100L)) < 20L)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("sampled"),
+          sort_array(collect_list($"doc_id")).as("ids"))
+    }),
+
+    // document-length histogram (100-char buckets) per lang.
+    "pl4_length_histogram" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .groupBy($"lang",
+          (floor(length($"text") / 100L) * 100L).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "pl1_quantize_int8" ->
+      """SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |    (acc, x) -> greatest(acc, x)) AS max_abs,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))),
+        |      (acc, y) -> greatest(acc, y)) * 127.0 + 0.5) AS INT)) AS q8
+        |FROM embeddings""".stripMargin,
+    "pl2_tf_df" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        |), df AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY token
+        |)
+        |SELECT doc_id, tf.token AS token, tf, df
+        |FROM tf JOIN df ON tf.token = df.token
+        |WHERE df >= 50""".stripMargin,
+    "pl3_stratified_sample" ->
+      """SELECT lang, count(*) AS sampled,
+        |  list_sort(list(doc_id)) AS ids
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 100 < 20
+        |GROUP BY lang""".stripMargin,
+    "pl4_length_histogram" ->
+      """SELECT lang, CAST(length(text) // 100 * 100 AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY lang, bucket""".stripMargin)
+}
