@@ -7,10 +7,14 @@ import graft.functions.TextFunctions
 
 /** Training-data pipeline build steps beyond dedup/similarity: embedding
   * quantization, TF-DF vocabulary statistics, deterministic stratified
-  * sampling, and document-length histograms. All are pure arithmetic /
-  * counting — engine-portable and DuckDB-oracled.
+  * sampling, document-length histograms, and the typed Dataset path. All
+  * pure arithmetic / counting — engine-portable and DuckDB-oracled.
   */
 object PipelineQueries extends QueryPack {
+
+  /** Typed row for the Dataset[T] path (SURVEY §1.3: typed core). */
+  case class EventRow(event_id: Long, user_id: Long, event_type: String,
+                      value: Double)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -58,6 +62,21 @@ object PipelineQueries extends QueryPack {
           sort_array(collect_list($"doc_id")).as("ids"))
     }),
 
+    // typed Dataset path: case-class Encoder + typed filter/map feeding a
+    // grouped count — proves Dataset[T] transformations hold the same
+    // oracle contract as the untyped combinators.
+    "pl5_typed_map" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[EventRow]
+        .filter(_.event_type != "error")
+        .map(e => (e.user_id, if (e.value > 100.0) "hi" else "lo"))
+        .toDF("user_id", "band")
+        .groupBy($"user_id", $"band")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // document-length histogram (100-char buckets) per lang.
     "pl4_length_histogram" -> ((s, dir) => {
       import s.implicits._
@@ -99,5 +118,11 @@ object PipelineQueries extends QueryPack {
     "pl4_length_histogram" ->
       """SELECT lang, CAST(length(text) // 100 * 100 AS BIGINT) AS bucket,
         |  count(*) AS cnt
-        |FROM documents GROUP BY lang, bucket""".stripMargin)
+        |FROM documents GROUP BY lang, bucket""".stripMargin,
+    "pl5_typed_map" ->
+      """SELECT user_id,
+        |  CASE WHEN value > 100.0 THEN 'hi' ELSE 'lo' END AS band,
+        |  count(*) AS cnt
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY user_id, band""".stripMargin)
 }

@@ -442,6 +442,34 @@ object RelationalQueries extends QueryPack {
           cume_dist().over(ord).as("cume"))
     }),
 
+    // Q33 — statistical aggregates from exact moments: builtin
+    // stddev/corr are order-dependent double folds and can never
+    // hash-match across engines; derived from decimal-exact sums they are
+    // deterministic everywhere.
+    "q33_moment_stats" -> ((s, dir) => {
+      import s.implicits._
+      val sx = sumExact($"l_quantity")
+      val sxx = sumExact($"l_quantity" * $"l_quantity")
+      val sy = sumExact($"l_extendedprice")
+      val syy = sumExact($"l_extendedprice" * $"l_extendedprice")
+      val sxy = sumExact($"l_quantity" * $"l_extendedprice")
+      val n = count(lit(1)).cast("double")
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("cnt"),
+          // rounded to 6dp: huge decimal sums (Σprice² ≈ 1e20 scaled
+          // units) convert decimal→double with engine-dependent last-ulp
+          // rounding; 6dp absorbs it.
+          round(sx / n, 6).as("mean_qty"),
+          round((sxx - sx * sx / n) / (n - 1.0), 6).as("var_qty"),
+          round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6).as("stddev_qty"),
+          round((sxy - sx * sy / n) / (n - 1.0), 6).as("covar_qty_price"),
+          round((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+            .as("corr_qty_price"))
+    }),
+
     // Q18 — grouped agg over a range non-equi self-condition: orders priced
     // above their customer's average (correlated-subquery shape, decorrelated
     // the Spark way: aggregate + re-join).
@@ -687,6 +715,23 @@ object RelationalQueries extends QueryPack {
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
         |       o AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)""".stripMargin,
+    "q33_moment_stats" -> {
+      val sx = sumExactSql("l_quantity")
+      val sxx = sumExactSql("l_quantity * l_quantity")
+      val sy = sumExactSql("l_extendedprice")
+      val syy = sumExactSql("l_extendedprice * l_extendedprice")
+      val sxy = sumExactSql("l_quantity * l_extendedprice")
+      val n = "CAST(count(*) AS DOUBLE)"
+      s"""SELECT l_returnflag, count(*) AS cnt,
+         |  round($sx / $n, 6) AS mean_qty,
+         |  round(($sxx - $sx * $sx / $n) / ($n - 1.0), 6) AS var_qty,
+         |  round(sqrt(($sxx - $sx * $sx / $n) / ($n - 1.0)), 6) AS stddev_qty,
+         |  round(($sxy - $sx * $sy / $n) / ($n - 1.0), 6) AS covar_qty_price,
+         |  round(($n * $sxy - $sx * $sy) /
+         |    (sqrt($n * $sxx - $sx * $sx) * sqrt($n * $syy - $sy * $sy)), 6)
+         |    AS corr_qty_price
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    },
     "q18_above_avg_orders" ->
       s"""WITH avg_per AS (
          |  SELECT o_custkey AS k, ${avgExactSql("o_totalprice")} AS avg_price
