@@ -168,5 +168,30 @@ class StreamingSpec extends AnyFunSuite {
       $"p.count" =!= $"cnt" || $"p.successCount" =!= $"success_cnt")
     assert(bad.count() == 0)
   }
+
+  test("streaming equals batch regardless of micro-batch boundaries") {
+    implicit val sc = spark.sqlContext
+    val wire = Generator.toWire(Generator.batch(spark, 240))
+      .as[String].collect().toSeq
+    val rnd = new scala.util.Random(3)
+    // split the stream into 7 uneven chunks -> 7 micro-batches
+    val chunks = wire.grouped(wire.size / 7 + 1).toSeq
+    val mem = MemoryStream[String]
+    val q = Pipelines.metricsPipeline(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunked_metrics").start()
+    try {
+      chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+      val sentinel = """{"transactionId":"s","senderId":"s","receiverId":"r","amount":0.0,"currency":"USD","exchangeRate":1.0,"timestamp":99999999999999}"""
+      mem.addData(Seq(sentinel)); q.processAllAvailable()
+      mem.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("chunked_metrics")
+      .filter($"window_start" < 90000000000000L)
+      .orderBy("window_start").collect().toSeq
+    val batch = Pipelines.metricsPipeline(wire.toDF("value"))
+      .orderBy("window_start").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
 

@@ -77,4 +77,20 @@ class WindowMetricsSpec extends AnyFunSuite {
         "10 seconds").orderBy("window_start").collect().toSeq
     assert(run(df13) == run(df1))
   }
+
+  test("invariants hold on randomized inputs across seeds") {
+    for (seed <- Seq(1, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(500)((rnd.nextDouble() * 1000,
+        if (rnd.nextInt(6) == 0) 0.0 else rnd.nextDouble() * 150,
+        math.abs(rnd.nextLong() % 600000L)))
+      metrics(rows).foreach { case (_, cnt, s, f, avg, mn, mx) =>
+        assert(s + f == cnt)
+        // sumExact rounds each addend at 6dp -> avg within 1e-5 of bounds
+        if (s > 0) assert(mn <= avg + 1e-5 && avg <= mx + 1e-5)
+        else assert(avg == 0.0 && mn == 0.0 && mx == 0.0)
+      }
+    }
+  }
 }
+
