@@ -470,6 +470,20 @@ object RelationalQueries extends QueryPack {
             .as("corr_qty_price"))
     }),
 
+    // Q34 — as-of join: for each click, the user's most recent purchase
+    // value at or before the click (the temporal join Spark SQL lacks,
+    // composed per operators/AsOfJoin).
+    "q34_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .filter($"event_type".isin("purchase", "click"))
+      graft.operators.AsOfJoin.asOfLookup(
+        e, isBuild = $"event_type" === "purchase",
+        key = $"user_id", ts = $"ts", value = $"value",
+        tieBreak = $"event_id")
+        .select($"event_id", $"user_id", $"asof_value")
+    }),
+
     // Q18 — grouped agg over a range non-equi self-condition: orders priced
     // above their customer's average (correlated-subquery shape, decorrelated
     // the Spark way: aggregate + re-join).
@@ -732,6 +746,20 @@ object RelationalQueries extends QueryPack {
          |    AS corr_qty_price
          |FROM lineitem GROUP BY l_returnflag""".stripMargin
     },
+    "q34_asof_join" ->
+      """SELECT event_id, user_id, asof_value FROM (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY ts ASC,
+        |              CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END ASC,
+        |              event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS asof_value
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |) x WHERE tag = 1""".stripMargin,
     "q18_above_avg_orders" ->
       s"""WITH avg_per AS (
          |  SELECT o_custkey AS k, ${avgExactSql("o_totalprice")} AS avg_price
