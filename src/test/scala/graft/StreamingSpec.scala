@@ -193,5 +193,45 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("window_start").collect().toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming session windows (gap 10s) equal batch on the same rows") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    def tx(id: String, ts: Long) =
+      s"""{"transactionId":"$id","senderId":"s","receiverId":"r","amount":1.0,"currency":"USD","exchangeRate":1.0,"timestamp":$ts}"""
+    val wire = Seq(
+      tx("a", 1000L), tx("b", 5000L),   // session 1: [1s, 15s)
+      tx("c", 30000L),                   // session 2: [30s, 40s)
+      tx("d", 31000L), tx("e", 60000L))  // d joins s2; e: session 3
+    def sessions(df: org.apache.spark.sql.DataFrame) =
+      graft.functions.JsonCodec.parseTransactions(df, col("value"))
+        .filter(!col("_corrupt"))
+        .withColumn("event_time", timestamp_millis(col("timestamp")))
+        .withWatermark("event_time", "0 seconds")
+        .groupBy(session_window(col("event_time"), "10 seconds"),
+          col("senderId"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_millis(col("session_window.start")).as("s"),
+          unix_millis(col("session_window.end")).as("e"), col("cnt"))
+    val q = sessions(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream").start()
+    try {
+      mem.addData(wire)
+      q.processAllAvailable()
+      mem.addData(Seq(tx("z", 99999999999L)))
+      q.processAllAvailable()
+      mem.addData(Seq(tx("z2", 99999999999L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    import spark.implicits._
+    val streamed = spark.table("sess_stream").filter($"s" < 90000000L)
+      .orderBy("s").as[(Long, Long, Long)].collect().toSeq
+    val batch = sessions(wire.toDF("value"))
+      .orderBy("s").as[(Long, Long, Long)].collect().toSeq
+    assert(streamed == Seq((1000L, 15000L, 2L), (30000L, 41000L, 2L),
+      (60000L, 70000L, 1L)))
+    assert(streamed == batch)
+  }
 }
 
