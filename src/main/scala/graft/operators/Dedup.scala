@@ -85,10 +85,14 @@ object Dedup {
                  jaccardThreshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
+    // hash each shingle to a long once at the source: every downstream
+    // shuffle/join moves 8-byte keys instead of strings (collision odds
+    // ~n²/2⁶⁴ — irrelevant for near-dup detection).
     val sh = shingles(docs, idCol, textCol, shingleK, Nil)
+      .select(col("doc"), xxhash64(col("shingle")).as("sh_h"))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val minAggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("sh_h"))).as(s"h$i"))
     val sig = sh.groupBy(col("doc")).agg(minAggs.head, minAggs.tail: _*)
     val banded = sig.select(col("doc"),
       explode(array((0 until bands).map { b =>
@@ -104,8 +108,8 @@ object Dedup {
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
     val common = cands
-      .join(sh.select(col("doc").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc").as("doc_a"), col("sh_h")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh_h")), Seq("doc_b", "sh_h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     common

@@ -424,6 +424,16 @@ object RelationalQueries extends QueryPack {
         .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
     }),
 
+    // Q35 — INTERSECT ALL (min-multiplicity semantics).
+    "q35_intersect_all" -> ((s, dir) => {
+      import s.implicits._
+      val l = t(s, dir, "lineitem")
+      val r = l.filter($"l_returnflag" === "R").select($"l_orderkey")
+      val f = l.filter($"l_linestatus" === "F").select($"l_orderkey")
+      r.intersectAll(f)
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+    }),
+
     // Q32 — window navigation: first/last/nth value over a full frame,
     // ntile, percent_rank, cume_dist.
     "q32_window_navigation" -> ((s, dir) => {
@@ -715,6 +725,12 @@ object RelationalQueries extends QueryPack {
       """SELECT l_orderkey, count(*) AS n FROM (
         |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
         |  EXCEPT ALL
+        |  SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+        |) t GROUP BY l_orderkey""".stripMargin,
+    "q35_intersect_all" ->
+      """SELECT l_orderkey, count(*) AS n FROM (
+        |  SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT ALL
         |  SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
         |) t GROUP BY l_orderkey""".stripMargin,
     "q32_window_navigation" ->

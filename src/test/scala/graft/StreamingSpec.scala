@@ -233,5 +233,24 @@ class StreamingSpec extends AnyFunSuite {
       (60000L, 70000L, 1L)))
     assert(streamed == batch)
   }
+
+  test("streaming parquet sink: checkpointed append, readable output") {
+    implicit val sc = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-psink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pckpt").toString
+    val mem = MemoryStream[String]
+    val wire = Generator.toWire(Generator.batch(spark, 80)).as[String].collect()
+    val q = Pipelines.riskPipelineDeterministic(mem.toDF())
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(wire.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(out)
+    assert(back.count() == 80L)
+    assert(back.columns.toSet ==
+      Set("transactionId", "amount", "risk_type", "line"))
+  }
 }
 
