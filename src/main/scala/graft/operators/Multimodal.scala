@@ -85,7 +85,7 @@ object Multimodal {
     * difference between a working decode pass and a dead cluster. */
   def repartitionByBytes(df: DataFrame, binCol: String,
                          bytesPerPartition: Long): DataFrame = {
-    val total = df.agg(sum(octet_length(col(binCol)).cast("long"))).head.getLong(0)
+    val total = df.agg(sum(octet_length(col(binCol)).cast("long"))).head().getLong(0)
     val parts = math.max(1, (total / bytesPerPartition).toInt + 1)
     df.repartition(parts)
   }
