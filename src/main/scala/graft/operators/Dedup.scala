@@ -90,10 +90,12 @@ object Dedup {
     // ~n²/2⁶⁴ — irrelevant for near-dup detection).
     val sh = shingles(docs, idCol, textCol, shingleK, Nil)
       .select(col("doc"), xxhash64(col("shingle")).as("sh_h"))
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    // one pass computes the minhash signature AND the shingle-set size
     val minAggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh_h"))).as(s"h$i"))
+      min(xxhash64(lit(i), col("sh_h"))).as(s"h$i")) :+
+      count(lit(1)).as("n_sh")
     val sig = sh.groupBy(col("doc")).agg(minAggs.head, minAggs.tail: _*)
+    val sizes = sig.select(col("doc"), col("n_sh"))
     val banded = sig.select(col("doc"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
