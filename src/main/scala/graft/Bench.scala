@@ -16,15 +16,22 @@ object Bench {
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // noop write (not count()) so column pruning can't skip the projected
+    // work of map-only queries — every result column is fully computed.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    // ONE compact JSON line: 3-decimal timings + short sf label, so the
+    // full line fits the driver's bounded stdout-tail parse window.
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val sfLabel = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,9 @@ object PipelineQueries extends QueryPack {
 
     // int8 symmetric quantization per vector (scale = max |x|); the
     // compression pass before ANN index build. floor(x+0.5) rounding is
-    // portable (round() tie semantics differ across engines).
+    // portable (round() tie semantics differ across engines). The vector
+    // is emitted CSV-packed: the oracle harness compares scalar cells, so
+    // array-typed result columns are rendered as one deterministic string.
     "pl1_quantize_int8" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "embeddings")
@@ -28,9 +30,9 @@ object PipelineQueries extends QueryPack {
           aggregate(col("embedding"), lit(0.0),
             (acc, x) => greatest(acc, abs(x.cast("double")))))
         .select($"vec_id", $"max_abs",
-          transform($"embedding", x =>
-            floor(x.cast("double") / $"max_abs" * 127.0 + 0.5).cast("int"))
-            .as("q8"))
+          concat_ws(",", transform($"embedding", x =>
+            floor(x.cast("double") / $"max_abs" * 127.0 + 0.5).cast("int")))
+            .as("q8_csv"))
     }),
 
     // TF-DF build table: per (doc, token) term frequency + per-token
@@ -59,7 +61,7 @@ object PipelineQueries extends QueryPack {
         .filter(pmod($"doc_id" * 2654435761L, lit(100L)) < 20L)
         .groupBy($"lang")
         .agg(count(lit(1)).as("sampled"),
-          sort_array(collect_list($"doc_id")).as("ids"))
+          concat_ws(",", sort_array(collect_list($"doc_id"))).as("ids_csv"))
     }),
 
     // typed Dataset path: case-class Encoder + typed filter/map feeding a
@@ -92,10 +94,12 @@ object PipelineQueries extends QueryPack {
         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
         |    (acc, x) -> greatest(acc, x)) AS max_abs,
-        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))),
-        |      (acc, y) -> greatest(acc, y)) * 127.0 + 0.5) AS INT)) AS q8
+        |  array_to_string(
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) /
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))),
+        |        (acc, y) -> greatest(acc, y)) * 127.0 + 0.5) AS INT)),
+        |    ',') AS q8_csv
         |FROM embeddings""".stripMargin,
     "pl2_tf_df" ->
       """WITH tok AS (
@@ -111,7 +115,7 @@ object PipelineQueries extends QueryPack {
         |WHERE df >= 50""".stripMargin,
     "pl3_stratified_sample" ->
       """SELECT lang, count(*) AS sampled,
-        |  list_sort(list(doc_id)) AS ids
+        |  array_to_string(list_sort(list(doc_id)), ',') AS ids_csv
         |FROM documents
         |WHERE (doc_id * 2654435761) % 100 < 20
         |GROUP BY lang""".stripMargin,

@@ -390,14 +390,16 @@ object RelationalQueries extends QueryPack {
           max($"us_b" - $"us_a").as("max_gap_us"))
     }),
 
-    // Q29 — ordered array aggregation (collect + sort for determinism).
+    // Q29 — ordered array aggregation (collect + sort for determinism;
+    // CSV-packed because the oracle harness compares scalar cells only).
     "q29_array_agg" -> ((s, dir) => {
       import s.implicits._
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       c.join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
-        .agg(sort_array(collect_set($"c_mktsegment")).as("segments"),
+        .agg(concat_ws(",", sort_array(collect_set($"c_mktsegment")))
+            .as("segments_csv"),
           count(lit(1)).as("cnt"))
     }),
 
@@ -711,7 +713,9 @@ object RelationalQueries extends QueryPack {
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 60000000
         |GROUP BY a.user_id""".stripMargin,
     "q29_array_agg" ->
-      """SELECT n_name, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+      """SELECT n_name,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+        |    AS segments_csv,
         |  count(*) AS cnt
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
