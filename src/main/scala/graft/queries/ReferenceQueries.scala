@@ -64,7 +64,9 @@ object ReferenceQueries extends QueryPack {
     // P4: metric JSON serialization (StreamJob.java:150-169)
     "p4_metric_json" -> ((s, dir) => {
       import s.implicits._
-      val m = WindowMetrics.tumbling(events(s, dir), $"ts",
+      // spread: per-row JSON extraction is the CPU here, and the fixture
+      // scans as one task (single row group) — see Tables.spread.
+      val m = WindowMetrics.tumbling(Tables.spread(events(s, dir)), $"ts",
         $"event_type" =!= "error", $"value",
         get_json_object($"props", "$.k").cast("double"), "10 seconds")
       // +1e-9 on the averaged values: Java's %.2f rounds the double's

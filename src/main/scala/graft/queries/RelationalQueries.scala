@@ -32,8 +32,8 @@ object RelationalQueries extends QueryPack {
     // Q1 — TPC-H Q1: full-scan grouped aggregation with per-row arithmetic.
     "q1_pricing_summary" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "lineitem")
-        .filter($"l_shipdate" <= lit("2000-09-02").cast("timestamp"))
+      Tables.spread(t(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("2000-09-02").cast("timestamp")))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           sumExact($"l_quantity").as("sum_qty"),
@@ -466,7 +466,7 @@ object RelationalQueries extends QueryPack {
       val syy = sumExact($"l_extendedprice" * $"l_extendedprice")
       val sxy = sumExact($"l_quantity" * $"l_extendedprice")
       val n = count(lit(1)).cast("double")
-      t(s, dir, "lineitem")
+      Tables.spread(t(s, dir, "lineitem"))
         .groupBy($"l_returnflag")
         .agg(
           count(lit(1)).as("cnt"),

@@ -86,10 +86,8 @@ object TextQueries extends QueryPack {
         shingleK = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.3)),
 
     // SimHash sketches + near-dup pairs by hamming distance (rows-only).
-    "dd2_simhash" -> ((s, dir) => {
-      import s.implicits._
-      docs(s, dir).select($"doc_id", Dedup.simhash($"text").as("sketch"))
-    }))
+    "dd2_simhash" -> ((s, dir) =>
+      Dedup.simhashTable(docs(s, dir), "doc_id", "text")))
 
   private val subwordRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
 

@@ -48,6 +48,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("simhashTable is bit-identical to the per-row simhash column") {
+    val perRow = docs.select($"doc_id", Dedup.simhash($"text").as("sketch"))
+      .as[(Long, Long)].collect().toMap
+    val table = Dedup.simhashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(table == perRow)
+    // empty document: HOF fold over empty array gives sketch 0; the
+    // exploded agg path must agree (null-vote → bit 0).
+    val withEmpty = Seq((9L, "")).toDF("doc_id", "text")
+    assert(Dedup.simhashTable(withEmpty, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap == Map(9L -> 0L))
+  }
+
   test("simhash: hamming(near-dups) < hamming(unrelated)") {
     val sk = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
       .as[(Long, Long)].collect().toMap
