@@ -15,6 +15,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     ReferenceQueries,
     RelationalQueries,
+    ExtendedQueries,
     TextQueries,
     SimilarityQueries,
     PipelineQueries)

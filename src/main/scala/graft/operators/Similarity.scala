@@ -168,4 +168,50 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(ExactNum.avgExact(col("v")).as("centroid"), count(lit(1)).as("cnt"))
   }
+
+  /** IVF probe ANN (nprobe=1): assign each query to its nearest coarse
+    * centroid (largest exact-decimal dot against the [[labelCentroids]]
+    * table), then exact cosine top-k inside that single cluster.
+    *
+    * Scale design: the centroid table is tiny (labels × dims) → broadcast
+    * to score assignments without a corpus shuffle; the probe joins on the
+    * assigned cluster key, so each query scans ~1/L of the corpus instead
+    * of all of it — the standard IVF pruning shape. All cross-row sums are
+    * decimal-exact and every ranking key is bit-deterministic, so the whole
+    * operator is DuckDB-oracle-able (unlike the hash-based [[annLsh]]).
+    */
+  def ivfProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import graft.functions.ExactNum
+    val cent = labelCentroids(corpus, labelCol, vecCol)
+      .select(col("label"), col("dim"), col("centroid"))
+    val qe = queries.select(col(idCol).as("query_id"),
+        posexplode(col(vecCol)).as(Seq("pos0", "qv")))
+      .select(col("query_id"), (col("pos0") + 1).cast("long").as("dim"),
+        col("qv").cast("double").as("qv"))
+    val wAssign = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdot").desc, col("label").asc)
+    val assign = qe.join(broadcast(cent), "dim")
+      .groupBy(col("query_id"), col("label"))
+      .agg(ExactNum.sumExact(col("qv") * col("centroid")).as("cdot"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      normSeq(col(vecCol)).as("q_norm"))
+    val members = corpus.select(col(labelCol).as("label"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      normSeq(col(vecCol)).as("c_norm"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    assign.join(broadcast(q), "query_id")
+      .join(members.repartition(col("label")), "label")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        dotSeq(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        col("cos_sim"), col("rank"))
+  }
 }

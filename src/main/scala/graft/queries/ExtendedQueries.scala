@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.ExactNum._
+import graft.functions.TextFunctions
+
+/** Round-2 relational surface extensions: SQL subqueries (EXISTS /
+  * scalar), lateral generators with position, time-series gap-fill,
+  * union-by-name, RANGE window frames, bitwise functions, regexp pack,
+  * and map-typed column functions. Each DuckDB-oracled.
+  */
+object ExtendedQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q36 — correlated EXISTS subquery (exercises Spark's subquery
+    // decorrelation: planned as a left-semi join, same as the oracle).
+    "q36_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_name, c_mktsegment
+          |FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 300000)""".stripMargin)
+    }),
+
+    // Q37 — scalar subquery (global exact average referenced per row).
+    "q37_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(
+        s"""SELECT p_partkey, p_retailprice,
+           |  p_retailprice - (SELECT ${sumExactSql("p_retailprice")}
+           |                     / count(p_retailprice) FROM part) AS diff_avg
+           |FROM part
+           |WHERE p_retailprice > (SELECT ${sumExactSql("p_retailprice")}
+           |                         / count(p_retailprice) FROM part)""".stripMargin)
+    }),
+
+    // Q38 — lateral generator with ordinal position (posexplode): first
+    // three tokens of every document.
+    "q38_lateral_posexplode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          posexplode(TextFunctions.tokens($"text")).as(Seq("pos", "token")))
+        .filter($"pos" < 3)
+        .select($"doc_id", $"pos".cast("long").as("pos"), $"token")
+    }),
+
+    // Q39 — time-series gap-fill / resample: hourly event counts with
+    // missing hours zero-filled via sequence+explode (the distributed
+    // equivalent of generate_series; the spine is derived from a global
+    // min/max agg — one tiny row — and the join is broadcast).
+    "q39_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      val hr = floor(unix_millis($"ts") / 3600000L).cast("long")
+      val b = t(s, dir, "events").groupBy(hr.as("hr"))
+        .agg(count(lit(1)).as("cnt"), sumExact($"value").as("sum_value"))
+      val spine = b.agg(min($"hr").as("mn"), max($"hr").as("mx"))
+        .select(explode(sequence($"mn", $"mx")).as("hr"))
+      spine.join(b, Seq("hr"), "left")
+        .select($"hr", coalesce($"cnt", lit(0L)).as("cnt"),
+          coalesce($"sum_value", lit(0.0)).as("sum_value"))
+    }),
+
+    // Q40 — unionByName with missing-column fill across heterogenous
+    // projections (schema evolution surface).
+    "q40_union_by_name" -> ((s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "part")
+        .select($"p_partkey".as("id"), $"p_retailprice".as("price"))
+      val b = t(s, dir, "orders")
+        .select($"o_orderkey".as("id"), $"o_orderpriority".as("prio"))
+      a.unionByName(b, allowMissingColumns = true)
+    }),
+
+    // Q41 — RANGE window frame: per customer, trailing-30-day order count
+    // and exact revenue sum (value-based frame, not row-based).
+    "q41_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      val day = floor(unix_millis($"o_orderdate") / 86400000L).cast("long")
+      val w = Window.partitionBy($"o_custkey").orderBy($"day")
+        .rangeBetween(-30, Window.currentRow)
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", day.as("day"), $"o_totalprice")
+        .withColumn("cnt_30d", count(lit(1)).over(w))
+        .withColumn("sum_30d",
+          sum($"o_totalprice".cast(Exact)).over(w).cast("double"))
+        .select($"o_orderkey", $"o_custkey", $"day", $"cnt_30d", $"sum_30d")
+    }),
+
+    // Q42 — bitwise function pack over integer keys.
+    "q42_bitwise_pack" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").select(
+        $"p_partkey",
+        $"p_partkey".bitwiseAND(lit(255L)).as("and255"),
+        $"p_partkey".bitwiseOR(lit(4096L)).as("or4096"),
+        $"p_partkey".bitwiseXOR(lit(93L)).as("xor93"),
+        shiftleft($"p_partkey", 2).as("shl2"),
+        shiftright($"p_partkey", 3).as("shr3"),
+        bit_count($"p_partkey").as("bits"))
+    }),
+
+    // Q43 — regexp pack: replace-all, group extraction, rlike, split+index.
+    "q43_regexp_pack" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").select(
+        $"p_partkey",
+        regexp_replace($"p_name", "[aeiou]", "*").as("devoweled"),
+        regexp_extract($"p_name", "([a-z]+)#([0-9]+)", 2).as("num_part"),
+        $"p_name".rlike("#[0-9]{2}").as("has_2digit"),
+        split($"p_type", " ").getItem(0).as("type_head"))
+    }),
+
+    // Q44 — map-typed column functions: JSON props → map, key extraction,
+    // cardinality, ordered key list (CSV-packed for the oracle).
+    "q44_map_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("mp", from_json($"props", lit("map<string,string>")))
+        .select($"event_id",
+          size($"mp").cast("long").as("n_keys"),
+          element_at($"mp", "k").as("k_value"),
+          array_join(map_keys($"mp"), ",").as("keys_csv"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q36_exists_subquery" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)""".stripMargin,
+    "q37_scalar_subquery" ->
+      s"""SELECT p_partkey, p_retailprice,
+         |  p_retailprice - (SELECT ${sumExactSql("p_retailprice")}
+         |                     / count(p_retailprice) FROM part) AS diff_avg
+         |FROM part
+         |WHERE p_retailprice > (SELECT ${sumExactSql("p_retailprice")}
+         |                         / count(p_retailprice) FROM part)""".stripMargin,
+    "q38_lateral_posexplode" ->
+      """SELECT doc_id, pos, token FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(regexp_extract_all(text, '\S+'),
+        |      (x, i) -> {'pos': CAST(i - 1 AS BIGINT), 'token': x}),
+        |      recursive := true)
+        |  FROM documents) u
+        |WHERE pos < 3""".stripMargin,
+    "q39_gap_fill" ->
+      s"""WITH b AS (
+         |  SELECT epoch_ms(ts) // 3600000 AS hr, count(*) AS cnt,
+         |    ${sumExactSql("value")} AS sum_value
+         |  FROM events GROUP BY 1
+         |), spine AS (
+         |  SELECT unnest(generate_series((SELECT min(hr) FROM b),
+         |                                (SELECT max(hr) FROM b))) AS hr
+         |)
+         |SELECT spine.hr AS hr, COALESCE(b.cnt, 0) AS cnt,
+         |  COALESCE(b.sum_value, CAST(0 AS DOUBLE)) AS sum_value
+         |FROM spine LEFT JOIN b USING (hr)""".stripMargin,
+    "q40_union_by_name" ->
+      """SELECT id, price, prio FROM (
+        |  SELECT p_partkey AS id, p_retailprice AS price FROM part
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey AS id, o_orderpriority AS prio FROM orders)""".stripMargin,
+    "q41_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  epoch_ms(o_orderdate) // 86400000 AS day,
+        |  count(*) OVER w AS cnt_30d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |    AS sum_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY epoch_ms(o_orderdate) // 86400000
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q42_bitwise_pack" ->
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS and255,
+        |  p_partkey | 4096 AS or4096,
+        |  xor(p_partkey, 93) AS xor93,
+        |  p_partkey << 2 AS shl2,
+        |  p_partkey >> 3 AS shr3,
+        |  CAST(bit_count(p_partkey) AS INT) AS bits
+        |FROM part""".stripMargin,
+    "q43_regexp_pack" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+        |  regexp_extract(p_name, '([a-z]+)#([0-9]+)', 2) AS num_part,
+        |  regexp_matches(p_name, '#[0-9]{2}') AS has_2digit,
+        |  split_part(p_type, ' ', 1) AS type_head
+        |FROM part""".stripMargin,
+    "q44_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  json_extract_string(props, '$.k') AS k_value,
+        |  array_to_string(json_keys(props), ',') AS keys_csv
+        |FROM events""".stripMargin)
+}

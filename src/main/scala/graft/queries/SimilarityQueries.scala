@@ -58,7 +58,16 @@ object SimilarityQueries extends QueryPack {
     // recall vs sim1 asserted in SimilaritySpec).
     "sim5_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(emb(s, dir), "vec_id", "embedding", dims = 64,
-        planes = 24, bands = 4, threshold = 0.35)))
+        planes = 24, bands = 4, threshold = 0.35)),
+
+    // IVF probe ANN (nprobe=1): nearest-centroid assignment + exact top-k
+    // within the probed cluster; fully oracle-able (decimal-exact dots).
+    "sim6_ivf_probe" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      Similarity.ivfProbe(e, e.filter($"vec_id" % 40 === 0), "vec_id",
+        "embedding", "label", 5)
+    }))
 
   def oracles: Map[String, String] = Map(
     "sim1_cosine_topk" ->
@@ -105,5 +114,46 @@ object SimilarityQueries extends QueryPack {
     "sim4_norms" ->
       s"""SELECT vec_id, label,
          |  sqrt(${dotSql("embedding", "embedding")}) AS l2_norm
-         |FROM embeddings""".stripMargin)
+         |FROM embeddings""".stripMargin,
+    "sim6_ivf_probe" ->
+      s"""WITH cent AS (
+         |  SELECT label, CAST(i AS BIGINT) AS dim,
+         |    ${sumExactSql("CAST(embedding[i] AS DOUBLE)")} / count(embedding[i]) AS centroid
+         |  FROM (SELECT label, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i
+         |        FROM embeddings) p
+         |  GROUP BY label, i
+         |), qv AS (
+         |  SELECT vec_id AS query_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS q_norm
+         |  FROM embeddings WHERE vec_id % 40 = 0
+         |), qe AS (
+         |  SELECT query_id, CAST(i AS BIGINT) AS dim,
+         |    CAST(embedding[i] AS DOUBLE) AS qv
+         |  FROM (SELECT query_id, embedding,
+         |          unnest(generate_series(1, len(embedding))) AS i
+         |        FROM qv) p
+         |), assign AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT query_id, label,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${sumExactSql("qv * centroid")} DESC, label) AS rn
+         |    FROM qe JOIN cent USING (dim)
+         |    GROUP BY query_id, label) WHERE rn = 1
+         |), nc AS (
+         |  SELECT label, vec_id AS neighbor_id, embedding AS c_vec,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS c_norm
+         |  FROM embeddings
+         |)
+         |SELECT query_id, label, neighbor_id, cos_sim, rank FROM (
+         |  SELECT a.query_id, a.label, nc.neighbor_id,
+         |    ${dotSql("qv.embedding", "nc.c_vec")} / (qv.q_norm * nc.c_norm)
+         |      AS cos_sim,
+         |    row_number() OVER (PARTITION BY a.query_id
+         |      ORDER BY ${dotSql("qv.embedding", "nc.c_vec")} / (qv.q_norm * nc.c_norm) DESC,
+         |        nc.neighbor_id) AS rank
+         |  FROM assign a
+         |  JOIN qv ON qv.query_id = a.query_id
+         |  JOIN nc ON nc.label = a.label AND nc.neighbor_id <> a.query_id)
+         |WHERE rank <= 5""".stripMargin)
 }
