@@ -86,7 +86,11 @@ object ExtendedQueries extends QueryPack {
     // and exact revenue sum (value-based frame, not row-based).
     "q41_range_frame" -> ((s, dir) => {
       import s.implicits._
-      val day = floor(unix_millis($"o_orderdate") / 86400000L).cast("long")
+      // cast first: parquet naive timestamps may infer as TIMESTAMP_NTZ
+      // (session-config-dependent); under the UTC session the cast is
+      // epoch-identical to DuckDB's epoch_ms on the same naive values.
+      val day = floor(unix_millis($"o_orderdate".cast("timestamp")) / 86400000L)
+        .cast("long")
       val w = Window.partitionBy($"o_custkey").orderBy($"day")
         .rangeBetween(-30, Window.currentRow)
       t(s, dir, "orders")

@@ -52,6 +52,30 @@ object Pipelines {
     RiskLabeler.formatted(labeled, col("transactionId"), col("amount"))
   }
 
+  /** Watermarked stream-stream interval join (the reference has no joins —
+    * SURVEY.md §2.7 gap analysis; this is the missing piece next to the
+    * stream-static join).
+    *
+    * Shape: equi-key + forward time-range predicate. With watermarks on
+    * BOTH sides, Spark bounds the join state — each side's buffered rows
+    * are evicted once the other side's watermark passes the range bound —
+    * so state stays O(key-rate × window), not O(stream length): the only
+    * stream-stream join shape that survives at scale. The same combinator
+    * runs in batch (withWatermark is a no-op there), which is what the
+    * equivalence spec exploits.
+    *
+    * Caller selects from aliases `l` / `r`. */
+  def intervalJoin(a: DataFrame, b: DataFrame, keyCol: String, tsCol: String,
+                   watermark: String, withinSeconds: Long): DataFrame = {
+    val l = a.withWatermark(tsCol, watermark).alias("l")
+    val r = b.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") > col(s"l.$tsCol") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol") +
+          expr(s"INTERVAL $withinSeconds SECONDS"))
+  }
+
   /** Deterministic part of pipeline A (no wall-clock columns) — used by the
     * streaming-equals-batch equivalence tests. */
   def riskPipelineDeterministic(raw: DataFrame,

@@ -49,6 +49,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_._3 >= 0.9))
   }
 
+  test("ivfProbe assigns the nearest centroid and ranks within the cluster") {
+    // two well-separated clusters along orthogonal axes; the planted
+    // near-dup pair (0,1) sits in cluster A.
+    val axis = (i: Int, s: Double) =>
+      Seq.tabulate(4)(d => if (d == i) s.toFloat else 0.0f)
+    val labeled = Seq(
+      (0L, 0, axis(0, 1.0)), (1L, 0, axis(0, 0.9)), (2L, 0, axis(0, -1.0)),
+      (3L, 1, axis(1, 1.0)), (4L, 1, axis(1, 1.1)), (5L, 1, axis(1, -0.5)))
+      .toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val out = Similarity.ivfProbe(labeled,
+        labeled.filter($"vec_id" === 0L || $"vec_id" === 3L),
+        "vec_id", "embedding", "label", 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Int]("label"), r.getAs[Long]("neighbor_id"))).toMap
+    // query 0: centroid dots — cluster0 = (0.3,0,..)·(1,0..) = 0.3 >
+    // cluster1 ≈ 0.0*(…) → probes cluster 0; nearest = 1 (cos 1.0).
+    assert(out((0L, 1L)) == (0, 1L))
+    // query 3 probes its own cluster 1; nearest = 4 (same direction).
+    assert(out((3L, 1L)) == (1, 4L))
+    // everything returned comes from the assigned cluster only
+    assert(out.values.groupBy(_._1).forall { case (lbl, vs) =>
+      vs.forall(_._1 == lbl) })
+  }
+
   test("label centroids: exact mean per dimension") {
     val tiny = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)),
       (1, Seq(10.0f, 20.0f))).toDF("label", "embedding")

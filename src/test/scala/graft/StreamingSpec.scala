@@ -234,6 +234,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join equals batch join on the same rows") {
+    implicit val sc = spark.sqlContext
+    // (event_id, user_id, epoch-sec); pairs within 60 s forward per user.
+    val rowsA = Seq((1L, 7L, 100L), (2L, 7L, 130L), (3L, 8L, 100L),
+      (4L, 9L, 500L))
+    val rowsB = Seq((11L, 7L, 150L), (12L, 7L, 190L), (13L, 8L, 160L),
+      (14L, 9L, 505L))
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "sec")
+        .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("l.event_id").as("eid_a"), col("r.event_id").as("eid_b"))
+    val memA = MemoryStream[(Long, Long, Long)]
+    val memB = MemoryStream[(Long, Long, Long)]
+    val q = pairs(Pipelines.intervalJoin(prep(memA.toDF()), prep(memB.toDF()),
+        "user_id", "ts", "10 seconds", 60))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj").start()
+    try {
+      // split across micro-batches to exercise buffered-state matching;
+      // batch-2 rows stay ahead of the batch-1 watermark (150 - 10 s =
+      // 140) — anything older would be dropped as late, by design.
+      memA.addData(rowsA.take(3)); memB.addData(rowsB.take(1))
+      q.processAllAvailable()
+      memA.addData(rowsA.drop(3)); memB.addData(rowsB.drop(1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssj").as[(Long, Long)].collect().toSet
+    val batch = pairs(Pipelines.intervalJoin(
+        prep(rowsA.toDF()), prep(rowsB.toDF()), "user_id", "ts",
+        "10 seconds", 60)).as[(Long, Long)].collect().toSet
+    // expected: user 7 -> (1,11), (2,11), (2,12 @190<=130+60); user 8 ->
+    // (3,13 @160<=100+60, the inclusive upper bound); user 9 -> (4,14).
+    // (1,12) excluded: 190 > 100+60.
+    assert(batch == Set((1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L), (4L, 14L)))
+    assert(streamed == batch)
+  }
+
   test("streaming parquet sink: checkpointed append, readable output") {
     implicit val sc = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-psink").toString
