@@ -68,6 +68,60 @@ object Multimodal {
       .mapPartitions { it => it.map { case (id, bytes) => fakeDecode(id, bytes) } }
   }
 
+  /** Typed output of [[extractFeaturesStub]]: fixed-dim embedding per doc. */
+  case class MediaFeatures(doc_id: Long, dim: Int, embedding: Seq[Float])
+
+  /** Feature extraction: binary payload → fixed-`dim` float embedding.
+    * ===== STUB ===== the featurizer is a deterministic LCG seeded from the
+    * payload bytes (a real deployment plugs a vision/audio model here).
+    * Real and load-bearing: the `mapPartitions` batch shape (model init
+    * per task, not per row), the fixed-dim `array<float>` output schema
+    * that downstream similarity operators consume, and byte-bounded input
+    * partitions via [[repartitionByBytes]]. */
+  def extractFeaturesStub(spark: SparkSession, df: DataFrame, idCol: String,
+                          binCol: String, dim: Int): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-task "model load" happens here in a real featurizer
+        it.map { case (id, bytes) =>
+          var s = if (bytes == null) 1L
+            else bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff)) | 1L
+          val emb = Array.fill(dim) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            ((s >>> 33).toInt % 1000) / 1000.0f
+          }
+          MediaFeatures(id, dim, emb.toSeq)
+        }
+      }
+  }
+
+  /** Typed output of [[resizeStub]]: payload re-encoded at target dims. */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                          n_bytes: Long, payload: Array[Byte])
+
+  /** Resize: binary payload → payload re-encoded at (targetW, targetH).
+    * ===== STUB ===== decode+scale+encode is faked as a deterministic
+    * byte-fold (no codecs in this container). Real: the binary-in /
+    * binary-out operator shape, output sized ∝ target area (so downstream
+    * [[repartitionByBytes]] stays meaningful), per-partition batching. */
+  def resizeStub(spark: SparkSession, df: DataFrame, idCol: String,
+                 binCol: String, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    val outLen = math.max(16, targetW * targetH / 64)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val src = if (bytes == null) Array[Byte](0) else bytes
+          val out = Array.tabulate(outLen)(i =>
+            (src(i % src.length) ^ (i & 0x7f)).toByte)
+          ResizedMedia(id, targetW, targetH, outLen.toLong, out)
+        }
+      }
+  }
+
   /** Frame sampling for video-like columns (`array<binary>` of frames):
     * keep every `everyN`-th frame, preserving frame index. Pure
     * posexplode + filter — codegen'd, narrow, no shuffle; the standard

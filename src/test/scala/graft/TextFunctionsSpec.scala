@@ -68,6 +68,36 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out.forall { case (i, b) => b.toLong == i })
   }
 
+  test("multimodal: extractFeaturesStub emits fixed-dim deterministic embeddings") {
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](4, 5)))
+      .toDF("doc_id", "payload")
+    val a = Multimodal.extractFeaturesStub(spark, df, "doc_id", "payload", 8)
+      .collect().sortBy(_.doc_id)
+    assert(a.forall(_.embedding.length == 8) && a.forall(_.dim == 8))
+    // deterministic (retry-safe) and content-sensitive
+    val b = Multimodal.extractFeaturesStub(spark, df, "doc_id", "payload", 8)
+      .collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a(0).embedding != a(1).embedding)
+    // the output schema feeds the similarity operators directly
+    val ds = Multimodal.extractFeaturesStub(spark, df, "doc_id", "payload", 8)
+      .toDF().withColumn("embedding", $"embedding".cast("array<float>"))
+    val norms = graft.operators.Similarity
+      .normSeq($"embedding")
+    assert(ds.select(norms).as[Double].collect().forall(_ >= 0.0))
+  }
+
+  test("multimodal: resizeStub output is sized by target area, deterministic") {
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4, 5))).toDF("doc_id", "payload")
+    val out = Multimodal.resizeStub(spark, df, "doc_id", "payload", 64, 64)
+      .collect().head
+    assert(out.width == 64 && out.height == 64)
+    assert(out.n_bytes == 64L * 64 / 64 && out.payload.length == 64)
+    val again = Multimodal.resizeStub(spark, df, "doc_id", "payload", 64, 64)
+      .collect().head
+    assert(out.payload.toSeq == again.payload.toSeq)
+  }
+
   test("multimodal: repartitionByBytes bounds partition payload") {
     val df = Seq.tabulate(64)(i => (i.toLong, Array.fill[Byte](1000)(i.toByte)))
       .toDF("doc_id", "payload")
