@@ -125,6 +125,21 @@ object ExtendedQueries extends QueryPack {
         split($"p_type", " ").getItem(0).as("type_head"))
     }),
 
+    // Q45 — approx_percentile (GK sketch): the bounded-memory quantile
+    // path for 100 TB (exact percentile needs a full sort/buffer; the
+    // sketch is mergeable across partitions). Engine-native sketch ⇒
+    // rows-only oracle; error bound vs exact asserted in RelationalSpec.
+    "q45_approx_percentile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_percentile($"l_extendedprice", lit(0.25), lit(10000)).as("p25"),
+          approx_percentile($"l_extendedprice", lit(0.5), lit(10000)).as("p50"),
+          approx_percentile($"l_extendedprice", lit(0.75), lit(10000)).as("p75"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // Q44 — map-typed column functions: JSON props → map, key extraction,
     // cardinality, ordered key list (CSV-packed for the oracle).
     "q44_map_funcs" -> ((s, dir) => {

@@ -86,6 +86,37 @@ object PipelineQueries extends QueryPack {
         .groupBy($"lang",
           (floor(length($"text") / 100L) * 100L).cast("long").as("bucket"))
         .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // deterministic train/val/test split (80/10/10) by id hash — the
+    // retry-safe dataset partitioning pass (no rand(): re-runs and
+    // incremental appends land every doc in the same split forever).
+    "pl6_train_split" -> ((s, dir) => {
+      import s.implicits._
+      val h = pmod($"doc_id" * 2654435761L, lit(100L))
+      Tables.load(s, dir, "documents")
+        .groupBy($"lang",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test")
+            .as("split"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(length($"text")).cast("long").as("total_chars"))
+    }),
+
+    // sequence packing: running token cumsum per lang (doc_id order)
+    // assigns each doc to a ~512-token context-window bin — the greedy
+    // fill pass that turns documents into fixed-budget training sequences.
+    // One window sort per lang partition + a hash agg; integer sums only.
+    "pl7_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          TextFunctions.tokenCount($"text").as("n_tok"))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .groupBy($"lang", expr("(cum - 1) div 512").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -123,6 +154,28 @@ object PipelineQueries extends QueryPack {
       """SELECT lang, CAST(length(text) // 100 * 100 AS BIGINT) AS bucket,
         |  count(*) AS cnt
         |FROM documents GROUP BY lang, bucket""".stripMargin,
+    "pl6_train_split" ->
+      """SELECT lang,
+        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS cnt,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang, split""".stripMargin,
+    "pl7_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT lang, CAST((cum - 1) // 512 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY lang, bin""".stripMargin,
     "pl5_typed_map" ->
       """SELECT user_id,
         |  CASE WHEN value > 100.0 THEN 'hi' ELSE 'lo' END AS band,

@@ -87,11 +87,26 @@ object TextQueries extends QueryPack {
 
     // SimHash sketches + near-dup pairs by hamming distance (rows-only).
     "dd2_simhash" -> ((s, dir) =>
-      Dedup.simhashTable(docs(s, dir), "doc_id", "text")))
+      Dedup.simhashTable(docs(s, dir), "doc_id", "text")),
+
+    // text normalization pass: lowercase, strip non-alnum, collapse
+    // whitespace — the canonical pre-dedup cleanup (narrow, codegen'd).
+    "tx7_normalize" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select($"doc_id",
+        trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9\\s]", ""),
+          "\\s+", " ")).as("norm_text"))
+    }))
 
   private val subwordRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
 
   def oracles: Map[String, String] = Map(
+    "tx7_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
     "tx1_token_count" ->
       s"""SELECT doc_id,
          |  ${tokenCountSql("text")} AS n_tokens,

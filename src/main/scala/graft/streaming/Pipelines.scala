@@ -66,14 +66,16 @@ object Pipelines {
     *
     * Caller selects from aliases `l` / `r`. */
   def intervalJoin(a: DataFrame, b: DataFrame, keyCol: String, tsCol: String,
-                   watermark: String, withinSeconds: Long): DataFrame = {
+                   watermark: String, withinSeconds: Long,
+                   joinType: String = "inner"): DataFrame = {
     val l = a.withWatermark(tsCol, watermark).alias("l")
     val r = b.withWatermark(tsCol, watermark).alias("r")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$tsCol") > col(s"l.$tsCol") &&
         col(s"r.$tsCol") <= col(s"l.$tsCol") +
-          expr(s"INTERVAL $withinSeconds SECONDS"))
+          expr(s"INTERVAL $withinSeconds SECONDS"),
+      joinType)
   }
 
   /** Deterministic part of pipeline A (no wall-clock columns) — used by the

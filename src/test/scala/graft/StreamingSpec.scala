@@ -272,6 +272,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-padded rows after watermark") {
+    implicit val sc = spark.sqlContext
+    val memA = MemoryStream[(Long, Long, Long)]
+    val memB = MemoryStream[(Long, Long, Long)]
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "user_id", "sec")
+        .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val q = Pipelines.intervalJoin(prep(memA.toDF()), prep(memB.toDF()),
+        "user_id", "ts", "5 seconds", 60, "leftOuter")
+      .select(col("l.event_id").as("eid_a"), col("r.event_id").as("eid_b"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssoj").start()
+    try {
+      // user 7 matches; user 8's left row never gets a right match
+      memA.addData(Seq((1L, 7L, 100L), (2L, 8L, 100L)))
+      memB.addData(Seq((11L, 7L, 120L)))
+      q.processAllAvailable()
+      // push both watermarks far past 100+60 so the unmatched left row
+      // can be finalized and emitted with nulls
+      memA.addData(Seq((99L, 1L, 5000L))); memB.addData(Seq((98L, 1L, 5000L)))
+      q.processAllAvailable()
+      memA.addData(Seq((97L, 1L, 9000L))); memB.addData(Seq((96L, 1L, 9000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("ssoj").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out.contains((1L, 11L)))   // matched pair
+    assert(out.contains((2L, -1L)))   // unmatched left, null-padded
+  }
+
   test("streaming parquet sink: checkpointed append, readable output") {
     implicit val sc = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-psink").toString
