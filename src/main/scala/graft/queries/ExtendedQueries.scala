@@ -125,6 +125,34 @@ object ExtendedQueries extends QueryPack {
         split($"p_type", " ").getItem(0).as("type_head"))
     }),
 
+    // Q46 — listagg / string_agg: ordered string aggregation (Spark 4's
+    // WITHIN GROUP surface; deterministic via explicit ordering).
+    "q46_listagg" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_mktsegment,
+          |  listagg(DISTINCT cast(c_nationkey AS string), ',')
+          |    WITHIN GROUP (ORDER BY cast(c_nationkey AS string)) AS nations,
+          |  count(1) AS cnt
+          |FROM customer GROUP BY c_mktsegment""".stripMargin)
+    }),
+
+    // Q47 — array + higher-order function pack: distinct/sort, slice,
+    // lambda filter, size predicate, lambda aggregate (sum of lengths).
+    // Array results CSV-packed for the scalar-cell oracle compare.
+    "q47_array_hof_pack" -> ((s, dir) => {
+      import s.implicits._
+      val words = regexp_extract_all($"p_name", lit("[a-z]+"), lit(0))
+      t(s, dir, "part").select(
+        $"p_partkey",
+        concat_ws(",", sort_array(array_distinct(words))).as("words"),
+        concat_ws(",", slice(words, 1, 2)).as("first2"),
+        concat_ws(",", filter(words, w => length(w) > 4)).as("longw"),
+        (size(words) >= 2).as("has2"),
+        aggregate(transform(words, w => length(w)), lit(0),
+          (acc, x) => acc + x).cast("long").as("total_len"))
+    }),
+
     // Q45 — approx_percentile (GK sketch): the bounded-memory quantile
     // path for 100 TB (exact percentile needs a full sort/buffer; the
     // sketch is mergeable across partitions). Engine-native sketch ⇒
@@ -216,6 +244,27 @@ object ExtendedQueries extends QueryPack {
         |  regexp_extract(p_name, '([a-z]+)#([0-9]+)', 2) AS num_part,
         |  regexp_matches(p_name, '#[0-9]{2}') AS has_2digit,
         |  split_part(p_type, ' ', 1) AS type_head
+        |FROM part""".stripMargin,
+    "q46_listagg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ','
+        |    ORDER BY CAST(c_nationkey AS VARCHAR)) AS nations,
+        |  count(1) AS cnt
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "q47_array_hof_pack" ->
+      """SELECT p_partkey,
+        |  COALESCE(array_to_string(list_sort(list_distinct(
+        |    regexp_extract_all(p_name, '[a-z]+'))), ','), '') AS words,
+        |  COALESCE(array_to_string(list_slice(
+        |    regexp_extract_all(p_name, '[a-z]+'), 1, 2), ','), '') AS first2,
+        |  COALESCE(array_to_string(list_filter(
+        |    regexp_extract_all(p_name, '[a-z]+'), x -> len(x) > 4), ','), '')
+        |    AS longw,
+        |  len(regexp_extract_all(p_name, '[a-z]+')) >= 2 AS has2,
+        |  CAST(list_reduce(list_prepend(0, list_transform(
+        |    regexp_extract_all(p_name, '[a-z]+'),
+        |    x -> CAST(len(x) AS INT))), (a, b) -> a + b) AS BIGINT)
+        |    AS total_len
         |FROM part""".stripMargin,
     "q44_map_funcs" ->
       """SELECT event_id,
