@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.core.Schemas.RemittanceTransaction
 
@@ -38,6 +38,48 @@ object StatefulOps {
           }.toList
           state.update((amt, cnt))
           out.iterator
+      }
+  }
+
+  /** A closed per-key session, emitted by event-time timeout. */
+  case class SessionSummary(key: String, n: Long, total: Double,
+                            last_ms: Long, closed_by_timeout: Boolean)
+
+  /** Timer-driven session close via `EventTimeTimeout` — the Structured
+    * Streaming analog of a Flink keyed ProcessFunction registering an
+    * event-time timer: rows accumulate silently per key; when the
+    * watermark passes lastEventTime + gap with no new rows, the timeout
+    * fires and the closed session is emitted and its state dropped.
+    *
+    * Input: a DataFrame with (key STRING, ts TIMESTAMP, value DOUBLE),
+    * already watermarked (the timeout clock IS the watermark).
+    * Scale: state per active key only; timeout eviction bounds it to the
+    * active-session working set. */
+  def sessionsWithTimeout(spark: SparkSession, events: DataFrame,
+                          gapMs: Long): Dataset[SessionSummary] = {
+    import spark.implicits._
+    // plain column selection only: re-casting `ts` would mint a fresh
+    // attribute and silently drop the watermark tag the timeout needs
+    events.select("key", "ts", "value")
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double, Long), SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[(Long, Double, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, total, last) = state.get
+            state.remove()
+            Iterator.single(SessionSummary(key, n, total, last,
+              closed_by_timeout = true))
+          } else {
+            var (n, total, last) = state.getOption.getOrElse((0L, 0.0, 0L))
+            rows.foreach { case (_, ts, v) =>
+              n += 1; total += v; last = math.max(last, ts.getTime)
+            }
+            state.update((n, total, last))
+            state.setTimeoutTimestamp(last + gapMs)
+            Iterator.empty
+          }
       }
   }
 }

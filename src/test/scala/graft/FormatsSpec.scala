@@ -32,6 +32,30 @@ class FormatsSpec extends AnyFunSuite {
       src.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves rows and values") {
+    val src = graft.core.Tables.load(spark, dir, "supplier")
+    val out = tmp("graft-orc")
+    src.write.mode("overwrite").orc(out)
+    val back = spark.read.schema(src.schema).orc(out)
+    assert(back.orderBy("s_suppkey").collect().toSeq ==
+      src.orderBy("s_suppkey").collect().toSeq)
+  }
+
+  test("bucketed table write: bucket metadata recorded for co-located reads") {
+    import spark.implicits._
+    val name = "graft_bucketed_fmt"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    graft.core.Tables.load(spark, dir, "customer")
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable(name)
+    val cat = spark.catalog
+    assert(cat.tableExists(name))
+    val described = spark.sql(s"DESCRIBE EXTENDED $name").collect()
+      .map(r => r.getString(0) + " " + r.getString(1)).mkString("\n")
+    assert(described.contains("Num Buckets") && described.contains("4"))
+    spark.sql(s"DROP TABLE $name")
+  }
+
   test("partitioned parquet write + partition pruning reaches the scan") {
     val out = tmp("graft-part")
     val orders = graft.core.Tables.load(spark, dir, "orders")

@@ -302,6 +302,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains((2L, -1L)))   // unmatched left, null-padded
   }
 
+  test("event-time timeout closes idle sessions and drops their state") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val events = mem.toDF().toDF("key", "sec", "value")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+      .withWatermark("ts", "0 seconds")
+    val q = graft.streaming.StatefulOps
+      .sessionsWithTimeout(spark, events, gapMs = 30000L)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("etimeout").start()
+    try {
+      // key a: two rows 10 s apart; key b: one row. Then advance the
+      // watermark far past both last+gap bounds via a sentinel key.
+      mem.addData(Seq(("a", 100L, 1.0), ("a", 110L, 2.0), ("b", 100L, 5.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(("zz", 10000L, 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(("zz", 20000L, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("etimeout").collect()
+      .map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("total"),
+          r.getAs[Long]("last_ms"), r.getAs[Boolean]("closed_by_timeout")))
+      .toMap
+    assert(out("a") == ((2L, 3.0, 110000L, true)))
+    assert(out("b") == ((1L, 5.0, 100000L, true)))
+  }
+
   test("streaming parquet sink: checkpointed append, readable output") {
     implicit val sc = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-psink").toString
