@@ -349,7 +349,7 @@ object RelationalQueries extends QueryPack {
       val l = t(s, dir, "lineitem")
       val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
       graft.operators.SkewJoin.saltedJoin(
-        l, o, $"l_orderkey", $"o_orderkey", saltFactor = 8,
+        l, o, $"l_orderkey", $"o_orderkey", saltFactor = 4,
         saltSource = $"l_orderkey" * 131L + $"l_linenumber")
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("cnt"),
