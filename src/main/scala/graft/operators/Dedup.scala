@@ -99,11 +99,13 @@ object Dedup {
     val sh = shingles(docs, idCol, textCol, shingleK, Nil)
       .select(col("doc"), xxhash64(col("shingle")).as("sh_h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // one pass computes the minhash signature AND the shingle-set size
+    // one pass computes the minhash signature AND the shingle-set size;
+    // persisted: sizes + banding both branch from it (tiny: 1 row/doc).
     val minAggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("sh_h"))).as(s"h$i")) :+
       count(lit(1)).as("n_sh")
     val sig = sh.groupBy(col("doc")).agg(minAggs.head, minAggs.tail: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sig.select(col("doc"), col("n_sh"))
     val banded = sig.select(col("doc"),
       explode(array((0 until bands).map { b =>

@@ -130,7 +130,11 @@ object Similarity {
     require(planes % bands == 0 && planes <= 63)
     val bandBits = planes / bands
     val mask = (1L << bandBits) - 1
+    // consumed by banding AND twice by norm-verification joins: persist so
+    // the exploded projection agg runs once (the cluster-scale equivalent
+    // is checkpointing the signature table before candidate generation).
     val sigs = signatures(vecs, idCol, vecCol, planes, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
