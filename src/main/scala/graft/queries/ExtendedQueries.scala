@@ -168,6 +168,34 @@ object ExtendedQueries extends QueryPack {
           count(lit(1)).as("cnt"))
     }),
 
+    // Q48 — unpivot (melt): wide per-status counts back to long form —
+    // the schema-reshape surface (inverse of q23's pivot).
+    "q48_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(when($"o_orderstatus" === "O", 1L).otherwise(0L)).as("open_cnt"),
+          sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("done_cnt"),
+          sum(when($"o_orderstatus" === "P", 1L).otherwise(0L)).as("part_cnt"))
+        .unpivot(Array($"o_orderpriority"),
+          Array($"open_cnt", $"done_cnt", $"part_cnt"), "status", "cnt")
+    }),
+
+    // Q49 — date/time formatting pack (formatter-locale-independent
+    // patterns only; both engines emit identical strings under UTC).
+    "q49_date_format" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").select(
+        $"event_id",
+        date_format($"ts", "yyyy-MM-dd").as("d"),
+        date_format($"ts", "HH:mm:ss").as("t"),
+        date_format($"ts", "DDD").as("doy"),
+        year($"ts").cast("long").as("yr"),
+        quarter($"ts").cast("long").as("qtr"),
+        weekofyear($"ts").cast("long").as("iso_week"))
+    }),
+
     // Q44 — map-typed column functions: JSON props → map, key extraction,
     // cardinality, ordered key list (CSV-packed for the oracle).
     "q44_map_funcs" -> ((s, dir) => {
@@ -266,6 +294,25 @@ object ExtendedQueries extends QueryPack {
         |    x -> CAST(len(x) AS INT))), (a, b) -> a + b) AS BIGINT)
         |    AS total_len
         |FROM part""".stripMargin,
+    "q48_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderpriority,
+        |    sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_cnt,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS done_cnt,
+        |    sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS part_cnt
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT o_orderpriority, status, CAST(cnt AS BIGINT) AS cnt
+        |FROM wide UNPIVOT (cnt FOR status IN (open_cnt, done_cnt, part_cnt))""".stripMargin,
+    "q49_date_format" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d') AS d,
+        |  strftime(ts, '%H:%M:%S') AS t,
+        |  strftime(ts, '%j') AS doy,
+        |  CAST(strftime(ts, '%Y') AS BIGINT) AS yr,
+        |  CAST(quarter(ts) AS BIGINT) AS qtr,
+        |  CAST(weekofyear(ts) AS BIGINT) AS iso_week
+        |FROM events""".stripMargin,
     "q44_map_funcs" ->
       """SELECT event_id,
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,

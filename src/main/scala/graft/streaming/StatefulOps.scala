@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.core.Schemas.RemittanceTransaction
 
 /** Custom keyed state via flatMapGroupsWithState — the Structured
@@ -81,5 +82,36 @@ object StatefulOps {
             Iterator.empty
           }
       }
+  }
+
+  /** Per-key running max on the `transformWithState` arbitrary-state API
+    * (Spark 4): typed `ValueState` handles, explicit TTL surface, timer
+    * registration — the successor to flatMapGroupsWithState, and the API a
+    * new stateful operator should target. Requires the RocksDB state store
+    * provider (`spark.sql.streaming.stateStore.providerClass`), which is
+    * also the provider a 100 TB deployment runs: state lives off-heap /
+    * on-disk per partition, so executor memory bounds the working set,
+    * not total state size. */
+  class RunningMaxProcessor
+      extends StatefulProcessor[String, (String, Double), (String, Double)] {
+    @transient private var mx: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mx = getHandle.getValueState[Double]("mx", Encoders.scalaDouble,
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+                                 timers: TimerValues): Iterator[(String, Double)] = {
+      var cur = if (mx.exists()) mx.get() else Double.NegativeInfinity
+      rows.foreach(r => cur = math.max(cur, r._2))
+      mx.update(cur)
+      Iterator.single((key, cur))
+    }
+  }
+
+  def runningMax(spark: SparkSession,
+                 ds: Dataset[(String, Double)]): Dataset[(String, Double)] = {
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningMaxProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 }

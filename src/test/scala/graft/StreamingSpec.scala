@@ -331,6 +331,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("b") == ((1L, 5.0, 100000L, true)))
   }
 
+  test("transformWithState: typed ValueState running max on RocksDB provider") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(String, Double)]
+    val q = graft.streaming.StatefulOps.runningMax(spark, mem.toDS())
+      .toDF("key", "running_max")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws").start()
+    try {
+      mem.addData(Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(("a", 3.0), ("b", 7.0)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // latest update per key reflects state carried across micro-batches:
+    // a's max stays 5.0 (3.0 doesn't raise it), b's rises to 7.0
+    val rows = spark.table("tws").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.contains(("a", 5.0)) && rows.count(_ == ("a", 5.0)) == 2)
+    assert(rows.contains(("b", 2.0)) && rows.contains(("b", 7.0)))
+  }
+
   test("streaming parquet sink: checkpointed append, readable output") {
     implicit val sc = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-psink").toString
