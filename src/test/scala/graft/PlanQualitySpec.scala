@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality lint over every SparkEntry query: the physical plan must
+  * not contain an accidental cartesian product or broadcast nested-loop
+  * join — at 100 TB those are the difference between a job and an outage.
+  * Brute-force similarity scoring is exempt by design: its cross join IS
+  * the operator (bounded query side, broadcast), and the scale path for
+  * those semantics is the LSH/IVF variants.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately contains a non-equi/cross join. */
+  private val crossJoinByDesign = Set(
+    "sim1_cosine_topk",     // brute-force baseline: corpus × broadcast(queries)
+    "sim2_cosine_neardup",  // brute-force pair scoring (verification baseline)
+    "q18_above_avg_orders", // scalar-subquery comparison: broadcast 1-row side
+    "q37_scalar_subquery")  // same shape (global avg broadcast to every row)
+
+  test("no accidental cartesian / broadcast-nested-loop joins in any plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val bad = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (bad && !crossJoinByDesign(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected cross joins in: ${offenders.mkString(", ")}")
+  }
+
+  test("filter pushdown reaches the parquet scan on filtered scans") {
+    Seq("q2_filter_project", "q1_pricing_summary", "q36_exists_subquery")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("PushedFilters: [") &&
+          !plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+          s"$name: no pushed filters at the scan")
+      }
+  }
+
+  test("dimension joins broadcast (no fact-side shuffle for the join)") {
+    Seq("q3_segment_revenue", "q4_supplier_by_region", "q13_distinct_agg")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name: expected a broadcast hash join")
+      }
+  }
+}
