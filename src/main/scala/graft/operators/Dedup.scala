@@ -52,11 +52,15 @@ object Dedup {
                         k: Int, blockCols: Seq[String]): DataFrame = {
     // consumed three times (sizes + both self-join sides): persist so the
     // regex shingle pass — the dominant CPU — runs once (cf. minhashLsh).
+    // The self-join compares 8-byte shingle hashes, not strings: the
+    // shuffle moves fixed-width keys and equality is one long compare
+    // (collision odds ~n²/2⁶⁵ — no effect at any real corpus size).
     val sh = shingles(docs, idCol, textCol, k, blockCols)
+      .withColumn("sh_h", xxhash64(col("shingle"))).drop("shingle")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col("a.shingle") === col("b.shingle") &&
+      .reduce(_ && _) && col("a.sh_h") === col("b.sh_h") &&
       col("a.doc") < col("b.doc")
     val common = sh.as("a").join(sh.as("b"), joinCond)
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))

@@ -39,10 +39,11 @@ object ReferenceQueries extends QueryPack {
         get_json_object($"props", "$.k").cast("double"), "1 hour",
         Seq($"event_type"))
     }),
-    // P1: JSON field extraction (StreamJob.java:61,:101 Jackson parse)
+    // P1: JSON field extraction (StreamJob.java:61,:101 Jackson parse);
+    // spread: per-row JSON parse on a single-task scan (Tables.spread).
     "p1_json_parse" -> ((s, dir) => {
       import s.implicits._
-      events(s, dir).select(
+      Tables.spread(events(s, dir)).select(
         $"event_id",
         get_json_object($"props", "$.k").as("k_str"),
         get_json_object($"props", "$.k").cast("long").as("k_num"))
