@@ -89,6 +89,15 @@ object TextQueries extends QueryPack {
     "dd2_simhash" -> ((s, dir) =>
       Dedup.simhashTable(docs(s, dir), "doc_id", "text")),
 
+    // near-dup clustering: connected components over the exact-Jaccard
+    // pair graph (min-label propagation; oracle = recursive-CTE closure).
+    "dd3_cluster" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3,
+            Seq("lang", "source"))
+          .filter(col("jaccard") >= 0.008),
+        "doc_a", "doc_b")),
+
     // text normalization pass: lowercase, strip non-alnum, collapse
     // whitespace — the canonical pre-dedup cleanup (narrow, codegen'd).
     "tx7_normalize" -> ((s, dir) => {
@@ -100,6 +109,38 @@ object TextQueries extends QueryPack {
     }))
 
   private val subwordRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Shared CTE chain producing the blocked n-gram Jaccard pair table
+    * (`pairs`): tx6's full result, reused by dd3's recursive-CTE
+    * connected-components oracle. */
+  private val ngramPairCtes =
+    """tok AS (
+      |  SELECT doc_id, lang, source, regexp_extract_all(text, '\S+') AS ts
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, lang, source, ts,
+      |    unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+      |  FROM tok
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, lang, source,
+      |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+      |  FROM pos
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.source = b.source
+      |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), pairs AS (
+      |  SELECT doc_a, doc_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |    CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE)
+      |      AS jaccard
+      |  FROM common
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "tx7_normalize" ->
@@ -153,31 +194,20 @@ object TextQueries extends QueryPack {
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "tx6_ngram_jaccard" ->
-      """WITH tok AS (
-        |  SELECT doc_id, lang, source, regexp_extract_all(text, '\S+') AS ts
-        |  FROM documents
-        |), pos AS (
-        |  SELECT doc_id, lang, source, ts,
-        |    unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
-        |  FROM tok
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, lang, source,
-        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-        |  FROM pos
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-        |), common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |  FROM sh a JOIN sh b
-        |    ON a.lang = b.lang AND a.source = b.source
-        |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |)
-        |SELECT doc_a, doc_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b,
-        |  CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
-        |FROM common
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin,
+      s"WITH $ngramPairCtes\nSELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM pairs",
+    "dd3_cluster" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= 0.008
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jaccard >= 0.008
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -48,6 +48,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("nearDupClusters: transitive pairs collapse to min-id components") {
+    // edges: 1-2, 2-5 (chain → one component {1,2,5}), 7-9, isolated 100s
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L), (100L, 101L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(5L) == 1L)
+    assert(out(7L) == 7L && out(9L) == 7L)
+    assert(out(100L) == 100L && out(101L) == 100L)
+    assert(out.size == 7)
+    // distributed label-propagation regime produces the identical labeling
+    val dist = Dedup.nearDupClusters(pairs, "doc_a", "doc_b",
+        localEdgeLimit = 0L)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(dist == out)
+  }
+
   test("simhashTable is bit-identical to the per-row simhash column") {
     val perRow = docs.select($"doc_id", Dedup.simhash($"text").as("sketch"))
       .as[(Long, Long)].collect().toMap
