@@ -196,6 +196,22 @@ object ExtendedQueries extends QueryPack {
         weekofyear($"ts").cast("long").as("iso_week"))
     }),
 
+    // Q50 — error-safe functions under ANSI mode (Spark 4 default):
+    // try_divide/try_cast/try_element_at return NULL where strict ANSI
+    // evaluation would fail the job — the contract batch pipelines need
+    // on dirty data at scale.
+    "q50_try_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").select(
+        $"p_partkey",
+        try_divide($"p_retailprice", ($"p_size" - $"p_size").cast("double"))
+          .as("div0"),
+        expr("try_cast(p_name AS INT)").as("bad_int"),
+        expr("try_cast(regexp_extract(p_name, '[0-9]+', 0) AS BIGINT)")
+          .as("num_ok"),
+        try_element_at(split($"p_type", " "), lit(99)).as("oob"))
+    }),
+
     // Q44 — map-typed column functions: JSON props → map, key extraction,
     // cardinality, ordered key list (CSV-packed for the oracle).
     "q44_map_funcs" -> ((s, dir) => {
@@ -313,6 +329,13 @@ object ExtendedQueries extends QueryPack {
         |  CAST(quarter(ts) AS BIGINT) AS qtr,
         |  CAST(weekofyear(ts) AS BIGINT) AS iso_week
         |FROM events""".stripMargin,
+    "q50_try_funcs" ->
+      """SELECT p_partkey,
+        |  p_retailprice / NULLIF(CAST(p_size - p_size AS DOUBLE), 0) AS div0,
+        |  TRY_CAST(p_name AS INTEGER) AS bad_int,
+        |  TRY_CAST(regexp_extract(p_name, '[0-9]+') AS BIGINT) AS num_ok,
+        |  str_split(p_type, ' ')[99] AS oob
+        |FROM part""".stripMargin,
     "q44_map_funcs" ->
       """SELECT event_id,
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
