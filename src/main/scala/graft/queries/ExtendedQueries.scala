@@ -196,6 +196,31 @@ object ExtendedQueries extends QueryPack {
         weekofyear($"ts").cast("long").as("iso_week"))
     }),
 
+    // Q51 — centered moving average (ROWS frame): 5-row window around
+    // each order per customer, decimal-exact sum / frame count.
+    "q51_moving_avg" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+        .rowsBetween(-2, 2)
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .withColumn("mov_avg",
+          sum($"o_totalprice".cast(Exact)).over(w).cast("double") /
+            count(lit(1)).over(w))
+    }),
+
+    // Q52 — ratio-to-report: each order's share of its customer's total
+    // (whole-partition window aggregate feeding a per-row ratio).
+    "q52_ratio_to_report" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .withColumn("share",
+          $"o_totalprice" /
+            sum($"o_totalprice".cast(Exact)).over(w).cast("double"))
+    }),
+
     // Q50 — error-safe functions under ANSI mode (Spark 4 default):
     // try_divide/try_cast/try_element_at return NULL where strict ANSI
     // evaluation would fail the job — the contract batch pipelines need
@@ -329,6 +354,19 @@ object ExtendedQueries extends QueryPack {
         |  CAST(quarter(ts) AS BIGINT) AS qtr,
         |  CAST(weekofyear(ts) AS BIGINT) AS iso_week
         |FROM events""".stripMargin,
+    "q51_moving_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS mov_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin,
+    "q52_ratio_to_report" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  o_totalprice /
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+        |      OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
+        |FROM orders""".stripMargin,
     "q50_try_funcs" ->
       """SELECT p_partkey,
         |  p_retailprice / NULLIF(CAST(p_size - p_size AS DOUBLE), 0) AS div0,

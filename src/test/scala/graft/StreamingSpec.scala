@@ -361,6 +361,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("b", 2.0)) && rows.contains(("b", 7.0)))
   }
 
+  test("Trigger.AvailableNow processes the backlog then terminates on its own") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[String]
+    val wire = Generator.toWire(Generator.batch(spark, 120)).as[String].collect()
+    mem.addData(wire.toSeq)
+    val q = Pipelines.riskPipelineDeterministic(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("avail_now")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow drains what exists and STOPS — the batch-shaped run of
+    // a streaming pipeline (backfill / catch-up mode).
+    assert(q.awaitTermination(60000L), "query did not self-terminate")
+    assert(spark.table("avail_now").count() == 120L)
+  }
+
   test("streaming parquet sink: checkpointed append, readable output") {
     implicit val sc = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-psink").toString
