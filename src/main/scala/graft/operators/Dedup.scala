@@ -253,6 +253,13 @@ object Dedup {
         labels = next.select(col("doc"), col("cluster_id"))
         i += 1
       }
+      // both regimes promise the exact min-label-per-component labeling; a
+      // silent early exit (component diameter > maxIter) would break that
+      // contract with wrong labels, so fail loudly instead.
+      if (!converged) throw new IllegalStateException(
+        s"nearDupClusters: min-label propagation did not converge in " +
+          s"$maxIter rounds (component diameter exceeds maxIter); raise " +
+          s"maxIter or localEdgeLimit")
       labels
     }
   }

@@ -27,7 +27,12 @@ object SkewJoin {
       pmod(xxhash64(saltSource), lit(saltFactor.toLong)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
-    salted.join(replicated,
+    // SHUFFLE_HASH hint: under auto-broadcast the salt never touches a
+    // shuffle, so the query would pay saltFactor× small-side replication
+    // for nothing (measured: 2× slower than the plain join). Salting only
+    // makes sense on the shuffled path — if the small side is
+    // broadcastable you would not salt at all — so the operator pins it.
+    salted.join(replicated.hint("SHUFFLE_HASH"),
       bigKey === smallKey && salted("_salt") === replicated("_salt"))
       .drop("_salt")
   }

@@ -115,7 +115,10 @@ object PipelineQueries extends QueryPack {
         .select($"doc_id", $"lang",
           TextFunctions.tokenCount($"text").as("n_tok"))
         .withColumn("cum", sum($"n_tok").over(w))
-        .groupBy($"lang", expr("(cum - 1) div 512").as("bin"))
+        // floor division, not `div`: div truncates toward zero, so a
+        // zero-token head doc ((cum-1) = -1) would bin to 0 in Spark but
+        // -1 under the oracle's floor semantics. floor() matches both.
+        .groupBy($"lang", floor(($"cum" - 1) / 512.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
     }))
 
@@ -173,7 +176,7 @@ object PipelineQueries extends QueryPack {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t
         |)
-        |SELECT lang, CAST((cum - 1) // 512 AS BIGINT) AS bin,
+        |SELECT lang, CAST(floor((cum - 1) / 512.0) AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, bin""".stripMargin,
     "pl5_typed_map" ->

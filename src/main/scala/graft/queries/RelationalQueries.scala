@@ -328,9 +328,13 @@ object RelationalQueries extends QueryPack {
 
     // Q25 — exact percentiles (linear interpolation) + deterministic
     // arg-max via a composite ordering key.
+    // Exact percentiles are the inventory entry; percentile() buffers every
+    // distinct value per group (ObjectHashAggregate), so the 100 TB path is
+    // q45_approx_percentile (GK sketch, bounded memory). spread() keeps the
+    // single-file fixture scan from buffering the whole table in one task.
     "q25_percentiles" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "orders")
+      Tables.spread(t(s, dir, "orders"))
         .groupBy($"o_orderpriority")
         .agg(
           expr("percentile(o_totalprice, 0.5)").as("median_price"),

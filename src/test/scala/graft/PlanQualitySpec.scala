@@ -37,9 +37,13 @@ class PlanQualitySpec extends AnyFunSuite {
       .foreach { name =>
         val plan = SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan.toString
-        assert(plan.contains("PushedFilters: [") &&
-          !plan.replaceAll("(?s).*PushedFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
-          s"$name: no pushed filters at the scan")
+        // check every scan's PushedFilters, not just the last occurrence:
+        // a greedy single-match regex would pass when only an unfiltered
+        // dimension side carries pushed filters.
+        val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+          .findAllMatchIn(plan).map(_.group(1).trim).toSeq
+        assert(pushed.nonEmpty && pushed.exists(_.nonEmpty),
+          s"$name: no non-empty PushedFilters at any scan")
       }
   }
 
