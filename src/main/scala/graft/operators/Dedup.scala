@@ -85,28 +85,30 @@ object Dedup {
     * (not per-row interpreted array transforms), candidate generation
     * joins (doc, band, bsig) rows only, and Jaccard verification re-joins
     * the shingle table instead of carrying shingle arrays through the
-    * shuffle. Hashing is engine-native xxhash64 — deterministic within
-    * Spark, not SQL-portable, hence rows-only oracle + property tests
-    * (DedupSpec). */
+    * shuffle. Shingle hashing and the permutation family are
+    * engine-portable ([[graft.functions.PortableHash]]), so the full
+    * operator — candidate generation included — is DuckDB-oracle-checked;
+    * only the band signature stays engine-native (equality-only). */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  jaccardThreshold: Double = 0.5): DataFrame = {
+    import graft.functions.PortableHash
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     // hash each shingle to a long once at the source: every downstream
     // shuffle/join moves 8-byte keys instead of strings (collision odds
-    // ~n²/2⁶⁴ — irrelevant for near-dup detection). The shingle table is
+    // ~n²/2⁶¹ — irrelevant for near-dup detection). The shingle table is
     // consumed three times (signature build + both sides of the Jaccard
     // verification join) — persist it so the regex tokenize/shingle pass,
     // the dominant CPU cost, runs once. At cluster scale this is the
     // materialized intermediate you'd checkpoint before the self-join.
     val sh = shingles(docs, idCol, textCol, shingleK, Nil)
-      .select(col("doc"), xxhash64(col("shingle")).as("sh_h"))
+      .select(col("doc"), PortableHash.hash60(col("shingle")).as("sh_h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one pass computes the minhash signature AND the shingle-set size;
     // persisted: sizes + banding both branch from it (tiny: 1 row/doc).
     val minAggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh_h"))).as(s"h$i")) :+
+      min(PortableHash.minhashPerm(i, col("sh_h"))).as(s"h$i")) :+
       count(lit(1)).as("n_sh")
     val sig = sh.groupBy(col("doc")).agg(minAggs.head, minAggs.tail: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -138,13 +140,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
   }
 
-  /** Distributed 64-bit SimHash sketch table: one row (id, sketch) per
+  /** SimHash sketch width: 60 bits — every bit of the engine-portable
+    * [[graft.functions.PortableHash.hash60]] token hash, which is what
+    * makes the sketch VALUES DuckDB-oracle-checkable (xxhash64 would give
+    * 64 bits but no SQL twin; 60 vs 64 is immaterial for hamming-distance
+    * near-dup detection). */
+  val SimhashBits = 60
+
+  /** Distributed 60-bit SimHash sketch table: one row (id, sketch) per
     * document, bit-identical to the per-row [[simhash]] column (property-
     * tested in DedupSpec).
     *
-    * Execution shape: tokens are EXPLODED once and all 64 bit-votes are
+    * Execution shape: tokens are EXPLODED once and all 60 bit-votes are
     * codegen'd SUM aggregates in a single groupBy pass — the per-row HOF
-    * form folds the token array 64× interpreted (measured 17.8s → ~1s on
+    * form folds the token array 60× interpreted (measured 17.8s → ~1s on
     * 5k docs). Votes are integer sums (associative ⇒ partitioning-
     * invariant); empty documents contribute a null vote, which the sketch
     * assembly maps to bit 0, matching the HOF fold over an empty array. */
@@ -153,26 +162,28 @@ object Dedup {
       .select(col(idCol).as("_id"),
         explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col("_id"),
-        when(col("tok").isNotNull, xxhash64(col("tok"))).as("h"))
-    val votes = (0 until 64).map { i =>
+        when(col("tok").isNotNull,
+          graft.functions.PortableHash.hash60(col("tok"))).as("h"))
+    val votes = (0 until SimhashBits).map { i =>
       sum(when(col("h").isNotNull,
         when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L)
           .otherwise(-1L))).as(s"v$i")
     }
-    val sketch = (0 until 64)
+    val sketch = (0 until SimhashBits)
       .map(i => when(col(s"v$i") > 0L, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
     tok.groupBy(col("_id")).agg(votes.head, votes.tail: _*)
       .select(col("_id").as(idCol), sketch.as("sketch"))
   }
 
-  /** 64-bit SimHash over token xxhash64s: bit i of the sketch is the sign
-    * of Σ_tokens (bit i set ? +1 : -1). Near-dups have small hamming
+  /** 60-bit SimHash over portable token hashes: bit i of the sketch is the
+    * sign of Σ_tokens (bit i set ? +1 : -1). Near-dups have small hamming
     * distance between sketches. Per-row column form — use [[simhashTable]]
     * for whole-table sketching (same bits, one codegen agg pass). */
   def simhash(textCol: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(textCol), t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
+    val hashes = transform(TextFunctions.tokens(textCol),
+      t => graft.functions.PortableHash.hash60(t))
+    val bits = (0 until SimhashBits).map { i =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(vote > 0L, lit(1L << i)).otherwise(lit(0L))

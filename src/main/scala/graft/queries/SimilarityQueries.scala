@@ -54,8 +54,10 @@ object SimilarityQueries extends QueryPack {
         Similarity.normSeq($"embedding").as("l2_norm"))
     }),
 
-    // LSH-bucketed ANN (engine-native signatures — rows-only oracle;
-    // recall vs sim1 asserted in SimilaritySpec).
+    // LSH-bucketed ANN. The signature math is engine-portable (LCG plane
+    // signs + fixed-point floor sums), so the whole pipeline — bucketing,
+    // candidate generation, cosine verification — is oracle-checked;
+    // SimilaritySpec adds the recall assertion vs brute force.
     "sim5_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(emb(s, dir), "vec_id", "embedding", dims = 64,
         planes = 24, bands = 4, threshold = 0.35)),
@@ -69,7 +71,60 @@ object SimilarityQueries extends QueryPack {
         "embedding", "label", 5)
     }))
 
+  /** sim5's DuckDB twin, mirroring Similarity.annLsh(planes=24, bands=4,
+    * τ=0.35, dims=64) stage by stage: same LCG plane signs, same
+    * fixed-point floor sums (integer addition ⇒ partitioning-invariant),
+    * same band/bucket bit extraction, same sequential-fold cosine. CASE
+    * outputs are CAST to DOUBLE (DuckDB decimal-literal trap). */
+  private def sim5Sql: String = {
+    val planes = 24; val dims = 64; val bandBits = 6; val mask = 63
+    val projAggs = (0 until planes).map { p =>
+      val pd = p.toLong * dims
+      s"CAST(sum(CAST(floor((x * (CASE WHEN ((($pd + dim) * 48271) % 2147483647) % 2 = 0 " +
+        s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) * 1e12) AS BIGINT)) AS BIGINT) AS pr$p"
+    }.mkString(",\n    ")
+    val sigExpr = (0 until planes)
+      .map(p => s"CASE WHEN pr$p >= 0 THEN (CAST(1 AS BIGINT) << $p) " +
+        s"ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT id, $b AS band, (sig >> ${b * bandBits}) & $mask AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ex AS (
+       |  SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings) p
+       |), agg AS (
+       |  SELECT id,
+       |    $projAggs,
+       |    CAST(sum(CAST(floor((x * x) * 1e12) AS BIGINT)) AS BIGINT) AS n2
+       |  FROM ex GROUP BY id
+       |), sigs AS (
+       |  SELECT id, sqrt(CAST(n2 AS DOUBLE) / 1e12) AS nrm, $sigExpr AS sig
+       |  FROM agg
+       |), banded AS (
+       |  $bandRows
+       |), cands AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |), scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |    ${dotSql("va.embedding", "vb.embedding")} / (sa.nrm * sb.nrm)
+       |      AS cos_sim
+       |  FROM cands c
+       |  JOIN embeddings va ON va.vec_id = c.id_a
+       |  JOIN embeddings vb ON vb.vec_id = c.id_b
+       |  JOIN sigs sa ON sa.id = c.id_a
+       |  JOIN sigs sb ON sb.id = c.id_b
+       |)
+       |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.35""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "sim5_ann_lsh" -> sim5Sql,
     "sim1_cosine_topk" ->
       s"""WITH n AS (
          |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm

@@ -79,13 +79,16 @@ object TextQueries extends QueryPack {
         "doc_id", "payload")
     }),
 
-    // MinHash+LSH near-dup (engine-native xxhash64 — rows-only oracle;
-    // correctness via DedupSpec property tests against exact Jaccard).
+    // MinHash+LSH near-dup: shingle hash + permutation family are
+    // engine-portable (PortableHash), so the WHOLE pipeline — candidate
+    // generation included — is oracle-checked; DedupSpec adds the recall
+    // property tests against exact Jaccard.
     "dd1_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
         shingleK = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.3)),
 
-    // SimHash sketches + near-dup pairs by hamming distance (rows-only).
+    // 60-bit SimHash sketch table (portable token hash — sketch VALUES are
+    // oracle-checked bit-for-bit).
     "dd2_simhash" -> ((s, dir) =>
       Dedup.simhashTable(docs(s, dir), "doc_id", "text")),
 
@@ -142,7 +145,92 @@ object TextQueries extends QueryPack {
       |  JOIN sizes sb ON sb.doc_id = doc_b
       |)""".stripMargin
 
+  /** dd1's DuckDB twin, generated to mirror Dedup.minhashLsh(k=3, 16
+    * hashes, 4 bands, τ=0.3) stage by stage. The band signature compares
+    * the 4 minhash values directly (Spark packs them through xxhash64 for
+    * shuffle width — equality-only, so any injective-enough packing gives
+    * the same candidate set), and verification joins shingle STRINGS where
+    * Spark joins their 60-bit hashes (equality-only again). */
+  private def dd1Sql: String = {
+    import graft.functions.PortableHash
+    val mins = (0 until 16)
+      .map(i => s"min(${PortableHash.minhashPermSql(i, "h60")}) AS h$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('|', $cols) AS bsig FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+       |), pos AS (
+       |  SELECT doc_id, ts,
+       |    unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+       |  FROM tok
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+       |  FROM pos
+       |), shh AS (
+       |  SELECT doc_id, shingle, ${PortableHash.hash60Sql("shingle")} AS h60
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $mins,
+       |    count(*) AS n_sh
+       |  FROM shh GROUP BY doc_id
+       |), banded AS (
+       |  $bandRows
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+       |), common AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cands c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY c.doc_a, c.doc_b
+       |)
+       |SELECT doc_a, doc_b, common,
+       |  CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE)
+       |    AS jaccard
+       |FROM common
+       |JOIN sig sa ON sa.doc_id = doc_a
+       |JOIN sig sb ON sb.doc_id = doc_b
+       |WHERE CAST(common AS DOUBLE) /
+       |  CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.3""".stripMargin
+  }
+
+  /** dd2's DuckDB twin: 60 conditional bit-vote sums over the portable
+    * token hash, reassembled to the same 60-bit sketch; tokenless docs
+    * come back via the LEFT JOIN with sketch 0 (Spark: explode_outer →
+    * null votes → all bits 0). */
+  private def dd2Sql: String = {
+    import graft.functions.PortableHash
+    val votes = (0 until Dedup.SimhashBits)
+      .map(i => s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    val sketch = (0 until Dedup.SimhashBits)
+      .map(i => s"CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) " +
+        s"ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id, ${PortableHash.hash60Sql("t")} AS h FROM tok
+       |), votes AS (
+       |  SELECT doc_id, $votes FROM th GROUP BY doc_id
+       |), sk AS (
+       |  SELECT doc_id, $sketch AS sketch FROM votes
+       |)
+       |SELECT d.doc_id, CAST(COALESCE(sk.sketch, 0) AS BIGINT) AS sketch
+       |FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "dd1_minhash_lsh" -> dd1Sql,
+    "dd2_simhash" -> dd2Sql,
     "tx7_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),

@@ -39,8 +39,9 @@ class PlanQualitySpec extends AnyFunSuite {
           .queryExecution.executedPlan.toString
         // check every scan's PushedFilters, not just the last occurrence:
         // a greedy single-match regex would pass when only an unfiltered
-        // dimension side carries pushed filters.
-        val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+        // dimension side carries pushed filters. The closing bracket is
+        // optional — plan.toString TRUNCATES long filter lists mid-line.
+        val pushed = "PushedFilters: \\[([^\\]\\n]*)".r
           .findAllMatchIn(plan).map(_.group(1).trim).toSeq
         assert(pushed.nonEmpty && pushed.exists(_.nonEmpty),
           s"$name: no non-empty PushedFilters at any scan")
