@@ -1,21 +1,45 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: image/audio/video payloads as opaque `binary`
-  * columns with typed metadata, plus the decode / feature-extract plumbing
-  * a training-data pipeline needs.
+  * columns with typed metadata, plus the decode / feature-extract / resize
+  * plumbing a training-data pipeline needs.
   *
-  * The actual codecs (JPEG/PNG/audio decode) are NOT in this container, so
-  * the decode step is a clearly-marked deterministic STUB (`decodeStub`)
-  * — what is real and tested is the Spark-side shape of the operator: the
+  * JPEG/PNG decode, resize and pixel featurization are REAL, via the
+  * JRE's own `javax.imageio` (no external deps): [[decodeMeta]] reads
+  * intrinsic dimensions from the image header without decoding pixel
+  * data, [[resizeImage]] decodes + rescales + re-encodes, and
+  * [[extractImageFeatures]] computes deterministic luminance features
+  * from decoded pixels. Payloads imageio cannot read (audio/video/unknown
+  * formats — those codecs are NOT in this container) fall back to the
+  * clearly-marked deterministic stubs, keeping every operator total.
+  * Either way the Spark-side shape is the load-bearing part at 100 TB:
   * binary column schema, typed output rows, per-partition batched
   * execution (`mapPartitions`, the Scala analog of `mapInPandas` batch
-  * processing), and partition sizing so one task never holds more than a
-  * bounded number of payload bytes.
+  * processing — codec/model init per task, not per row), and partition
+  * sizing so one task never holds more than a bounded number of payload
+  * bytes ([[repartitionByBytes]]).
   */
 object Multimodal {
+
+  /** Magic-prefix format sniff (same rule as [[binaryMeta]]'s column
+    * form). */
+  private def sniff(bytes: Array[Byte]): String =
+    if (bytes == null || bytes.length < 4) "unknown"
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+      bytes(3) == 'G') "png"
+    else "unknown"
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
 
   /** Typed metadata extracted from a binary media payload. */
   case class MediaMeta(
@@ -39,10 +63,10 @@ object Multimodal {
         .when(hex(substring(col(binCol), 1, 4)) === "89504E47", "png")
         .otherwise("unknown").as("format"))
 
-  /** ===== STUB ===== deterministic fake decode: derives plausible
-    * dimensions from the payload bytes instead of decoding them. Replace
-    * with a real codec (e.g. javax.imageio / ffmpeg bindings) in a
-    * deployment that has the libraries. */
+  /** ===== STUB ===== deterministic fake decode for payloads imageio
+    * cannot read (audio/video/unknown): derives plausible dimensions from
+    * the payload bytes instead of decoding them. A deployment with
+    * ffmpeg/audio bindings plugs the real codec behind the same seam. */
   def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val n = if (bytes == null) 0 else bytes.length
     val h = bytes.take(16).foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
@@ -55,17 +79,82 @@ object Multimodal {
       checksum = f"${h}%016x")
   }
 
+  /** REAL single-payload decode: JPEG/PNG intrinsic dimensions read from
+    * the image HEADER via an imageio `ImageReader` — `getWidth(0)` never
+    * decodes pixel data, so cost is O(header), not O(pixels); exactly what
+    * a 100 TB metadata pass wants. Returns None when no reader accepts
+    * the payload (corrupt or non-image). */
+  def decodeImageMeta(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    val fmt = sniff(bytes)
+    if (fmt == "unknown") None
+    else try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some(MediaMeta(id, bytes.length.toLong, fmt,
+              r.getWidth(0), r.getHeight(0), md5Hex(bytes)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch {
+      // right-magic-but-corrupt payloads (truncated headers etc.) are a
+      // fact of life in a 100 TB corpus: fall back, never kill the task
+      case _: Exception => None
+    }
+  }
+
   /** The decode operator: per-partition batched decode of binary payloads
-    * into typed metadata. `mapPartitions` keeps decoder init (a real codec
-    * would load native libs) per-task not per-row, and the input should be
-    * pre-repartitioned so Σbytes per partition is bounded (see
-    * `repartitionByBytes`). */
+    * into typed metadata — real imageio header decode for JPEG/PNG,
+    * deterministic stub for everything else. `mapPartitions` keeps decoder
+    * init per-task not per-row, and the input should be pre-repartitioned
+    * so Σbytes per partition is bounded (see `repartitionByBytes`). */
   def decodeMeta(spark: SparkSession, df: DataFrame, idCol: String,
                  binCol: String): Dataset[MediaMeta] = {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it => it.map { case (id, bytes) => fakeDecode(id, bytes) } }
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeImageMeta(id, bytes).getOrElse(fakeDecode(id, bytes))
+        }
+      }
+  }
+
+  /** Deterministic PNG rendering: (id, width, height) → real PNG payload
+    * with LCG-seeded pixels. This is the fixture-side generator that lets
+    * the decode/resize operators be exercised — and oracle-checked — on
+    * real image bytes built from fixture columns (the container ships no
+    * image files). Encoder init is per-partition; dims should be small. */
+  def renderPng(spark: SparkSession, df: DataFrame, idCol: String,
+                wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wCol).cast("int"),
+        col(hCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h) =>
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var s = id * 6364136223846793005L + 1442695040888963407L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              s = s * 6364136223846793005L + 1442695040888963407L
+              img.setRGB(x, y, ((s >>> 40) & 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF(idCol, "payload")
   }
 
   /** Typed output of [[extractFeaturesStub]]: fixed-dim embedding per doc. */
@@ -85,21 +174,106 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-task "model load" happens here in a real featurizer
+        val f = stubFeatures(dim) _
+        it.map { case (id, bytes) => MediaFeatures(id, dim, f(bytes)) }
+      }
+  }
+
+  /** REAL feature extraction for image payloads: decode via imageio, then
+    * `dim` deterministic features — mean luminance (0..1) over the pixel
+    * stripe where (x + y·w) ≡ d (mod dim). Integer-accumulated then one
+    * double divide: bit-stable under any pixel visit order. Non-image
+    * payloads fall back to the stub LCG featurizer, so the operator stays
+    * total over a mixed corpus. */
+  def extractImageFeatures(spark: SparkSession, df: DataFrame, idCol: String,
+                           binCol: String, dim: Int): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val stub = stubFeatures(dim) _
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // a real vision model would load per task here, not per row
         it.map { case (id, bytes) =>
-          var s = if (bytes == null) 1L
-            else bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff)) | 1L
-          val emb = Array.fill(dim) {
-            s = s * 6364136223846793005L + 1442695040888963407L
-            ((s >>> 33).toInt % 1000) / 1000.0f
+          val img = if (sniff(bytes) == "unknown") null
+            else ImageIO.read(new ByteArrayInputStream(bytes))
+          if (img == null) MediaFeatures(id, dim, stub(bytes))
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = new Array[Long](dim)
+            val counts = new Array[Long](dim)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                val d = (x + y * w) % dim
+                sums(d) += lum; counts(d) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val emb = Array.tabulate(dim)(d =>
+              if (counts(d) == 0) 0.0f
+              else (sums(d).toDouble / (counts(d) * 765.0)).toFloat)
+            MediaFeatures(id, dim, emb.toSeq)
           }
-          MediaFeatures(id, dim, emb.toSeq)
         }
       }
   }
 
-  /** Typed output of [[resizeStub]]: payload re-encoded at target dims. */
+  /** The stub LCG featurizer body, shared by [[extractFeaturesStub]] and
+    * the non-image fallback of [[extractImageFeatures]]. */
+  private def stubFeatures(dim: Int)(bytes: Array[Byte]): Seq[Float] = {
+    var s = if (bytes == null) 1L
+      else bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff)) | 1L
+    Array.fill(dim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33).toInt % 1000) / 1000.0f
+    }.toSeq
+  }
+
+  /** Typed output of the resize operators: payload re-encoded at target
+    * dims. */
   case class ResizedMedia(doc_id: Long, width: Int, height: Int,
                           n_bytes: Long, payload: Array[Byte])
+
+  /** REAL resize for image payloads: imageio decode → Graphics2D bilinear
+    * rescale → PNG re-encode. The output is a genuine decodable image at
+    * (targetW, targetH) — round-tripped through [[decodeMeta]] in the
+    * oracle query. Non-image payloads fall back to [[resizeStub]]'s
+    * deterministic byte-fold. */
+  def resizeImage(spark: SparkSession, df: DataFrame, idCol: String,
+                  binCol: String, targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    val stubLen = math.max(16, targetW * targetH / 64)
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = if (sniff(bytes) == "unknown") null
+            else ImageIO.read(new ByteArrayInputStream(bytes))
+          if (img == null) {
+            val src = if (bytes == null || bytes.isEmpty) Array[Byte](0) else bytes
+            val out = Array.tabulate(stubLen)(i =>
+              (src(i % src.length) ^ (i & 0x7f)).toByte)
+            ResizedMedia(id, targetW, targetH, stubLen.toLong, out)
+          } else {
+            val dst = new BufferedImage(targetW, targetH,
+              BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val baos = new ByteArrayOutputStream()
+            ImageIO.write(dst, "png", baos)
+            val out = baos.toByteArray
+            ResizedMedia(id, targetW, targetH, out.length.toLong, out)
+          }
+        }
+      }
+  }
 
   /** Resize: binary payload → payload re-encoded at (targetW, targetH).
     * ===== STUB ===== decode+scale+encode is faked as a deterministic

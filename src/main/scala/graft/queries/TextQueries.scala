@@ -92,6 +92,38 @@ object TextQueries extends QueryPack {
     "dd2_simhash" -> ((s, dir) =>
       Dedup.simhashTable(docs(s, dir), "doc_id", "text")),
 
+    // REAL image decode round trip: render a PNG per doc with dims derived
+    // from fixture columns, then read the dims back through the imageio
+    // header decode. The oracle computes the dims arithmetically — a wrong
+    // codec path (or stub leakage) cannot hash-match.
+    "mm2_decode_dims" -> ((s, dir) => {
+      import s.implicits._
+      val withDims = docs(s, dir).select($"doc_id",
+        (lit(1) + $"doc_id" % 37).cast("int").as("w"),
+        (lit(1) + $"doc_id" % 23).cast("int").as("h"))
+      val pngs = Multimodal.renderPng(s, graft.core.Tables.spread(withDims),
+        "doc_id", "w", "h")
+      Multimodal.decodeMeta(s, pngs, "doc_id", "payload")
+        .select($"doc_id", $"format", $"width", $"height")
+    }),
+
+    // REAL resize round trip: render → bilinear resize + PNG re-encode →
+    // decode the RESIZED bytes; decoded dims must equal the target. Output
+    // format/width/height come from the second decode, so a resize that
+    // does not produce a valid image at the target dims cannot pass.
+    "mm3_resize_dims" -> ((s, dir) => {
+      import s.implicits._
+      val withDims = docs(s, dir).select($"doc_id",
+        (lit(4) + $"doc_id" % 29).cast("int").as("w"),
+        (lit(4) + $"doc_id" % 19).cast("int").as("h"))
+      val pngs = Multimodal.renderPng(s, graft.core.Tables.spread(withDims),
+        "doc_id", "w", "h")
+      val resized = Multimodal.resizeImage(s, pngs, "doc_id", "payload", 16, 12)
+        .select(col("doc_id"), col("payload"))
+      Multimodal.decodeMeta(s, resized, "doc_id", "payload")
+        .select($"doc_id", $"format", $"width", $"height")
+    }),
+
     // near-dup clustering: connected components over the exact-Jaccard
     // pair graph (min-label propagation; oracle = recursive-CTE closure).
     "dd3_cluster" -> ((s, dir) =>
@@ -231,6 +263,15 @@ object TextQueries extends QueryPack {
   def oracles: Map[String, String] = Map(
     "dd1_minhash_lsh" -> dd1Sql,
     "dd2_simhash" -> dd2Sql,
+    "mm2_decode_dims" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(1 + doc_id % 37 AS INTEGER) AS width,
+        |  CAST(1 + doc_id % 23 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
+    "mm3_resize_dims" ->
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
     "tx7_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),

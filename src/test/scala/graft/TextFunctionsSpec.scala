@@ -58,6 +58,56 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(decoded.toSeq == again.toSeq)
   }
 
+  test("multimodal: real PNG render → imageio header decode round trip") {
+    val dims = Seq((1L, 5, 3), (2L, 37, 23), (3L, 1, 1))
+    val df = dims.toDF("doc_id", "w", "h")
+    val pngs = Multimodal.renderPng(spark, df, "doc_id", "w", "h")
+    // payloads are genuine PNGs (magic sniff agrees)
+    val fmts = Multimodal.binaryMeta(pngs, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("format"))
+    assert(fmts.forall(_._2 == "png"))
+    val meta = Multimodal.decodeMeta(spark, pngs, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> ((m.width, m.height, m.format))).toMap
+    dims.foreach { case (id, w, h) => assert(meta(id) == ((w, h, "png"))) }
+  }
+
+  test("multimodal: real resize re-encodes a decodable image at target dims") {
+    val df = Seq((1L, 20, 14)).toDF("doc_id", "w", "h")
+    val pngs = Multimodal.renderPng(spark, df, "doc_id", "w", "h")
+    val resized = Multimodal.resizeImage(spark, pngs, "doc_id", "payload", 8, 6)
+    val roundTrip = Multimodal.decodeMeta(spark,
+        resized.select($"doc_id", $"payload").toDF(), "doc_id", "payload")
+      .collect().head
+    assert(roundTrip.width == 8 && roundTrip.height == 6 &&
+      roundTrip.format == "png")
+    // deterministic re-encode (retry-safe)
+    val a = resized.collect().head.payload.toSeq
+    val b = Multimodal.resizeImage(spark, pngs, "doc_id", "payload", 8, 6)
+      .collect().head.payload.toSeq
+    assert(a == b)
+  }
+
+  test("multimodal: real pixel featurizer is deterministic, stub fallback for non-images") {
+    val df = Seq((1L, 9, 7), (2L, 9, 7)).toDF("doc_id", "w", "h")
+    val pngs = Multimodal.renderPng(spark, df, "doc_id", "w", "h")
+    val feats = Multimodal.extractImageFeatures(spark, pngs, "doc_id", "payload", 8)
+      .collect().sortBy(_.doc_id)
+    assert(feats.forall(_.embedding.length == 8))
+    // luminance means land in [0,1]; different pixels → different features
+    assert(feats.forall(_.embedding.forall(v => v >= 0.0f && v <= 1.0f)))
+    assert(feats(0).embedding != feats(1).embedding)
+    val again = Multimodal.extractImageFeatures(spark, pngs, "doc_id", "payload", 8)
+      .collect().sortBy(_.doc_id)
+    assert(feats.map(_.embedding).toSeq == again.map(_.embedding).toSeq)
+    // non-image payloads take the stub path (same values as the stub op)
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val viaReal = Multimodal.extractImageFeatures(spark, junk, "doc_id", "payload", 8)
+      .collect().head.embedding
+    val viaStub = Multimodal.extractFeaturesStub(spark, junk, "doc_id", "payload", 8)
+      .collect().head.embedding
+    assert(viaReal == viaStub)
+  }
+
   test("multimodal: frameSample keeps every Nth frame with indices") {
     val frames = (0 until 10).map(i => Array[Byte](i.toByte)).toSeq
     val df = Seq((7L, frames)).toDF("vid_id", "frames")
