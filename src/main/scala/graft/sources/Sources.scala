@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Source/sink wrappers for the reference's I/O surface (SURVEY.md §2.1,
   * §2.5). Thin by design: fixtures don't need a broker, so these are the
@@ -28,11 +29,13 @@ object Sources {
   /** K3 — Kafka sink (producer side, RemittanceGenerator.java:60-61). */
   def kafkaSink(df: DataFrame, bootstrap: String,
                 topic: String = "remittance-stream",
-                checkpoint: String = "/tmp/graft-ckpt-kafka"): DataStreamWriter[_] =
+                checkpoint: String = "/tmp/graft-ckpt-kafka",
+                trigger: Trigger = DefaultTrigger): DataStreamWriter[_] =
     df.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
 
   /** K2 — JDBC sink config, env-var contract of the reference
     * (StreamJob.java:177-179). */
@@ -48,26 +51,107 @@ object Sources {
       password = env.getOrElse("METRICS_DB_PASSWORD", "postgres"))
   }
 
-  /** K2 — streaming JDBC sink via foreachBatch (Structured Streaming has no
-    * built-in one). Unlike the reference (batch size 1, no checkpointing —
-    * at-least-once with per-row inserts), this batches per micro-batch and
-    * is restartable from the checkpoint; dedupe on window_start downstream
-    * makes it effectively idempotent (SURVEY.md §7 phase 4). */
-  def jdbcSink(df: DataFrame, cfg: JdbcConfig,
-               checkpoint: String): DataStreamWriter[_] = {
-    val props = new java.util.Properties()
-    props.setProperty("user", cfg.user)
-    props.setProperty("password", cfg.password)
-    df.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").jdbc(cfg.url, cfg.table, props)
-      }
+  /** The reference's auto-watermark cadence (StreamJob.java's 500 ms
+    * interval; SURVEY.md §2.4 T3) expressed as Spark's trigger: one
+    * micro-batch every 500 ms. Pass `Trigger.AvailableNow()` to drain a
+    * bounded source instead (tests / backfills). */
+  val DefaultTrigger: Trigger = Trigger.ProcessingTime("500 milliseconds")
+
+  /** Spark type → portable DDL type for [[ensureTable]]. */
+  private def ddlType(dt: DataType): String = dt match {
+    case TimestampType => "TIMESTAMP"
+    case LongType | IntegerType | ShortType => "BIGINT"
+    case DoubleType | FloatType => "DOUBLE"
+    case BooleanType => "BOOLEAN"
+    case _ => "VARCHAR(4000)"
   }
 
+  /** Create the sink table from the batch schema if absent (Spark's
+    * DataFrameWriter.jdbc did this implicitly; raw JDBC must). "already
+    * exists" is swallowed — any other DDL failure propagates. */
+  private def ensureTable(conn: java.sql.Connection, table: String,
+                          schema: StructType): Unit = {
+    val cols = schema.fields
+      .map(f => s"${f.name} ${ddlType(f.dataType)}").mkString(", ")
+    val st = conn.createStatement()
+    try st.executeUpdate(s"CREATE TABLE $table ($cols)")
+    catch { case e: java.sql.SQLException
+      if Option(e.getSQLState).exists(s => s == "X0Y32" || s == "42P07" ||
+        e.getMessage.toLowerCase.contains("exist")) => () }
+    finally st.close()
+  }
+
+  /** Idempotent micro-batch upsert: ONE transaction that DELETEs the
+    * batch's `keyCol` values and re-INSERTs the batch's rows. A replayed
+    * batch (failure between foreachBatch and checkpoint commit, or a
+    * restart from an older checkpoint) rewrites the same keys instead of
+    * duplicating them — exactly-once OUTPUT on top of foreachBatch's
+    * at-least-once delivery, which is the SURVEY §7 phase-4 contract the
+    * previous plain append did not meet.
+    *
+    * Driver-side by design: this sink targets windowed AGGREGATE tables
+    * (one row per closed window — the reference's metrics table), so a
+    * micro-batch is O(windows), not O(events); collecting it is bounded by
+    * construction. A fact-table sink would stage per-partition and MERGE
+    * server-side instead. */
+  def upsertBatch(batch: DataFrame, cfg: JdbcConfig,
+                  keyCol: String = "window_start"): Unit = {
+    val rows = batch.collect()
+    if (rows.isEmpty) return
+    val schema = batch.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val conn = java.sql.DriverManager.getConnection(
+      cfg.url, cfg.user, cfg.password)
+    try {
+      ensureTable(conn, cfg.table, schema)
+      conn.setAutoCommit(false)
+      val del = conn.prepareStatement(
+        s"DELETE FROM ${cfg.table} WHERE $keyCol = ?")
+      try {
+        rows.map(_.get(keyIdx)).distinct.foreach { k =>
+          del.setObject(1, k); del.addBatch()
+        }
+        del.executeBatch()
+      } finally del.close()
+      val colNames = schema.fieldNames.mkString(", ")
+      val holes = schema.fields.map(_ => "?").mkString(", ")
+      val ins = conn.prepareStatement(
+        s"INSERT INTO ${cfg.table} ($colNames) VALUES ($holes)")
+      try {
+        rows.foreach { r =>
+          schema.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+          ins.addBatch()
+        }
+        ins.executeBatch()
+      } finally ins.close()
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => () }
+        throw e
+    } finally conn.close()
+  }
+
+  /** K2 — streaming JDBC sink via foreachBatch (Structured Streaming has no
+    * built-in one). Unlike the reference (batch size 1, no checkpointing —
+    * at-least-once per-row inserts), each micro-batch lands as a single
+    * idempotent transaction keyed on `keyCol` ([[upsertBatch]]), so
+    * checkpoint replays cannot duplicate windows. */
+  def jdbcSink(df: DataFrame, cfg: JdbcConfig, checkpoint: String,
+               keyCol: String = "window_start",
+               trigger: Trigger = DefaultTrigger): DataStreamWriter[_] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(batch, cfg, keyCol)
+      }
+
   /** K1 — console sink (StreamJob.java:90, :218). */
-  def consoleSink(df: DataFrame): DataStreamWriter[_] =
+  def consoleSink(df: DataFrame,
+                  trigger: Trigger = DefaultTrigger): DataStreamWriter[_] =
     df.writeStream.format("console").option("truncate", value = false)
+      .trigger(trigger)
 
   /** Start helper: name + start + return the query. */
   def start(w: DataStreamWriter[_], name: String): StreamingQuery =

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+import graft.streaming.{Generator, Pipelines}
+
+/** K2 idempotency (SURVEY.md §7 phase 4): the JDBC sink lands each
+  * micro-batch as ONE transaction that deletes-then-reinserts the batch's
+  * window keys, so at-least-once foreachBatch delivery still yields
+  * exactly-once OUTPUT. Tested against embedded Derby — in the Spark
+  * distribution already, no new dependency. */
+class JdbcSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def cfgFor(table: String) = Sources.JdbcConfig(
+    url = "jdbc:derby:memory:graftJdbc;create=true",
+    user = "app", password = "app", table = table)
+
+  private def rows(table: String): Seq[(Long, Long)] = {
+    val cfg = cfgFor(table)
+    val conn = java.sql.DriverManager.getConnection(
+      cfg.url, cfg.user, cfg.password)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT window_start, cnt FROM $table ORDER BY window_start")
+      val buf = scala.collection.mutable.Buffer.empty[(Long, Long)]
+      while (rs.next()) buf += ((rs.getLong(1), rs.getLong(2)))
+      buf.toSeq
+    } finally conn.close()
+  }
+
+  test("upsertBatch: replaying the identical batch does not duplicate rows") {
+    val t = "m_replay"
+    val df = Seq((1000L, 5L, "a"), (2000L, 7L, "b"))
+      .toDF("window_start", "cnt", "line")
+    Sources.upsertBatch(df, cfgFor(t))
+    Sources.upsertBatch(df, cfgFor(t)) // simulated post-failure replay
+    assert(rows(t) == Seq((1000L, 5L), (2000L, 7L)))
+  }
+
+  test("upsertBatch: a re-emitted window overwrites, new windows append") {
+    val t = "m_update"
+    Sources.upsertBatch(
+      Seq((1000L, 5L, "a"), (2000L, 7L, "b"))
+        .toDF("window_start", "cnt", "line"), cfgFor(t))
+    Sources.upsertBatch(
+      Seq((2000L, 9L, "b2"), (3000L, 1L, "c"))
+        .toDF("window_start", "cnt", "line"), cfgFor(t))
+    assert(rows(t) == Seq((1000L, 5L), (2000L, 9L), (3000L, 1L)))
+  }
+
+  test("streaming metrics → jdbc: a full from-scratch replay yields identical rows") {
+    implicit val sc = spark.sqlContext
+    val t = "m_stream"
+    val wire = Generator.toWire(Generator.batch(spark, 200))
+      .as[String].collect().toSeq
+
+    def runOnce(ckpt: String): Unit = {
+      val mem = MemoryStream[String]
+      mem.addData(wire)
+      val out = Pipelines.metricsPipeline(mem.toDF())
+        .select($"window_start", $"cnt", $"line")
+      val q = Sources.jdbcSink(out, cfgFor(t), ckpt,
+          trigger = Trigger.AvailableNow())
+        .outputMode("update")
+        .queryName(s"jdbc_$ckpt").start()
+      assert(q.awaitTermination(120000))
+    }
+
+    runOnce(java.nio.file.Files
+      .createTempDirectory("graft-jdbc-ck1").toString)
+    val first = rows(t)
+    assert(first.nonEmpty)
+    // fresh checkpoint = every micro-batch replays from the beginning; the
+    // keyed upsert must leave the table byte-identical, not doubled.
+    runOnce(java.nio.file.Files
+      .createTempDirectory("graft-jdbc-ck2").toString)
+    assert(rows(t) == first)
+  }
+
+  test("trigger cadence knob (T3): ProcessingTime drives repeated micro-batches") {
+    implicit val sc = spark.sqlContext
+    val t = "m_cadence"
+    val mem = MemoryStream[String]
+    val out = Pipelines.metricsPipeline(mem.toDF())
+      .select($"window_start", $"cnt", $"line")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-jdbc-ck3").toString
+    // the default trigger is the reference's 500 ms cadence; use a faster
+    // one so the test observes >1 triggered batch quickly
+    val q = Sources.jdbcSink(out, cfgFor(t), ckpt,
+        trigger = Trigger.ProcessingTime("50 milliseconds"))
+      .outputMode("update")
+      .queryName("jdbc_cadence").start()
+    try {
+      mem.addData(Generator.toWire(Generator.batch(spark, 50))
+        .as[String].collect().toSeq)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (q.recentProgress.length < 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      // ≥2 progress events: the timed trigger fired repeatedly on its own
+      assert(q.recentProgress.length >= 2)
+      assert(rows(t).nonEmpty)
+    } finally q.stop()
+  }
+}
