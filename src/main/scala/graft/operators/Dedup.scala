@@ -23,6 +23,16 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Word-k-gram shingle ARRAY over a token-array column (shared by the
+    * batch explode path and the per-row streaming signature). */
+  def shingleArray(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Distinct word-k-gram shingles per doc (+ pass-through block columns).
     *
     * The token array is materialized as its own column BEFORE shingling:
@@ -31,18 +41,12 @@ object Dedup {
     * element_at — ~100× per doc (measured 9s → <1s on 5k docs). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int,
                blockCols: Seq[String]): DataFrame = {
-    val toks = col("_toks")
-    val n = size(toks)
-    val sh = when(n >= k,
-      transform(sequence(lit(1), n - (k - 1)), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
     // repartition spreads the per-doc tokenize/shingle work: a small
     // parquet scan is a single partition, and regex is the CPU-heavy step.
     docs.repartition(col(idCol))
       .withColumn("_toks", TextFunctions.tokens(col(textCol)))
       .select((col(idCol).as("doc") +: blockCols.map(col)) :+
-        explode(array_distinct(sh)).as("shingle"): _*)
+        explode(array_distinct(shingleArray(col("_toks"), k))).as("shingle"): _*)
   }
 
   /** N-gram Jaccard similarity for all doc pairs sharing a blocking key and
@@ -138,6 +142,45 @@ object Dedup {
         (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+  }
+
+  /** Per-row MinHash pipeline for UNBOUNDED streams: no groupBy over
+    * exploded shingles (a shuffle per micro-batch), instead the signature
+    * is an array fold per row and banding is a narrow explode. Same
+    * portable permutation family as [[minhashLsh]], so batch and stream
+    * signatures are comparable. Output: (bucket_key, doc, sig) — one row
+    * per band, keyed for [[graft.streaming.StreamingDedup]]'s stateful
+    * bucket join. Docs with no shingles get sentinel Long.MaxValue mins
+    * (they bucket together and verify to agree=1.0 only vs other empties).
+    *
+    * The shingle-hash array is materialized as `_shh` BEFORE the
+    * `numHashes` min-folds — Catalyst does not hoist common expressions
+    * out of HOF lambdas, so inlining would re-tokenize per fold. */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, numHashes: Int = 16,
+                   bands: Int = 4): DataFrame = {
+    import graft.functions.PortableHash
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sig = array((0 until numHashes).map { i =>
+      val (a, b) = PortableHash.permCoeffs(i)
+      coalesce(
+        array_min(transform(col("_shh"),
+          h => (lit(a) * (h % PortableHash.P31) + lit(b)) % PortableHash.P31)),
+        lit(Long.MaxValue))
+    }: _*)
+    docs
+      .withColumn("_shh", transform(
+        array_distinct(shingleArray(TextFunctions.tokens(col(textCol)),
+          shingleK)),
+        s => PortableHash.hash60(s)))
+      .withColumn("sig", sig)
+      .select(col(idCol).cast("long").as("doc"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          concat(lit(s"$b:"), concat_ws("|",
+            slice(col("sig"), b * rows + 1, rows).cast("array<string>")))
+        }: _*)).as("bucket_key"))
+      .select(col("bucket_key"), col("doc"), col("sig"))
   }
 
   /** SimHash sketch width: 60 bits — every bit of the engine-portable

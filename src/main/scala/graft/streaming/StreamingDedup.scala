@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{ListState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+import graft.operators.Dedup
+
+/** Near-duplicate detection on an UNBOUNDED document stream — the
+  * production LLM-ingest shape: every arriving document is checked against
+  * everything already ingested, without ever re-scanning the corpus.
+  *
+  * Design: [[Dedup.minhashBands]] computes a per-row MinHash signature
+  * (portable permutation family, no shuffle) and explodes it into LSH
+  * band buckets; a `transformWithState` processor keyed on the bucket
+  * holds each bucket's members in a `ListState` and emits a candidate
+  * pair the moment a new arrival lands in a bucket with prior members —
+  * across micro-batches, which is the point: state IS the index.
+  *
+  * State bounding, two mechanisms (both required at 100 TB):
+  *  - TTL eviction (`ttl`): members expire after the configured horizon,
+  *    so the index holds a sliding working set, not the full history —
+  *    the transformWithState-native analog of watermark eviction.
+  *  - `maxPerBucket` cap: a degenerate bucket (e.g. the empty-document
+  *    signature, or boilerplate-heavy shingles) stops absorbing members
+  *    instead of growing a hot key without bound.
+  * With the RocksDB provider, per-bucket state lives off-heap/on-disk, so
+  * executor memory bounds the working set, not total index size.
+  *
+  * Output pairs are candidates (same pair can fire in several bands —
+  * run `.dropDuplicates("doc_a","doc_b")` downstream, itself a bounded
+  * stateful operator under the same TTL reasoning); `sig_agree` is the
+  * fraction of agreeing minhash components, an unbiased Jaccard estimate
+  * — threshold it or verify exactly against stored shingles downstream.
+  */
+object StreamingDedup {
+
+  /** A bucket member: doc id + full minhash signature. */
+  case class Member(doc: Long, sig: Seq[Long])
+
+  /** Candidate near-dup pair with the minhash Jaccard estimate. */
+  case class CandidatePair(doc_a: Long, doc_b: Long, sig_agree: Double)
+
+  class BucketProcessor(maxPerBucket: Int, ttl: TTLConfig)
+      extends StatefulProcessor[String, (String, Long, Seq[Long]),
+        CandidatePair] {
+    @transient private var members: ListState[Member] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Member]("members",
+        Encoders.product[Member], ttl)
+
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Long, Seq[Long])],
+                                 timers: TimerValues): Iterator[CandidatePair] = {
+      val existing = scala.collection.mutable.ArrayBuffer.empty[Member]
+      members.get().foreach(existing += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+      rows.foreach { case (_, doc, sig) =>
+        existing.foreach { m =>
+          if (m.doc != doc) {
+            val agree = m.sig.iterator.zip(sig.iterator)
+              .count { case (x, y) => x == y }.toDouble / sig.length
+            out += CandidatePair(math.min(m.doc, doc), math.max(m.doc, doc),
+              agree)
+          }
+        }
+        if (existing.size < maxPerBucket) {
+          val m = Member(doc, sig)
+          members.appendValue(m)
+          existing += m
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** The stream operator: docs (idCol, textCol) → candidate near-dup
+    * pairs, emitted as soon as both members have arrived (any order, any
+    * micro-batch gap within the TTL horizon). */
+  def nearDupCandidates(spark: SparkSession, docs: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleK: Int = 3, numHashes: Int = 16,
+                        bands: Int = 4, maxPerBucket: Int = 64,
+                        ttl: TTLConfig = TTLConfig.NONE): Dataset[CandidatePair] = {
+    import spark.implicits._
+    // TTL state requires the processing-time mode; without a TTL the
+    // cheaper no-time mode suffices (bounding then rests on maxPerBucket)
+    val mode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    Dedup.minhashBands(docs, idCol, textCol, shingleK, numHashes, bands)
+      .as[(String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .transformWithState(new BucketProcessor(maxPerBucket, ttl), mode,
+        OutputMode.Append())
+  }
+}

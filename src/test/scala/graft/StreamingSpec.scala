@@ -331,6 +331,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("b") == ((1L, 5.0, 100000L, true)))
   }
 
+  test("streaming near-dup dedup: planted dups across micro-batches detected, bucket capped") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls gently on the quiet harbor town at dusk"
+    // a LAST-word edit changes exactly one k=3 shingle → J = 17/19; with
+    // 8 bands of 2 the planted pair shares 5 buckets (verified) — the
+    // collision is deterministic for these fixed strings, not luck
+    val nearDup = base.replace("dusk", "dawn")
+    val unrelated = "completely different content about spark shuffles " +
+      "partitions aggregation codegen and columnar parquet readers at scale"
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.nearDupCandidates(spark,
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        bands = 8, maxPerBucket = 8)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    try {
+      // the near-dups arrive in DIFFERENT micro-batches: detection relies
+      // on bucket state surviving across batches (state IS the index)
+      mem.addData(Seq((1L, base), (3L, unrelated)))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, nearDup)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val pairs = spark.table("stream_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"cross-batch near-dup missed: $pairs")
+    assert(pairs((1L, 2L)) >= 0.8) // one shingle changed → most mins agree
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not pair")
+  }
+
   test("transformWithState: typed ValueState running max on RocksDB provider") {
     implicit val sc = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
