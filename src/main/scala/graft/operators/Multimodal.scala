@@ -310,10 +310,26 @@ object Multimodal {
 
   /** Size-aware repartitioning: target ≤ `bytesPerPartition` of payload per
     * task so decode tasks neither OOM nor straggle. At 100 TB this is the
-    * difference between a working decode pass and a dead cluster. */
+    * difference between a working decode pass and a dead cluster.
+    *
+    * Sizing: when every leaf of the plan is a file relation, Catalyst's
+    * `stats.sizeInBytes` IS the summed file size — FREE, no data pass
+    * (payload columns dominate row size, so whole-row bytes are the right
+    * proxy; this is the 100 TB path). Non-file plans (local/in-memory
+    * relations) carry schema-derived guesses instead of real sizes, so
+    * they fall back to one exact aggregation over the payload column. */
   def repartitionByBytes(df: DataFrame, binCol: String,
                          bytesPerPartition: Long): DataFrame = {
-    val total = df.agg(sum(octet_length(col(binCol)).cast("long"))).head().getLong(0)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val fileBacked = leaves.nonEmpty && leaves.forall {
+      case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+      case _ => false
+    }
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val total =
+      if (fileBacked && est > 0 && est < BigInt(Long.MaxValue)) est.toLong
+      else df.agg(sum(octet_length(col(binCol)).cast("long")))
+        .head().getLong(0)
     val parts = math.max(1, (total / bytesPerPartition).toInt + 1)
     df.repartition(parts)
   }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -328,21 +328,49 @@ object RelationalQueries extends QueryPack {
 
     // Q25 — exact percentiles (linear interpolation) + deterministic
     // arg-max via a composite ordering key.
-    // Exact percentiles are the inventory entry; percentile() buffers every
-    // distinct value per group (ObjectHashAggregate), so the 100 TB path is
-    // q45_approx_percentile (GK sketch, bounded memory). spread() keeps the
-    // single-file fixture scan from buffering the whole table in one task.
+    // SORT-BASED exact percentiles, not percentile(): the built-in is an
+    // ObjectHashAggregate whose buffer holds every value per group — the
+    // whole table per reducer at 100×. Here each group is sorted once
+    // (row_number window), only the two boundary rows per percentile
+    // survive the aggregate, and the interpolation lo·(1-f) + hi·f is
+    // computed on those — bit-identical to quantile_cont (which uses THIS
+    // form, not the algebraically-equal lo+(hi-lo)·f — they differ in the
+    // last ulp), O(sort) time, O(1) agg memory. (q45_approx_percentile is
+    // the single-pass GK-sketch alternative when even a sort is too much.)
     "q25_percentiles" -> ((s, dir) => {
       import s.implicits._
-      Tables.spread(t(s, dir, "orders"))
-        .groupBy($"o_orderpriority")
+      val wSort = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice")
+      val wAll = Window.partitionBy($"o_orderpriority")
+      // no spread: the window's hash exchange re-partitions on the group
+      // key regardless of input layout, so a round-robin shuffle before it
+      // would just be a second full pass over the data
+      val ranked = t(s, dir, "orders")
+        .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+        .withColumn("rn", row_number().over(wSort).cast("double"))
+        .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+      def boundary(p: Double, which: String): Column = {
+        val r = lit(1.0) + lit(p) * (col("n") - 1.0)
+        val idx = if (which == "lo") floor(r) else ceil(r)
+        max(when(col("rn") === idx, col("o_totalprice")))
+      }
+      def frac(p: Double): Column =
+        max((lit(1.0) + lit(p) * (col("n") - 1.0)) -
+          floor(lit(1.0) + lit(p) * (col("n") - 1.0)))
+      ranked.groupBy($"o_orderpriority")
         .agg(
-          expr("percentile(o_totalprice, 0.5)").as("median_price"),
-          expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+          boundary(0.5, "lo").as("lo50"), boundary(0.5, "hi").as("hi50"),
+          frac(0.5).as("f50"),
+          boundary(0.9, "lo").as("lo90"), boundary(0.9, "hi").as("hi90"),
+          frac(0.9).as("f90"),
           max_by($"o_orderkey", $"o_totalprice" * 1e6 + $"o_orderkey")
             .as("top_order"),
           min_by($"o_orderkey", $"o_totalprice" * 1e6 + $"o_orderkey")
             .as("bottom_order"))
+        .select($"o_orderpriority",
+          ($"lo50" * (lit(1.0) - $"f50") + $"hi50" * $"f50").as("median_price"),
+          ($"lo90" * (lit(1.0) - $"f90") + $"hi90" * $"f90").as("p90_price"),
+          $"top_order", $"bottom_order")
     }),
 
     // Q26 — salted skew join: provably identical to the plain join (the
