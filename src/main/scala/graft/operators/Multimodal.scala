@@ -296,6 +296,102 @@ object Multimodal {
       }
   }
 
+  /** Typed metadata of an audio payload. */
+  case class AudioMeta(doc_id: Long, format: String, sample_rate: Int,
+                       channels: Int, bits_per_sample: Int, n_samples: Long,
+                       duration_ms: Long)
+
+  /** REAL WAV (RIFF) header decode — pure byte parsing, no codec library:
+    * fmt chunk → sample rate / channels / bit depth, data chunk → sample
+    * count and duration. O(header) like [[decodeImageMeta]]. Returns None
+    * for non-WAV or malformed payloads (caller falls back or filters). */
+  def decodeWavMeta(id: Long, bytes: Array[Byte]): Option[AudioMeta] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    try {
+      if (bytes == null || bytes.length < 44 || tag(0) != "RIFF" ||
+        tag(8) != "WAVE") None
+      else {
+        // walk chunks: fmt_ then data (a real-world WAV may interleave
+        // others — LIST, fact — so never assume fixed offsets past 12)
+        var off = 12
+        var meta: Option[(Int, Int, Int)] = None
+        var dataLen = -1L
+        while (off + 8 <= bytes.length && (meta.isEmpty || dataLen < 0)) {
+          val id4 = tag(off); val len = u32(off + 4)
+          if (id4 == "fmt " && off + 24 <= bytes.length)
+            meta = Some((u32(off + 4 + 8).toInt, u16(off + 4 + 6),
+              u16(off + 4 + 18)))
+          else if (id4 == "data") dataLen = len
+          off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        }
+        meta.flatMap { case (rate, ch, bits) =>
+          if (dataLen < 0 || rate <= 0 || ch <= 0 || bits <= 0) None
+          else {
+            val nSamples = dataLen / (ch * bits / 8)
+            Some(AudioMeta(id, "wav", rate, ch, bits, nSamples,
+              nSamples * 1000L / rate))
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic mono 16-bit PCM WAV rendering: (id, n_samples,
+    * sample_rate) → real RIFF/WAVE payload with LCG-seeded samples — the
+    * fixture-side generator for exercising [[decodeWavMeta]] on real
+    * audio bytes built from fixture columns (no audio files ship in the
+    * container). */
+  def renderWav(spark: SparkSession, df: DataFrame, idCol: String,
+                nSamplesCol: String, rateCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(nSamplesCol).cast("int"),
+        col(rateCol).cast("int"))
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, n, rate) =>
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+          bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var s = id * 6364136223846793005L + 1442695040888963407L
+          var i = 0
+          while (i < n) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            bb.putShort((s >>> 48).toShort)
+            i += 1
+          }
+          (id, bb.array())
+        }
+      }.toDF(idCol, "payload")
+  }
+
+  /** Audio decode operator: WAV payloads → typed metadata via the real
+    * RIFF parser; non-WAV payloads fall back to a deterministic stub row
+    * (format "unknown", dims from the byte fold) so the operator stays
+    * total over a mixed corpus. */
+  def decodeAudioMeta(spark: SparkSession, df: DataFrame, idCol: String,
+                      binCol: String): Dataset[AudioMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWavMeta(id, bytes).getOrElse {
+            val n = if (bytes == null) 0L else bytes.length.toLong
+            AudioMeta(id, "unknown", 0, 0, 0, n, 0L)
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video-like columns (`array<binary>` of frames):
     * keep every `everyN`-th frame, preserving frame index. Pure
     * posexplode + filter — codegen'd, narrow, no shuffle; the standard

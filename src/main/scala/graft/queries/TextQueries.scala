@@ -124,6 +124,34 @@ object TextQueries extends QueryPack {
         .select($"doc_id", $"format", $"width", $"height")
     }),
 
+    // REAL audio decode round trip: render a mono 16-bit PCM WAV per doc
+    // with sample count/rate derived from fixture columns, then parse the
+    // RIFF header back. Oracle computes every field arithmetically.
+    "mm4_wav_meta" -> ((s, dir) => {
+      import s.implicits._
+      val withAudio = docs(s, dir).select($"doc_id",
+        (lit(100) + $"doc_id" % 400).cast("int").as("n_samples"),
+        when($"doc_id" % 2 === 0, 8000).otherwise(16000).as("rate"))
+      val wavs = Multimodal.renderWav(s, graft.core.Tables.spread(withAudio),
+        "doc_id", "n_samples", "rate")
+      Multimodal.decodeAudioMeta(s, wavs, "doc_id", "payload")
+        .select($"doc_id", $"format", $"sample_rate", $"channels",
+          $"bits_per_sample", $"n_samples", $"duration_ms")
+    }),
+
+    // video-like frame sampling: build a 10-frame array per doc, keep
+    // every 3rd frame with its index (posexplode + filter — narrow, the
+    // decimation pass before any per-frame decode).
+    "mm5_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val withFrames = docs(s, dir).select($"doc_id",
+        transform(sequence(lit(0), lit(9)),
+          i => concat($"doc_id", lit(":"), i).cast("binary")).as("frames"))
+      Multimodal.frameSample(withFrames, "doc_id", "frames", 3)
+        .select($"doc_id", $"frame_idx",
+          col("frame").cast("string").as("frame_str"))
+    }),
+
     // near-dup clustering: connected components over the exact-Jaccard
     // pair graph (min-label propagation; oracle = recursive-CTE closure).
     "dd3_cluster" -> ((s, dir) =>
@@ -272,6 +300,21 @@ object TextQueries extends QueryPack {
       """SELECT doc_id, 'png' AS format,
         |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+    "mm4_wav_meta" ->
+      """SELECT doc_id, 'wav' AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INTEGER)
+        |    AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(16 AS INTEGER) AS bits_per_sample,
+        |  CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+        |  CAST((100 + doc_id % 400) * 1000 //
+        |    (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END) AS BIGINT)
+        |    AS duration_ms
+        |FROM documents""".stripMargin,
+    "mm5_frame_sample" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR) AS frame_str
+        |FROM documents, (VALUES (0), (3), (6), (9)) t(f)""".stripMargin,
     "tx7_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text),

@@ -331,6 +331,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("b") == ((1L, 5.0, 100000L, true)))
   }
 
+  test("exact streaming dedup: dropDuplicatesWithinWatermark drops cross-batch repeats") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val df = mem.toDF().toDF("id", "ts_ms")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+    val q = df.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup").start()
+    try {
+      mem.addData(Seq(("a", 1000L), ("b", 2000L)))
+      q.processAllAvailable()
+      // 'a' repeats in a LATER micro-batch, within the watermark horizon —
+      // the state store must remember it and drop the duplicate
+      mem.addData(Seq(("a", 3000L), ("c", 4000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("sdedup").collect().map(_.getString(0))
+    assert(ids.sorted.toSeq == Seq("a", "b", "c"))
+  }
+
   test("streaming near-dup dedup: planted dups across micro-batches detected, bucket capped") {
     implicit val sc = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

@@ -108,6 +108,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(viaReal == viaStub)
   }
 
+  test("multimodal: WAV render → RIFF header decode round trip; non-WAV falls back") {
+    val df = Seq((1L, 160, 8000), (2L, 441, 44100)).toDF("doc_id", "n", "rate")
+    val wavs = Multimodal.renderWav(spark, df, "doc_id", "n", "rate")
+    val meta = Multimodal.decodeAudioMeta(spark, wavs, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).format == "wav" && meta(1L).sample_rate == 8000 &&
+      meta(1L).channels == 1 && meta(1L).bits_per_sample == 16 &&
+      meta(1L).n_samples == 160L && meta(1L).duration_ms == 20L)
+    assert(meta(2L).sample_rate == 44100 && meta(2L).n_samples == 441L &&
+      meta(2L).duration_ms == 10L)
+    // payload is a genuine RIFF/WAVE container (magic check)
+    val bytes = wavs.collect().head.getAs[Array[Byte]]("payload")
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    // non-WAV payloads take the stub fallback row, not an exception
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val fb = Multimodal.decodeAudioMeta(spark, junk, "doc_id", "payload")
+      .collect().head
+    assert(fb.format == "unknown" && fb.n_samples == 3L)
+  }
+
   test("multimodal: frameSample keeps every Nth frame with indices") {
     val frames = (0 until 10).map(i => Array[Byte](i.toByte)).toSeq
     val df = Seq((7L, frames)).toDF("vid_id", "frames")
