@@ -221,6 +221,42 @@ object ExtendedQueries extends QueryPack {
             sum($"o_totalprice".cast(Exact)).over(w).cast("double"))
     }),
 
+    // Q53 — fuzzy string matching by edit distance: blocked self-join
+    // (brand+container+size equality keeps it far from O(N²) — the same
+    // blocking discipline as the shingle dedup), then levenshtein on the
+    // candidate pairs. The edit-distance flavor of near-dup detection,
+    // for short strings where shingling is too coarse.
+    "q53_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      val p = t(s, dir, "part")
+        .select($"p_partkey", $"p_brand", $"p_size", $"p_name")
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_size") === col("b.p_size") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .withColumn("edit_dist",
+          levenshtein(col("a.p_name"), col("b.p_name")).cast("long"))
+        .filter($"edit_dist" <= 12)
+        .select(col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+          col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          $"edit_dist")
+    }),
+
+    // Q54 — boolean/bitwise aggregate pack: every/some + bit_and/or/xor
+    // — all associative, so map-side partial aggregation is free.
+    "q54_bool_bit_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          bool_and($"o_totalprice" > 1000.0).as("all_over_1k"),
+          bool_or($"o_totalprice" > 400000.0).as("any_over_400k"),
+          bit_and($"o_orderkey".cast("long") % 1024L + 7L).as("band"),
+          bit_or($"o_custkey".cast("long") % 256L).as("bor"),
+          bit_xor($"o_orderkey".cast("long")).as("bxor"),
+          count(lit(1)).as("cnt"))
+    }),
+
     // Q50 — error-safe functions under ANSI mode (Spark 4 default):
     // try_divide/try_cast/try_element_at return NULL where strict ANSI
     // evaluation would fail the job — the contract batch pipelines need
@@ -250,6 +286,23 @@ object ExtendedQueries extends QueryPack {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q53_edit_distance" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand
+        | AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 12""".stripMargin,
+    "q54_bool_bit_agg" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000.0) AS any_over_400k,
+        |  bit_and(CAST(o_orderkey AS BIGINT) % 1024 + 7) AS band,
+        |  bit_or(CAST(o_custkey AS BIGINT) % 256) AS bor,
+        |  bit_xor(CAST(o_orderkey AS BIGINT)) AS bxor,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q36_exists_subquery" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer c
