@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
 /** Engine-portable hashing for the sketch operators (MinHash, SimHash).
   *
@@ -29,9 +34,36 @@ object PortableHash {
   /** Mersenne prime 2^31 - 1: the permutation modulus. */
   val P31 = 2147483647L
 
-  /** 60-bit engine-portable string hash (see class doc). */
+  /** 60-bit engine-portable string hash (see class doc) — computed by the
+    * native [[Hash60]] expression, which takes the digest's top 60 bits
+    * directly instead of round-tripping a 32-char hex string through
+    * substring+conv per row (the composed form is kept as
+    * [[hash60Composed]] and pinned bit-equal in PortableHashSpec). */
   def hash60(c: Column): Column =
+    Bridge.column(Hash60(Bridge.expr(c)))
+
+  /** The built-ins-only composition — same value as [[hash60]]; the
+    * readable reference implementation. */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** JVM-side value of [[hash60]]: the first 15 hex chars of the md5
+    * digest parsed base-16 ≡ the digest's first 8 bytes (big-endian)
+    * shifted right 4. Thread-local digest: no per-row allocation. */
+  def hash60Java(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
 
   /** DuckDB twin of [[hash60]]. */
   def hash60Sql(e: String): String =
@@ -56,4 +88,31 @@ object PortableHash {
     val (a, b) = permCoeffs(i)
     s"(($a * (($e) % $P31) + $b) % $P31)"
   }
+}
+
+/** Native codegen'd form of [[PortableHash.hash60]]: md5 digest → top 60
+  * bits, skipping the hex-string round trip of the composed
+  * conv(substring(md5)) form. Same SURVEY §7 phase-3 extension level (b)
+  * as [[VectorDot]]: a custom `Expression` where built-in composition
+  * leaves performance on the table (the shingle/token hash is the hottest
+  * per-row op in the dedup operators). */
+case class Hash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hash60 expects a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(s: Any): Any =
+    PortableHash.hash60Java(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PortableHash.hash60Java($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
