@@ -120,9 +120,79 @@ object PipelineQueries extends QueryPack {
         // -1 under the oracle's floor semantics. floor() matches both.
         .groupBy($"lang", floor(($"cum" - 1) / 512.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
+    }),
+
+    // PL8 — the composed ingest pipeline, end to end in ONE query:
+    // normalize (tx7) → quality-score filter (tx2) → exact dedup on the
+    // normalized text (tx5, keep min id) → per-lang sequence packing
+    // (pl7). What a real training-data ingest run looks like; every stage
+    // is the already-oracled operator, and the composition is oracled as
+    // a whole (stage chaining is where column/alias bugs hide).
+    "pl8_ingest_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val normText = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      val docs = Tables.spread(Tables.load(s, dir, "documents"))
+        .withColumn("norm_text", normText)
+        .withColumn("quality", TextFunctions.qualityScore($"text"))
+        .filter($"quality" > 0.0 && $"norm_text" =!= "")
+      // keep-min-per-hash as a window keep-first, NOT groupBy+self-join:
+      // the join form recomputes the regex normalize/quality chain on both
+      // sides (the dominant CPU) and shuffles the docs twice
+      val wDedup = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5($"norm_text")).orderBy($"doc_id")
+      val surviving = docs
+        .withColumn("rn", row_number().over(wDedup))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"lang",
+          TextFunctions.tokenCount($"norm_text").as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      surviving.withColumn("cum", sum($"n_tok").over(w))
+        .groupBy($"lang", floor(($"cum" - 1) / 512.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
     }))
 
+  /** pl8's DuckDB twin: the same four stages as the Spark side, chained
+    * as CTEs from the already-proven per-stage SQL (tx7 normalize, tx2
+    * quality, tx5 dedup, pl7 packing). */
+  private def pl8Sql: String = {
+    val nTok = TextFunctions.tokenCountSql("text")
+    val nStop = TextFunctions.wordListCountSql("lower(text)",
+      Seq("the", "and", "of", "a", "in", "is", "to", "for"))
+    val nPunct = TextFunctions.punctCountSql("text")
+    s"""WITH norm AS (
+       |  SELECT doc_id, lang, text,
+       |    trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+       |    COALESCE(
+       |      (CAST($nStop AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE)) * 2.0
+       |      + (1.0 - abs(CAST(length(text) AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE) - 5.0) / 10.0)
+       |      - (CAST($nPunct AS DOUBLE) / CAST(NULLIF(CAST(length(text) AS BIGINT), 0) AS DOUBLE)) * 5.0,
+       |      CAST(0 AS DOUBLE)) AS quality
+       |  FROM documents
+       |), kept AS (
+       |  SELECT * FROM norm WHERE quality > 0.0 AND norm_text <> ''
+       |), dedup AS (
+       |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(norm_text)
+       |), surviving AS (
+       |  SELECT k.doc_id, k.lang,
+       |    ${TextFunctions.tokenCountSql("k.norm_text")} AS n_tok
+       |  FROM kept k JOIN dedup d ON d.doc_id = k.doc_id
+       |), c AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM surviving
+       |)
+       |SELECT lang, CAST(floor((cum - 1) / 512.0) AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY lang, bin""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "pl8_ingest_pipeline" -> pl8Sql,
     "pl1_quantize_int8" ->
       """SELECT vec_id,
         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
