@@ -48,6 +48,26 @@ class PlanQualitySpec extends AnyFunSuite {
       }
   }
 
+  test("q26 salted join exercises the shuffled-hash path (not broadcast)") {
+    // under auto-broadcast the salt never touches a shuffle and the query
+    // pays saltFactor× replication for nothing — the SHUFFLE_HASH hint in
+    // SkewJoin must survive plan changes
+    val plan = SparkEntry.queries("q26_salted_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "q26: salted join fell off the shuffled-hash path")
+  }
+
+  test("q25 exact percentiles stay sort-based (no value-buffering aggregate)") {
+    // percentile() is an ObjectHashAggregate buffering every group value
+    // per reducer — the memory-unbounded shape q25 was rewritten to avoid
+    val plan = SparkEntry.queries("q25_percentiles")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"),
+      "q25: value-buffering aggregate reappeared")
+    assert(plan.contains("Window"), "q25: expected the sort-based window plan")
+  }
+
   test("dimension joins broadcast (no fact-side shuffle for the join)") {
     Seq("q3_segment_revenue", "q4_supplier_by_region", "q13_distinct_agg")
       .foreach { name =>
