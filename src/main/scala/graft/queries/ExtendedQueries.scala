@@ -257,6 +257,23 @@ object ExtendedQueries extends QueryPack {
           count(lit(1)).as("cnt"))
     }),
 
+    // Q55 — deterministic mode (most frequent value) per group: count +
+    // one ranking window with an explicit value tie-break. The built-in
+    // mode() leaves ties engine-defined, so cross-engine parity requires
+    // spelling the tie-break out — which also makes it portable SQL.
+    "q55_mode_per_group" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"cnt".desc, $"o_orderstatus".asc)
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_orderpriority", $"o_orderstatus".as("mode_status"),
+          $"cnt".as("mode_cnt"))
+    }),
+
     // Q50 — error-safe functions under ANSI mode (Spark 4 default):
     // try_divide/try_cast/try_element_at return NULL where strict ANSI
     // evaluation would fail the job — the contract batch pipelines need
@@ -303,6 +320,14 @@ object ExtendedQueries extends QueryPack {
         |  bit_xor(CAST(o_orderkey AS BIGINT)) AS bxor,
         |  count(*) AS cnt
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q55_mode_per_group" ->
+      """SELECT o_orderpriority, mode_status, mode_cnt FROM (
+        |  SELECT o_orderpriority, o_orderstatus AS mode_status,
+        |    count(*) AS mode_cnt,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY count(*) DESC, o_orderstatus ASC) AS rn
+        |  FROM orders GROUP BY o_orderpriority, o_orderstatus)
+        |WHERE rn = 1""".stripMargin,
     "q36_exists_subquery" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer c

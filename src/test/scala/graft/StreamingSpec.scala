@@ -331,6 +331,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("b") == ((1L, 5.0, 100000L, true)))
   }
 
+  test("file-stream source: incremental parquet ingest picks up late-arriving files") {
+    // the batch-incremental ingest shape: a directory that keeps receiving
+    // parquet drops, consumed as a stream with per-file batching — the
+    // same combinators as the Kafka path, different source class
+    val dir = java.nio.file.Files.createTempDirectory("graft-filestream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-filestream-ck")
+    val schema = "doc_id LONG, lang STRING"
+    Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+      .write.mode("append").parquet(dir.toString)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .groupBy($"lang").count()
+    val q = stream.writeStream.outputMode("complete").format("memory")
+      .option("checkpointLocation", ckpt.toString)
+      .queryName("fstream").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("fstream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(first == Map("en" -> 1L, "de" -> 1L))
+      // a file that arrives AFTER the stream started must be discovered
+      Seq((3L, "en"), (4L, "fr")).toDF("doc_id", "lang")
+        .write.mode("append").parquet(dir.toString)
+      q.processAllAvailable()
+      val second = spark.table("fstream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(second == Map("en" -> 2L, "de" -> 1L, "fr" -> 1L))
+    } finally q.stop()
+  }
+
   test("exact streaming dedup: dropDuplicatesWithinWatermark drops cross-batch repeats") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
