@@ -297,10 +297,22 @@ object Dedup {
         val nbrMin = sym.join(labels, sym("dst") === labels("doc"))
           .select(sym("src").as("doc"), col("cluster_id").as("nbr"))
           .groupBy("doc").agg(min(col("nbr")).as("nbr_min"))
-        val next = labels.withColumnRenamed("cluster_id", "old_id")
+        val stepped = labels.withColumnRenamed("cluster_id", "old_id")
           .join(nbrMin, "doc")
           .select(col("doc"),
-            least(col("old_id"), col("nbr_min")).as("cluster_id"),
+            least(col("old_id"), col("nbr_min")).as("mid_id"),
+            col("old_id"))
+        // pointer jumping: also adopt the label OF the current label
+        // (label(label(x))) — propagation distance doubles per round, so
+        // convergence is O(log diameter) instead of O(diameter) and
+        // chain-shaped near-dup clusters can't exhaust maxIter
+        val next = stepped
+          .join(labels.select(col("doc").as("_rep"),
+            col("cluster_id").as("rep_label")),
+            stepped("mid_id") === col("_rep"), "left")
+          .select(col("doc"),
+            least(col("mid_id"), coalesce(col("rep_label"), col("mid_id")))
+              .as("cluster_id"),
             col("old_id"))
           .localCheckpoint(true)
         converged = next.filter(col("cluster_id") =!= col("old_id")).isEmpty

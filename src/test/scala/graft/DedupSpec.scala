@@ -67,6 +67,17 @@ class DedupSpec extends AnyFunSuite {
     assert(dist == out)
   }
 
+  test("nearDupClusters: pointer jumping converges a long chain in O(log) rounds") {
+    // a 16-node chain has diameter 15: plain 1-hop min propagation needs
+    // ~15 rounds, pointer jumping ~4 — maxIter=6 only passes with the jump
+    val chain = (1L until 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(chain, "doc_a", "doc_b",
+        localEdgeLimit = 0L, maxIter = 6)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(out.size == 16 && out.values.forall(_ == 1L))
+  }
+
   test("simhashTable is bit-identical to the per-row simhash column") {
     val perRow = docs.select($"doc_id", Dedup.simhash($"text").as("sketch"))
       .as[(Long, Long)].collect().toMap
