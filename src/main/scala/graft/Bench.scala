@@ -36,6 +36,13 @@ object Bench {
     // irrelevant to sustained throughput at scale. A query that throws is
     // recorded as -1 (NOT its time-to-failure) and listed in "errors" so a
     // broken query can never make the benchmark look faster.
+    // fail fast if a future query name collides under shortKey — a
+    // duplicate JSON key silently drops one query's timing (last-wins in
+    // most parsers), the exact artifact corruption shortKey exists to fix
+    val names = SparkEntry.queries.keys.toSeq
+    require(names.map(shortKey).distinct.size == names.size,
+      "duplicate bench short keys: " + names.groupBy(shortKey)
+        .filter(_._2.size > 1).values.flatten.mkString(", "))
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>

@@ -37,9 +37,21 @@ object Multimodal {
       bytes(3) == 'G') "png"
     else "unknown"
 
-  private def md5Hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .map(b => f"${b & 0xff}%02x").mkString
+  // per-row ImageIO calls would otherwise allocate a disk-backed
+  // FileCacheImageInputStream (a temp file create/write/delete per row —
+  // syscalls on the O(header) hot path, and /tmp pressure at scale)
+  javax.imageio.ImageIO.setUseCache(false)
+
+  private val md5Pool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val md = md5Pool.get()
+    md.reset()
+    md.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
+  }
 
   /** Typed metadata extracted from a binary media payload. */
   case class MediaMeta(
@@ -288,7 +300,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val src = if (bytes == null) Array[Byte](0) else bytes
+          val src = if (bytes == null || bytes.isEmpty) Array[Byte](0) else bytes
           val out = Array.tabulate(outLen)(i =>
             (src(i % src.length) ^ (i & 0x7f)).toByte)
           ResizedMedia(id, targetW, targetH, outLen.toLong, out)
@@ -319,15 +331,21 @@ object Multimodal {
         var off = 12
         var meta: Option[(Int, Int, Int)] = None
         var dataLen = -1L
-        while (off + 8 <= bytes.length && (meta.isEmpty || dataLen < 0)) {
+        var malformed = false
+        while (!malformed && off + 8 <= bytes.length &&
+          (meta.isEmpty || dataLen < 0)) {
           val id4 = tag(off); val len = u32(off + 4)
           if (id4 == "fmt " && off + 24 <= bytes.length)
             meta = Some((u32(off + 4 + 8).toInt, u16(off + 4 + 6),
               u16(off + 4 + 18)))
           else if (id4 == "data") dataLen = len
-          off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+          val advance = 8 + len.toInt + (len.toInt & 1) // word-aligned
+          // a corrupt length field can make the advance non-positive —
+          // without this check the walk spins forever and wedges the task
+          if (advance <= 0) malformed = true else off += advance
         }
-        meta.flatMap { case (rate, ch, bits) =>
+        if (malformed) None
+        else meta.flatMap { case (rate, ch, bits) =>
           if (dataLen < 0 || rate <= 0 || ch <= 0 || bits <= 0) None
           else {
             val nSamples = dataLen / (ch * bits / 8)
@@ -411,11 +429,17 @@ object Multimodal {
     * Sizing: when every leaf of the plan is a file relation, Catalyst's
     * `stats.sizeInBytes` IS the summed file size — FREE, no data pass
     * (payload columns dominate row size, so whole-row bytes are the right
-    * proxy; this is the 100 TB path). Non-file plans (local/in-memory
+    * proxy; this is the 100 TB path). File stats are COMPRESSED on-disk
+    * bytes while the bound is about in-memory payload bytes, so the
+    * estimate is inflated by `compressionFactor` (how much larger data is
+    * in memory than on disk — already-compressed media ≈ 1, text-heavy
+    * payloads considerably more; err high: too many partitions wastes
+    * scheduling, too few OOMs). Non-file plans (local/in-memory
     * relations) carry schema-derived guesses instead of real sizes, so
     * they fall back to one exact aggregation over the payload column. */
   def repartitionByBytes(df: DataFrame, binCol: String,
-                         bytesPerPartition: Long): DataFrame = {
+                         bytesPerPartition: Long,
+                         compressionFactor: Double = 3.0): DataFrame = {
     val leaves = df.queryExecution.optimizedPlan.collectLeaves()
     val fileBacked = leaves.nonEmpty && leaves.forall {
       case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
@@ -423,7 +447,8 @@ object Multimodal {
     }
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val total =
-      if (fileBacked && est > 0 && est < BigInt(Long.MaxValue)) est.toLong
+      if (fileBacked && est > 0 && est < BigInt(Long.MaxValue))
+        (est.toLong * compressionFactor).toLong
       else df.agg(sum(octet_length(col(binCol)).cast("long")))
         .head().getLong(0)
     val parts = math.max(1, (total / bytesPerPartition).toInt + 1)

@@ -345,18 +345,21 @@ object RelationalQueries extends QueryPack {
       // no spread: the window's hash exchange re-partitions on the group
       // key regardless of input layout, so a round-robin shuffle before it
       // would just be a second full pass over the data
+      // 0-based rank arithmetic r = p·(n-1), matching quantile_cont's own
+      // index computation: a 1-based 1.0 + p·(n-1) adds one more FP
+      // rounding step that can flip floor/frac at binade crossings
       val ranked = t(s, dir, "orders")
         .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
-        .withColumn("rn", row_number().over(wSort).cast("double"))
+        .withColumn("rn0",
+          (row_number().over(wSort) - 1).cast("double"))
         .withColumn("n", count(lit(1)).over(wAll).cast("double"))
       def boundary(p: Double, which: String): Column = {
-        val r = lit(1.0) + lit(p) * (col("n") - 1.0)
+        val r = lit(p) * (col("n") - 1.0)
         val idx = if (which == "lo") floor(r) else ceil(r)
-        max(when(col("rn") === idx, col("o_totalprice")))
+        max(when(col("rn0") === idx, col("o_totalprice")))
       }
       def frac(p: Double): Column =
-        max((lit(1.0) + lit(p) * (col("n") - 1.0)) -
-          floor(lit(1.0) + lit(p) * (col("n") - 1.0)))
+        max((lit(p) * (col("n") - 1.0)) - floor(lit(p) * (col("n") - 1.0)))
       ranked.groupBy($"o_orderpriority")
         .agg(
           boundary(0.5, "lo").as("lo50"), boundary(0.5, "hi").as("hi50"),

@@ -82,7 +82,7 @@ object Sources {
   }
 
   /** Idempotent micro-batch upsert: ONE transaction that DELETEs the
-    * batch's `keyCol` values and re-INSERTs the batch's rows. A replayed
+    * batch's `keyCols` tuples and re-INSERTs the batch's rows. A replayed
     * batch (failure between foreachBatch and checkpoint commit, or a
     * restart from an older checkpoint) rewrites the same keys instead of
     * duplicating them — exactly-once OUTPUT on top of foreachBatch's
@@ -95,21 +95,32 @@ object Sources {
     * construction. A fact-table sink would stage per-partition and MERGE
     * server-side instead. */
   def upsertBatch(batch: DataFrame, cfg: JdbcConfig,
-                  keyCol: String = "window_start"): Unit = {
+                  keyCols: Seq[String] = Seq("window_start")): Unit = {
     val rows = batch.collect()
     if (rows.isEmpty) return
     val schema = batch.schema
-    val keyIdx = schema.fieldIndex(keyCol)
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    // the delete key must IDENTIFY a row: if the batch itself carries two
+    // rows with the same key tuple (the symptom of a composite-keyed
+    // output sunk with too few key columns — e.g. keyed window metrics
+    // with only window_start), the delete-then-insert would silently
+    // destroy sibling rows on replay. Fail fast instead.
+    val keys = rows.map(r => keyIdx.map(r.get))
+    require(keys.distinct.length == keys.length,
+      s"upsertBatch: batch has duplicate values for key ${keyCols.mkString(",")}" +
+        " — pass every grouping column as a key column")
     val conn = java.sql.DriverManager.getConnection(
       cfg.url, cfg.user, cfg.password)
     try {
       ensureTable(conn, cfg.table, schema)
       conn.setAutoCommit(false)
       val del = conn.prepareStatement(
-        s"DELETE FROM ${cfg.table} WHERE $keyCol = ?")
+        s"DELETE FROM ${cfg.table} WHERE " +
+          keyCols.map(k => s"$k = ?").mkString(" AND "))
       try {
-        rows.map(_.get(keyIdx)).distinct.foreach { k =>
-          del.setObject(1, k); del.addBatch()
+        keys.distinct.foreach { k =>
+          k.zipWithIndex.foreach { case (v, i) => del.setObject(i + 1, v) }
+          del.addBatch()
         }
         del.executeBatch()
       } finally del.close()
@@ -135,16 +146,16 @@ object Sources {
   /** K2 — streaming JDBC sink via foreachBatch (Structured Streaming has no
     * built-in one). Unlike the reference (batch size 1, no checkpointing —
     * at-least-once per-row inserts), each micro-batch lands as a single
-    * idempotent transaction keyed on `keyCol` ([[upsertBatch]]), so
+    * idempotent transaction keyed on `keyCols` ([[upsertBatch]]), so
     * checkpoint replays cannot duplicate windows. */
   def jdbcSink(df: DataFrame, cfg: JdbcConfig, checkpoint: String,
-               keyCol: String = "window_start",
+               keyCols: Seq[String] = Seq("window_start"),
                trigger: Trigger = DefaultTrigger): DataStreamWriter[_] =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch, cfg, keyCol)
+        upsertBatch(batch, cfg, keyCols)
       }
 
   /** K1 — console sink (StreamJob.java:90, :218). */

@@ -52,6 +52,41 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(rows(t) == Seq((1000L, 5L), (2000L, 9L), (3000L, 1L)))
   }
 
+  test("upsertBatch: composite keys upsert per (window, key) tuple") {
+    val t = "m_composite"
+    Sources.upsertBatch(
+      Seq((1000L, "a", 5L, "x"), (1000L, "b", 7L, "y"))
+        .toDF("window_start", "k", "cnt", "line"),
+      cfgFor(t), keyCols = Seq("window_start", "k"))
+    // re-emit only (1000,"a") — (1000,"b") must survive
+    Sources.upsertBatch(
+      Seq((1000L, "a", 9L, "x2"))
+        .toDF("window_start", "k", "cnt", "line"),
+      cfgFor(t), keyCols = Seq("window_start", "k"))
+    val cfg = cfgFor(t)
+    val conn = java.sql.DriverManager.getConnection(
+      cfg.url, cfg.user, cfg.password)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT k, cnt FROM $t ORDER BY k")
+      val buf = scala.collection.mutable.Buffer.empty[(String, Long)]
+      while (rs.next()) buf += ((rs.getString(1), rs.getLong(2)))
+      assert(buf.toSeq == Seq(("a", 9L), ("b", 7L)))
+    } finally conn.close()
+  }
+
+  test("upsertBatch: rejects a batch whose key does not identify rows") {
+    // a composite-keyed output sunk with too few key columns would have
+    // its sibling rows silently destroyed on replay — must fail fast
+    val df = Seq((1000L, "a", 5L), (1000L, "b", 7L))
+      .toDF("window_start", "k", "cnt")
+    val e = intercept[IllegalArgumentException] {
+      Sources.upsertBatch(df, cfgFor("m_reject"),
+        keyCols = Seq("window_start"))
+    }
+    assert(e.getMessage.contains("duplicate values"))
+  }
+
   test("streaming metrics → jdbc: a full from-scratch replay yields identical rows") {
     implicit val sc = spark.sqlContext
     val t = "m_stream"
