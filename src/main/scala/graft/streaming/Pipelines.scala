@@ -78,6 +78,35 @@ object Pipelines {
       joinType)
   }
 
+  /** The LLM-ingest pipeline (pl8's batch chain) on an UNBOUNDED stream:
+    * normalize → quality filter → exact dedup on the normalized content
+    * hash via `dropDuplicatesWithinWatermark` (state bounded by the
+    * watermark horizon — an exact duplicate arriving within `dedupHorizon`
+    * of the first copy is dropped; later than that it re-admits, the
+    * standard bounded-state tradeoff) → per-doc token count, ready for
+    * downstream packing/aggregation.
+    *
+    * Input: (idCol, textCol, tsCol event-time). Same column expressions
+    * as the batch operators (tx7/tx2/tx1), so batch and stream agree on
+    * every per-doc value — StreamingSpec pins the equivalence. */
+  def ingestStream(docs: DataFrame, idCol: String, textCol: String,
+                   tsCol: String, dedupHorizon: String = "1 hour",
+                   minQuality: Double = 0.0): DataFrame = {
+    import graft.functions.TextFunctions
+    val normText = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    docs
+      .withColumn("norm_text", normText)
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .filter(col("quality") > minQuality && col("norm_text") =!= "")
+      .withColumn("content_hash", md5(col("norm_text")))
+      .withWatermark(tsCol, dedupHorizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col(idCol), col(tsCol), col("content_hash"),
+        TextFunctions.tokenCount(col("norm_text")).as("n_tok"),
+        col("quality"))
+  }
+
   /** Deterministic part of pipeline A (no wall-clock columns) — used by the
     * streaming-equals-batch equivalence tests. */
   def riskPipelineDeterministic(raw: DataFrame,

@@ -48,6 +48,15 @@ class PlanQualitySpec extends AnyFunSuite {
       }
   }
 
+  test("bench short keys are collision-free across all query names") {
+    // a duplicate short key emits a duplicate JSON key on the bench line
+    // and one query's timing silently vanishes (last-wins parsing) —
+    // catch at test time, not at the driver's bench run
+    val names = SparkEntry.queries.keys.toSeq
+    val dupes = names.groupBy(Bench.shortKey).filter(_._2.size > 1)
+    assert(dupes.isEmpty, s"short-key collisions: $dupes")
+  }
+
   test("q26 salted join exercises the shuffled-hash path (not broadcast)") {
     // under auto-broadcast the salt never touches a shuffle and the query
     // pays saltFactor× replication for nothing — the SHUFFLE_HASH hint in

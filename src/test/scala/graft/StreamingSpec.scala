@@ -331,6 +331,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("b") == ((1L, 5.0, 100000L, true)))
   }
 
+  test("streaming ingest pipeline: quality filter + cross-batch content dedup") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val stream = graft.streaming.Pipelines.ingestStream(
+      mem.toDF().toDF("doc_id", "text", "ts_ms")
+        .withColumn("ts", timestamp_millis($"ts_ms")).drop("ts_ms"),
+      "doc_id", "text", "ts")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("ingest").start()
+    val good = "the quick brown fox and the lazy dog in a quiet town"
+    // same content modulo case/punctuation — normalizes identically
+    val dupOfGood = "The quick brown fox, and the lazy dog — in a quiet town!"
+    val junk = "!!! ??? ;;; ..." // quality filter drops punctuation soup
+    try {
+      mem.addData(Seq((1L, good, 1000L), (2L, junk, 2000L)))
+      q.processAllAvailable()
+      // the normalized duplicate arrives in a LATER micro-batch — the
+      // content-hash state must span batches
+      mem.addData(Seq((3L, dupOfGood, 3000L),
+        (4L, "an entirely different document about parquet readers", 4000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("ingest").collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(ids.toSeq == Seq(1L, 4L),
+      s"expected only first copy + distinct doc, got ${ids.toSeq}")
+    // per-doc values agree with the batch operators on the same rows
+    val row = spark.table("ingest").filter($"doc_id" === 1L).collect().head
+    assert(row.getAs[Long]("n_tok") == 12L)
+  }
+
   test("file-stream source: incremental parquet ingest picks up late-arriving files") {
     // the batch-incremental ingest shape: a directory that keeps receiving
     // parquet drops, consumed as a stream with per-file batching — the
