@@ -74,23 +74,75 @@ object StreamingDedup {
     }
   }
 
-  /** The stream operator: docs (idCol, textCol) → candidate near-dup
+  private def bucketed(spark: SparkSession, banded: DataFrame,
+                       maxPerBucket: Int, ttl: TTLConfig): Dataset[CandidatePair] = {
+    import spark.implicits._
+    // TTL state requires the processing-time mode; without a TTL the
+    // cheaper no-time mode suffices (bounding then rests on maxPerBucket)
+    val mode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    banded.as[(String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .transformWithState(new BucketProcessor(maxPerBucket, ttl), mode,
+        OutputMode.Append())
+  }
+
+  /** The TEXT stream operator: docs (idCol, textCol) → candidate near-dup
     * pairs, emitted as soon as both members have arrived (any order, any
     * micro-batch gap within the TTL horizon). */
   def nearDupCandidates(spark: SparkSession, docs: DataFrame,
                         idCol: String, textCol: String,
                         shingleK: Int = 3, numHashes: Int = 16,
                         bands: Int = 4, maxPerBucket: Int = 64,
-                        ttl: TTLConfig = TTLConfig.NONE): Dataset[CandidatePair] = {
+                        ttl: TTLConfig = TTLConfig.NONE): Dataset[CandidatePair] =
+    bucketed(spark,
+      Dedup.minhashBands(docs, idCol, textCol, shingleK, numHashes, bands),
+      maxPerBucket, ttl)
+
+  /** The EMBEDDING stream operator: vectors (idCol, vecCol float array) →
+    * candidate near-dup pairs via random-hyperplane signatures — the
+    * streaming analog of the batch [[graft.operators.Similarity.annLsh]],
+    * same LCG plane-sign family so both modes bucket comparably. The
+    * per-row signature is computed in `mapPartitions` (no shuffle per
+    * micro-batch); `sig` holds one 0/1 sign per plane, so the processor's
+    * `sig_agree` is the fraction of agreeing hyperplane sides — a direct
+    * monotone estimate of cosine similarity (agree ≈ 1 − θ/π). */
+  def embeddingNearDupCandidates(spark: SparkSession, vecs: DataFrame,
+                                 idCol: String, vecCol: String, dims: Int,
+                                 planes: Int = 24, bands: Int = 4,
+                                 maxPerBucket: Int = 64,
+                                 ttl: TTLConfig = TTLConfig.NONE): Dataset[CandidatePair] = {
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
-    // TTL state requires the processing-time mode; without a TTL the
-    // cheaper no-time mode suffices (bounding then rests on maxPerBucket)
-    val mode =
-      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
-    Dedup.minhashBands(docs, idCol, textCol, shingleK, numHashes, bands)
-      .as[(String, Long, Seq[Long])]
-      .groupByKey(_._1)
-      .transformWithState(new BucketProcessor(maxPerBucket, ttl), mode,
-        OutputMode.Append())
+    require(planes % bands == 0)
+    val perBand = planes / bands
+    val banded = vecs
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          val bits = Array.tabulate(planes) { p =>
+            var s = 0.0
+            var d = 0
+            val n = math.min(dims, v.length)
+            while (d < n) {
+              // same deterministic LCG plane-sign family as
+              // Similarity.planeSign — batch and stream bucket comparably
+              val sign =
+                if (((p.toLong * dims + d) * 48271L % 2147483647L) % 2L == 0L) 1.0
+                else -1.0
+              s += v(d) * sign
+              d += 1
+            }
+            if (s >= 0.0) 1L else 0L
+          }
+          (0 until bands).map { b =>
+            val bucket = (b * perBand until (b + 1) * perBand)
+              .map(bits).mkString
+            (s"$b:$bucket", id, bits.toSeq)
+          }
+        }
+      }.toDF("bucket_key", "doc", "sig")
+    bucketed(spark, banded, maxPerBucket, ttl)
   }
 }

@@ -391,6 +391,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup: perturbed vector found across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dims = 16
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(dims)(rnd.nextFloat() - 0.5f)
+    val nearDup = base.map(x => x + 0.001f) // tiny perturbation, cos ≈ 1
+    val unrelated = Array.fill(dims)(rnd.nextFloat() - 0.5f)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingDedup.embeddingNearDupCandidates(spark,
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dims = dims, planes = 16, bands = 8, maxPerBucket = 8)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_emb_dedup").start()
+    try {
+      mem.addData(Seq((1L, base.toSeq), (3L, unrelated.toSeq)))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, nearDup.toSeq)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val pairs = spark.table("stream_emb_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)), s"cross-batch embedding dup missed: $pairs")
+    assert(pairs((1L, 2L)) >= 0.9) // near-identical vectors agree on ~all planes
+  }
+
   test("exact streaming dedup: dropDuplicatesWithinWatermark drops cross-batch repeats") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
