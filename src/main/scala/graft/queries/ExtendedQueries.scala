@@ -274,6 +274,38 @@ object ExtendedQueries extends QueryPack {
           $"cnt".as("mode_cnt"))
     }),
 
+    // Q57 — grouping flags on a cube: grouping(col) per column
+    // disambiguates "NULL because subtotal" from "NULL in the data" —
+    // per-column flags rather than grouping_id() because the packed id's
+    // bit order is engine-defined while GROUPING(col) is standard.
+    "q57_grouping_flags" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          grouping($"o_orderstatus").cast("long").as("g_status"),
+          grouping($"o_orderpriority").cast("long").as("g_prio"))
+    }),
+
+    // Q56 — IGNORE NULLS window navigation: last/first non-null over a
+    // sparse column (gap-carry-forward — the standard sensor/SCD fill),
+    // plus lag/lead with explicit defaults.
+    "q56_ignore_nulls_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+      val runUpTo = w.rowsBetween(Window.unboundedPreceding, 0)
+      val sparse = when($"o_orderkey" % 7 === 0, $"o_totalprice")
+      t(s, dir, "orders")
+        .filter($"o_custkey" < 200)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .withColumn("carry_fwd",
+          last(sparse, ignoreNulls = true).over(runUpTo))
+        .withColumn("first_seen",
+          first(sparse, ignoreNulls = true).over(runUpTo))
+        .withColumn("lag2_dflt", lag($"o_totalprice", 2, -1.0).over(w))
+        .withColumn("lead1_dflt", lead($"o_totalprice", 1, 0.0).over(w))
+    }),
+
     // Q50 — error-safe functions under ANSI mode (Spark 4 default):
     // try_divide/try_cast/try_element_at return NULL where strict ANSI
     // evaluation would fail the job — the contract batch pipelines need
@@ -320,6 +352,25 @@ object ExtendedQueries extends QueryPack {
         |  bit_xor(CAST(o_orderkey AS BIGINT)) AS bxor,
         |  count(*) AS cnt
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q57_grouping_flags" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q56_ignore_nulls_window" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  last_value(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice END
+        |    IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_fwd,
+        |  first_value(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice END
+        |    IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_seen,
+        |  lag(o_totalprice, 2, -1.0) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey) AS lag2_dflt,
+        |  lead(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey) AS lead1_dflt
+        |FROM orders WHERE o_custkey < 200""".stripMargin,
     "q55_mode_per_group" ->
       """SELECT o_orderpriority, mode_status, mode_cnt FROM (
         |  SELECT o_orderpriority, o_orderstatus AS mode_status,
