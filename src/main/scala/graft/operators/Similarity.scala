@@ -76,6 +76,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
   }
 
+  /** Brute-force cosine top-k via the bounded-heap
+    * [[graft.functions.TopKNeighbors]] aggregator — identical rows to
+    * [[cosineTopK]] (same scoring, same tie-break; sim7 is gated against
+    * sim1's own oracle SQL) but the scale-correct physical shape: partial
+    * aggregation reduces each map task's pairs to a ≤k buffer, so the
+    * exchange carries k·queries·partitions rows instead of sorting all
+    * N·Q scored pairs through a window. */
+  def cosineTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    import graft.functions.{Neighbor, TopKNeighbors}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      normSeq(col(vecCol)).as("c_norm"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      normSeq(col(vecCol)).as("q_norm"))
+    c.repartition(col("neighbor_id")).crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"),
+        struct(col("neighbor_id").as("id"),
+          (dotSeq(col("q_vec"), col("c_vec")) /
+            (col("q_norm") * col("c_norm"))).as("cos")).as("n"))
+      .as[(Long, Neighbor)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopKNeighbors(k).toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), explode(col("topk.items")).as("n"))
+      .select(col("query_id"), col("n.neighbor_id").as("neighbor_id"),
+        col("n.cos_sim").as("cos_sim"), col("n.rank").as("rank"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-duplicate
     * detection). Brute-force O(N²·D) verification baseline; at scale the
     * candidate set comes from [[annLsh]] bucketing instead. */

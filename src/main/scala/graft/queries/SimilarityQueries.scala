@@ -62,6 +62,17 @@ object SimilarityQueries extends QueryPack {
       Similarity.annLsh(emb(s, dir), "vec_id", "embedding", dims = 64,
         planes = 24, bands = 4, threshold = 0.35)),
 
+    // same result as sim1 through the bounded-heap Aggregator: partial
+    // aggregation ships k rows per (query, map task) through the shuffle
+    // instead of sorting all N·Q scored pairs — gated against sim1's own
+    // oracle SQL, so "identical rows" is proven, not claimed.
+    "sim7_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      Similarity.cosineTopKAgg(e, e.filter($"vec_id" < 20), "vec_id",
+        "embedding", 5)
+    }),
+
     // IVF probe ANN (nprobe=1): nearest-centroid assignment + exact top-k
     // within the probed cluster; fully oracle-able (decimal-exact dots).
     "sim6_ivf_probe" -> ((s, dir) => {
@@ -123,10 +134,8 @@ object SimilarityQueries extends QueryPack {
        |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.35""".stripMargin
   }
 
-  def oracles: Map[String, String] = Map(
-    "sim5_ann_lsh" -> sim5Sql,
-    "sim1_cosine_topk" ->
-      s"""WITH n AS (
+  private def sim1Sql: String =
+    s"""WITH n AS (
          |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
          |  FROM embeddings
          |), d AS (
@@ -144,7 +153,13 @@ object SimilarityQueries extends QueryPack {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
          |  FROM cos) r
-         |WHERE rank <= 5""".stripMargin,
+         |WHERE rank <= 5""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "sim5_ann_lsh" -> sim5Sql,
+    "sim1_cosine_topk" -> sim1Sql,
+    // the Aggregator form must produce EXACTLY the window form's rows
+    "sim7_topk_agg" -> sim1Sql,
     "sim2_cosine_neardup" ->
       s"""WITH n AS (
          |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm

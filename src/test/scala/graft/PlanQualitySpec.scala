@@ -16,6 +16,7 @@ class PlanQualitySpec extends AnyFunSuite {
   /** Queries whose plan legitimately contains a non-equi/cross join. */
   private val crossJoinByDesign = Set(
     "sim1_cosine_topk",     // brute-force baseline: corpus × broadcast(queries)
+    "sim7_topk_agg",        // same scoring as sim1; the agg replaces the SORT, not the scan
     "sim2_cosine_neardup",  // brute-force pair scoring (verification baseline)
     "q18_above_avg_orders", // scalar-subquery comparison: broadcast 1-row side
     "q37_scalar_subquery")  // same shape (global avg broadcast to every row)
