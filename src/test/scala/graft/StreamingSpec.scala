@@ -331,6 +331,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("b") == ((1L, 5.0, 100000L, true)))
   }
 
+  test("chained windowed aggregations: 10s counts roll up to 1min in one stream") {
+    // Spark 4 allows multiple stateful operators in append mode when the
+    // second aggregation windows over the FIRST's `window` struct (the
+    // event-time lineage rides the struct — re-deriving a timestamp
+    // column would drop the watermark tag and the chain never emits).
+    // This is the metrics-rollup topology without an intermediate sink.
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    def chain(df: org.apache.spark.sql.DataFrame) = {
+      val fine = df
+        .withColumn("ts", timestamp_millis($"ts_ms"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy($"k", window($"ts", "10 seconds"))
+        .agg(count(lit(1)).as("cnt"))
+      fine
+        .groupBy(window($"window", "60 seconds"))
+        .agg(sum($"cnt").as("cnt_1m"))
+        .select($"window.start".as("minute_start"), $"cnt_1m")
+    }
+    val q = chain(mem.toDF().toDF("k", "ts_ms"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rollup").start()
+    // 4 minutes of events: 3 per 10s window for key a, 1 per 20s for b
+    val events = (0 until 240).flatMap { s =>
+      Seq(("a", s * 1000L)) ++ (if (s % 20 == 0) Seq(("b", s * 1000L)) else Nil)
+    }
+    try {
+      mem.addData(events)
+      q.processAllAvailable()
+      // far-future sentinels, strictly increasing: each closes the prior
+      // sentinel's 10s window, whose row advances the rollup's watermark
+      // one batch later — the chain needs extra batches to fully drain
+      (1 to 4).foreach { i =>
+        mem.addData(Seq((s"s$i", 99999999000L + i * 600000L)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rolled = spark.table("rollup")
+      .filter($"minute_start" < timestamp_millis(lit(90000000000L)))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted
+    assert(rolled.nonEmpty, "no 1min windows emitted")
+    // batch truth: the same double-windowing over the same rows
+    val batchRolled = chain(events.toDF("k", "ts_ms"))
+      .filter($"minute_start" < timestamp_millis(lit(90000000000L)))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted
+    assert(rolled.toSeq == batchRolled.toSeq)
+  }
+
   test("streaming ingest pipeline: quality filter + cross-batch content dedup") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, String, Long)]
