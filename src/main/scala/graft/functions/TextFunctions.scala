@@ -81,7 +81,18 @@ object TextFunctions {
       lit(0L),
       (acc, h) => (acc * 31L + h) % 1000000007L)
 
+  /** Canonical pre-dedup text normalization: lowercase, strip non-alnum,
+    * collapse whitespace. THE single definition — tx7, the composed
+    * pl8 pipeline and the streaming ingest pipeline all call this, so
+    * batch/stream content hashes agree by construction, not copy-paste. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
   /** SQL twins for the oracle. */
+  def normalizeTextSql(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), " +
+      s"'[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
   def tokenCountSql(e: String): String =
     s"CAST(len(regexp_extract_all($e, '\\S+')) AS BIGINT)"
   def punctCountSql(e: String): String =

@@ -29,9 +29,17 @@ case class TopKOut(items: Seq[RankedNeighbor])
 
 class TopKNeighbors(k: Int) extends Aggregator[Neighbor, TopKBuf, TopKOut] {
 
-  /** (cos DESC, id ASC) — a beats b when true. */
-  private def beats(a: Neighbor, b: Neighbor): Boolean =
-    a.cos > b.cos || (a.cos == b.cos && a.id < b.id)
+  /** (cos DESC, id ASC) — a beats b when true. `Double.compare`, not raw
+    * `>`: IEEE comparisons are never true for NaN, which would break the
+    * total order (NaN entries accumulate head-of-buffer in arrival order
+    * and a NaN `last` rejects every real neighbor). Double.compare orders
+    * NaN greatest — exactly how Spark's ORDER BY cos DESC sorts it, so
+    * the aggregator stays row-identical to the window form on degenerate
+    * (zero-norm) vectors too. */
+  private def beats(a: Neighbor, b: Neighbor): Boolean = {
+    val c = java.lang.Double.compare(a.cos, b.cos)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def insert(buf: List[Neighbor], n: Neighbor): List[Neighbor] = {
     val (better, worse) = buf.span(beats(_, n))

@@ -130,10 +130,8 @@ object PipelineQueries extends QueryPack {
     // a whole (stage chaining is where column/alias bugs hide).
     "pl8_ingest_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val normText = trim(regexp_replace(
-        regexp_replace(lower($"text"), "[^a-z0-9\\s]", ""), "\\s+", " "))
       val docs = Tables.spread(Tables.load(s, dir, "documents"))
-        .withColumn("norm_text", normText)
+        .withColumn("norm_text", TextFunctions.normalizeText($"text"))
         .withColumn("quality", TextFunctions.qualityScore($"text"))
         .filter($"quality" > 0.0 && $"norm_text" =!= "")
       // keep-min-per-hash as a window keep-first, NOT groupBy+self-join:
@@ -164,8 +162,7 @@ object PipelineQueries extends QueryPack {
     val nPunct = TextFunctions.punctCountSql("text")
     s"""WITH norm AS (
        |  SELECT doc_id, lang, text,
-       |    trim(regexp_replace(regexp_replace(lower(text),
-       |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+       |    ${TextFunctions.normalizeTextSql("text")} AS norm_text,
        |    COALESCE(
        |      (CAST($nStop AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE)) * 2.0
        |      + (1.0 - abs(CAST(length(text) AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE) - 5.0) / 10.0)

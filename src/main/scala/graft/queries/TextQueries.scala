@@ -165,10 +165,7 @@ object TextQueries extends QueryPack {
     // whitespace — the canonical pre-dedup cleanup (narrow, codegen'd).
     "tx7_normalize" -> ((s, dir) => {
       import s.implicits._
-      docs(s, dir).select($"doc_id",
-        trim(regexp_replace(
-          regexp_replace(lower($"text"), "[^a-z0-9\\s]", ""),
-          "\\s+", " ")).as("norm_text"))
+      docs(s, dir).select($"doc_id", normalizeText($"text").as("norm_text"))
     }))
 
   private val subwordRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
@@ -316,10 +313,9 @@ object TextQueries extends QueryPack {
         |  CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR) AS frame_str
         |FROM documents, (VALUES (0), (3), (6), (9)) t(f)""".stripMargin,
     "tx7_normalize" ->
-      """SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  ${normalizeTextSql("text")} AS norm_text
+         |FROM documents""".stripMargin,
     "tx1_token_count" ->
       s"""SELECT doc_id,
          |  ${tokenCountSql("text")} AS n_tokens,

@@ -93,10 +93,8 @@ object Pipelines {
                    tsCol: String, dedupHorizon: String = "1 hour",
                    minQuality: Double = 0.0): DataFrame = {
     import graft.functions.TextFunctions
-    val normText = trim(regexp_replace(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+", " "))
     docs
-      .withColumn("norm_text", normText)
+      .withColumn("norm_text", TextFunctions.normalizeText(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
       .filter(col("quality") > minQuality && col("norm_text") =!= "")
       .withColumn("content_hash", md5(col("norm_text")))

@@ -120,26 +120,35 @@ object StreamingDedup {
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
+        // the sign table depends only on (planes, dims): build it ONCE per
+        // partition, not 1536 modular ops per row. Same deterministic LCG
+        // family as Similarity.planeSign, so batch and stream bucket
+        // comparably.
+        val signs = Array.tabulate(planes, dims) { (p, d) =>
+          if (((p.toLong * dims + d) * 48271L % 2147483647L) % 2L == 0L) 1.0
+          else -1.0
+        }
         it.flatMap { case (id, v) =>
           val bits = Array.tabulate(planes) { p =>
-            var s = 0.0
+            // fixed-point floor terms, summed as longs — the SAME
+            // arithmetic as the batch signatures (a raw double sum can
+            // flip the sign bit near zero and bucket the same vector
+            // differently in the two modes)
+            var s = 0L
             var d = 0
             val n = math.min(dims, v.length)
             while (d < n) {
-              // same deterministic LCG plane-sign family as
-              // Similarity.planeSign — batch and stream bucket comparably
-              val sign =
-                if (((p.toLong * dims + d) * 48271L % 2147483647L) % 2L == 0L) 1.0
-                else -1.0
-              s += v(d) * sign
+              s += math.floor(v(d).toDouble * signs(p)(d) *
+                graft.operators.Similarity.Scale).toLong
               d += 1
             }
-            if (s >= 0.0) 1L else 0L
+            if (s >= 0L) 1L else 0L
           }
+          val sig = bits.toSeq
           (0 until bands).map { b =>
             val bucket = (b * perBand until (b + 1) * perBand)
               .map(bits).mkString
-            (s"$b:$bucket", id, bits.toSeq)
+            (s"$b:$bucket", id, sig)
           }
         }
       }.toDF("bucket_key", "doc", "sig")
