@@ -23,6 +23,14 @@ class PortableHashSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(0) >= 0L))
   }
 
+  test("minhash permutation coefficients are nonzero and in range") {
+    (0 until 64).foreach { i =>
+      val (a, b) = PortableHash.permCoeffs(i)
+      assert(a > 0 && a < PortableHash.P31, s"a($i)=$a degenerate")
+      assert(b >= 0 && b < PortableHash.P31, s"b($i)=$b out of range")
+    }
+  }
+
   test("native Hash60 ≡ composition on the interpreted path (inside a HOF lambda)") {
     val out = strs.toDF("s").select(
       transform(array($"s"), x => PortableHash.hash60(x)).getItem(0).as("nat"),

@@ -39,6 +39,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cos01 > 0.99)
   }
 
+  test("topK aggregator ≡ window form, including a NaN-cosine vector") {
+    // a NaN component propagates to a NaN norm and NaN cosine for every
+    // pair involving the vector (under ANSI a ZERO norm errors instead —
+    // NaN is the divisor path that flows through). The aggregator's total
+    // order must handle it exactly like the window form's ORDER BY (NaN
+    // sorts greatest), or the two silently diverge
+    val withNaN = (vecs :+
+        (99L, Seq.fill(dims - 1)(1.0f) :+ Float.NaN))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val queries = withNaN.filter($"vec_id" < 3)
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+    val win = rows(Similarity.cosineTopK(withNaN, queries, "vec_id",
+      "embedding", 5))
+    val agg = rows(Similarity.cosineTopKAgg(withNaN, queries, "vec_id",
+      "embedding", 5))
+    // NaN != NaN under ==, so compare on the doubles' bit patterns
+    def bits(s: Seq[(Long, Long, Double, Long)]) =
+      s.map(t => (t._1, t._2, java.lang.Double.doubleToLongBits(t._3), t._4))
+    assert(bits(agg) == bits(win))
+    assert(win.exists(t => t._3.isNaN), "fixture must exercise the NaN path")
+  }
+
   test("LSH ANN recalls the planted near-dup pair and verifies with exact cosine") {
     val out = Similarity.annLsh(df, "vec_id", "embedding", dims = dims,
       planes = 16, bands = 8, threshold = 0.9)
