@@ -274,6 +274,21 @@ object ExtendedQueries extends QueryPack {
           $"cnt".as("mode_cnt"))
     }),
 
+    // Q58 — array navigation pack: split_part, 1-based position lookup,
+    // negative indexing (last element), reversal. Complements q47's HOF
+    // pack with the positional-access surface.
+    "q58_array_nav_pack" -> ((s, dir) => {
+      import s.implicits._
+      val words = regexp_extract_all($"p_name", lit("[a-z]+"), lit(0))
+      t(s, dir, "part").select(
+        $"p_partkey",
+        split_part($"p_type", lit(" "), lit(2)).as("type_mid"),
+        array_position(words, "steel").as("steel_pos"),
+        element_at(words, -1).as("last_word"),
+        concat_ws("-", reverse(words)).as("rev_words"),
+        size(words).cast("long").as("n_words"))
+    }),
+
     // Q57 — grouping flags on a cube: grouping(col) per column
     // disambiguates "NULL because subtotal" from "NULL in the data" —
     // per-column flags rather than grouping_id() because the packed id's
@@ -352,6 +367,16 @@ object ExtendedQueries extends QueryPack {
         |  bit_xor(CAST(o_orderkey AS BIGINT)) AS bxor,
         |  count(*) AS cnt
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q58_array_nav_pack" ->
+      """SELECT p_partkey,
+        |  split_part(p_type, ' ', 2) AS type_mid,
+        |  CAST(COALESCE(list_position(regexp_extract_all(p_name, '[a-z]+'),
+        |    'steel'), 0) AS BIGINT) AS steel_pos,
+        |  regexp_extract_all(p_name, '[a-z]+')[-1] AS last_word,
+        |  array_to_string(list_reverse(regexp_extract_all(p_name, '[a-z]+')),
+        |    '-') AS rev_words,
+        |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words
+        |FROM part""".stripMargin,
     "q57_grouping_flags" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
