@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.TextFunctions._
@@ -161,6 +162,30 @@ object TextQueries extends QueryPack {
           .filter(col("jaccard") >= 0.008),
         "doc_a", "doc_b")),
 
+    // corpus-wide sentence-level dedup (the CCNet/boilerplate-removal
+    // pass): explode docs into sentences, keep only each sentence's FIRST
+    // global occurrence (by doc_id, then position — deterministic), and
+    // reconstruct documents from their surviving sentences in order.
+    // Repeated boilerplate ("all rights reserved…") vanishes from every
+    // doc but its first. One window over the sentence hash — scales as a
+    // shuffle on the sentence key, never O(N²).
+    "tx8_sentence_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val lines = docs(s, dir)
+        .select($"doc_id", posexplode(split($"text", "\\. ")).as(Seq("pos", "sent")))
+        .filter($"sent" =!= "")
+      val w = Window.partitionBy($"sent").orderBy($"doc_id", $"pos")
+      val kept = lines
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+      kept.groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          concat_ws(". ",
+            transform(array_sort(collect_list(struct($"pos", $"sent"))),
+              x => x.getField("sent"))).as("dedup_text"))
+    }),
+
     // text normalization pass: lowercase, strip non-alnum, collapse
     // whitespace — the canonical pre-dedup cleanup (narrow, codegen'd).
     "tx7_normalize" -> ((s, dir) => {
@@ -312,6 +337,24 @@ object TextQueries extends QueryPack {
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
         |  CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR) AS frame_str
         |FROM documents, (VALUES (0), (3), (6), (9)) t(f)""".stripMargin,
+    "tx8_sentence_dedup" ->
+      """WITH sp AS (
+        |  SELECT doc_id, string_split(text, '. ') AS parts FROM documents
+        |), ix AS (
+        |  SELECT doc_id, parts,
+        |    unnest(generate_series(1, len(parts))) AS i
+        |  FROM sp
+        |), lines AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, parts[i] AS sent
+        |  FROM ix WHERE parts[i] <> ''
+        |), kept AS (
+        |  SELECT doc_id, pos, sent,
+        |    row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn
+        |  FROM lines
+        |)
+        |SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(sent, '. ' ORDER BY pos) AS dedup_text
+        |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "tx7_normalize" ->
       s"""SELECT doc_id,
          |  ${normalizeTextSql("text")} AS norm_text
