@@ -171,7 +171,9 @@ object TextQueries extends QueryPack {
     // shuffle on the sentence key, never O(N²).
     "tx8_sentence_dedup" -> ((s, dir) => {
       import s.implicits._
-      val lines = docs(s, dir)
+      // spread before the regex split: the single-file scan is one task,
+      // and the split is the CPU-heavy narrow stage ahead of the shuffle
+      val lines = Tables.spread(docs(s, dir))
         .select($"doc_id", posexplode(split($"text", "\\. ")).as(Seq("pos", "sent")))
         .filter($"sent" =!= "")
       val w = Window.partitionBy($"sent").orderBy($"doc_id", $"pos")
