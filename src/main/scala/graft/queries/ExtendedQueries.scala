@@ -276,15 +276,21 @@ object ExtendedQueries extends QueryPack {
 
     // Q58 — array navigation pack: split_part, 1-based position lookup,
     // negative indexing (last element), reversal. Complements q47's HOF
-    // pack with the positional-access surface.
+    // pack with the positional-access surface. Probes chosen against the
+    // FIXTURE's vocabulary so both branches of each function actually
+    // fire: p_name is two words ("red widget"), so split_part hits a real
+    // second part, and 'widget' is present in ~13% of names (position 2)
+    // and absent elsewhere (0) — found and not-found paths both covered.
+    // try_element_at / COALESCE guards: an empty match list must yield
+    // NULL/'' on BOTH engines, not an ANSI INVALID_ARRAY_INDEX crash.
     "q58_array_nav_pack" -> ((s, dir) => {
       import s.implicits._
       val words = regexp_extract_all($"p_name", lit("[a-z]+"), lit(0))
       t(s, dir, "part").select(
         $"p_partkey",
-        split_part($"p_type", lit(" "), lit(2)).as("type_mid"),
-        array_position(words, "steel").as("steel_pos"),
-        element_at(words, -1).as("last_word"),
+        split_part($"p_name", lit(" "), lit(2)).as("name_second"),
+        array_position(words, "widget").as("widget_pos"),
+        try_element_at(words, lit(-1)).as("last_word"),
         concat_ws("-", reverse(words)).as("rev_words"),
         size(words).cast("long").as("n_words"))
     }),
@@ -369,12 +375,13 @@ object ExtendedQueries extends QueryPack {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q58_array_nav_pack" ->
       """SELECT p_partkey,
-        |  split_part(p_type, ' ', 2) AS type_mid,
+        |  split_part(p_name, ' ', 2) AS name_second,
         |  CAST(COALESCE(list_position(regexp_extract_all(p_name, '[a-z]+'),
-        |    'steel'), 0) AS BIGINT) AS steel_pos,
+        |    'widget'), 0) AS BIGINT) AS widget_pos,
         |  regexp_extract_all(p_name, '[a-z]+')[-1] AS last_word,
-        |  array_to_string(list_reverse(regexp_extract_all(p_name, '[a-z]+')),
-        |    '-') AS rev_words,
+        |  COALESCE(array_to_string(
+        |    list_reverse(regexp_extract_all(p_name, '[a-z]+')), '-'), '')
+        |    AS rev_words,
         |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words
         |FROM part""".stripMargin,
     "q57_grouping_flags" ->

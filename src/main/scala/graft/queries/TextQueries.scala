@@ -162,30 +162,39 @@ object TextQueries extends QueryPack {
           .filter(col("jaccard") >= 0.008),
         "doc_a", "doc_b")),
 
-    // corpus-wide sentence-level dedup (the CCNet/boilerplate-removal
-    // pass): explode docs into sentences, keep only each sentence's FIRST
-    // global occurrence (by doc_id, then position — deterministic), and
-    // reconstruct documents from their surviving sentences in order.
-    // Repeated boilerplate ("all rights reserved…") vanishes from every
-    // doc but its first. One window over the sentence hash — scales as a
-    // shuffle on the sentence key, never O(N²).
-    "tx8_sentence_dedup" -> ((s, dir) => {
+    // corpus-wide segment-level dedup (the CCNet/boilerplate-removal
+    // pass): chunk each doc into 8-token segments (the fixture text is an
+    // unpunctuated token stream, so fixed-width chunking is the honest
+    // "line" unit — and 153 distinct segments genuinely repeat across the
+    // sf0.01 corpus, so the dedup path is exercised, not vacuous), keep
+    // only each segment's FIRST global occurrence (by doc_id then
+    // position — deterministic), and reconstruct documents from their
+    // surviving segments in order. Repeated boilerplate vanishes from
+    // every doc but its first. The window partitions on the segment
+    // STRING — the text must ride the shuffle anyway for reconstruction;
+    // one hash shuffle on the segment key, never O(N²).
+    "tx8_segment_dedup" -> ((s, dir) => {
       import s.implicits._
-      // spread before the regex split: the single-file scan is one task,
-      // and the split is the CPU-heavy narrow stage ahead of the shuffle
-      val lines = Tables.spread(docs(s, dir))
-        .select($"doc_id", posexplode(split($"text", "\\. ")).as(Seq("pos", "sent")))
-        .filter($"sent" =!= "")
-      val w = Window.partitionBy($"sent").orderBy($"doc_id", $"pos")
-      val kept = lines
+      // spread before tokenize: the single-file scan is one task and the
+      // regex is the CPU-heavy narrow stage ahead of the shuffle
+      val segs = Tables.spread(docs(s, dir))
+        .withColumn("_toks", tokens($"text"))
+        .select($"doc_id", posexplode($"_toks").as(Seq("pos", "tok")))
+        .withColumn("segidx", floor($"pos" / 8).cast("int"))
+        .groupBy($"doc_id", $"segidx")
+        .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct($"pos", $"tok"))),
+            x => x.getField("tok"))).as("segment"))
+      val w = Window.partitionBy($"segment").orderBy($"doc_id", $"segidx")
+      segs
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
-      kept.groupBy($"doc_id")
+        .groupBy($"doc_id")
         .agg(
           count(lit(1)).as("n_kept"),
-          concat_ws(". ",
-            transform(array_sort(collect_list(struct($"pos", $"sent"))),
-              x => x.getField("sent"))).as("dedup_text"))
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct($"segidx", $"segment"))),
+              x => x.getField("segment"))).as("dedup_text"))
     }),
 
     // text normalization pass: lowercase, strip non-alnum, collapse
@@ -339,23 +348,22 @@ object TextQueries extends QueryPack {
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
         |  CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR) AS frame_str
         |FROM documents, (VALUES (0), (3), (6), (9)) t(f)""".stripMargin,
-    "tx8_sentence_dedup" ->
-      """WITH sp AS (
-        |  SELECT doc_id, string_split(text, '. ') AS parts FROM documents
+    "tx8_segment_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
         |), ix AS (
-        |  SELECT doc_id, parts,
-        |    unnest(generate_series(1, len(parts))) AS i
-        |  FROM sp
-        |), lines AS (
-        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, parts[i] AS sent
-        |  FROM ix WHERE parts[i] <> ''
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM tok
+        |), seg AS (
+        |  SELECT doc_id, CAST(floor((i - 1) / 8) AS INTEGER) AS segidx,
+        |    string_agg(ts[i], ' ' ORDER BY i) AS segment
+        |  FROM ix GROUP BY doc_id, segidx
         |), kept AS (
-        |  SELECT doc_id, pos, sent,
-        |    row_number() OVER (PARTITION BY sent ORDER BY doc_id, pos) AS rn
-        |  FROM lines
+        |  SELECT doc_id, segidx, segment,
+        |    row_number() OVER (PARTITION BY segment ORDER BY doc_id, segidx) AS rn
+        |  FROM seg
         |)
         |SELECT doc_id, count(*) AS n_kept,
-        |  string_agg(sent, '. ' ORDER BY pos) AS dedup_text
+        |  string_agg(segment, ' ' ORDER BY segidx) AS dedup_text
         |FROM kept WHERE rn = 1 GROUP BY doc_id""".stripMargin,
     "tx7_normalize" ->
       s"""SELECT doc_id,
