@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Full decode for the pixel-touching operators: sniff, then
+    * `ImageIO.read` guarded against right-magic-but-corrupt payloads —
+    * a truncated JPEG makes `read` throw `IIOException`, and an operator
+    * that dies on one bad row cannot claim totality over a mixed corpus.
+    * Returns null (the callers' stub-fallback signal) on any failure. */
+  private def readImage(bytes: Array[Byte]): BufferedImage =
+    if (sniff(bytes) == "unknown") null
+    else try ImageIO.read(new ByteArrayInputStream(bytes))
+    catch { case _: Exception => null }
+
   /** Magic-prefix format sniff (same rule as [[binaryMeta]]'s column
     * form). */
   private def sniff(bytes: Array[Byte]): String =
@@ -206,8 +216,7 @@ object Multimodal {
       .mapPartitions { it =>
         // a real vision model would load per task here, not per row
         it.map { case (id, bytes) =>
-          val img = if (sniff(bytes) == "unknown") null
-            else ImageIO.read(new ByteArrayInputStream(bytes))
+          val img = readImage(bytes)
           if (img == null) MediaFeatures(id, dim, stub(bytes))
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -263,8 +272,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img = if (sniff(bytes) == "unknown") null
-            else ImageIO.read(new ByteArrayInputStream(bytes))
+          val img = readImage(bytes)
           if (img == null) {
             val src = if (bytes == null || bytes.isEmpty) Array[Byte](0) else bytes
             val out = Array.tabulate(stubLen)(i =>
@@ -335,10 +343,15 @@ object Multimodal {
         while (!malformed && off + 8 <= bytes.length &&
           (meta.isEmpty || dataLen < 0)) {
           val id4 = tag(off); val len = u32(off + 4)
-          if (id4 == "fmt " && off + 24 <= bytes.length)
+          // the fmt fields live in THIS chunk's bytes: a declared len<16
+          // must not let the reads spill into the next chunk's payload
+          if (id4 == "fmt " && len >= 16 && off + 24 <= bytes.length)
             meta = Some((u32(off + 4 + 8).toInt, u16(off + 4 + 6),
               u16(off + 4 + 18)))
-          else if (id4 == "data") dataLen = len
+          else if (id4 == "data")
+            // clamp to the bytes actually present — a corrupt header's
+            // inflated declared length must not inflate n_samples/duration
+            dataLen = math.min(len, math.max(0L, bytes.length - off - 8L))
           val advance = 8 + len.toInt + (len.toInt & 1) // word-aligned
           // a corrupt length field can make the advance non-positive —
           // without this check the walk spins forever and wedges the task

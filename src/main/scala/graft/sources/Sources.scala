@@ -74,10 +74,14 @@ object Sources {
     val cols = schema.fields
       .map(f => s"${f.name} ${ddlType(f.dataType)}").mkString(", ")
     val st = conn.createStatement()
+    // only a table-exists failure may be swallowed: SQLState X0Y32 (Derby)
+    // / 42P07 (Postgres), or the literal "already exist" message. A bare
+    // "exist" match would also swallow "schema does not exist" and mask
+    // the real DDL error until the INSERT fails confusingly.
     try st.executeUpdate(s"CREATE TABLE $table ($cols)")
     catch { case e: java.sql.SQLException
-      if Option(e.getSQLState).exists(s => s == "X0Y32" || s == "42P07" ||
-        e.getMessage.toLowerCase.contains("exist")) => () }
+      if Option(e.getSQLState).exists(s => s == "X0Y32" || s == "42P07") ||
+        e.getMessage.toLowerCase.contains("already exist") => () }
     finally st.close()
   }
 

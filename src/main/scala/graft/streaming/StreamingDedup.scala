@@ -56,18 +56,22 @@ object StreamingDedup {
       members.get().foreach(existing += _)
       val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
       rows.foreach { case (_, doc, sig) =>
-        existing.foreach { m =>
-          if (m.doc != doc) {
+        // source-level duplicate delivery of the same doc (Kafka
+        // at-least-once, file re-listing) must be a no-op: re-appending
+        // would bloat ListState, burn maxPerBucket slots, and re-emit the
+        // same candidate pairs every delivery
+        if (!existing.exists(_.doc == doc)) {
+          existing.foreach { m =>
             val agree = m.sig.iterator.zip(sig.iterator)
               .count { case (x, y) => x == y }.toDouble / sig.length
             out += CandidatePair(math.min(m.doc, doc), math.max(m.doc, doc),
               agree)
           }
-        }
-        if (existing.size < maxPerBucket) {
-          val m = Member(doc, sig)
-          members.appendValue(m)
-          existing += m
+          if (existing.size < maxPerBucket) {
+            val m = Member(doc, sig)
+            members.appendValue(m)
+            existing += m
+          }
         }
       }
       out.iterator
