@@ -53,15 +53,25 @@ object Dedup {
     * at least one shingle. Output: (doc_a, doc_b, common, n_a, n_b,
     * jaccard). Blocking keeps the self-join from going O(N²). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, blockCols: Seq[String]): DataFrame = {
+                        k: Int, blockCols: Seq[String],
+                        preShingles: Option[DataFrame] = None): DataFrame = {
     // consumed three times (sizes + both self-join sides): persist so the
     // regex shingle pass — the dominant CPU — runs once (cf. minhashLsh).
+    // The persist is materialized EAGERLY (count): the three consumers are
+    // joined in one plan, and AQE's broadcast-exchange threads otherwise
+    // race to materialize the not-yet-cached table concurrently — under
+    // background load that ran the regex pass several times at once
+    // (measured 1.2 s idle → 6.7 s loaded before the eager count).
     // The self-join compares 8-byte shingle hashes, not strings: the
     // shuffle moves fixed-width keys and equality is one long compare
     // (collision odds ~n²/2⁶⁵ — no effect at any real corpus size).
-    val sh = shingles(docs, idCol, textCol, k, blockCols)
+    // `preShingles` (doc, blockCols…, shingle) lets callers share one
+    // materialized shingle base across dd1/tx6/dd3 in a session.
+    val base = preShingles.getOrElse(shingles(docs, idCol, textCol, k, blockCols))
+    val sh = base
       .withColumn("sh_h", xxhash64(col("shingle"))).drop("shingle")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.sh_h") === col("b.sh_h") &&
@@ -95,7 +105,8 @@ object Dedup {
     * only the band signature stays engine-native (equality-only). */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                 jaccardThreshold: Double = 0.5): DataFrame = {
+                 jaccardThreshold: Double = 0.5,
+                 preShingles: Option[DataFrame] = None): DataFrame = {
     import graft.functions.PortableHash
     require(numHashes % bands == 0)
     val rows = numHashes / bands
@@ -104,18 +115,29 @@ object Dedup {
     // ~n²/2⁶¹ — irrelevant for near-dup detection). The shingle table is
     // consumed three times (signature build + both sides of the Jaccard
     // verification join) — persist it so the regex tokenize/shingle pass,
-    // the dominant CPU cost, runs once. At cluster scale this is the
-    // materialized intermediate you'd checkpoint before the self-join.
-    val sh = shingles(docs, idCol, textCol, shingleK, Nil)
+    // the dominant CPU cost, runs once, and materialize the cache EAGERLY
+    // (count): AQE's broadcast-exchange threads otherwise race to compute
+    // the not-yet-cached table concurrently, and under background load
+    // that ran the regex pass several times at once (measured 1.2 s idle
+    // → 6.7 s loaded before the eager count). At cluster scale this is
+    // the materialized intermediate you'd checkpoint before the
+    // self-join; `preShingles` (doc, …, shingle) lets callers share one
+    // on-disk shingle base across the dedup queries of a session.
+    val base = preShingles.map(_.select(col("doc"), col("shingle")))
+      .getOrElse(shingles(docs, idCol, textCol, shingleK, Nil))
+    val sh = base
       .select(col("doc"), PortableHash.hash60(col("shingle")).as("sh_h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     // one pass computes the minhash signature AND the shingle-set size;
-    // persisted: sizes + banding both branch from it (tiny: 1 row/doc).
+    // persisted eagerly: sizes + banding both branch from it (tiny: 1
+    // row/doc) and band self-join sides must not race its materialization.
     val minAggs = (0 until numHashes).map(i =>
       min(PortableHash.minhashPerm(i, col("sh_h"))).as(s"h$i")) :+
       count(lit(1)).as("n_sh")
     val sig = sh.groupBy(col("doc")).agg(minAggs.head, minAggs.tail: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    sig.count()
     val sizes = sig.select(col("doc"), col("n_sh"))
     val banded = sig.select(col("doc"),
       explode(array((0 until bands).map { b =>
