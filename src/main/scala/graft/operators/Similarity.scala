@@ -154,27 +154,70 @@ object Similarity {
           .reduce(_ + _).as("sig"))
   }
 
+  /** Band width (bits) for N vectors: the smallest b with N ≤
+    * targetBucketSize·2^b, capped by the planes available per band — the
+    * bucket space GROWS with the corpus (≈ log2(N/targetBucketSize) bits),
+    * so expected bucket occupancy, and with it candidate-pair count per
+    * vector, stays ~constant as N scales instead of going O(N²/2^bits)
+    * with a fixed parameterization (the round-4 10× probe measured slope
+    * 8.3 with fixed bits). Integer-only arithmetic so any engine (the
+    * DuckDB oracle mirrors it in SQL) derives the identical width from
+    * the same count. */
+  def deriveBandBits(n: Long, targetBucketSize: Int, maxBandBits: Int): Int =
+    (1 to maxBandBits)
+      .find(b => n <= targetBucketSize.toLong * (1L << b))
+      .getOrElse(maxBandBits)
+
   /** ANN via LSH bucketing: candidates = pairs agreeing on at least one
     * band of the signature (equi-join on narrow (id, band, bucket) rows);
     * verified with the exact per-row cosine. Recall vs [[cosineTopK]] is
-    * asserted in SimilaritySpec. */
+    * asserted in SimilaritySpec.
+    *
+    * Scale levers (both oracle-mirrored, both spec'd):
+    *  - band width is DERIVED from the corpus count via
+    *    [[deriveBandBits]] — pass `planes` high enough that planes/bands
+    *    covers log2(N/targetBucketSize) at the target scale; banding
+    *    consumes only the first bands·bandBits planes.
+    *  - `maxBucket` caps bucket MEMBERSHIP (first maxBucket members by
+    *    id — deterministic, the batch twin of StreamingDedup's
+    *    maxPerBucket): a degenerate bucket (e.g. near-zero vectors
+    *    sharing a signature) stops absorbing members instead of going
+    *    O(bucket²) in the self-join. */
   def annLsh(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
              planes: Int = 16, bands: Int = 4,
-             threshold: Double = 0.8): DataFrame = {
+             threshold: Double = 0.8,
+             targetBucketSize: Int = 8,
+             maxBucket: Int = 1024): DataFrame = {
     require(planes % bands == 0 && planes <= 63)
-    val bandBits = planes / bands
+    val maxBandBits = planes / bands
+    // count() is cheap on a parquet-backed corpus (footer row counts); at
+    // cluster scale N comes from table statistics the same way.
+    val bandBits = deriveBandBits(vecs.count(), targetBucketSize, maxBandBits)
     val mask = (1L << bandBits) - 1
+    // only the first bands·bandBits planes are consumed by banding — at a
+    // small corpus the derived width is narrow and the projection agg
+    // computes 4·bb sums, not the full headroom (the oracle packs all
+    // planes but reads the same low bits, so buckets agree).
+    val planesUsed = bands * bandBits
     // consumed by banding AND twice by norm-verification joins: persist so
-    // the exploded projection agg runs once (the cluster-scale equivalent
-    // is checkpointing the signature table before candidate generation).
-    val sigs = signatures(vecs, idCol, vecCol, planes, dims)
+    // the exploded projection agg runs once, and materialize EAGERLY — the
+    // band self-join's broadcast threads must not race the first
+    // computation (the cluster-scale equivalent is checkpointing the
+    // signature table before candidate generation).
+    val sigs = signatures(vecs, idCol, vecCol, planesUsed, dims)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val wBucket = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("id").asc)
     val banded = sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .withColumn("_bn", row_number().over(wBucket))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

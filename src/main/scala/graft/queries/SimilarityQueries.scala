@@ -56,11 +56,14 @@ object SimilarityQueries extends QueryPack {
 
     // LSH-bucketed ANN. The signature math is engine-portable (LCG plane
     // signs + fixed-point floor sums), so the whole pipeline — bucketing,
-    // candidate generation, cosine verification — is oracle-checked;
+    // candidate generation, cosine verification — is oracle-checked,
+    // INCLUDING the corpus-size-derived band width and the bucket
+    // membership cap (the SQL twin derives the same width from count(*));
     // SimilaritySpec adds the recall assertion vs brute force.
     "sim5_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(emb(s, dir), "vec_id", "embedding", dims = 64,
-        planes = 24, bands = 4, threshold = 0.35)),
+        planes = 48, bands = 4, threshold = 0.35,
+        targetBucketSize = 8, maxBucket = 1024)),
 
     // same result as sim1 through the bounded-heap Aggregator: partial
     // aggregation ships k rows per (query, map task) through the shuffle
@@ -82,13 +85,16 @@ object SimilarityQueries extends QueryPack {
         "embedding", "label", 5)
     }))
 
-  /** sim5's DuckDB twin, mirroring Similarity.annLsh(planes=24, bands=4,
-    * τ=0.35, dims=64) stage by stage: same LCG plane signs, same
-    * fixed-point floor sums (integer addition ⇒ partitioning-invariant),
-    * same band/bucket bit extraction, same sequential-fold cosine. CASE
+  /** sim5's DuckDB twin, mirroring Similarity.annLsh(planes=48, bands=4,
+    * τ=0.35, dims=64, targetBucketSize=8, maxBucket=1024) stage by stage:
+    * same LCG plane signs, same fixed-point floor sums (integer addition
+    * ⇒ partitioning-invariant), same corpus-size-derived band width
+    * (integer-only: smallest b ≤ 12 with count ≤ 8·2^b — so the oracle
+    * tracks the operator across ALL scale factors), same per-bucket
+    * membership cap via row_number, same sequential-fold cosine. CASE
     * outputs are CAST to DOUBLE (DuckDB decimal-literal trap). */
   private def sim5Sql: String = {
-    val planes = 24; val dims = 64; val bandBits = 6; val mask = 63
+    val planes = 48; val dims = 64
     val projAggs = (0 until planes).map { p =>
       val pd = p.toLong * dims
       s"CAST(sum(CAST(floor((x * (CASE WHEN ((($pd + dim) * 48271) % 2147483647) % 2 = 0 " +
@@ -99,9 +105,14 @@ object SimilarityQueries extends QueryPack {
         s"ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
     val bandRows = (0 until 4).map { b =>
-      s"SELECT id, $b AS band, (sig >> ${b * bandBits}) & $mask AS bucket FROM sigs"
+      s"SELECT id, $b AS band, (sig >> ($b * bb)) & " +
+        s"((CAST(1 AS BIGINT) << bb) - 1) AS bucket FROM sigs CROSS JOIN params"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ex AS (
+    s"""WITH params AS (
+       |  SELECT coalesce((SELECT min(b) FROM generate_series(1, 12) t(b)
+       |    WHERE (SELECT count(*) FROM embeddings)
+       |      <= 8 * (CAST(1 AS BIGINT) << b)), 12) AS bb
+       |), ex AS (
        |  SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS dim,
        |    CAST(embedding[i] AS DOUBLE) AS x
        |  FROM (SELECT vec_id, embedding,
@@ -116,7 +127,13 @@ object SimilarityQueries extends QueryPack {
        |  SELECT id, sqrt(CAST(n2 AS DOUBLE) / 1e12) AS nrm, $sigExpr AS sig
        |  FROM agg
        |), banded AS (
+       |  SELECT id, band, bucket FROM (
+       |    SELECT id, band, bucket,
+       |      row_number() OVER (PARTITION BY band, bucket ORDER BY id) AS _bn
+       |    FROM (
        |  $bandRows
+       |    ) raw) capped
+       |  WHERE _bn <= 1024
        |), cands AS (
        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
        |  FROM banded a JOIN banded b

@@ -74,6 +74,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_._3 >= 0.9))
   }
 
+  test("annLsh: band width derives from corpus size, degenerate buckets are capped") {
+    // integer-only derivation — the DuckDB oracle mirrors these exact values
+    assert(Similarity.deriveBandBits(50, 8, 12) == 3)
+    assert(Similarity.deriveBandBits(500, 8, 12) == 6)
+    assert(Similarity.deriveBandBits(5000, 8, 12) == 10)
+    assert(Similarity.deriveBandBits(1L << 40, 8, 12) == 12) // capped by planes
+    // planted degenerate bucket: 40 byte-identical vectors share every band
+    // bucket. With maxBucket=4 only the first 4 members (by id) join, so
+    // identical-pair candidates are bounded by C(4,2)=6 instead of
+    // C(40,2)=780 — the O(bucket²) blowup a hot bucket would cause. The
+    // genuinely-near pair (0,1) lives in its own bucket and must survive.
+    // hot ids are the low ones: the cap keeps the first members BY ID, so
+    // degenerate members must not be evicted by lower-id bystanders
+    // sharing the (coarse, bb=3) bucket space.
+    val hot = randVec()
+    val degen = Seq((0L, v0), (1L, v1)).toDF("vec_id", "embedding")
+      .union((2L to 41L).map(i => (i, hot)).toDF("vec_id", "embedding"))
+      .union((100L to 117L).map(i => (i, randVec())).toDF("vec_id", "embedding"))
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val out = Similarity.annLsh(degen, "vec_id", "embedding", dims = dims,
+      planes = 16, bands = 4, threshold = 0.9, maxBucket = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val hotPairs = out.filter { case (a, b) => a >= 2L && b >= 2L && b <= 41L }
+    assert(hotPairs.nonEmpty && hotPairs.length <= 6,
+      s"capped hot bucket emitted ${hotPairs.length} pairs")
+    assert(out.contains((0L, 1L)), "planted near-dup pair must survive the cap")
+  }
+
   test("ivfProbe assigns the nearest centroid and ranks within the cluster") {
     // two well-separated clusters along orthogonal axes; the planted
     // near-dup pair (0,1) sits in cluster A.
