@@ -180,7 +180,7 @@ object Dedup {
     * out of HOF lambdas, so inlining would re-tokenize per fold. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, numHashes: Int = 16,
-                   bands: Int = 4): DataFrame = {
+                   bands: Int = 4, keepShingles: Boolean = false): DataFrame = {
     import graft.functions.PortableHash
     require(numHashes % bands == 0)
     val rows = numHashes / bands
@@ -191,18 +191,24 @@ object Dedup {
           h => (lit(a) * (h % PortableHash.P31) + lit(b)) % PortableHash.P31)),
         lit(Long.MaxValue))
     }: _*)
+    // keepShingles additionally carries the distinct shingle-hash set per
+    // row (`shh`) so a downstream stateful stage can verify candidates
+    // with EXACT Jaccard — see StreamingDedup.nearDupVerified.
+    val payload: Seq[Column] =
+      if (keepShingles) Seq(col("_shh").as("shh")) else Nil
     docs
       .withColumn("_shh", transform(
         array_distinct(shingleArray(TextFunctions.tokens(col(textCol)),
           shingleK)),
         s => PortableHash.hash60(s)))
       .withColumn("sig", sig)
-      .select(col(idCol).cast("long").as("doc"), col("sig"),
+      .select(col(idCol).cast("long").as("doc") +: col("sig") +:
         explode(array((0 until bands).map { b =>
           concat(lit(s"$b:"), concat_ws("|",
             slice(col("sig"), b * rows + 1, rows).cast("array<string>")))
-        }: _*)).as("bucket_key"))
-      .select(col("bucket_key"), col("doc"), col("sig"))
+        }: _*)).as("bucket_key") +: payload: _*)
+      .select(col("bucket_key") +: col("doc") +: col("sig") +: payload.map(
+        _ => col("shh")): _*)
   }
 
   /** SimHash sketch width: 60 bits — every bit of the engine-portable

@@ -40,6 +40,16 @@ object StreamingDedup {
   /** Candidate near-dup pair with the minhash Jaccard estimate. */
   case class CandidatePair(doc_a: Long, doc_b: Long, sig_agree: Double)
 
+  /** A bucket member carrying its exact-verification payload `P` (the
+    * distinct shingle-hash set for text, the vector for embeddings). */
+  case class VMember[P](doc: Long, sig: Seq[Long], payload: P)
+
+  /** A candidate that PASSED exact verification: `sig_agree` is the
+    * sketch estimate that generated it, `sim` the exact similarity
+    * (Jaccard for text, cosine for embeddings) that confirmed it. */
+  case class VerifiedPair(doc_a: Long, doc_b: Long, sig_agree: Double,
+                          sim: Double)
+
   class BucketProcessor(maxPerBucket: Int, ttl: TTLConfig)
       extends StatefulProcessor[String, (String, Long, Seq[Long]),
         CandidatePair] {
@@ -78,6 +88,113 @@ object StreamingDedup {
     }
   }
 
+  /** Bucket index WITH an exact-verification stage: same dup-skip / cap /
+    * TTL discipline as [[BucketProcessor]], but a candidate is emitted
+    * ONLY when the exact similarity of the two members' payloads clears
+    * `threshold` — signature agreement alone (a sketch collision) cannot
+    * drop or surface a document. This is the production ingest-gate shape:
+    * the LSH index proposes, the exact check disposes, all inside the
+    * keyed state so no second join against the corpus is needed (the
+    * payload rides the bucket state; `maxPerBucket` × payload size bounds
+    * it — the trade documented on [[nearDupVerified]]). */
+  class VerifyingBucketProcessor[P](maxPerBucket: Int, ttl: TTLConfig,
+      threshold: Double, enc: org.apache.spark.sql.Encoder[VMember[P]],
+      exactSim: (P, P) => Double)
+      extends StatefulProcessor[String, (String, Long, Seq[Long], P),
+        VerifiedPair] {
+    @transient private var members: ListState[VMember[P]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[VMember[P]]("vmembers", enc, ttl)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Seq[Long], P)],
+        timers: TimerValues): Iterator[VerifiedPair] = {
+      val existing = scala.collection.mutable.ArrayBuffer.empty[VMember[P]]
+      members.get().foreach(existing += _)
+      val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
+      rows.foreach { case (_, doc, sig, payload) =>
+        if (!existing.exists(_.doc == doc)) {
+          existing.foreach { m =>
+            val agree = m.sig.iterator.zip(sig.iterator)
+              .count { case (x, y) => x == y }.toDouble / sig.length
+            val sim = exactSim(m.payload, payload)
+            if (sim >= threshold)
+              out += VerifiedPair(math.min(m.doc, doc), math.max(m.doc, doc),
+                agree, sim)
+          }
+          if (existing.size < maxPerBucket) {
+            val m = VMember(doc, sig, payload)
+            members.appendValue(m)
+            existing += m
+          }
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Exact Jaccard over two DISTINCT shingle-hash sets. */
+  private[graft] def jaccardSets(a: Seq[Long], b: Seq[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    val as = a.toSet
+    val inter = b.count(as.contains)
+    val union = as.size + b.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Exact cosine via the same sequential double fold as the batch
+    * [[graft.operators.Similarity.dotSeq]]. */
+  private[graft] def cosineSeq(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; i += 1
+    }
+    i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    i = 0
+    while (i < b.length) { val x = b(i).toDouble; nb += x * x; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Verified text variant over a pre-banded stream (bucket_key, doc,
+    * sig, shh) — exposed for spec-level fault injection (planted
+    * signature collisions); production callers use [[nearDupVerified]]. */
+  def verifiedText(spark: SparkSession, banded: DataFrame,
+                   maxPerBucket: Int, ttl: TTLConfig,
+                   jaccardThreshold: Double): Dataset[VerifiedPair] = {
+    import spark.implicits._
+    val mode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    banded.as[(String, Long, Seq[Long], Seq[Long])]
+      .groupByKey(_._1)
+      .transformWithState(
+        new VerifyingBucketProcessor[Seq[Long]](maxPerBucket, ttl,
+          jaccardThreshold, Encoders.product[VMember[Seq[Long]]],
+          jaccardSets _),
+        mode, OutputMode.Append())
+  }
+
+  /** Verified embedding variant over a pre-banded stream (bucket_key,
+    * doc, sig, vec) — see [[verifiedText]]. */
+  def verifiedVec(spark: SparkSession, banded: DataFrame,
+                  maxPerBucket: Int, ttl: TTLConfig,
+                  cosineThreshold: Double): Dataset[VerifiedPair] = {
+    import spark.implicits._
+    val mode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    banded.as[(String, Long, Seq[Long], Seq[Float])]
+      .groupByKey(_._1)
+      .transformWithState(
+        new VerifyingBucketProcessor[Seq[Float]](maxPerBucket, ttl,
+          cosineThreshold, Encoders.product[VMember[Seq[Float]]],
+          cosineSeq _),
+        mode, OutputMode.Append())
+  }
+
   private def bucketed(spark: SparkSession, banded: DataFrame,
                        maxPerBucket: Int, ttl: TTLConfig): Dataset[CandidatePair] = {
     import spark.implicits._
@@ -103,6 +220,32 @@ object StreamingDedup {
       Dedup.minhashBands(docs, idCol, textCol, shingleK, numHashes, bands),
       maxPerBucket, ttl)
 
+  /** The text ingest GATE: LSH bucket candidates verified with EXACT
+    * Jaccard before emission — a signature collision (same band values,
+    * dissimilar documents) is rejected inside the processor, so emitted
+    * pairs are safe to act on (drop/keep decisions), unlike
+    * [[nearDupCandidates]]'s sketch-only estimates.
+    *
+    * State trade: each bucket member carries its distinct shingle-hash
+    * set (~8 bytes/shingle), so state is
+    * O(buckets · maxPerBucket · shingles/doc) instead of
+    * O(buckets · maxPerBucket · numHashes). The alternative — joining
+    * candidates back against a corpus store — needs a second stateful
+    * stage over the full corpus; carrying the set keeps verification
+    * local to the bucket and is the right trade while
+    * maxPerBucket · shingle-set stays executor-sized (RocksDB holds it
+    * off-heap). */
+  def nearDupVerified(spark: SparkSession, docs: DataFrame,
+                      idCol: String, textCol: String,
+                      shingleK: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, maxPerBucket: Int = 64,
+                      ttl: TTLConfig = TTLConfig.NONE,
+                      jaccardThreshold: Double = 0.5): Dataset[VerifiedPair] =
+    verifiedText(spark,
+      Dedup.minhashBands(docs, idCol, textCol, shingleK, numHashes, bands,
+        keepShingles = true),
+      maxPerBucket, ttl, jaccardThreshold)
+
   /** The EMBEDDING stream operator: vectors (idCol, vecCol float array) →
     * candidate near-dup pairs via random-hyperplane signatures — the
     * streaming analog of the batch [[graft.operators.Similarity.annLsh]],
@@ -111,16 +254,17 @@ object StreamingDedup {
     * micro-batch); `sig` holds one 0/1 sign per plane, so the processor's
     * `sig_agree` is the fraction of agreeing hyperplane sides — a direct
     * monotone estimate of cosine similarity (agree ≈ 1 − θ/π). */
-  def embeddingNearDupCandidates(spark: SparkSession, vecs: DataFrame,
-                                 idCol: String, vecCol: String, dims: Int,
-                                 planes: Int = 24, bands: Int = 4,
-                                 maxPerBucket: Int = 64,
-                                 ttl: TTLConfig = TTLConfig.NONE): Dataset[CandidatePair] = {
+  /** Pre-banded embedding stream (bucket_key, doc, sig, vec): the
+    * per-row random-hyperplane signature + band bucket keys, vector
+    * carried through for downstream exact verification. */
+  private def embeddingBands(spark: SparkSession, vecs: DataFrame,
+                             idCol: String, vecCol: String, dims: Int,
+                             planes: Int, bands: Int): DataFrame = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     require(planes % bands == 0)
     val perBand = planes / bands
-    val banded = vecs
+    vecs
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
@@ -152,10 +296,34 @@ object StreamingDedup {
           (0 until bands).map { b =>
             val bucket = (b * perBand until (b + 1) * perBand)
               .map(bits).mkString
-            (s"$b:$bucket", id, sig)
+            (s"$b:$bucket", id, sig, v)
           }
         }
-      }.toDF("bucket_key", "doc", "sig")
-    bucketed(spark, banded, maxPerBucket, ttl)
+      }.toDF("bucket_key", "doc", "sig", "vec")
   }
+
+  def embeddingNearDupCandidates(spark: SparkSession, vecs: DataFrame,
+                                 idCol: String, vecCol: String, dims: Int,
+                                 planes: Int = 24, bands: Int = 4,
+                                 maxPerBucket: Int = 64,
+                                 ttl: TTLConfig = TTLConfig.NONE): Dataset[CandidatePair] =
+    bucketed(spark,
+      embeddingBands(spark, vecs, idCol, vecCol, dims, planes, bands)
+        .drop("vec"),
+      maxPerBucket, ttl)
+
+  /** The embedding ingest GATE: LSH bucket candidates verified with the
+    * EXACT cosine (same sequential double fold as the batch
+    * [[graft.operators.Similarity.dotSeq]]) before emission — see
+    * [[nearDupVerified]] for the state trade (here the payload is the
+    * vector itself: dims·4 bytes per member). */
+  def embeddingNearDupVerified(spark: SparkSession, vecs: DataFrame,
+                               idCol: String, vecCol: String, dims: Int,
+                               planes: Int = 24, bands: Int = 4,
+                               maxPerBucket: Int = 64,
+                               ttl: TTLConfig = TTLConfig.NONE,
+                               cosineThreshold: Double = 0.8): Dataset[VerifiedPair] =
+    verifiedVec(spark,
+      embeddingBands(spark, vecs, idCol, vecCol, dims, planes, bands),
+      maxPerBucket, ttl, cosineThreshold)
 }

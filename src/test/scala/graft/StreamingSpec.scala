@@ -537,6 +537,95 @@ class StreamingSpec extends AnyFunSuite {
       "unrelated doc must not pair")
   }
 
+  test("verified streaming near-dup: signature collision with low true similarity rejected") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // hand-crafted banded rows force the failure mode that is nearly
+    // impossible to plant end-to-end: docs 1 and 2 share a bucket with
+    // IDENTICAL signatures (sig_agree = 1.0, the strongest possible
+    // sketch evidence) but their true shingle sets are disjoint — a pure
+    // LSH/sketch collision. Doc 3 is a genuine near-dup of doc 1.
+    val sig = Seq(7L, 8L, 9L, 10L)
+    val sh1 = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)
+    val sh2 = Seq(101L, 102L, 103L, 104L, 105L, 106L, 107L, 108L, 109L, 110L)
+    val sh3 = sh1.take(9) :+ 999L // J(sh1, sh3) = 9/11 ≈ 0.818
+    val mem = MemoryStream[(String, Long, Seq[Long], Seq[Long])]
+    val q = graft.streaming.StreamingDedup.verifiedText(spark,
+        mem.toDF().toDF("bucket_key", "doc", "sig", "shh"),
+        maxPerBucket = 8, ttl = org.apache.spark.sql.streaming.TTLConfig.NONE,
+        jaccardThreshold = 0.5)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_verified").start()
+    try {
+      mem.addData(Seq(("0:b", 1L, sig, sh1)))
+      q.processAllAvailable()
+      // the collision and the true dup arrive in LATER micro-batches
+      mem.addData(Seq(("0:b", 2L, sig, sh2)))
+      q.processAllAvailable()
+      mem.addData(Seq(("0:b", 3L, sig, sh3)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val pairs = spark.table("stream_verified").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(!pairs.contains((1L, 2L)),
+      s"sketch collision must be rejected by exact Jaccard: $pairs")
+    assert(pairs.contains((1L, 3L)), s"true near-dup missed: $pairs")
+    assert(math.abs(pairs((1L, 3L)) - 9.0 / 11.0) < 1e-12)
+    assert(!pairs.contains((2L, 3L)), "disjoint pair must be rejected")
+  }
+
+  test("verified streaming embedding near-dup: exact cosine gates emission end-to-end") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dims = 16
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(dims)(rnd.nextFloat() - 0.5f)
+    val nearDup = base.map(x => x + 0.001f)
+    val unrelated = Array.fill(dims)(rnd.nextFloat() - 0.5f)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingDedup.embeddingNearDupVerified(spark,
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        dims = dims, planes = 16, bands = 8, maxPerBucket = 8,
+        cosineThreshold = 0.9)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_emb_verified").start()
+    try {
+      mem.addData(Seq((1L, base.toSeq), (3L, unrelated.toSeq)))
+      q.processAllAvailable()
+      mem.addData(Seq((2L, nearDup.toSeq)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val rows = spark.table("stream_emb_verified").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(rows.contains((1L, 2L)), s"cross-batch embedding dup missed: $rows")
+    // emitted sim is the EXACT cosine, not the plane-agreement estimate
+    val expect = graft.streaming.StreamingDedup.cosineSeq(
+      base.toSeq, nearDup.toSeq)
+    assert(rows((1L, 2L)) == expect)
+    assert(rows((1L, 2L)) >= 0.9)
+    // any bucket the unrelated vector shares is verified away by cosine
+    assert(!rows.keys.exists { case (a, b) => a == 3L || b == 3L },
+      s"unrelated vector must not survive exact verification: $rows")
+  }
+
   test("transformWithState: typed ValueState running max on RocksDB provider") {
     implicit val sc = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
