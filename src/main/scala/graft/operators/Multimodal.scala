@@ -423,6 +423,162 @@ object Multimodal {
       }
   }
 
+  /** Typed metadata of a video-container payload. */
+  case class VideoMeta(doc_id: Long, format: String, timescale: Int,
+                       duration_ms: Long, n_tracks: Int, width: Int,
+                       height: Int)
+
+  /** REAL MP4 (ISO-BMFF) container metadata decode — pure byte parsing,
+    * no codec library, same O(header) discipline as [[decodeWavMeta]]:
+    * walk the top-level box list to `moov`, read `mvhd` (timescale,
+    * duration — v0 and v1 layouts), count `trak` children, and read the
+    * first track's `tkhd` 16.16 fixed-point width/height. Big-endian
+    * reads (ISO-BMFF), loop-guarded against corrupt size fields exactly
+    * like the RIFF walk. Returns None for non-MP4 or malformed payloads. */
+  def decodeMp4Meta(id: Long, bytes: Array[Byte]): Option[VideoMeta] = {
+    def u32(o: Int): Long = ((bytes(o) & 0xffL) << 24) |
+      ((bytes(o + 1) & 0xffL) << 16) | ((bytes(o + 2) & 0xffL) << 8) |
+      (bytes(o + 3) & 0xffL)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    try {
+      if (bytes == null || bytes.length < 16 || tag(4) != "ftyp") None
+      else {
+        // top-level walk to moov (size==1 would mean a 64-bit largesize —
+        // out of scope for metadata headers, treated as malformed; size==0
+        // means "to end of file", only legal for the last box)
+        var off = 0
+        var moov = -1
+        var moovEnd = -1
+        var malformed = false
+        while (!malformed && moov < 0 && off + 8 <= bytes.length) {
+          val size = u32(off)
+          if (tag(off + 4) == "moov") {
+            moov = off
+            moovEnd = math.min(bytes.length.toLong, off + size).toInt
+          }
+          if (size < 8) malformed = true else off += size.toInt
+        }
+        if (malformed || moov < 0) None
+        else {
+          var ts = 0L; var durUnits = -1L; var nTraks = 0
+          var w = 0; var h = 0
+          var o = moov + 8
+          while (!malformed && o + 8 <= moovEnd) {
+            val size = u32(o); val id4 = tag(o + 4)
+            if (id4 == "mvhd" && o + 32 <= moovEnd) {
+              val ver = bytes(o + 8) & 0xff
+              if (ver == 0) { ts = u32(o + 20); durUnits = u32(o + 24) }
+              else if (o + 44 <= moovEnd) { // v1: 64-bit times
+                ts = u32(o + 28)
+                durUnits = (u32(o + 32) << 32) | u32(o + 36)
+              }
+            } else if (id4 == "trak") {
+              nTraks += 1
+              // only the first trak's tkhd supplies dims (the fixture
+              // renders identical dims per track; a real corpus would
+              // surface per-track rows via a trak-exploding variant)
+              if (nTraks == 1) {
+                val trakEnd = math.min(moovEnd.toLong, o + size).toInt
+                var t = o + 8
+                while (!malformed && t + 8 <= trakEnd) {
+                  val tsz = u32(t)
+                  if (tag(t + 4) == "tkhd") {
+                    val ver = bytes(t + 8) & 0xff
+                    val wOff = if (ver == 0) t + 84 else t + 96
+                    if (wOff + 8 <= trakEnd) {
+                      w = (u32(wOff) >> 16).toInt   // 16.16 fixed point
+                      h = (u32(wOff + 4) >> 16).toInt
+                    }
+                  }
+                  if (tsz < 8) malformed = true else t += tsz.toInt
+                }
+              }
+            }
+            if (size < 8) malformed = true else o += size.toInt
+          }
+          if (malformed || ts <= 0 || durUnits < 0) None
+          else Some(VideoMeta(id, "mp4", ts.toInt,
+            durUnits * 1000L / ts, nTraks, w, h))
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal-MP4 rendering: (id, timescale, duration-units,
+    * n_tracks, w, h) → a real `ftyp`+`moov(mvhd, trak(tkhd)…)` container
+    * — the fixture-side generator for exercising [[decodeMp4Meta]] on
+    * real ISO-BMFF bytes built from fixture columns (no video files ship
+    * in the container). Box layouts follow ISO/IEC 14496-12 v0 boxes. */
+  def renderMp4(spark: SparkSession, df: DataFrame, idCol: String,
+                timescaleCol: String, durUnitsCol: String,
+                nTracksCol: String, wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(timescaleCol).cast("int"),
+        col(durUnitsCol).cast("long"), col(nTracksCol).cast("int"),
+        col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Int, Long, Int, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, ts, dur, nTracks, w, h) =>
+          val moovSize = 8 + 108 + nTracks * 100
+          val bb = java.nio.ByteBuffer.allocate(20 + moovSize)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+          // ftyp
+          bb.putInt(20).put("ftyp".getBytes("US-ASCII"))
+            .put("isom".getBytes("US-ASCII")).putInt(0x200)
+            .put("isom".getBytes("US-ASCII"))
+          // moov > mvhd (v0, 108 bytes)
+          bb.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+          bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+            .putInt(0)                 // version/flags
+            .putInt(0).putInt(0)       // ctime/mtime
+            .putInt(ts).putInt(dur.toInt)
+            .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+          bb.putLong(0)                // reserved
+          // unity matrix
+          bb.putInt(0x00010000).putInt(0).putInt(0)
+          bb.putInt(0).putInt(0x00010000).putInt(0)
+          bb.putInt(0).putInt(0).putInt(0x40000000)
+          (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+          bb.putInt(nTracks + 1)       // next_track_ID
+          // trak > tkhd (v0, 92 bytes) per track
+          (1 to nTracks).foreach { tid =>
+            bb.putInt(100).put("trak".getBytes("US-ASCII"))
+            bb.putInt(92).put("tkhd".getBytes("US-ASCII"))
+              .putInt(3)               // version 0, flags enabled|in-movie
+              .putInt(0).putInt(0)     // ctime/mtime
+              .putInt(tid).putInt(0)   // track_ID, reserved
+              .putInt(dur.toInt)
+            bb.putLong(0)              // reserved
+            bb.putShort(0).putShort(0).putShort(0).putShort(0)
+            bb.putInt(0x00010000).putInt(0).putInt(0)
+            bb.putInt(0).putInt(0x00010000).putInt(0)
+            bb.putInt(0).putInt(0).putInt(0x40000000)
+            bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+          }
+          (id, bb.array())
+        }
+      }.toDF(idCol, "payload")
+  }
+
+  /** Video-container decode operator: MP4 payloads → typed metadata via
+    * the real box-walk parser; non-MP4 payloads fall back to a
+    * deterministic stub row so the operator stays total over a mixed
+    * corpus (same contract as [[decodeAudioMeta]]). */
+  def decodeVideoMeta(spark: SparkSession, df: DataFrame, idCol: String,
+                      binCol: String): Dataset[VideoMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeMp4Meta(id, bytes).getOrElse {
+            val n = if (bytes == null) 0 else bytes.length
+            VideoMeta(id, "unknown", 0, 0L, 0, n, 0)
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video-like columns (`array<binary>` of frames):
     * keep every `everyN`-th frame, preserving frame index. Pure
     * posexplode + filter — codegen'd, narrow, no shuffle; the standard

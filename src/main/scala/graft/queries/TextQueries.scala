@@ -175,6 +175,26 @@ object TextQueries extends QueryPack {
           col("frame").cast("string").as("frame_str"))
     }),
 
+    // REAL video-container decode round trip: render a minimal ISO-BMFF
+    // MP4 (ftyp + moov(mvhd, trak(tkhd)…)) per doc with
+    // timescale/duration/tracks/dims derived from fixture columns, then
+    // walk the box structure back. Oracle computes every field
+    // arithmetically — a wrong box offset or endianness cannot hash-match.
+    "mm6_mp4_meta" -> ((s, dir) => {
+      import s.implicits._
+      val withVideo = docs(s, dir).select($"doc_id",
+        (lit(600) + ($"doc_id" % 5) * 100).cast("int").as("ts"),
+        (lit(3000) + $"doc_id" % 7000).cast("long").as("dur"),
+        (lit(1) + $"doc_id" % 3).cast("int").as("n_tracks"),
+        (lit(160) + ($"doc_id" % 8) * 16).cast("int").as("w"),
+        (lit(90) + ($"doc_id" % 6) * 30).cast("int").as("h"))
+      val mp4s = Multimodal.renderMp4(s, graft.core.Tables.spread(withVideo),
+        "doc_id", "ts", "dur", "n_tracks", "w", "h")
+      Multimodal.decodeVideoMeta(s, mp4s, "doc_id", "payload")
+        .select($"doc_id", $"format", $"timescale", $"duration_ms",
+          $"n_tracks", $"width", $"height")
+    }),
+
     // near-dup clustering: connected components over the exact-Jaccard
     // pair graph (min-label propagation; oracle = recursive-CTE closure).
     "dd3_cluster" -> ((s, dir) =>
@@ -366,6 +386,15 @@ object TextQueries extends QueryPack {
         |  CAST((100 + doc_id % 400) * 1000 //
         |    (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END) AS BIGINT)
         |    AS duration_ms
+        |FROM documents""".stripMargin,
+    "mm6_mp4_meta" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  CAST(600 + (doc_id % 5) * 100 AS INTEGER) AS timescale,
+        |  CAST((3000 + doc_id % 7000) * 1000
+        |    // (600 + (doc_id % 5) * 100) AS BIGINT) AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+        |  CAST(160 + (doc_id % 8) * 16 AS INTEGER) AS width,
+        |  CAST(90 + (doc_id % 6) * 30 AS INTEGER) AS height
         |FROM documents""".stripMargin,
     "mm5_frame_sample" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,

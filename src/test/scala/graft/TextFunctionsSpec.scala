@@ -129,6 +129,37 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fb.format == "unknown" && fb.n_samples == 3L)
   }
 
+  test("multimodal: MP4 render → box-walk decode round trip; corrupt falls back") {
+    val df = Seq((1L, 600, 3000L, 1, 160, 90), (2L, 1000, 9000L, 3, 320, 240))
+      .toDF("doc_id", "ts", "dur", "n_tracks", "w", "h")
+    val mp4s = Multimodal.renderMp4(spark, df, "doc_id", "ts", "dur",
+      "n_tracks", "w", "h")
+    val meta = Multimodal.decodeVideoMeta(spark, mp4s, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).format == "mp4" && meta(1L).timescale == 600 &&
+      meta(1L).duration_ms == 5000L && meta(1L).n_tracks == 1 &&
+      meta(1L).width == 160 && meta(1L).height == 90)
+    assert(meta(2L).timescale == 1000 && meta(2L).duration_ms == 9000L &&
+      meta(2L).n_tracks == 3 && meta(2L).width == 320 &&
+      meta(2L).height == 240)
+    // payload is a genuine ISO-BMFF container (ftyp magic at offset 4)
+    val bytes = mp4s.collect().head.getAs[Array[Byte]]("payload")
+    assert(new String(bytes.slice(4, 8), "US-ASCII") == "ftyp")
+    // non-MP4 payloads take the stub fallback row, not an exception
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val fb = Multimodal.decodeVideoMeta(spark, junk, "doc_id", "payload")
+      .collect().head
+    assert(fb.format == "unknown" && fb.width == 3)
+    // a corrupt box size (< 8) must neither loop forever nor throw: the
+    // walk flags malformed and the row falls back
+    val corrupt = bytes.clone()
+    corrupt(20) = 0; corrupt(21) = 0; corrupt(22) = 0; corrupt(23) = 1
+    val cb = Multimodal.decodeVideoMeta(spark,
+        Seq((8L, corrupt)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().head
+    assert(cb.format == "unknown")
+  }
+
   test("multimodal: frameSample keeps every Nth frame with indices") {
     val frames = (0 until 10).map(i => Array[Byte](i.toByte)).toSeq
     val df = Seq((7L, frames)).toDF("vid_id", "frames")
