@@ -62,11 +62,24 @@ object Bench {
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val sfLabel = sfDir.split('/').last
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Capture conditions, stamped into BOTH artifacts so a number can
+    // never be quoted without them: system load average (background
+    // co-tenants historically inflated captures up to 5×) and the source
+    // commit (so README/bench/ can't silently fork from BENCH_r0N).
+    val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    val commit = try {
+      val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+      if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,}")) out else "unknown"
+    } catch { case _: Throwable => "unknown" }
+    val cond = s""""load_avg":${f(la)},"commit":"$commit""""
     // Full-name record for humans/the repo (committed per round).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullQs,"sf":"$sfLabel","errors":$errs}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$fullQs,"sf":"$sfLabel","errors":$errs,$cond}"""
     try {
       val dir = java.nio.file.Paths.get("bench")
       java.nio.file.Files.createDirectories(dir)
@@ -78,7 +91,7 @@ object Bench {
     // "[success]" line (~80 chars).
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","errors":$errs}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","errors":$errs,$cond}""")
     spark.stop()
   }
 }

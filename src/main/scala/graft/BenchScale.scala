@@ -24,10 +24,22 @@ object BenchScale {
   private val Probes = Seq("q25_percentiles", "q26_salted_join",
     "q31_multiset_ops", "q33_moment_stats", "sim5_ann_lsh")
 
+  /** `runMain graft.BenchScale K full` materializes an ALL-TABLE K×
+    * replica of SPARK_GRAFT_SF_DIR at /tmp/sf1.0 (consistent foreign-key
+    * remapping: every key column goes key·K+r on BOTH sides of each join,
+    * dims region/nation copied 1× as real TPC-H scaling does; document
+    * text is token-prefixed per replica so the dedup/similarity workload
+    * scales like a real corpus — constant dup RATE — instead of every doc
+    * gaining K near-identical copies and going quadratic by construction)
+    * and exits. Then run the FULL suite against it:
+    * `SPARK_GRAFT_SF_DIR=/tmp/sf1.0 runMain graft.Bench` →
+    * bench/BENCH_FULL-sf1.0.json — the past-fixture-scale capture that
+    * catches plan flips (broadcast→SMJ, AQE skew decisions). */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val k = args.headOption.map(_.toInt).getOrElse(10)
-    val outDir = s"/tmp/graft-scale-${k}x"
+    val full = args.length > 1 && args(1) == "full"
+    val outDir = if (full) "/tmp/sf1.0" else s"/tmp/graft-scale-${k}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,14 +52,18 @@ object BenchScale {
     def rep(df: DataFrame): DataFrame =
       df.withColumn("_r", explode(sequence(lit(0L), lit(k - 1L))))
 
-    rep(Tables.load(spark, sfDir, "lineitem"))
-      .withColumn("l_orderkey", col("l_orderkey") * k + col("_r"))
-      .drop("_r")
-      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
-    rep(Tables.load(spark, sfDir, "orders"))
-      .withColumn("o_orderkey", col("o_orderkey") * k + col("_r"))
-      .drop("_r")
-      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    def remap(table: String, keyCols: String*): Unit = {
+      val scaled = keyCols.foldLeft(rep(Tables.load(spark, sfDir, table))) {
+        (df, c) => df.withColumn(c, col(c) * k + col("_r"))
+      }
+      scaled.drop("_r").write.mode("overwrite")
+        .parquet(s"$outDir/$table.parquet")
+    }
+
+    remap("lineitem", "l_orderkey" +:
+      (if (full) Seq("l_partkey", "l_suppkey") else Nil): _*)
+    remap("orders", "o_orderkey" +:
+      (if (full) Seq("o_custkey") else Nil): _*)
     val dims = 64
     rep(Tables.load(spark, sfDir, "embeddings"))
       .withColumn("vec_id", col("vec_id") * k + col("_r"))
@@ -57,6 +73,32 @@ object BenchScale {
           slice(col("embedding"), lit(1), col("_rot"))))
       .drop("_r", "_rot")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (full) {
+      // dims stay 1× (TPC-H scaling: region/nation are constant-size)
+      Seq("region", "nation").foreach { t =>
+        Tables.load(spark, sfDir, t).write.mode("overwrite")
+          .parquet(s"$outDir/$t.parquet")
+      }
+      remap("customer", "c_custkey")
+      remap("supplier", "s_suppkey")
+      remap("part", "p_partkey")
+      remap("events", "event_id", "user_id")
+      // decorrelate text per replica (prefix every token with the replica
+      // id): replicas share ZERO shingles, so the corpus keeps a constant
+      // dup rate as N grows — the real-corpus shape — instead of every
+      // doc gaining K near-copies and making dedup quadratic by fixture
+      // artifact
+      rep(Tables.load(spark, sfDir, "documents"))
+        .withColumn("doc_id", col("doc_id") * k + col("_r"))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), "\\s+"),
+            t => concat(col("_r"), lit("x"), t))))
+        .drop("_r")
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      println(s"BENCHSCALE full $k× fixture materialized at $outDir")
+      spark.stop()
+      return
+    }
 
     def timeQ(name: String, dir: String): Double = {
       val times = (1 to 2).map { _ =>

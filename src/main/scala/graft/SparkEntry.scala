@@ -33,4 +33,11 @@ object SparkEntry {
     * the same parquet tables. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap
+
+  /** Exact-value twins + relative error bounds for the spec-approximate
+    * sketch queries (see [[graft.queries.QueryPack.boundedOracles]]) —
+    * consumed by tools/check.py as a bounded-error gate where the hash
+    * compare is impossible by design. */
+  def boundedOracles: Map[String, (String, Double, Seq[String])] =
+    packs.flatMap(_.boundedOracles).toMap
 }

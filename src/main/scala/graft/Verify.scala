@@ -40,6 +40,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // exact-value twins + error bounds for the spec-approximate sketches —
+    // a SEPARATE file (the driver's oracle_sql.json parse is untouched);
+    // tools/check.py picks it up for the bounded-error gate.
+    val bounded = SparkEntry.boundedOracles
+      .map { case (k, (sql, rtol, keys)) =>
+        s"${q(k)}: {${q("sql")}: ${q(sql)}, ${q("rtol")}: $rtol, " +
+          s"${q("keys")}: ${keys.map(q).mkString("[", ",", "]")}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/bounded_oracles.json"), bounded)
     spark.stop()
   }
 }

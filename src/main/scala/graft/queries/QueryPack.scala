@@ -14,4 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** For queries that are APPROXIMATE BY SPEC (sketches — HLL, GK): an
+    * EXACT-value DuckDB twin, the relative error bound the sketch
+    * guarantees, and the row-identifying key columns (rows must be
+    * aligned by their EXACT keys — approximate cells can't participate
+    * in row ordering). The harness (tools/check.py) aligns rows on the
+    * keys and compares each numeric cell against the exact value within
+    * the bound — a real check where a hash compare is impossible by
+    * design and rows-only says nothing. Column names must match the
+    * Spark output. */
+  def boundedOracles: Map[String, (String, Double, Seq[String])] = Map.empty
 }

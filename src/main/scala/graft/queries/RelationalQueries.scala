@@ -545,6 +545,19 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"), sumExact($"o_totalprice").as("sum_price"))
     }))
 
+  /** q21 is approximate BY SPEC (HyperLogLog++, default rsd 0.05): the
+    * exact-distinct twin with a 3σ bound — the harness asserts every
+    * estimate lands within 15% of the exact count (exact_parts matches
+    * trivially), which is a real check where hash-compare is impossible. */
+  override def boundedOracles: Map[String, (String, Double, Seq[String])] = Map(
+    "q21_approx_distinct" -> ((
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS approx_parts,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS approx_orders
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin, 0.15,
+      Seq("l_returnflag"))))
+
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -37,6 +37,23 @@ object Sources {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
 
+  /** Bounded-ingest file source: stream a directory of files with
+    * `maxFilesPerTrigger` capping how many files each micro-batch admits —
+    * the file-source analog of Kafka's `maxOffsetsPerTrigger` and the
+    * ingest backpressure knob the 100 TB streaming story needs: without a
+    * bound, the FIRST micro-batch of a backfill (or any restart with a
+    * deep backlog) tries to fit the entire accumulated input, and state /
+    * shuffle sizing that held at steady state dies on the catch-up batch.
+    * With it, catch-up throughput is files-per-trigger × trigger cadence —
+    * bounded and predictable. */
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet",
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format(format).schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.load(path)
+  }
+
   /** K2 — JDBC sink config, env-var contract of the reference
     * (StreamJob.java:177-179). */
   case class JdbcConfig(url: String, user: String, password: String,

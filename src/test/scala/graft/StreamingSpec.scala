@@ -537,6 +537,41 @@ class StreamingSpec extends AnyFunSuite {
       "unrelated doc must not pair")
   }
 
+  test("bounded ingest: maxFilesPerTrigger caps every micro-batch of a backlog") {
+    // 6-file backlog, cap 2 files/trigger: the catch-up run must split
+    // into ≥3 micro-batches of ≤2 files' rows each — without the bound,
+    // batch 0 would swallow the whole backlog and any state/shuffle
+    // sizing that held at steady state dies on restart. This pins the
+    // knob end-to-end through the ingest pipeline (normalize → quality
+    // filter → dedup), not just the option string.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bounded-")
+      .toString
+    (0 until 6).foreach { i =>
+      (0 until 10).map { j =>
+        (i * 10L + j, s"document number $i $j with unique token payload",
+          new java.sql.Timestamp(1700000000000L + 1000L * (i * 10 + j)))
+      }.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val src = graft.sources.Sources.fileStream(spark, dir, schema,
+      maxFilesPerTrigger = Some(2))
+    val q = graft.streaming.Pipelines.ingestStream(src, "doc_id", "text", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bounded_ingest").start()
+    try {
+      q.processAllAvailable()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3,
+        s"backlog must split into ≥3 micro-batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 20),
+        s"a micro-batch exceeded the 2-file cap: " +
+          batches.map(_.numInputRows).mkString(","))
+      // nothing lost to the bounding: every unique doc arrives
+      assert(spark.table("bounded_ingest").count() == 60L)
+    } finally q.stop()
+  }
+
   test("verified streaming near-dup: signature collision with low true similarity rejected") {
     implicit val sc = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

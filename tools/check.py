@@ -41,12 +41,64 @@ def cell_eq(a, b):
     return a == b
 
 
+def check_bounded(con, spec, spark_cols, spark_rows):
+    """Bounded-error gate for spec-approximate sketches (HLL, GK): every
+    numeric cell must land within rtol of the exact-SQL twin's value;
+    non-numeric cells must match exactly."""
+    import decimal
+    rtol = spec["rtol"]
+    try:
+        duck = con.execute(spec["sql"])
+        duck_cols_raw = [d[0] for d in duck.description]
+        duck_rows_raw = duck.fetchall()
+    except Exception as e:
+        return f"DUCK-FAIL {e}"
+    duck_cols = sorted(duck_cols_raw)
+    if duck_cols != spark_cols:
+        return f"COLS spark={spark_cols} duck={duck_cols}"
+    idx = [duck_cols_raw.index(c) for c in duck_cols]
+    duck_rows = [tuple(r[i] for i in idx) for r in duck_rows_raw]
+    if len(duck_rows) != len(spark_rows):
+        return f"ROWS spark={len(spark_rows)} duck={len(duck_rows)}"
+
+    def num(v):
+        return (float(v)
+                if isinstance(v, (int, float, decimal.Decimal))
+                and not isinstance(v, bool) else None)
+
+    # align rows by their EXACT key columns — approximate cells must not
+    # participate in row ordering (engines estimate differently)
+    key_idx = [duck_cols.index(k) for k in spec["keys"]]
+
+    def by_key(rows):
+        return sorted(rows, key=lambda r: tuple(str(r[i]) for i in key_idx))
+
+    max_rel = 0.0
+    for sr, dr in zip(by_key(spark_rows), by_key(duck_rows)):
+        for c, a, b in zip(duck_cols, sr, dr):
+            fa, fb = num(a), num(b)
+            if fa is None or fb is None:
+                if a != b:
+                    return f"BOUND-VALUE {c}: {a!r} != {b!r}"
+                continue
+            rel = abs(fa - fb) / max(abs(fb), 1.0)
+            max_rel = max(max_rel, rel)
+            if rel > rtol:
+                return (f"BOUND-EXCEEDED {c}: spark={fa} exact={fb} "
+                        f"rel={rel:.4f} > rtol={rtol}")
+    return (f"BOUNDED-OK rows={len(spark_rows)} "
+            f"maxrel={max_rel:.4f} rtol={rtol}")
+
+
 def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     oracle = json.loads((OUT_DIR / "oracle_sql.json").read_text())
+    bounded_path = OUT_DIR / "bounded_oracles.json"
+    bounded = (json.loads(bounded_path.read_text())
+               if bounded_path.exists() else {})
     results = {}
     for qdir in sorted(OUT_DIR.iterdir()):
         if not qdir.is_dir():
@@ -61,7 +113,13 @@ def main():
         spark_rows = [tuple(row[c] for c in spark_cols)
                       for row in tbl.to_pylist()]
         if name not in oracle:
-            results[name] = f"NO-ORACLE rows={len(spark_rows)}"
+            if name in bounded:
+                # spec-approximate sketch: compare every numeric cell
+                # against the EXACT twin within the documented bound
+                results[name] = check_bounded(
+                    con, bounded[name], spark_cols, spark_rows)
+            else:
+                results[name] = f"NO-ORACLE rows={len(spark_rows)}"
             continue
         try:
             duck = con.execute(oracle[name])
@@ -96,15 +154,18 @@ def main():
         else:
             results[name] = f"OK rows={len(spark_rows)}"
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_bounded = sum(1 for v in results.values()
+                    if v.startswith("BOUNDED-OK"))
     n_rows_only = sum(1 for v in results.values()
                       if v.startswith("NO-ORACLE"))
     for k in sorted(results):
-        mark = "✓" if results[k].startswith("OK") else (
-            "○" if results[k].startswith("NO-ORACLE") else "✗")
-        print(f"{mark} {k}: {results[k]}")
-    n_fail = len(results) - n_ok - n_rows_only
-    print(f"\n{n_ok} OK, {n_rows_only} rows-only, {n_fail} FAIL "
-          f"of {len(results)}")
+        v = results[k]
+        mark = ("✓" if v.startswith("OK") or v.startswith("BOUNDED-OK")
+                else "○" if v.startswith("NO-ORACLE") else "✗")
+        print(f"{mark} {k}: {v}")
+    n_fail = len(results) - n_ok - n_bounded - n_rows_only
+    print(f"\n{n_ok} OK, {n_bounded} bounded-ok, {n_rows_only} rows-only, "
+          f"{n_fail} FAIL of {len(results)}")
     sys.exit(1 if n_fail else 0)
 
 
