@@ -49,6 +49,14 @@ object BenchScale {
     spark.sparkContext.setLogLevel("WARN")
     import graft.core.Tables
 
+    // the 1× fixtures are single parquet files; a K× replica written
+    // straight back would still be ONE file ⇒ one scan partition, and
+    // every narrow CPU-heavy stage above it runs single-threaded — the
+    // exact trap the bench exists to catch, but as a fixture artifact,
+    // not a plan property. A real K×-sized table is many files/row
+    // groups, so spread the writes to the session parallelism.
+    val outParts = spark.sessionState.conf.numShufflePartitions
+
     def rep(df: DataFrame): DataFrame =
       df.withColumn("_r", explode(sequence(lit(0L), lit(k - 1L))))
 
@@ -56,7 +64,7 @@ object BenchScale {
       val scaled = keyCols.foldLeft(rep(Tables.load(spark, sfDir, table))) {
         (df, c) => df.withColumn(c, col(c) * k + col("_r"))
       }
-      scaled.drop("_r").write.mode("overwrite")
+      scaled.drop("_r").repartition(outParts).write.mode("overwrite")
         .parquet(s"$outDir/$table.parquet")
     }
 
@@ -72,6 +80,7 @@ object BenchScale {
         concat(slice(col("embedding"), col("_rot") + 1, lit(dims) - col("_rot")),
           slice(col("embedding"), lit(1), col("_rot"))))
       .drop("_r", "_rot")
+      .repartition(outParts)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     if (full) {
       // dims stay 1× (TPC-H scaling: region/nation are constant-size)
@@ -82,7 +91,17 @@ object BenchScale {
       remap("customer", "c_custkey")
       remap("supplier", "s_suppkey")
       remap("part", "p_partkey")
-      remap("events", "event_id", "user_id")
+      // events.ts must round-trip back to the fixture's nanos-long
+      // encoding: Tables.load always applies `ts div 1000` on a raw LONG
+      // column, so writing the loader's converted TimestampType back
+      // would break every events query at read time
+      rep(Tables.load(spark, sfDir, "events"))
+        .withColumn("event_id", col("event_id") * k + col("_r"))
+        .withColumn("user_id", col("user_id") * k + col("_r"))
+        .withColumn("ts", unix_micros(col("ts")) * 1000L)
+        .drop("_r")
+        .repartition(outParts)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
       // decorrelate text per replica (prefix every token with the replica
       // id): replicas share ZERO shingles, so the corpus keeps a constant
       // dup rate as N grows — the real-corpus shape — instead of every
@@ -94,6 +113,7 @@ object BenchScale {
           transform(split(col("text"), "\\s+"),
             t => concat(col("_r"), lit("x"), t))))
         .drop("_r")
+        .repartition(outParts)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
       println(s"BENCHSCALE full $k× fixture materialized at $outDir")
       spark.stop()
