@@ -18,6 +18,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // sample load BEFORE any Spark work: the 1-min average taken at the
+    // end of a 32-thread run mostly measures the bench itself; taken here
+    // it measures the co-tenant load that historically skewed captures.
+    val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -63,11 +68,10 @@ object Bench {
     val sfLabel = sfDir.split('/').last
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Capture conditions, stamped into BOTH artifacts so a number can
-    // never be quoted without them: system load average (background
-    // co-tenants historically inflated captures up to 5×) and the source
-    // commit (so README/bench/ can't silently fork from BENCH_r0N).
-    val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .getSystemLoadAverage
+    // never be quoted without them: pre-run system load average
+    // (background co-tenants historically inflated captures up to 5×)
+    // and the source commit (so README/bench/ can't silently fork from
+    // BENCH_r0N).
     val commit = try {
       val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD")
         .redirectErrorStream(true).start()
