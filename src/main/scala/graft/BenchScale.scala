@@ -39,6 +39,11 @@ object BenchScale {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val full = args.length > 1 && args(1) == "full"
+    // the /tmp/sf1.0 name flows into Bench's sf label and the committed
+    // BENCH_FULL-sf1.0.json artifact — a K≠10 replica under that name
+    // would be a silently mislabeled capture
+    require(!full || k == 10,
+      s"full mode materializes the sf1.0 fixture (10× sf0.1); got K=$k")
     val outDir = if (full) "/tmp/sf1.0" else s"/tmp/graft-scale-${k}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

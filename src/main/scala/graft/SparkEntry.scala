@@ -38,6 +38,6 @@ object SparkEntry {
     * sketch queries (see [[graft.queries.QueryPack.boundedOracles]]) —
     * consumed by tools/check.py as a bounded-error gate where the hash
     * compare is impossible by design. */
-  def boundedOracles: Map[String, (String, Double, Seq[String])] =
+  def boundedOracles: Map[String, (String, Double, Seq[String], Seq[String])] =
     packs.flatMap(_.boundedOracles).toMap
 }

@@ -44,9 +44,10 @@ object Verify {
     // a SEPARATE file (the driver's oracle_sql.json parse is untouched);
     // tools/check.py picks it up for the bounded-error gate.
     val bounded = SparkEntry.boundedOracles
-      .map { case (k, (sql, rtol, keys)) =>
+      .map { case (k, (sql, rtol, keys, exactCols)) =>
         s"${q(k)}: {${q("sql")}: ${q(sql)}, ${q("rtol")}: $rtol, " +
-          s"${q("keys")}: ${keys.map(q).mkString("[", ",", "]")}}" }
+          s"${q("keys")}: ${keys.map(q).mkString("[", ",", "]")}, " +
+          s"${q("exact_cols")}: ${exactCols.map(q).mkString("[", ",", "]")}}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/bounded_oracles.json"), bounded)
     spark.stop()

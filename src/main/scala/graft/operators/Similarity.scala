@@ -137,7 +137,13 @@ object Similarity {
     * the squared norm, then signs packed to a long. */
   def signatures(vecs: DataFrame, idCol: String, vecCol: String,
                  planes: Int, dims: Int): DataFrame = {
-    val ex = vecs.select(col(idCol).as("id"),
+    // repartition before the explode: a single-file parquet corpus scans
+    // as ONE task, and the planes× projection sums — the dominant CPU of
+    // the signature build — would run single-threaded above it (same
+    // spread-before-CPU rule as Dedup.shingles); on a multi-file cluster
+    // layout the exchange is ~free relative to the agg it parallelizes.
+    val ex = vecs.repartition(col(idCol))
+      .select(col(idCol).as("id"),
         posexplode(col(vecCol)).as(Seq("dim", "xf")))
       .select(col("id"), col("dim").cast("long").as("dim"),
         col("xf").cast("double").as("x"))

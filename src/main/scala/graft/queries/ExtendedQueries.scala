@@ -358,8 +358,10 @@ object ExtendedQueries extends QueryPack {
   /** q45 is approximate BY SPEC (Greenwald–Khanna at accuracy 10000 ⇒
     * rank error ≤ N/10000, a handful of ranks at fixture scale): the
     * exact-percentile twin (quantile_disc — GK returns genuine data
-    * elements, like disc and unlike cont) with a 5% value bound. */
-  override def boundedOracles: Map[String, (String, Double, Seq[String])] = Map(
+    * elements, like disc and unlike cont) with a 5% value bound; the
+    * cnt control column (a plain count) must match cell-identical. */
+  override def boundedOracles
+      : Map[String, (String, Double, Seq[String], Seq[String])] = Map(
     "q45_approx_percentile" -> ((
       """SELECT l_returnflag,
         |  CAST(quantile_disc(l_extendedprice, 0.25) AS DOUBLE) AS p25,
@@ -367,7 +369,7 @@ object ExtendedQueries extends QueryPack {
         |  CAST(quantile_disc(l_extendedprice, 0.75) AS DOUBLE) AS p75,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin, 0.05,
-      Seq("l_returnflag"))))
+      Seq("l_returnflag"), Seq("cnt"))))
 
   def oracles: Map[String, String] = Map(
     "q53_edit_distance" ->

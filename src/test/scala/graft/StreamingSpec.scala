@@ -618,6 +618,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(!pairs.contains((2L, 3L)), "disjoint pair must be rejected")
   }
 
+  test("bucket cap closes the bucket: over-cap arrivals emit nothing, redelivery idempotent") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // cap=1: doc 1 fills the bucket; doc 2 (a perfect match on both
+    // signature AND content) must emit NOTHING — an at-cap arrival is
+    // neither stored nor compared (the batch annLsh membership-cap
+    // semantics). Emitting without storing would also re-emit the same
+    // pairs on every at-least-once redelivery, which the repeated
+    // delivery of doc 2 below would expose.
+    val sig = Seq(7L, 8L)
+    val sh = Seq(1L, 2L, 3L)
+    val mem = MemoryStream[(String, Long, Seq[Long], Seq[Long])]
+    val q = graft.streaming.StreamingDedup.verifiedText(spark,
+        mem.toDF().toDF("bucket_key", "doc", "sig", "shh"),
+        maxPerBucket = 1, ttl = org.apache.spark.sql.streaming.TTLConfig.NONE,
+        jaccardThreshold = 0.5)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_capped").start()
+    try {
+      mem.addData(Seq(("0:b", 1L, sig, sh)))
+      q.processAllAvailable()
+      mem.addData(Seq(("0:b", 2L, sig, sh)))
+      q.processAllAvailable()
+      mem.addData(Seq(("0:b", 2L, sig, sh))) // redelivery of the over-cap doc
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    assert(spark.table("stream_capped").count() == 0L,
+      "a full bucket must admit and emit nothing")
+  }
+
   test("verified streaming embedding near-dup: exact cosine gates emission end-to-end") {
     implicit val sc = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

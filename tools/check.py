@@ -56,6 +56,12 @@ def check_bounded(con, spec, spark_cols, spark_rows):
     duck_cols = sorted(duck_cols_raw)
     if duck_cols != spark_cols:
         return f"COLS spark={spark_cols} duck={duck_cols}"
+    # a typo'd key / exact_cols entry must fail THIS query, not abort
+    # the whole gate with a ValueError traceback
+    missing = [k for k in list(spec["keys"]) + list(spec.get("exact_cols", []))
+               if k not in duck_cols]
+    if missing:
+        return f"BOUND-BADSPEC columns not in output: {missing}"
     idx = [duck_cols_raw.index(c) for c in duck_cols]
     duck_rows = [tuple(r[i] for i in idx) for r in duck_rows_raw]
     if len(duck_rows) != len(spark_rows):
@@ -69,6 +75,8 @@ def check_bounded(con, spec, spark_cols, spark_rows):
     # align rows by their EXACT key columns — approximate cells must not
     # participate in row ordering (engines estimate differently)
     key_idx = [duck_cols.index(k) for k in spec["keys"]]
+    # exact-aggregate control columns must NOT inherit the sketch's slack
+    exact_cols = set(spec.get("exact_cols", []))
 
     def by_key(rows):
         return sorted(rows, key=lambda r: tuple(str(r[i]) for i in key_idx))
@@ -80,6 +88,10 @@ def check_bounded(con, spec, spark_cols, spark_rows):
             if fa is None or fb is None:
                 if a != b:
                     return f"BOUND-VALUE {c}: {a!r} != {b!r}"
+                continue
+            if c in exact_cols:
+                if fa != fb:
+                    return f"BOUND-EXACTCOL {c}: spark={fa} != exact={fb}"
                 continue
             rel = abs(fa - fb) / max(abs(fb), 1.0)
             max_rel = max(max_rel, rel)
