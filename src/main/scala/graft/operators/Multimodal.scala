@@ -560,6 +560,111 @@ object Multimodal {
       }.toDF(idCol, "payload")
   }
 
+  /** Typed metadata of an AVI payload. */
+  case class AviMeta(doc_id: Long, format: String, frame_us: Long,
+                     n_frames: Long, n_streams: Int, width: Int,
+                     height: Int, duration_ms: Long)
+
+  /** REAL AVI (RIFF) container metadata decode — the second RIFF walker
+    * next to [[decodeWavMeta]], little-endian, O(header), loop-guarded:
+    * `RIFF…AVI ` → `LIST hdrl` → `avih` main header (µs/frame, total
+    * frames, stream count, dims). Returns None for non-AVI or malformed
+    * payloads. */
+  def decodeAviMeta(id: Long, bytes: Array[Byte]): Option[AviMeta] = {
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    try {
+      if (bytes == null || bytes.length < 24 || tag(0) != "RIFF" ||
+        tag(8) != "AVI ") None
+      else {
+        var off = 12
+        var meta: Option[AviMeta] = None
+        var malformed = false
+        while (!malformed && meta.isEmpty && off + 8 <= bytes.length) {
+          val id4 = tag(off); val len = u32(off + 4)
+          if (id4 == "LIST" && off + 12 <= bytes.length &&
+            tag(off + 8) == "hdrl") {
+            // walk the hdrl list for the avih main header
+            var o = off + 12
+            val listEnd = math.min(bytes.length.toLong, off + 8 + len).toInt
+            while (!malformed && meta.isEmpty && o + 8 <= listEnd) {
+              val cid = tag(o); val clen = u32(o + 4)
+              if (cid == "avih" && clen >= 40 && o + 8 + 40 <= listEnd) {
+                val frameUs = u32(o + 8)
+                val nFrames = u32(o + 8 + 16)
+                val nStreams = u32(o + 8 + 24).toInt
+                val w = u32(o + 8 + 32).toInt
+                val h = u32(o + 8 + 36).toInt
+                if (frameUs > 0)
+                  meta = Some(AviMeta(id, "avi", frameUs, nFrames, nStreams,
+                    w, h, frameUs * nFrames / 1000L))
+              }
+              val adv = 8 + clen.toInt + (clen.toInt & 1)
+              if (adv <= 0) malformed = true else o += adv
+            }
+          }
+          val advance = 8 + len.toInt + (len.toInt & 1)
+          if (advance <= 0) malformed = true else off += advance
+        }
+        if (malformed) None else meta
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic minimal-AVI rendering: (id, µs/frame, frames,
+    * streams, w, h) → a real `RIFF(AVI  LIST(hdrl avih))` container for
+    * exercising [[decodeAviMeta]] on genuine bytes. */
+  def renderAvi(spark: SparkSession, df: DataFrame, idCol: String,
+                frameUsCol: String, nFramesCol: String, nStreamsCol: String,
+                wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(frameUsCol).cast("long"),
+        col(nFramesCol).cast("long"), col(nStreamsCol).cast("int"),
+        col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Long, Long, Int, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, frameUs, nFrames, nStreams, w, h) =>
+          val avihLen = 56
+          val hdrlLen = 4 + 8 + avihLen       // "hdrl" + avih chunk
+          val riffLen = 4 + 8 + hdrlLen       // "AVI " + LIST chunk
+          val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+            .put("AVI ".getBytes("US-ASCII"))
+          bb.put("LIST".getBytes("US-ASCII")).putInt(hdrlLen)
+            .put("hdrl".getBytes("US-ASCII"))
+          bb.put("avih".getBytes("US-ASCII")).putInt(avihLen)
+            .putInt(frameUs.toInt)  // dwMicroSecPerFrame
+            .putInt(0).putInt(0).putInt(0)
+            .putInt(nFrames.toInt)  // dwTotalFrames
+            .putInt(0)
+            .putInt(nStreams)       // dwStreams
+            .putInt(0)
+            .putInt(w).putInt(h)    // dwWidth / dwHeight
+            .putInt(0).putInt(0).putInt(0).putInt(0)
+          (id, bb.array())
+        }
+      }.toDF(idCol, "payload")
+  }
+
+  /** AVI decode operator with the standard stub-fallback totality
+    * contract (see [[decodeVideoMeta]]). */
+  def decodeAviMetaOp(spark: SparkSession, df: DataFrame, idCol: String,
+                      binCol: String): Dataset[AviMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeAviMeta(id, bytes).getOrElse {
+            val n = if (bytes == null) 0 else bytes.length
+            AviMeta(id, "unknown", 0L, 0L, 0, n, 0, 0L)
+          }
+        }
+      }
+  }
+
   /** Video-container decode operator: MP4 payloads → typed metadata via
     * the real box-walk parser; non-MP4 payloads fall back to a
     * deterministic stub row so the operator stays total over a mixed

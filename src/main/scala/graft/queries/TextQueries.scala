@@ -218,6 +218,24 @@ object TextQueries extends QueryPack {
           $"n_tracks", $"width", $"height")
     }),
 
+    // REAL AVI decode round trip: the second RIFF walker (LIST hdrl →
+    // avih main header), fields derived from fixture columns; oracle
+    // computes everything arithmetically like mm4/mm6.
+    "mm7_avi_meta" -> ((s, dir) => {
+      import s.implicits._
+      val withAvi = docs(s, dir).select($"doc_id",
+        (lit(10000) + ($"doc_id" % 50) * 1000).cast("long").as("frame_us"),
+        (lit(100) + $"doc_id" % 900).cast("long").as("n_frames"),
+        (lit(1) + $"doc_id" % 2).cast("int").as("n_streams"),
+        (lit(320) + ($"doc_id" % 4) * 160).cast("int").as("w"),
+        (lit(240) + ($"doc_id" % 3) * 120).cast("int").as("h"))
+      val avis = Multimodal.renderAvi(s, graft.core.Tables.spread(withAvi),
+        "doc_id", "frame_us", "n_frames", "n_streams", "w", "h")
+      Multimodal.decodeAviMetaOp(s, avis, "doc_id", "payload")
+        .select($"doc_id", $"format", $"frame_us", $"n_frames",
+          $"n_streams", $"width", $"height", $"duration_ms")
+    }),
+
     // near-dup clustering: connected components over the exact-Jaccard
     // pair graph (min-label propagation; oracle = recursive-CTE closure).
     "dd3_cluster" -> ((s, dir) =>
@@ -409,6 +427,16 @@ object TextQueries extends QueryPack {
         |  CAST((100 + doc_id % 400) * 1000 //
         |    (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END) AS BIGINT)
         |    AS duration_ms
+        |FROM documents""".stripMargin,
+    "mm7_avi_meta" ->
+      """SELECT doc_id, 'avi' AS format,
+        |  CAST(10000 + (doc_id % 50) * 1000 AS BIGINT) AS frame_us,
+        |  CAST(100 + doc_id % 900 AS BIGINT) AS n_frames,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS n_streams,
+        |  CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS width,
+        |  CAST(240 + (doc_id % 3) * 120 AS INTEGER) AS height,
+        |  CAST((10000 + (doc_id % 50) * 1000) * (100 + doc_id % 900)
+        |    // 1000 AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
     "mm6_mp4_meta" ->
       """SELECT doc_id, 'mp4' AS format,

@@ -43,9 +43,12 @@ object StreamingDedup {
 
   /** A candidate that PASSED exact verification: `sig_agree` is the
     * sketch estimate that generated it, `sim` the exact similarity
-    * (Jaccard for text, cosine for embeddings) that confirmed it. */
+    * (Jaccard for text, cosine for embeddings) that confirmed it, and
+    * `dup_doc` the member that arrived LATER — under keep-first ingest
+    * semantics this is the drop decision, directly consumable by a
+    * downstream filter (the stored earlier arrival stays). */
   case class VerifiedPair(doc_a: Long, doc_b: Long, sig_agree: Double,
-                          sim: Double)
+                          sim: Double, dup_doc: Long)
 
   /** THE bucket processor — the unverified candidate index is the
     * trivial-payload / always-pass instance of it, so the bucket
@@ -96,7 +99,7 @@ object StreamingDedup {
             val sim = exactSim(m.payload, payload)
             if (sim >= threshold)
               out += VerifiedPair(math.min(m.doc, doc), math.max(m.doc, doc),
-                agree, sim)
+                agree, sim, dup_doc = doc)
           }
           val m = VMember(doc, sig, payload)
           members.appendValue(m)

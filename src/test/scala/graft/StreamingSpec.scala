@@ -616,6 +616,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 3L)), s"true near-dup missed: $pairs")
     assert(math.abs(pairs((1L, 3L)) - 9.0 / 11.0) < 1e-12)
     assert(!pairs.contains((2L, 3L)), "disjoint pair must be rejected")
+    // keep-first drop decision: the LATER arrival is the duplicate
+    val dup = spark.table("stream_verified").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(dup((1L, 3L)) == 3L, "dup_doc must be the later arrival")
   }
 
   test("bucket cap closes the bucket: over-cap arrivals emit nothing, redelivery idempotent") {

@@ -160,6 +160,40 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(cb.format == "unknown")
   }
 
+  test("multimodal: AVI render → RIFF hdrl decode round trip; corrupt falls back") {
+    val df = Seq((1L, 33333L, 300L, 1, 640, 480), (2L, 16667L, 1200L, 2, 1920, 1080))
+      .toDF("doc_id", "frame_us", "n_frames", "n_streams", "w", "h")
+    val avis = Multimodal.renderAvi(spark, df, "doc_id", "frame_us",
+      "n_frames", "n_streams", "w", "h")
+    val meta = Multimodal.decodeAviMetaOp(spark, avis, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).format == "avi" && meta(1L).frame_us == 33333L &&
+      meta(1L).n_frames == 300L && meta(1L).n_streams == 1 &&
+      meta(1L).width == 640 && meta(1L).height == 480 &&
+      meta(1L).duration_ms == 33333L * 300L / 1000L)
+    assert(meta(2L).n_streams == 2 && meta(2L).width == 1920 &&
+      meta(2L).duration_ms == 20000L)
+    // genuine RIFF/AVI container; a WAV payload is NOT decoded as AVI
+    val bytes = avis.collect().head.getAs[Array[Byte]]("payload")
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+    val wav = Multimodal.renderWav(spark,
+        Seq((3L, 100, 8000)).toDF("doc_id", "n", "rate"),
+      "doc_id", "n", "rate")
+    val cross = Multimodal.decodeAviMetaOp(spark, wav, "doc_id", "payload")
+      .collect().head
+    assert(cross.format == "unknown")
+    // corrupt avih chunk length (negative advance): the loop guard must
+    // flag malformed instead of spinning, and the row falls back
+    val corrupt = bytes.clone()
+    corrupt(28) = 0xF0.toByte; corrupt(29) = -1; corrupt(30) = -1
+    corrupt(31) = -1
+    val cb = Multimodal.decodeAviMetaOp(spark,
+        Seq((8L, corrupt)).toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().head
+    assert(cb.format == "unknown")
+  }
+
   test("multimodal: frameSample keeps every Nth frame with indices") {
     val frames = (0 until 10).map(i => Array[Byte](i.toByte)).toSeq
     val df = Seq((7L, frames)).toDF("vid_id", "frames")
