@@ -268,8 +268,10 @@ object Similarity {
     * operator is DuckDB-oracle-able (unlike the hash-based [[annLsh]]).
     */
   def ivfProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
-               vecCol: String, labelCol: String, k: Int): DataFrame = {
+               vecCol: String, labelCol: String, k: Int,
+               nprobe: Int = 1): DataFrame = {
     import graft.functions.ExactNum
+    require(nprobe >= 1)
     val cent = labelCentroids(corpus, labelCol, vecCol)
       .select(col("label"), col("dim"), col("centroid"))
     val qe = queries.select(col(idCol).as("query_id"),
@@ -278,11 +280,17 @@ object Similarity {
         col("qv").cast("double").as("qv"))
     val wAssign = Window.partitionBy(col("query_id"))
       .orderBy(col("cdot").desc, col("label").asc)
+    // nprobe > 1 is the standard IVF recall knob: probe the top-n
+    // clusters by centroid dot product — each query scans nprobe/L of
+    // the corpus, and a true neighbor just across a Voronoi boundary
+    // (the nprobe=1 failure mode) is recovered. A neighbor belongs to
+    // exactly one cluster, so the probed union is duplicate-free and
+    // the final top-k window needs no dedup.
     val assign = qe.join(broadcast(cent), "dim")
       .groupBy(col("query_id"), col("label"))
       .agg(ExactNum.sumExact(col("qv") * col("centroid")).as("cdot"))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("label"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       normSeq(col(vecCol)).as("q_norm"))

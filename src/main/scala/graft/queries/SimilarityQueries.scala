@@ -83,6 +83,17 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       Similarity.ivfProbe(e, e.filter($"vec_id" % 40 === 0), "vec_id",
         "embedding", "label", 5)
+    }),
+
+    // IVF probe with nprobe=2 — the recall knob: scanning the top-2
+    // clusters recovers true neighbors sitting just across a Voronoi
+    // boundary at 2/L of the corpus per query. Same exact-decimal
+    // arithmetic, so the widened probe stays fully oracle-checked.
+    "sim8_ivf_nprobe" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      Similarity.ivfProbe(e, e.filter($"vec_id" % 40 === 0), "vec_id",
+        "embedding", "label", 5, nprobe = 2)
     }))
 
   /** sim5's DuckDB twin, mirroring Similarity.annLsh(planes=48, bands=4,
@@ -202,7 +213,13 @@ object SimilarityQueries extends QueryPack {
       s"""SELECT vec_id, label,
          |  sqrt(${dotSql("embedding", "embedding")}) AS l2_norm
          |FROM embeddings""".stripMargin,
-    "sim6_ivf_probe" ->
+    "sim6_ivf_probe" -> ivfSql(1),
+    "sim8_ivf_nprobe" -> ivfSql(2))
+
+  /** sim6/sim8's DuckDB twin: same two-stage IVF (exact-decimal centroid
+    * dots → top-`nprobe` cluster assignment → exact cosine top-k over
+    * the probed union). */
+  private def ivfSql(nprobe: Int): String =
       s"""WITH cent AS (
          |  SELECT label, CAST(i AS BIGINT) AS dim,
          |    ${sumExactSql("CAST(embedding[i] AS DOUBLE)")} / count(embedding[i]) AS centroid
@@ -226,7 +243,7 @@ object SimilarityQueries extends QueryPack {
          |      row_number() OVER (PARTITION BY query_id
          |        ORDER BY ${sumExactSql("qv * centroid")} DESC, label) AS rn
          |    FROM qe JOIN cent USING (dim)
-         |    GROUP BY query_id, label) WHERE rn = 1
+         |    GROUP BY query_id, label) WHERE rn <= $nprobe
          |), nc AS (
          |  SELECT label, vec_id AS neighbor_id, embedding AS c_vec,
          |    sqrt(${dotSql("embedding", "embedding")}) AS c_norm
@@ -242,5 +259,5 @@ object SimilarityQueries extends QueryPack {
          |  FROM assign a
          |  JOIN qv ON qv.query_id = a.query_id
          |  JOIN nc ON nc.label = a.label AND nc.neighbor_id <> a.query_id)
-         |WHERE rank <= 5""".stripMargin)
+         |WHERE rank <= 5""".stripMargin
 }

@@ -102,6 +102,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.contains((0L, 1L)), "planted near-dup pair must survive the cap")
   }
 
+  test("ivfProbe nprobe=2 recovers the true neighbor across a Voronoi boundary") {
+    // query q sits in cluster A's Voronoi cell (A's centroid is tight on
+    // axis0; B's centroid is diluted by spread members), but its TRUE
+    // nearest neighbor is a B member — the canonical nprobe=1 miss.
+    val labeled = Seq(
+      (0L, 0, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, 1, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, 1, Seq(0.9f, 0.43f, 0.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val q = Seq((99L, Seq(0.95f, 0.31f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    def top1(nprobe: Int): Long =
+      Similarity.ivfProbe(labeled, q, "vec_id", "embedding", "label", 2,
+          nprobe = nprobe)
+        .filter(col("rank") === 1).collect().head.getAs[Long]("neighbor_id")
+    assert(top1(1) != 3L, "fixture must make nprobe=1 miss the true NN")
+    assert(top1(2) == 3L, "nprobe=2 must recover the cross-boundary NN")
+  }
+
   test("ivfProbe assigns the nearest centroid and ranks within the cluster") {
     // two well-separated clusters along orthogonal axes; the planted
     // near-dup pair (0,1) sits in cluster A.
