@@ -150,6 +150,60 @@ object PipelineQueries extends QueryPack {
       surviving.withColumn("cum", sum($"n_tok").over(w))
         .groupBy($"lang", floor(($"cum" - 1) / 512.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
+    }),
+
+    // sliding-window document chunking with overlap (size 32, stride 24 —
+    // the RAG / pretraining context chunker): chunk k covers token
+    // positions [24k+1, 24k+32]; the chunk count ceil-covers the tail so
+    // no token is dropped. Narrow per-row work (one token array, one
+    // explode ~n_tok/24 rows per doc) — no shuffle; the integer chunk
+    // arithmetic is engine-portable.
+    "pl9_chunk_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.spread(Tables.load(s, dir, "documents"))
+        .withColumn("_toks", TextFunctions.tokens($"text"))
+        .select($"doc_id", $"_toks",
+          size($"_toks").cast("long").as("n_tok"))
+        .filter($"n_tok" > 0)
+      base
+        .withColumn("n_chunks",
+          (floor((greatest($"n_tok" - 32L, lit(0L)) + 23L) / 24.0) + 1L)
+            .cast("long"))
+        .select($"doc_id", $"_toks", $"n_tok",
+          explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_id"))
+        .select($"doc_id", $"chunk_id",
+          least(lit(32L), $"n_tok" - $"chunk_id" * 24L).as("n_chunk_tok"),
+          concat_ws(" ",
+            slice($"_toks", ($"chunk_id" * 24L + 1L).cast("int"), lit(32)))
+            .as("chunk_text"))
+    }),
+
+    // weighted dataset mixing by source (the Dolma/SlimPajama composition
+    // pass): each source gets a target weight in {0.5, 1.0, 1.5, 2.0}
+    // (derived from its id); every doc is emitted floor(w) times plus one
+    // more for a deterministic hash-fraction of docs — i.e. up/downsampling
+    // with EPOCH numbers, retry-safe (no rand()). The mixed set is actually
+    // materialized (explode over the copy count) then audited per source.
+    // Integer-only arithmetic (w2 = 2w avoids double weights); narrow
+    // explode ≤2× then one partial-agg'd shuffle on source.
+    "pl10_source_mix" -> ((s, dir) => {
+      import s.implicits._
+      val w2 = substring($"source", 4, 10).cast("int") % 4 + 1 // 2×weight
+      val h = pmod($"doc_id" * 2654435761L, lit(100L))
+      val copies = (w2.cast("long") / lit(2L)).cast("long") +
+        when(h < (w2.cast("long") % 2L) * 50L, 1L).otherwise(0L)
+      val mixed = Tables.load(s, dir, "documents")
+        .withColumn("copies", copies)
+        .select($"doc_id", $"source", $"copies",
+          // sequence(1, 0) is DESCENDING — guard the zero-copy case and
+          // keep dropped docs visible through explode_outer's null epoch
+          explode_outer(when($"copies" > 0L,
+            sequence(lit(1L), $"copies"))).as("epoch"))
+      mixed.groupBy($"source")
+        .agg(
+          countDistinct($"doc_id").as("n_docs"),
+          count($"epoch").as("n_emitted"),
+          countDistinct(when($"epoch".isNotNull, $"doc_id")).as("n_kept"))
     }))
 
   /** pl8's DuckDB twin: the same four stages as the Spark side, chained
@@ -189,6 +243,44 @@ object PipelineQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "pl9_chunk_overlap" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+        |), base AS (
+        |  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n_tok
+        |  FROM tok WHERE len(ts) > 0
+        |), ch AS (
+        |  SELECT doc_id, ts, n_tok,
+        |    unnest(generate_series(0,
+        |      CAST(floor((greatest(n_tok - 32, 0) + 23) / 24.0) AS BIGINT)))
+        |      AS chunk_id
+        |  FROM base
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  least(32, n_tok - chunk_id * 24) AS n_chunk_tok,
+        |  array_to_string(ts[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')
+        |    AS chunk_text
+        |FROM ch""".stripMargin,
+    "pl10_source_mix" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    (CAST(substr(source, 4) AS INTEGER) % 4 + 1) // 2
+        |      + CASE WHEN (doc_id * 2654435761) % 100 <
+        |               ((CAST(substr(source, 4) AS INTEGER) % 4 + 1) % 2) * 50
+        |             THEN 1 ELSE 0 END AS copies
+        |  FROM documents
+        |), mixed AS (
+        |  SELECT doc_id, source,
+        |    unnest(CASE WHEN copies > 0 THEN generate_series(1, copies)
+        |                ELSE [NULL] END) AS epoch
+        |  FROM c
+        |)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(epoch) AS BIGINT) AS n_emitted,
+        |  CAST(count(DISTINCT CASE WHEN epoch IS NOT NULL THEN doc_id END)
+        |    AS BIGINT) AS n_kept
+        |FROM mixed GROUP BY source""".stripMargin,
     "pl8_ingest_pipeline" -> pl8Sql,
     "pl1_quantize_int8" ->
       """SELECT vec_id,

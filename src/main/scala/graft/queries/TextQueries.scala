@@ -286,7 +286,133 @@ object TextQueries extends QueryPack {
     "tx7_normalize" -> ((s, dir) => {
       import s.implicits._
       docs(s, dir).select($"doc_id", normalizeText($"text").as("norm_text"))
+    }),
+
+    // Gopher-style repetition/quality rules (Rae et al. 2021 §A1.1): per
+    // doc, the fraction of tokens taken by the single most frequent token,
+    // the fraction of bigrams taken by the most frequent bigram, and the
+    // mean word length; a doc is kept only inside the thresholds. The
+    // rules the paper keys on symbols/alpha-words are vacuous on this
+    // all-alpha fixture and omitted rather than faked. Shape: two
+    // partial-agg'd hash shuffles on (doc, token) / (doc, bigram) — the
+    // per-doc re-aggregation is a map-side combine at scale; everything
+    // else is narrow. Thresholds split the sf0.01 fixture 396 keep / 104
+    // drop, so both branches are genuinely exercised.
+    "tx9_gopher_filter" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.core.Tables.spread(docs(s, dir))
+        .withColumn("_toks", tokens($"text"))
+        .select($"doc_id", $"text", $"_toks",
+          size($"_toks").cast("long").as("n_tok"))
+        .filter($"n_tok" > 0)
+      val uni = base.select($"doc_id", explode($"_toks").as("t"))
+        .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_c"))
+      // sequence(1, n-1) is DESCENDING for n=1 — guard the bigram build
+      val bg = base
+        .select($"doc_id",
+          explode(when($"n_tok" >= 2,
+            transform(sequence(lit(1), size($"_toks") - 1),
+              i => concat(element_at($"_toks", i), lit(" "),
+                element_at($"_toks", i + 1)))).otherwise(array()))
+            .as("b"))
+        .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_bc"), sum($"c").as("n_bg"))
+      base
+        .join(uni, Seq("doc_id"), "left")
+        .join(bg, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tok",
+          coalesce($"top_c".cast("double") / $"n_tok", lit(0.0))
+            .as("top_token_ratio"),
+          coalesce($"top_bc".cast("double") / $"n_bg", lit(0.0))
+            .as("top_bigram_ratio"),
+          (length(translate($"text", " ", "")).cast("double") / $"n_tok")
+            .as("mean_word_len"))
+        .withColumn("keep",
+          $"top_token_ratio" <= 0.12 && $"top_bigram_ratio" <= 0.08 &&
+            $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+            $"n_tok" >= 20L)
+    }),
+
+    // benchmark-contamination check (the decontamination pass before a
+    // corpus ships): a deterministic slice of the corpus (doc_id % 29 = 0)
+    // stands in for the eval benchmark; every doc is scored by how many of
+    // its distinct 4-gram shingles appear in the benchmark's shingle set.
+    // Shape: the benchmark side is tiny relative to the corpus (as real
+    // benchmarks are vs 100 TB), so it broadcasts — the corpus-side gram
+    // table never shuffles; one broadcast left join + one per-doc hash agg
+    // counting (grams, hits) in a single pass over the gram table.
+    "tx10_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.core.Tables.spread(docs(s, dir))
+        .withColumn("_toks", tokens($"text"))
+        .select($"doc_id", $"_toks", size($"_toks").cast("long").as("n"))
+      val grams = base
+        .select($"doc_id",
+          explode(when($"n" >= 4,
+            transform(sequence(lit(1), size($"_toks") - 3),
+              i => concat_ws(" ",
+                element_at($"_toks", i), element_at($"_toks", i + 1),
+                element_at($"_toks", i + 2), element_at($"_toks", i + 3))))
+            .otherwise(array())).as("gram"))
+        .distinct()
+      val bench = grams.filter($"doc_id" % 29 === 0)
+        .select($"gram").distinct()
+        .withColumn("_hit", lit(1))
+      val stats = grams
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"), count($"_hit").as("n_hits"))
+      docs(s, dir).select($"doc_id")
+        .join(stats, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_grams", lit(0L)).as("n_grams"),
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          ($"doc_id" % 29 === 0).as("is_benchmark"),
+          coalesce($"n_hits".cast("double") / $"n_grams", lit(0.0))
+            .as("contamination"),
+          (coalesce($"n_hits", lit(0L)) > 0L && $"doc_id" % 29 =!= 0)
+            .as("flagged"))
+    }),
+
+    // PII detect + redact round trip: deterministic PII (email, phone,
+    // IPv4 — derived from doc_id) is PLANTED into each doc, then the
+    // redaction regexes must find and replace exactly what was planted —
+    // the oracle recomputes the planted text and redacts with the same
+    // RE2/Java-compatible patterns, so a miscounted or half-redacted
+    // entity breaks the md5 hash match. Narrow per-row regex work, no
+    // shuffle — the shape of a full-corpus PII scrub at 100 TB.
+    "tx11_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docs(s, dir).select($"doc_id",
+        concat(
+          lit("user"), $"doc_id".cast("string"),
+          lit("@ex"), ($"doc_id" % 7).cast("string"), lit(".com "),
+          $"text",
+          lit(" call 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" from "), ($"doc_id" % 256).cast("string"),
+          lit("."), (($"doc_id" * 7) % 256).cast("string"), lit(".0.1"))
+          .as("planted"))
+      val redacted = regexp_replace(regexp_replace(regexp_replace(
+        $"planted",
+        lit(PiiEmailRe), lit("<EMAIL>")),
+        lit(PiiPhoneRe), lit("<PHONE>")),
+        lit(PiiIpRe), lit("<IP>"))
+      planted.select($"doc_id",
+        regexp_count($"planted", lit(PiiEmailRe)).cast("long").as("n_emails"),
+        regexp_count($"planted", lit(PiiPhoneRe)).cast("long").as("n_phones"),
+        regexp_count($"planted", lit(PiiIpRe)).cast("long").as("n_ips"),
+        length(redacted).cast("long").as("n_chars_redacted"),
+        md5(redacted).as("redacted_md5"))
     }))
+
+  /** PII patterns shared by the Spark and oracle sides — RE2-safe (no
+    * backreferences/lookaround), so java.util.regex and DuckDB RE2 match
+    * identically. */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhoneRe = "\\b555-\\d{4}\\b"
+  private val PiiIpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
 
   private val subwordRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
 
@@ -405,7 +531,109 @@ object TextQueries extends QueryPack {
        |FROM documents d LEFT JOIN sk ON sk.doc_id = d.doc_id""".stripMargin
   }
 
+  /** tx11's planted text, recomputed in DuckDB from the same doc_id
+    * arithmetic (|| needs explicit CASTs — DuckDB, unlike Spark SQL
+    * concat, does not coerce ints). */
+  private val piiPlantedSql =
+    "'user' || CAST(doc_id AS VARCHAR) || '@ex' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.com ' || text || ' call 555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from ' || " +
+      "CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+      "CAST((doc_id * 7) % 256 AS VARCHAR) || '.0.1'"
+
   def oracles: Map[String, String] = Map(
+    "tx9_gopher_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS ts
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, text, ts, CAST(len(ts) AS BIGINT) AS n_tok
+        |  FROM tok WHERE len(ts) > 0
+        |), flat AS (
+        |  SELECT doc_id, unnest(ts) AS t FROM base
+        |), tf AS (
+        |  SELECT doc_id, t, count(*) AS c FROM flat GROUP BY doc_id, t
+        |), uni AS (
+        |  SELECT doc_id, max(c) AS top_c FROM tf GROUP BY doc_id
+        |), pos AS (
+        |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        |  FROM base WHERE len(ts) >= 2
+        |), bgf AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b, count(*) AS c
+        |  FROM pos GROUP BY doc_id, b
+        |), bg AS (
+        |  SELECT doc_id, max(c) AS top_bc, sum(c) AS n_bg
+        |  FROM bgf GROUP BY doc_id
+        |), m AS (
+        |  SELECT base.doc_id, n_tok,
+        |    COALESCE(CAST(top_c AS DOUBLE) / n_tok, CAST(0 AS DOUBLE))
+        |      AS top_token_ratio,
+        |    COALESCE(CAST(top_bc AS DOUBLE) / n_bg, CAST(0 AS DOUBLE))
+        |      AS top_bigram_ratio,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tok
+        |      AS mean_word_len
+        |  FROM base
+        |  LEFT JOIN uni ON uni.doc_id = base.doc_id
+        |  LEFT JOIN bg ON bg.doc_id = base.doc_id
+        |)
+        |SELECT doc_id, n_tok, top_token_ratio, top_bigram_ratio,
+        |  mean_word_len,
+        |  (top_token_ratio <= 0.12 AND top_bigram_ratio <= 0.08
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND n_tok >= 20) AS keep
+        |FROM m""".stripMargin,
+    "tx10_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents
+        |), pos AS (
+        |  SELECT doc_id, ts,
+        |    unnest(generate_series(1, greatest(len(ts) - 3, 0))) AS i
+        |  FROM tok
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS gram
+        |  FROM pos
+        |), bench AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0
+        |), stats AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |    count(b.gram) AS n_hits
+        |  FROM g LEFT JOIN bench b ON b.gram = g.gram
+        |  GROUP BY g.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+        |  (d.doc_id % 29 = 0) AS is_benchmark,
+        |  COALESCE(CAST(n_hits AS DOUBLE) / n_grams, CAST(0 AS DOUBLE))
+        |    AS contamination,
+        |  (COALESCE(n_hits, 0) > 0 AND d.doc_id % 29 <> 0) AS flagged
+        |FROM documents d LEFT JOIN stats ON stats.doc_id = d.doc_id""".stripMargin,
+    "tx11_pii_redact" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phoneRe = "\\b555-\\d{4}\\b"
+      val ipRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+      s"""WITH p AS (
+         |  SELECT doc_id, $piiPlantedSql AS planted FROM documents
+         |), r AS (
+         |  SELECT doc_id, planted,
+         |    regexp_replace(regexp_replace(regexp_replace(planted,
+         |      '$emailRe', '<EMAIL>', 'g'),
+         |      '$phoneRe', '<PHONE>', 'g'),
+         |      '$ipRe', '<IP>', 'g') AS redacted
+         |  FROM p
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(planted, '$emailRe')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(planted, '$phoneRe')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_extract_all(planted, '$ipRe')) AS BIGINT)
+         |    AS n_ips,
+         |  CAST(length(redacted) AS BIGINT) AS n_chars_redacted,
+         |  md5(redacted) AS redacted_md5
+         |FROM r""".stripMargin
+    },
     "dd1_minhash_lsh" -> dd1Sql,
     "dd2_simhash" -> dd2Sql,
     "mm2_decode_dims" ->

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the round-5 pipeline operators (tx9 Gopher
+  * filter, tx10 contamination, tx11 PII redact, pl9 chunking, pl10 source
+  * mixing) — value correctness is the DuckDB oracle's job; these pin the
+  * properties a hash compare can't state (coverage, flag consistency,
+  * mixing weight semantics).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tx9: keep flag is exactly the conjunction of its thresholds, both branches exercised") {
+    val rows = SparkEntry.queries("tx9_gopher_filter")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var kept = 0
+    rows.foreach { r =>
+      val ttr = r.getAs[Double]("top_token_ratio")
+      val tbr = r.getAs[Double]("top_bigram_ratio")
+      val mwl = r.getAs[Double]("mean_word_len")
+      val nTok = r.getAs[Long]("n_tok")
+      val expect = ttr <= 0.12 && tbr <= 0.08 &&
+        mwl >= 3.0 && mwl <= 10.0 && nTok >= 20L
+      assert(r.getAs[Boolean]("keep") == expect, s"doc ${r.get(0)}")
+      assert(ttr > 0.0 && ttr <= 1.0 && tbr >= 0.0 && tbr <= 1.0)
+      if (expect) kept += 1
+    }
+    assert(kept > 0 && kept < rows.length,
+      s"thresholds must split the fixture (kept $kept of ${rows.length})")
+  }
+
+  test("tx10: benchmark docs are fully self-contaminated but never flagged; flags imply hits") {
+    val rows = SparkEntry.queries("tx10_contamination")(spark, dir).collect()
+    var flagged = 0
+    rows.foreach { r =>
+      val isBench = r.getAs[Boolean]("is_benchmark")
+      val nHits = r.getAs[Long]("n_hits")
+      val nGrams = r.getAs[Long]("n_grams")
+      val cont = r.getAs[Double]("contamination")
+      if (isBench) {
+        // every gram of a benchmark doc is in the benchmark set by construction
+        assert(nGrams == 0 || cont == 1.0, s"bench doc ${r.get(0)}: $cont")
+        assert(!r.getAs[Boolean]("flagged"))
+      }
+      if (r.getAs[Boolean]("flagged")) { flagged += 1; assert(nHits > 0 && !isBench) }
+      assert(nHits <= nGrams)
+    }
+    assert(flagged > 0, "fixture must contain contaminated non-benchmark docs")
+  }
+
+  test("tx11: every doc has all three planted PII kinds found; planted prefixes keep hashes distinct") {
+    val rows = SparkEntry.queries("tx11_pii_redact")(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") >= 1L, s"doc ${r.get(0)} email missed")
+      assert(r.getAs[Long]("n_phones") >= 1L, s"doc ${r.get(0)} phone missed")
+      assert(r.getAs[Long]("n_ips") >= 1L, s"doc ${r.get(0)} ip missed")
+      assert(r.getAs[Long]("n_chars_redacted") > 0L)
+    }
+    val hashes = rows.map(_.getAs[String]("redacted_md5")).toSet
+    assert(hashes.size == rows.length,
+      "doc_id-derived planted PII must keep every redacted doc distinct")
+  }
+
+  test("pl9: chunks tile each doc — contiguous ids, full 32-token bodies, exact tail coverage") {
+    val byDoc = SparkEntry.queries("pl9_chunk_overlap")(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, chunks) =>
+      val ids = chunks.map(_.getAs[Long]("chunk_id")).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1L, s"doc $doc ids gap")
+      chunks.foreach { c =>
+        val n = c.getAs[Long]("n_chunk_tok")
+        val text = c.getAs[String]("chunk_text")
+        assert(text.split("\\s+").count(_.nonEmpty) == n,
+          s"doc $doc chunk ${c.getAs[Long]("chunk_id")} text/count mismatch")
+        if (c.getAs[Long]("chunk_id") < ids.last)
+          assert(n == 32L, s"doc $doc: only the tail chunk may be short")
+        else assert(n >= 1L && n <= 32L)
+      }
+      // the tail chunk ends exactly at n_tok: start + len == 24*k + n == n_tok
+      val tail = chunks.maxBy(_.getAs[Long]("chunk_id"))
+      val covered = tail.getAs[Long]("chunk_id") * 24L + tail.getAs[Long]("n_chunk_tok")
+      val overlapOk = chunks.length == 1 ||
+        covered > (ids.last - 1) * 24L + 32L - 32L // tail adds new tokens
+      assert(overlapOk)
+    }
+  }
+
+  test("pl10: integer-weight sources emit exactly w copies; fractional sources land between floors") {
+    val rows = SparkEntry.queries("pl10_source_mix")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val srcnum = r.getAs[String]("source").drop(3).toInt
+      val w2 = srcnum % 4 + 1 // 2× the mixing weight
+      val nDocs = r.getAs[Long]("n_docs")
+      val nEmitted = r.getAs[Long]("n_emitted")
+      val nKept = r.getAs[Long]("n_kept")
+      if (w2 % 2 == 0) {
+        assert(nEmitted == nDocs * (w2 / 2), s"src$srcnum exact weight")
+        assert(nKept == nDocs)
+      } else {
+        val lo = nDocs * (w2 / 2)
+        assert(nEmitted >= lo && nEmitted <= lo + nDocs, s"src$srcnum bounds")
+        if (w2 == 1) assert(nKept == nEmitted && nKept < nDocs,
+          s"src$srcnum: 0.5-weight source must drop some docs")
+        else assert(nKept == nDocs)
+      }
+    }
+  }
+}
