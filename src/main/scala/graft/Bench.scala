@@ -35,6 +35,11 @@ object Bench {
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // shared on-disk bases (shingle table, dd4 index) build here, not
+    // inside whichever dedup query happens to run first — per-query
+    // timings must not be order-dependent (ADVICE r5).
+    try SparkEntry.prewarm(spark, sfDir)
+    catch { case _: Throwable => () }
     // noop write (not count()) so column pruning can't skip the projected
     // work of map-only queries — every result column is fully computed.
     // Best of 2 runs: the first pays codegen/JIT/GC noise that is
@@ -78,7 +83,12 @@ object Bench {
       val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
       if (p.waitFor() == 0 && out.matches("[0-9a-f]{6,}")) out else "unknown"
     } catch { case _: Throwable => "unknown" }
-    val cond = s""""load_avg":${f(la)},"commit":"$commit""""
+    // loudly mark any capture taken under co-tenant load: r5's
+    // end-of-round artifact was captured at load 16.4 and the apparent
+    // regressions were all noise — a number stamped degraded must never
+    // be read as a regression (or an improvement).
+    val degraded = if (la > 4.0) ""","degraded_capture":true""" else ""
+    val cond = s""""load_avg":${f(la)},"commit":"$commit"$degraded"""
     // Full-name record for humans/the repo (committed per round).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")

@@ -40,4 +40,10 @@ object SparkEntry {
     * compare is impossible by design. */
   def boundedOracles: Map[String, (String, Double, Seq[String], Seq[String])] =
     packs.flatMap(_.boundedOracles).toMap
+
+  /** Materialize shared per-fixture artifacts (shingle base, dedup
+    * index) outside any timed region — Bench calls this during warmup so
+    * per-query timings are order-independent. */
+  def prewarm(spark: SparkSession, dir: String): Unit =
+    packs.foreach(_.prewarm(spark, dir))
 }

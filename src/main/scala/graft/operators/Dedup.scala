@@ -17,6 +17,13 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** A materialized shingle base (doc [, blockCols…], shingle) TAGGED with
+    * the shingle width it was built with. Consumers that accept a
+    * pre-built base require the tag to match their own k — a base built
+    * with a different width would silently produce wrong pairs (the
+    * blocking/banding math is k-agnostic, so nothing else can catch it). */
+  case class ShingleBase(df: DataFrame, k: Int)
+
   /** Exact dedup on a normalized key: keep the smallest id per key.
     * (Reference has no dedup — north-star extension, BASELINE.json.) */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -54,7 +61,9 @@ object Dedup {
     * jaccard). Blocking keeps the self-join from going O(N²). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, blockCols: Seq[String],
-                        preShingles: Option[DataFrame] = None): DataFrame = {
+                        preShingles: Option[ShingleBase] = None): DataFrame = {
+    preShingles.foreach(b => require(b.k == k,
+      s"preShingles was built with k=${b.k}, caller expects k=$k"))
     // consumed three times (sizes + both self-join sides): persist so the
     // regex shingle pass — the dominant CPU — runs once (cf. minhashLsh).
     // The persist is materialized EAGERLY (count): the three consumers are
@@ -67,7 +76,8 @@ object Dedup {
     // (collision odds ~n²/2⁶⁵ — no effect at any real corpus size).
     // `preShingles` (doc, blockCols…, shingle) lets callers share one
     // materialized shingle base across dd1/tx6/dd3 in a session.
-    val base = preShingles.getOrElse(shingles(docs, idCol, textCol, k, blockCols))
+    val base = preShingles.map(_.df)
+      .getOrElse(shingles(docs, idCol, textCol, k, blockCols))
     val sh = base
       .withColumn("sh_h", xxhash64(col("shingle"))).drop("shingle")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -106,10 +116,11 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  jaccardThreshold: Double = 0.5,
-                 preShingles: Option[DataFrame] = None): DataFrame = {
+                 preShingles: Option[ShingleBase] = None): DataFrame = {
     import graft.functions.PortableHash
     require(numHashes % bands == 0)
-    val rows = numHashes / bands
+    preShingles.foreach(b => require(b.k == shingleK,
+      s"preShingles was built with k=${b.k}, caller expects k=$shingleK"))
     // hash each shingle to a long once at the source: every downstream
     // shuffle/join moves 8-byte keys instead of strings (collision odds
     // ~n²/2⁶¹ — irrelevant for near-dup detection). The shingle table is
@@ -123,7 +134,7 @@ object Dedup {
     // the materialized intermediate you'd checkpoint before the
     // self-join; `preShingles` (doc, …, shingle) lets callers share one
     // on-disk shingle base across the dedup queries of a session.
-    val base = preShingles.map(_.select(col("doc"), col("shingle")))
+    val base = preShingles.map(_.df.select(col("doc"), col("shingle")))
       .getOrElse(shingles(docs, idCol, textCol, shingleK, Nil))
     val sh = base
       .select(col("doc"), PortableHash.hash60(col("shingle")).as("sh_h"))
@@ -132,20 +143,11 @@ object Dedup {
     // one pass computes the minhash signature AND the shingle-set size;
     // persisted eagerly: sizes + banding both branch from it (tiny: 1
     // row/doc) and band self-join sides must not race its materialization.
-    val minAggs = (0 until numHashes).map(i =>
-      min(PortableHash.minhashPerm(i, col("sh_h"))).as(s"h$i")) :+
-      count(lit(1)).as("n_sh")
-    val sig = sh.groupBy(col("doc")).agg(minAggs.head, minAggs.tail: _*)
+    val sig = minhashSig(sh, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     sig.count()
     val sizes = sig.select(col("doc"), col("n_sh"))
-    val banded = sig.select(col("doc"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
-            .as("bsig"))
-      }: _*)).as("bb"))
-      .select(col("doc"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val banded = bandedFromSig(sig, numHashes, bands)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -164,6 +166,73 @@ object Dedup {
         (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
+  }
+
+  /** MinHash signature table over hashed shingles (doc, sh_h): the
+    * `numHashes` MIN aggregates + shingle-set size in ONE codegen groupBy
+    * pass. Shared by [[minhashLsh]] and [[DedupIndex]]. */
+  private[operators] def minhashSig(sh: DataFrame, numHashes: Int): DataFrame = {
+    import graft.functions.PortableHash
+    val minAggs = (0 until numHashes).map(i =>
+      min(PortableHash.minhashPerm(i, col("sh_h"))).as(s"h$i")) :+
+      count(lit(1)).as("n_sh")
+    sh.groupBy(col("doc")).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** LSH band table (doc, band, bsig) from a signature table (doc,
+    * h0..h{numHashes-1}): band b's signature is a hash of its `rows`
+    * consecutive minhash values — equality-only, so the xxhash64 packing
+    * is free to differ from the oracle's string concat. */
+  private[operators] def bandedFromSig(sig: DataFrame, numHashes: Int,
+                                       bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.select(col("doc"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+            .as("bsig"))
+      }: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+  }
+
+  /** Rows-per-band for N docs: the smallest r in [minRows, maxRows] with
+    * N ≤ targetCollisions·10^r — the MinHash twin of
+    * [[Similarity.deriveBandBits]]'s grow-with-the-corpus discipline.
+    *
+    * Rationale: a background (non-duplicate) pair with Jaccard j₀
+    * collides on one band with probability j₀^r, so expected false
+    * candidates per doc ≈ N·bands·j₀^r. Budgeting that at
+    * bands·targetCollisions under a conservative background similarity
+    * j₀ = 0.1 gives N ≤ targetCollisions·(1/j₀)^r = targetCollisions·10^r
+    * — integer-only, so the DuckDB oracle derives the identical r from
+    * the same count. The trade (documented, not hidden): growing r
+    * tightens the LSH S-curve threshold (1/bands)^(1/r), so recall at a
+    * FIXED Jaccard drops as the corpus grows; candidate precision is
+    * restored exactly by verification either way. Recall-critical
+    * deployments grow `bands` alongside (bands ≈ τ^(−r)) — exposed as a
+    * plain parameter on [[minhashLsh]]. */
+  def deriveMinhashRows(n: Long, targetCollisions: Int = 8,
+                        minRows: Int = 2, maxRows: Int = 8): Int = {
+    def pow10(r: Int): Long = (0 until r).foldLeft(1L)((a, _) => a * 10)
+    (minRows to maxRows)
+      .find(r => n <= targetCollisions.toLong * pow10(r))
+      .getOrElse(maxRows)
+  }
+
+  /** [[minhashLsh]] with rows-per-band DERIVED from the corpus count via
+    * [[deriveMinhashRows]] (numHashes = bands·r): the parameterization
+    * that keeps candidate volume per doc ~constant as the corpus scales,
+    * fixed at the call site in earlier rounds. count() is a parquet
+    * footer read; at cluster scale N comes from table statistics. */
+  def minhashLshDerived(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 3, bands: Int = 4,
+                        jaccardThreshold: Double = 0.5,
+                        targetCollisions: Int = 8, minRows: Int = 2,
+                        maxRows: Int = 8,
+                        preShingles: Option[ShingleBase] = None): DataFrame = {
+    val r = deriveMinhashRows(docs.count(), targetCollisions, minRows, maxRows)
+    minhashLsh(docs, idCol, textCol, shingleK, bands * r, bands,
+      jaccardThreshold, preShingles)
   }
 
   /** Per-row MinHash pipeline for UNBOUNDED streams: no groupBy over

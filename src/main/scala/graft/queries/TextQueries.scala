@@ -29,7 +29,9 @@ object TextQueries extends QueryPack {
 
   private lazy val cleanupHook: Unit = {
     sys.addShutdownHook {
-      shingleDirMemo.values.forEach { p =>
+      val all = new java.util.ArrayList[String](shingleDirMemo.values)
+      all.addAll(indexDirMemo.values)
+      all.forEach { p =>
         try {
           val root = java.nio.file.Paths.get(p).getParent
           java.nio.file.Files.walk(root).sorted(
@@ -49,7 +51,7 @@ object TextQueries extends QueryPack {
     * eviction under memory pressure and Bench's per-query clearCache;
     * the cluster-scale analog is checkpointing the shingle table before
     * the candidate self-joins. */
-  private def sharedShingles(s: SparkSession, dir: String): DataFrame = {
+  private def sharedShingles(s: SparkSession, dir: String): Dedup.ShingleBase = {
     cleanupHook
     val path = shingleDirMemo.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files
@@ -58,7 +60,40 @@ object TextQueries extends QueryPack {
         Seq("lang", "source")).write.mode("overwrite").parquet(p)
       p
     })
-    s.read.parquet(path)
+    Dedup.ShingleBase(s.read.parquet(path), k = 3)
+  }
+
+  /** The dd4 fixture split: docs with doc_id ≡ 7 (mod 10) are the "new
+    * batch"; the rest are the historical corpus the index is built on. */
+  private val NewBatchMod = 10
+  private val NewBatchRem = 7
+
+  /** sf-dir → persisted MinHash index root over the OLD (historical)
+    * slice of `documents` — built once per fixture dir, like
+    * [[sharedShingles]]; the temp dirs share the same shutdown cleanup. */
+  private val indexDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def minhashIndexDir(s: SparkSession, dir: String): String = {
+    cleanupHook
+    indexDirMemo.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-mhidx-").resolve("idx").toString
+      graft.operators.DedupIndex.buildMinhashIndex(
+        docs(s, dir).filter(col("doc_id") % NewBatchMod =!= NewBatchRem),
+        "doc_id", "text", p)
+      p
+    })
+  }
+
+  /** Materialize the per-dir shared artifacts (shingle base, dd4 index)
+    * OUTSIDE any timed region: Bench calls this in its warmup so tx6/dd1/
+    * dd3/dd4 per-query timings don't depend on which of them runs first
+    * (the first otherwise absorbs the shared build cost — ADVICE r5). */
+  override def prewarm(s: SparkSession, dir: String): Unit = {
+    sharedShingles(s, dir)
+    minhashIndexDir(s, dir)
+    ()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -126,12 +161,28 @@ object TextQueries extends QueryPack {
 
     // MinHash+LSH near-dup: shingle hash + permutation family are
     // engine-portable (PortableHash), so the WHOLE pipeline — candidate
-    // generation included — is oracle-checked; DedupSpec adds the recall
-    // property tests against exact Jaccard.
+    // generation included — is oracle-checked, INCLUDING the corpus-
+    // count-derived rows-per-band (the SQL twin derives the identical r
+    // from count(*)); DedupSpec adds the recall property tests against
+    // exact Jaccard.
     "dd1_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(docs(s, dir), "doc_id", "text",
-        shingleK = 3, numHashes = 16, bands = 4, jaccardThreshold = 0.3,
+      Dedup.minhashLshDerived(docs(s, dir), "doc_id", "text",
+        shingleK = 3, bands = 4, jaccardThreshold = 0.3,
+        targetCollisions = 8, minRows = 2, maxRows = 8,
         preShingles = Some(sharedShingles(s, dir)))),
+
+    // incremental dedup against the PERSISTED MinHash index: the new
+    // batch (doc_id ≡ 7 mod 10) band-joins the durable index built over
+    // the rest of the corpus — history is never re-shingled (DedupIndex;
+    // plan asserted index-scan-only in DedupIndexSpec). The oracle is the
+    // honest full recompute over old ∪ new restricted to pairs touching
+    // the new batch, so the incremental path must agree with from-scratch
+    // dedup bit-for-bit.
+    "dd4_incremental_dedup" -> ((s, dir) =>
+      graft.operators.DedupIndex.incrementalDedup(s,
+        minhashIndexDir(s, dir),
+        docs(s, dir).filter(col("doc_id") % NewBatchMod === NewBatchRem),
+        "doc_id", "text", jaccardThreshold = 0.3)),
 
     // 60-bit SimHash sketch table (portable token hash — sketch VALUES are
     // oracle-checked bit-for-bit).
@@ -448,22 +499,37 @@ object TextQueries extends QueryPack {
       |  JOIN sizes sb ON sb.doc_id = doc_b
       |)""".stripMargin
 
-  /** dd1's DuckDB twin, generated to mirror Dedup.minhashLsh(k=3, 16
-    * hashes, 4 bands, τ=0.3) stage by stage. The band signature compares
-    * the 4 minhash values directly (Spark packs them through xxhash64 for
-    * shuffle width — equality-only, so any injective-enough packing gives
-    * the same candidate set), and verification joins shingle STRINGS where
-    * Spark joins their 60-bit hashes (equality-only again). */
-  private def dd1Sql: String = {
+  /** The MinHash+LSH DuckDB twin, mirroring Dedup.minhashLsh stage by
+    * stage with rows-per-band DERIVED from a count — the SQL analog of
+    * [[graft.operators.Dedup.deriveMinhashRows]] (integer-only, so both
+    * engines pick the identical r from the same count at any scale).
+    * All bands·maxRows permutations are min-aggregated up front; band b
+    * slices hashes [b·r+1, b·r+r] out of the signature ARRAY, so the
+    * derived width needs no dynamic column list. The band signature
+    * concatenates the minhash values (Spark packs them through xxhash64
+    * for shuffle width — equality-only, so any injective-enough packing
+    * gives the same candidate set), and verification joins shingle
+    * STRINGS where Spark joins their 60-bit hashes (equality-only again).
+    *
+    * `countSql`: the corpus-count subquery r derives from. `restrict`:
+    * extra AND clause on the final pair filter ("" for all pairs) —
+    * dd4's oracle restricts the full recompute to pairs touching the new
+    * batch. */
+  private def minhashPairsSql(bands: Int, minRows: Int, maxRows: Int,
+                              target: Int, countSql: String,
+                              threshold: Double, restrict: String): String = {
     import graft.functions.PortableHash
-    val mins = (0 until 16)
+    val maxHashes = bands * maxRows
+    val mins = (0 until maxHashes)
       .map(i => s"min(${PortableHash.minhashPermSql(i, "h60")}) AS h$i")
       .mkString(",\n    ")
-    val bandRows = (0 until 4).map { b =>
-      val cols = (b * 4 until b * 4 + 4).map(i => s"h$i").mkString(", ")
-      s"SELECT doc_id, $b AS band, concat_ws('|', $cols) AS bsig FROM sig"
-    }.mkString("\n  UNION ALL\n  ")
-    s"""WITH tok AS (
+    val hsArr = (0 until maxHashes).map(i => s"h$i").mkString("[", ", ", "]")
+    val bandVals = (0 until bands).map(b => s"($b)").mkString(", ")
+    s"""WITH params AS (
+       |  SELECT coalesce((SELECT min(r) FROM generate_series($minRows, $maxRows) t(r)
+       |    WHERE ($countSql) <= $target * CAST(power(10, r) AS BIGINT)),
+       |    $maxRows) AS r
+       |), tok AS (
        |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
        |), pos AS (
        |  SELECT doc_id, ts,
@@ -481,8 +547,12 @@ object TextQueries extends QueryPack {
        |    $mins,
        |    count(*) AS n_sh
        |  FROM shh GROUP BY doc_id
+       |), sigarr AS (
+       |  SELECT doc_id, $hsArr AS hs FROM sig
        |), banded AS (
-       |  $bandRows
+       |  SELECT doc_id, t.band AS band,
+       |    array_to_string(hs[(t.band * r + 1):(t.band * r + r)], '|') AS bsig
+       |  FROM sigarr, params, (VALUES $bandVals) t(band)
        |), cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
@@ -501,8 +571,26 @@ object TextQueries extends QueryPack {
        |JOIN sig sa ON sa.doc_id = doc_a
        |JOIN sig sb ON sb.doc_id = doc_b
        |WHERE CAST(common AS DOUBLE) /
-       |  CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.3""".stripMargin
+       |  CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= $threshold$restrict""".stripMargin
   }
+
+  private def dd1Sql: String =
+    minhashPairsSql(bands = 4, minRows = 2, maxRows = 8, target = 8,
+      countSql = "SELECT count(*) FROM documents",
+      threshold = 0.3, restrict = "")
+
+  /** dd4's oracle: the honest FULL recompute over old ∪ new — same
+    * derived parameterization as the index build (r from the OLD-slice
+    * count) — restricted to pairs touching the new batch. The
+    * incremental path must reproduce it exactly without re-shingling
+    * history. */
+  private def dd4Sql: String =
+    minhashPairsSql(bands = 4, minRows = 2, maxRows = 8, target = 8,
+      countSql = "SELECT count(*) FROM documents " +
+        s"WHERE doc_id % $NewBatchMod <> $NewBatchRem",
+      threshold = 0.3,
+      restrict = s"\n  AND (doc_a % $NewBatchMod = $NewBatchRem " +
+        s"OR doc_b % $NewBatchMod = $NewBatchRem)")
 
   /** dd2's DuckDB twin: 60 conditional bit-vote sums over the portable
     * token hash, reassembled to the same 60-bit sketch; tokenless docs
@@ -635,6 +723,7 @@ object TextQueries extends QueryPack {
          |FROM r""".stripMargin
     },
     "dd1_minhash_lsh" -> dd1Sql,
+    "dd4_incremental_dedup" -> dd4Sql,
     "dd2_simhash" -> dd2Sql,
     "mm2_decode_dims" ->
       """SELECT doc_id, 'png' AS format,
