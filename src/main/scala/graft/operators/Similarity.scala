@@ -256,6 +256,147 @@ object Similarity {
       .agg(ExactNum.avgExact(col("v")).as("centroid"), count(lit(1)).as("cnt"))
   }
 
+  /** Learned IVF coarse quantizer: seeded Lloyd's k-means, FULLY
+    * deterministic and therefore oracle-able — the answer to
+    * [[labelCentroids]]' limitation (label-derived means are only as good
+    * as the labels; real IVF learns geometric clusters).
+    *
+    * Determinism contract (every step engine-portable):
+    *  - init: the k seed vectors are the docs with the k smallest
+    *    (hash60(id-as-string), id) — deterministic hash sampling, no RNG;
+    *  - assignment: nearest centroid by squared L2 distance, expanded as
+    *    c·c − 2x·c (the ‖x‖² term cancels in argmin); both sums are
+    *    decimal-exact ([[graft.functions.ExactNum]]), ties break on the
+    *    smaller label;
+    *  - update: per-(cluster, dim) decimal-exact mean;
+    *  - a FIXED iteration count, not a convergence test (a tolerance
+    *    check on doubles would be engine-divergent at the margin).
+    *
+    * Scale shape per iteration: the centroid table (k·dims rows) is
+    * collected and re-broadcast — Lloyd's is THE textbook broadcast-join
+    * loop, and the collect also truncates the iteration lineage (k·dims
+    * doubles, bit-preserved through the driver round trip); assignment is
+    * one broadcast join + hash agg over the exploded corpus; the update
+    * is one hash agg. Empty clusters drop out identically in both
+    * engines (no re-seeding — deterministic hash seeds on real corpora
+    * make them rare; rebuild with a different k if one vanishes).
+    *
+    * Output: (label, dim, centroid, cnt) — same shape as
+    * [[labelCentroids]], so the probe side is interchangeable. */
+  def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    import graft.functions.{ExactNum, PortableHash}
+    require(k >= 1 && iters >= 1)
+    val spark = vecs.sparkSession
+    val ex = vecs.select(col(idCol).as("_vid"),
+        posexplode(col(vecCol)).as(Seq("pos0", "xf")))
+      .select(col("_vid"), (col("pos0") + 1).cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+    val wSeed = Window.orderBy(
+      PortableHash.hash60(col("_vid").cast("string")), col("_vid"))
+    val seeds = vecs.select(col(idCol).as("_vid"))
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= k)
+      .select(col("_vid"), (col("rn") - 1).cast("long").as("label"))
+    var cent = seeds.join(ex, "_vid")
+      .select(col("label"), col("dim"), col("x").as("centroid"))
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dim",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.DoubleType)))
+    var out: DataFrame = null
+    for (it <- 1 to iters) {
+      val assigned = assignToCentroids(ex, cent)
+      if (it < iters) {
+        val next = assigned.join(ex, "_vid")
+          .groupBy(col("label"), col("dim"))
+          .agg(ExactNum.avgExact(col("x")).as("centroid"))
+        // driver round trip: k·dims doubles, bit-preserved; broadcast back
+        val rows = next.select(col("label"), col("dim"), col("centroid"))
+          .collect().toSeq
+        cent = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), centSchema)
+      } else {
+        // last update also carries cluster size (one row per dim, like
+        // labelCentroids' cnt)
+        out = assigned.join(ex, "_vid")
+          .groupBy(col("label"), col("dim"))
+          .agg(ExactNum.avgExact(col("x")).as("centroid"),
+            count(lit(1)).as("cnt"))
+      }
+    }
+    out
+  }
+
+  /** Nearest-centroid assignment over an exploded (_vid, dim, x) view:
+    * (c·c − 2x·c) argmin, decimal-exact sums, label tiebreak; top
+    * `nprobe` clusters per vector. */
+  private def assignToCentroids(ex: DataFrame, cent: DataFrame,
+                                nprobe: Int = 1): DataFrame = {
+    import graft.functions.ExactNum
+    val c2 = cent.groupBy(col("label"))
+      .agg(ExactNum.sumExact(col("centroid") * col("centroid")).as("c2"))
+    val wA = Window.partitionBy(col("_vid"))
+      .orderBy((col("c2") - lit(2.0) * col("d")).asc, col("label").asc)
+    ex.join(broadcast(cent), "dim")
+      .groupBy(col("_vid"), col("label"))
+      .agg(ExactNum.sumExact(col("x") * col("centroid")).as("d"))
+      .join(broadcast(c2), "label")
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= nprobe)
+      .select(col("_vid"), col("label"))
+  }
+
+  /** The probe stage against explicit (cent, members) tables: query →
+    * top-`nprobe` clusters by the SAME L2 rule the membership used, then
+    * exact cosine top-k inside the probed union. */
+  private def probeMembers(cent: DataFrame, members: DataFrame,
+                           queries: DataFrame, idCol: String, vecCol: String,
+                           k: Int, nprobe: Int): DataFrame = {
+    val qe = queries.select(col(idCol).as("_vid"),
+        posexplode(col(vecCol)).as(Seq("pos0", "xf")))
+      .select(col("_vid"), (col("pos0") + 1).cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+    val assign = assignToCentroids(qe, cent, nprobe)
+      .select(col("_vid").as("query_id"), col("label"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      normSeq(col(vecCol)).as("q_norm"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    assign.join(broadcast(q), "query_id")
+      .join(members.repartition(col("label")), "label")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        dotSeq(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        col("cos_sim"), col("rank"))
+  }
+
+  /** IVF probe against an EXPLICIT centroid table (label, dim, centroid)
+    * — [[ivfProbe]]'s engine with learned ([[kmeansCentroids]]) instead
+    * of label-derived clusters: corpus membership is nearest-centroid
+    * assignment under the same decimal-exact rule the quantizer used. */
+  def ivfProbeCentroids(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, cent: DataFrame, k: Int,
+                        nprobe: Int = 1): DataFrame = {
+    val ex = corpus.select(col(idCol).as("_vid"),
+        posexplode(col(vecCol)).as(Seq("pos0", "xf")))
+      .select(col("_vid"), (col("pos0") + 1).cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+    val membership = assignToCentroids(ex, cent)
+      .select(col("_vid").as("_mid"), col("label"))
+    val members = corpus.join(membership, col(idCol) === col("_mid"))
+      .select(col("label"), col(idCol).as("neighbor_id"),
+        col(vecCol).as("c_vec"), normSeq(col(vecCol)).as("c_norm"))
+    probeMembers(cent.select(col("label"), col("dim"), col("centroid")),
+      members, queries, idCol, vecCol, k, nprobe)
+  }
+
   /** IVF probe ANN (nprobe=1): assign each query to its nearest coarse
     * centroid (largest exact-decimal dot against the [[labelCentroids]]
     * table), then exact cosine top-k inside that single cluster.

@@ -85,6 +85,16 @@ object SimilarityQueries extends QueryPack {
         "embedding", "label", 5)
     }),
 
+    // learned k-means IVF build (seeded Lloyd's, k=8, 2 iterations):
+    // deterministic hash-sampled seeds + decimal-exact assignment/update
+    // make the whole clustering loop oracle-checkable — the DuckDB twin
+    // unrolls the same two iterations as CTEs. Replaces label-derived
+    // centroids with geometry-derived ones (SimilaritySpec asserts probe
+    // recall does not regress vs the labeled quantizer).
+    "sim9_kmeans_ivf" -> ((s, dir) =>
+      Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",
+        k = 8, iters = 2)),
+
     // IVF probe with nprobe=2 — the recall knob: scanning the top-2
     // clusters recovers true neighbors sitting just across a Voronoi
     // boundary at 2/L of the corpus per query. Same exact-decimal
@@ -214,7 +224,65 @@ object SimilarityQueries extends QueryPack {
          |  sqrt(${dotSql("embedding", "embedding")}) AS l2_norm
          |FROM embeddings""".stripMargin,
     "sim6_ivf_probe" -> ivfSql(1),
-    "sim8_ivf_nprobe" -> ivfSql(2))
+    "sim8_ivf_nprobe" -> ivfSql(2),
+    "sim9_kmeans_ivf" -> sim9Sql(8, 2))
+
+  /** sim9's DuckDB twin: the same seeded Lloyd's loop unrolled as CTEs —
+    * hash-sampled seeds (identical [[graft.functions.PortableHash]]
+    * arithmetic), per-iteration decimal-exact (c·c − 2x·c) assignment
+    * with label tiebreak, decimal-exact mean update, fixed `iters`. */
+  private def sim9Sql(k: Int, iters: Int): String = {
+    import graft.functions.PortableHash
+    val seedHash = PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"cent${it - 1}"
+      val centSelect =
+        if (it < iters)
+          s"""cent$it AS (
+             |  SELECT a.label, e.dim, ${avgExactSql("e.x")} AS centroid
+             |  FROM asg$it a JOIN ex e USING (_vid)
+             |  GROUP BY a.label, e.dim
+             |)"""
+        else
+          s"""cent$it AS (
+             |  SELECT a.label, e.dim, ${avgExactSql("e.x")} AS centroid,
+             |    count(*) AS cnt
+             |  FROM asg$it a JOIN ex e USING (_vid)
+             |  GROUP BY a.label, e.dim
+             |)"""
+      s"""c2_$it AS (
+         |  SELECT label, ${sumExactSql("centroid * centroid")} AS c2
+         |  FROM $prev GROUP BY label
+         |), dot$it AS (
+         |  SELECT e._vid, c.label, ${sumExactSql("e.x * c.centroid")} AS d
+         |  FROM ex e JOIN $prev c USING (dim)
+         |  GROUP BY e._vid, c.label
+         |), asg$it AS (
+         |  SELECT _vid, label FROM (
+         |    SELECT d._vid, d.label,
+         |      row_number() OVER (PARTITION BY d._vid
+         |        ORDER BY (c.c2 - 2 * d.d) ASC, d.label ASC) AS rn
+         |    FROM dot$it d JOIN c2_$it c USING (label)) t
+         |  WHERE rn = 1
+         |), $centSelect""".stripMargin
+    }.mkString(", ")
+    s"""WITH ex AS (
+       |  SELECT vec_id AS _vid, CAST(i AS BIGINT) AS dim,
+       |    CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings) p
+       |), seeds AS (
+       |  SELECT vec_id AS _vid, CAST(rn - 1 AS BIGINT) AS label
+       |  FROM (SELECT vec_id,
+       |          row_number() OVER (ORDER BY $seedHash, vec_id) AS rn
+       |        FROM embeddings) s
+       |  WHERE rn <= $k
+       |), cent0 AS (
+       |  SELECT label, dim, x AS centroid FROM seeds JOIN ex USING (_vid)
+       |), $iterCtes
+       |SELECT label, dim, centroid, cnt FROM cent$iters""".stripMargin
+  }
 
   /** sim6/sim8's DuckDB twin: same two-stage IVF (exact-decimal centroid
     * dots → top-`nprobe` cluster assignment → exact cosine top-k over
