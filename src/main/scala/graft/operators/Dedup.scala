@@ -334,6 +334,57 @@ object Dedup {
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** All pairs within `maxHamming` bits over sketch rows (id, word…) —
+    * the pair stage shared by SimHash text dedup and perceptual image
+    * dedup (mm8): never an all-pairs scan. The hash words are cut into
+    * `bandBits`-wide bands and candidates equi-join on (band#, band
+    * value); by pigeonhole, two sketches within `maxHamming` bits MUST
+    * agree on at least one band whenever bands > maxHamming — with that
+    * parameterization the banded join is EXACT (full recall, so the
+    * DuckDB oracle can be the honest quadratic scan), otherwise it is the
+    * standard approximate Hamming-LSH. Exact `hamming ≤ maxHamming`
+    * verification runs on candidates only.
+    *
+    * Scale shape: bands/word · N rows into one hash-shuffled self-join on
+    * 16-bit-bounded keys; a degenerate band value (e.g. the all-dark
+    * half of near-constant images) concentrates its bucket, which AQE
+    * skew-split handles — candidate volume is O(Σ bucket²) on band
+    * values, the same economics as the MinHash band join.
+    *
+    * `wordCols` are non-negative longs holding ≤ 63 significant bits
+    * each (32 for the aHash halves, 60 for SimHash); total hamming is the
+    * sum over words. */
+  def hammingNearDup(hashes: DataFrame, idCol: String,
+                     wordCols: Seq[String], wordBits: Int,
+                     bandBits: Int, maxHamming: Int): DataFrame = {
+    require(wordCols.nonEmpty && bandBits >= 1 && wordBits % bandBits == 0)
+    val bandsPerWord = wordBits / bandBits
+    val mask = (1L << bandBits) - 1L
+    val bands = wordCols.zipWithIndex.flatMap { case (c, wi) =>
+      (0 until bandsPerWord).map { b =>
+        struct(lit(wi * bandsPerWord + b).as("band"),
+          shiftrightunsigned(col(c), b * bandBits).bitwiseAND(mask)
+            .as("bval"))
+      }
+    }
+    val banded = hashes.select(
+      (col(idCol).as("doc") +: wordCols.map(col)) :+
+        explode(array(bands: _*)).as("bb"): _*)
+      .select(col("doc") +: col("bb.band").as("band") +:
+        col("bb.bval").as("bval") +: wordCols.map(col): _*)
+    val dist = wordCols
+      .map(c => bit_count(col(s"a.$c").bitwiseXOR(col(s"b.$c"))))
+      .reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        dist.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Connected components over a near-dup pair table → (doc, cluster_id):
     * the dedup endgame, turning pairwise matches into transitive duplicate
     * clusters (keep-one-per-cluster follows as a min/groupBy).

@@ -456,7 +456,11 @@ object Multimodal {
             moov = off
             moovEnd = math.min(bytes.length.toLong, off + size).toInt
           }
-          if (size < 8) malformed = true else off += size.toInt
+          // a u32 size past the buffer (incl. > Int.MaxValue, which would
+          // go negative under .toInt and walk the cursor backwards) is
+          // malformed by definition, not an exception-handler case
+          if (size < 8 || size > bytes.length) malformed = true
+          else off += size.toInt
         }
         if (malformed || moov < 0) None
         else {
@@ -490,13 +494,17 @@ object Multimodal {
                       h = (u32(wOff + 4) >> 16).toInt
                     }
                   }
-                  if (tsz < 8) malformed = true else t += tsz.toInt
+                  if (tsz < 8 || tsz > bytes.length) malformed = true
+                  else t += tsz.toInt
                 }
               }
             }
-            if (size < 8) malformed = true else o += size.toInt
+            if (size < 8 || size > bytes.length) malformed = true
+            else o += size.toInt
           }
-          if (malformed || ts <= 0 || durUnits < 0) None
+          // a u32 timescale above Int.MaxValue cannot be represented in
+          // the Int metadata field — malformed, not a negative timescale
+          if (malformed || ts <= 0 || ts > Int.MaxValue || durUnits < 0) None
           else Some(VideoMeta(id, "mp4", ts.toInt,
             durUnits * 1000L / ts, nTraks, w, h))
         }
@@ -727,5 +735,105 @@ object Multimodal {
         .head().getLong(0)
     val parts = math.max(1, (total / bytesPerPartition).toInt + 1)
     df.repartition(parts)
+  }
+
+  /** Typed output of [[imageAHash]]: the 64-bit perceptual average-hash
+    * split into two 32-bit halves (bits 0-31 in `ahash_lo`, 32-63 in
+    * `ahash_hi`) so every value stays positive in a BIGINT in BOTH
+    * engines — the same reasoning as the 60-bit SimHash
+    * ([[Dedup.SimhashBits]]); hamming distance is
+    * bit_count(xor(lo)) + bit_count(xor(hi)) on either side. */
+  case class AHashRow(doc_id: Long, ahash_lo: Long, ahash_hi: Long)
+
+  /** Deterministic block-pattern PNG renderer for the perceptual-hash
+    * fixtures: an 8×8 grid of blocks over a (w, h) canvas, block
+    * b = by·8+bx painted bright gray (200) when bit b of the 64-bit
+    * pattern word (loCol = bits 0-31, hiCol = bits 32-63) is set, dark
+    * gray (50) otherwise. The SAME image content rendered at different
+    * (w, h) resolutions produces the same average-hash — which is the
+    * perceptual property mm8's fixture exercises. */
+  def renderBlockPng(spark: SparkSession, df: DataFrame, idCol: String,
+                     loCol: String, hiCol: String,
+                     wCol: String, hCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(loCol).cast("long"),
+        col(hiCol).cast("long"), col(wCol).cast("int"), col(hCol).cast("int"))
+      .as[(Long, Long, Long, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, lo, hi, w, h) =>
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val b = (y * 8 / h) * 8 + (x * 8 / w)
+              val bit =
+                if (b < 32) (lo >>> b) & 1L else (hi >>> (b - 32)) & 1L
+              val g = if (bit == 1L) 200 else 50
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF(idCol, "payload")
+  }
+
+  /** REAL perceptual average-hash (aHash) over decoded pixels: imageio
+    * decode → integer luminance sums over an 8×8 block grid → bit b set
+    * iff block b's MEAN luminance exceeds the global mean. All-integer
+    * comparison (cross-multiplied: blockSum·totalPix > totalSum·blockPix)
+    * — exact under any pixel visit order and any block-size imbalance
+    * when w or h is not a multiple of 8. Resolution-independent by
+    * construction: the downsample IS the hash. Undecodable payloads are
+    * dropped (a perceptual hash of non-image bytes is meaningless — the
+    * caller's corpus filter, not a stub, owns that decision).
+    *
+    * Scale shape: narrow per-row decode (mapPartitions, codec init per
+    * task) → one small (doc, lo, hi) table; pair generation belongs to
+    * [[Dedup.hammingNearDup]]'s banded join, never here. */
+  def imageAHash(spark: SparkSession, df: DataFrame, idCol: String,
+                 binCol: String): Dataset[AHashRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = readImage(bytes)
+          if (img == null) None
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = new Array[Long](64)
+            val counts = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum =
+                  ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                val b = (y * 8 / h) * 8 + (x * 8 / w)
+                sums(b) += lum; counts(b) += 1; total += lum
+                x += 1
+              }
+              y += 1
+            }
+            val totalPix = w.toLong * h
+            var lo = 0L; var hi = 0L
+            var b = 0
+            while (b < 64) {
+              if (counts(b) > 0 && sums(b) * totalPix > total * counts(b)) {
+                if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+              }
+              b += 1
+            }
+            Some(AHashRow(id, lo, hi))
+          }
+        }
+      }
   }
 }

@@ -390,7 +390,11 @@ object Similarity {
         col("xf").cast("double").as("x"))
     val membership = assignToCentroids(ex, cent)
       .select(col("_vid").as("_mid"), col("label"))
-    val members = corpus.join(membership, col(idCol) === col("_mid"))
+    // project BEFORE the membership join: a corpus carrying its own
+    // `label` column (the embeddings fixture does) must not collide with
+    // the assignment's cluster label
+    val members = corpus.select(col(idCol), col(vecCol))
+      .join(membership, col(idCol) === col("_mid"))
       .select(col("label"), col(idCol).as("neighbor_id"),
         col(vecCol).as("c_vec"), normSeq(col(vecCol)).as("c_norm"))
     probeMembers(cent.select(col("label"), col("dim"), col("centroid")),

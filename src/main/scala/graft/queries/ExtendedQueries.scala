@@ -359,7 +359,16 @@ object ExtendedQueries extends QueryPack {
     * rank error ≤ N/10000, a handful of ranks at fixture scale): the
     * exact-percentile twin (quantile_disc — GK returns genuine data
     * elements, like disc and unlike cont) with a 5% value bound; the
-    * cnt control column (a plain count) must match cell-identical. */
+    * cnt control column (a plain count) must match cell-identical.
+    *
+    * NOTE the 5% rtol is FIXTURE-CALIBRATED: GK's guarantee is on RANK,
+    * not value — l_extendedprice is dense near its quartiles at every
+    * tested SF (a few-rank slip moves the value well under 5%), but a
+    * pathologically skewed column could slip a spec-conformant sketch
+    * past a value bound. A scale-portable gate would derive the bound
+    * from the value gap around rank ± N/accuracy; at fixture scales the
+    * flat 5% is strictly looser than that derivation, so it can only
+    * under-reject, never flag a conforming sketch. */
   override def boundedOracles
       : Map[String, (String, Double, Seq[String], Seq[String])] = Map(
     "q45_approx_percentile" -> ((

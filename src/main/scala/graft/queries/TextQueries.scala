@@ -287,6 +287,38 @@ object TextQueries extends QueryPack {
           $"n_streams", $"width", $"height", $"duration_ms")
     }),
 
+    // image perceptual near-dup — the multimodal operation LLM pipelines
+    // actually run: REAL decode → 8×8 average-hash → banded hamming join
+    // (4×16-bit bands over the two hash halves; bands > maxHamming ⇒ the
+    // band join is EXACT by pigeonhole, so the oracle is the honest
+    // quadratic scan). The fixture renders block-pattern PNGs whose
+    // aHash equals a 60-bit portable-hash pattern word by construction:
+    // docs share a word per group (doc_id % 60) with variant bit-flips
+    // (0 / {2,11} / {2,11,23,37}), so same-group variants land at
+    // hamming 0/2/2/4 — pairs at ≤3 survive, the 4s don't — and the
+    // IMAGES are rendered at per-doc resolutions, so matching at all
+    // proves resolution-invariant perceptual hashing through a real
+    // codec. A wrong block offset, threshold, or decode cannot match.
+    "mm8_perceptual_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val v = floor($"doc_id" / 60).cast("long") % 3
+      val mask = when(v === 1L, lit(2052L))
+        .when(v === 2L, lit(137447344132L)).otherwise(lit(0L))
+      val w60 = graft.functions.PortableHash
+        .hash60(($"doc_id" % 60).cast("string")).bitwiseXOR(mask)
+      val patterned = docs(s, dir).select($"doc_id",
+        w60.bitwiseAND(lit(0xffffffffL)).as("lo"),
+        shiftrightunsigned(w60, 32).as("hi"),
+        (lit(8) * (lit(1) + $"doc_id" % 4)).cast("int").as("w"),
+        (lit(8) * (lit(1) + $"doc_id" % 3)).cast("int").as("h"))
+      val pngs = Multimodal.renderBlockPng(s,
+        graft.core.Tables.spread(patterned), "doc_id", "lo", "hi", "w", "h")
+      val hashes = Multimodal.imageAHash(s, pngs, "doc_id", "payload")
+      Dedup.hammingNearDup(hashes.toDF(), "doc_id",
+        Seq("ahash_lo", "ahash_hi"), wordBits = 32, bandBits = 16,
+        maxHamming = 3)
+    }),
+
     // near-dup clustering: connected components over the exact-Jaccard
     // pair graph (min-label propagation; oracle = recursive-CTE closure).
     "dd3_cluster" -> ((s, dir) =>
@@ -386,44 +418,21 @@ object TextQueries extends QueryPack {
     }),
 
     // benchmark-contamination check (the decontamination pass before a
-    // corpus ships): a deterministic slice of the corpus (doc_id % 29 = 0)
-    // stands in for the eval benchmark; every doc is scored by how many of
-    // its distinct 4-gram shingles appear in the benchmark's shingle set.
-    // Shape: the benchmark side is tiny relative to the corpus (as real
-    // benchmarks are vs 100 TB), so it broadcasts — the corpus-side gram
-    // table never shuffles; one broadcast left join + one per-doc hash agg
-    // counting (grams, hits) in a single pass over the gram table.
+    // corpus ships) — the Contamination operator takes ANY benchmark
+    // DataFrame; the oracle fixture feeds it a deterministic corpus slice
+    // (doc_id % 29 = 0) standing in for the eval set, which keeps the
+    // DuckDB twin exact. `flagged` here additionally excludes the
+    // benchmark docs themselves (they trivially self-hit).
     "tx10_contamination" -> ((s, dir) => {
       import s.implicits._
-      val base = graft.core.Tables.spread(docs(s, dir))
-        .withColumn("_toks", tokens($"text"))
-        .select($"doc_id", $"_toks", size($"_toks").cast("long").as("n"))
-      val grams = base
-        .select($"doc_id",
-          explode(when($"n" >= 4,
-            transform(sequence(lit(1), size($"_toks") - 3),
-              i => concat_ws(" ",
-                element_at($"_toks", i), element_at($"_toks", i + 1),
-                element_at($"_toks", i + 2), element_at($"_toks", i + 3))))
-            .otherwise(array())).as("gram"))
-        .distinct()
-      val bench = grams.filter($"doc_id" % 29 === 0)
-        .select($"gram").distinct()
-        .withColumn("_hit", lit(1))
-      val stats = grams
-        .join(broadcast(bench), Seq("gram"), "left")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_grams"), count($"_hit").as("n_hits"))
-      docs(s, dir).select($"doc_id")
-        .join(stats, Seq("doc_id"), "left")
-        .select($"doc_id",
-          coalesce($"n_grams", lit(0L)).as("n_grams"),
-          coalesce($"n_hits", lit(0L)).as("n_hits"),
+      val corpus = graft.core.Tables.spread(docs(s, dir))
+      val bench = docs(s, dir).filter($"doc_id" % 29 === 0).select($"text")
+      graft.operators.Contamination
+        .score(corpus, "doc_id", "text", bench, "text", n = 4)
+        .select($"doc_id", $"n_grams", $"n_hits",
           ($"doc_id" % 29 === 0).as("is_benchmark"),
-          coalesce($"n_hits".cast("double") / $"n_grams", lit(0.0))
-            .as("contamination"),
-          (coalesce($"n_hits", lit(0L)) > 0L && $"doc_id" % 29 =!= 0)
-            .as("flagged"))
+          $"contamination",
+          ($"n_hits" > 0L && $"doc_id" % 29 =!= 0).as("flagged"))
     }),
 
     // PII detect + redact round trip: deterministic PII (email, phone,
@@ -755,6 +764,21 @@ object TextQueries extends QueryPack {
         |  CAST((10000 + (doc_id % 50) * 1000) * (100 + doc_id % 900)
         |    // 1000 AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+    "mm8_perceptual_neardup" -> {
+      import graft.functions.PortableHash
+      s"""WITH pat AS (
+         |  SELECT doc_id,
+         |    xor(${PortableHash.hash60Sql("CAST(doc_id % 60 AS VARCHAR)")},
+         |      CASE WHEN (doc_id // 60) % 3 = 1 THEN 2052
+         |           WHEN (doc_id // 60) % 3 = 2 THEN 137447344132
+         |           ELSE 0 END) AS w60
+         |  FROM documents
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.w60, b.w60)) AS BIGINT) AS hamming
+         |FROM pat a JOIN pat b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.w60, b.w60)) <= 3""".stripMargin
+    },
     "mm6_mp4_meta" ->
       """SELECT doc_id, 'mp4' AS format,
         |  CAST(600 + (doc_id % 5) * 100 AS INTEGER) AS timescale,

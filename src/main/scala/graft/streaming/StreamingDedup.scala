@@ -1,9 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, KeyValueGroupedDataset, SparkSession}
+import org.apache.spark.sql.functions.{col, collect_list, concat, concat_ws,
+  explode, lit, slice, struct}
 import org.apache.spark.sql.streaming.{ListState, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues}
-import graft.operators.Dedup
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues}
+import graft.operators.{Dedup, DedupIndex}
 
 /** Near-duplicate detection on an UNBOUNDED document stream — the
   * production LLM-ingest shape: every arriving document is checked against
@@ -50,6 +52,11 @@ object StreamingDedup {
   case class VerifiedPair(doc_a: Long, doc_b: Long, sig_agree: Double,
                           sim: Double, dup_doc: Long)
 
+  /** One bucket's warm-start payload: the HISTORICAL members seeded into
+    * the bucket before the first micro-batch (grouped to ONE row per
+    * bucket key — the initial-state API hands each key a single value). */
+  case class BucketInit[P](members: Seq[VMember[P]])
+
   /** THE bucket processor — the unverified candidate index is the
     * trivial-payload / always-pass instance of it, so the bucket
     * semantics (dup-skip, cap, TTL, pair emission) exist exactly once.
@@ -73,12 +80,29 @@ object StreamingDedup {
   class VerifyingBucketProcessor[P](maxPerBucket: Int, ttl: TTLConfig,
       threshold: Double, enc: org.apache.spark.sql.Encoder[VMember[P]],
       exactSim: (P, P) => Double)
-      extends StatefulProcessor[String, (String, Long, Seq[Long], P),
-        VerifiedPair] {
+      extends StatefulProcessorWithInitialState[String,
+        (String, Long, Seq[Long], P), VerifiedPair, BucketInit[P]] {
     @transient private var members: ListState[VMember[P]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       members = getHandle.getListState[VMember[P]]("vmembers", enc, ttl)
+
+    /** Warm start ([[nearDupVerifiedWarm]]): seed the bucket with its
+      * historical members — index docs only OCCUPY state (their mutual
+      * pairs were already decided at batch time; re-emitting them would
+      * duplicate the batch output), so no pairs are emitted here. Cap
+      * semantics match arrival order by doc id: the EARLIEST historical
+      * docs hold the slots, the same keep-first rule the live path
+      * applies. Extending `StatefulProcessorWithInitialState` costs the
+      * cold-start path nothing — without an initial state this class
+      * behaves exactly as a plain `StatefulProcessor`. */
+    override def handleInitialState(key: String, init: BucketInit[P],
+                                    timers: TimerValues): Unit = {
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      init.members.sortBy(_.doc)
+        .iterator.filter(m => seen.add(m.doc)).take(maxPerBucket)
+        .foreach(members.appendValue)
+    }
 
     override def handleInputRows(key: String,
         rows: Iterator[(String, Long, Seq[Long], P)],
@@ -228,6 +252,70 @@ object StreamingDedup {
       Dedup.minhashBands(docs, idCol, textCol, shingleK, numHashes, bands,
         keepShingles = true),
       maxPerBucket, ttl, jaccardThreshold)
+
+  /** Rebuild the streaming bucket state from a PERSISTED
+    * [[graft.operators.DedupIndex]] — the bridge between the daily batch
+    * ingest and the live stream: the index's signature table already
+    * holds every historical doc's minhash values, so the streaming bucket
+    * keys (band prefix + raw band signature values) are reconstructed
+    * from index SCANS — history is never re-shingled, the same guarantee
+    * the batch incremental path gives. One shuffle (groupBy bucket_key)
+    * over the banded index; each bucket becomes one [[BucketInit]] row. */
+  def warmStartTextState(spark: SparkSession, indexRoot: String)
+      : KeyValueGroupedDataset[String, BucketInit[Seq[Long]]] = {
+    import spark.implicits._
+    val meta = DedupIndex.readMeta(spark, indexRoot)
+    val rows = meta.num_hashes / meta.bands
+    val sigArr = org.apache.spark.sql.functions.array(
+      (0 until meta.num_hashes).map(i => col(s"h$i")): _*)
+    val shSets = spark.read.parquet(s"$indexRoot/shingles")
+      .groupBy(col("doc")).agg(collect_list(col("sh_h")).as("payload"))
+    val banded = spark.read.parquet(s"$indexRoot/sig")
+      .select(col("doc"), sigArr.as("sig"))
+      .join(shSets, "doc")
+      .select(col("doc"), col("sig"), col("payload"),
+        explode(org.apache.spark.sql.functions.array(
+          (0 until meta.bands).map { b =>
+            concat(lit(s"$b:"), concat_ws("|",
+              slice(col("sig"), b * rows + 1, rows).cast("array<string>")))
+          }: _*)).as("bucket_key"))
+    banded
+      .groupBy(col("bucket_key"))
+      .agg(collect_list(struct(col("doc"), col("sig"), col("payload")))
+        .as("members"))
+      .as[(String, Seq[VMember[Seq[Long]]])]
+      .map { case (k, ms) => (k, BucketInit(ms)) }
+      .groupByKey(_._1).mapValues(_._2)
+  }
+
+  /** [[nearDupVerified]] warm-started from a persisted batch index: the
+    * FIRST micro-batch already dedups against the full historical corpus
+    * (StreamingSpec plants a doc duplicating a pre-existing index doc and
+    * asserts it is caught in micro-batch 1). The stream's LSH parameters
+    * are READ FROM THE INDEX — band signatures must be comparable across
+    * the index's lifetime, so the caller cannot supply conflicting ones.
+    * Requires the RocksDB state-store provider (the initial-state path
+    * allocates an extra column family, which the HDFS-backed provider
+    * does not support). */
+  def nearDupVerifiedWarm(spark: SparkSession, docs: DataFrame,
+                          idCol: String, textCol: String, indexRoot: String,
+                          maxPerBucket: Int = 64,
+                          ttl: TTLConfig = TTLConfig.NONE,
+                          jaccardThreshold: Double = 0.5): Dataset[VerifiedPair] = {
+    import spark.implicits._
+    val meta = DedupIndex.readMeta(spark, indexRoot)
+    val banded = Dedup.minhashBands(docs, idCol, textCol, meta.shingle_k,
+      meta.num_hashes, meta.bands, keepShingles = true)
+    val mode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    banded.as[(String, Long, Seq[Long], Seq[Long])]
+      .groupByKey(_._1)
+      .transformWithState(
+        new VerifyingBucketProcessor[Seq[Long]](maxPerBucket, ttl,
+          jaccardThreshold, Encoders.product[VMember[Seq[Long]]],
+          jaccardSets),
+        mode, OutputMode.Append(), warmStartTextState(spark, indexRoot))
+  }
 
   /** The EMBEDDING stream operator: vectors (idCol, vecCol float array) →
     * candidate near-dup pairs via random-hyperplane signatures — the

@@ -100,4 +100,37 @@ class DedupSpec extends AnyFunSuite {
     assert(near < far)
     assert(near <= 8)
   }
+
+  test("hammingNearDup banded join is EXACT for maxHamming < bands (property)") {
+    // 80 two-word sketches: 20 random bases, each with 3 perturbed copies
+    // at 1-4 flipped bits — pairs land on both sides of the threshold
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 20).flatMap { g =>
+      val lo = rnd.nextLong() & 0xffffffffL
+      val hi = rnd.nextLong() & 0xffffffffL
+      (0 until 4).map { v =>
+        var (l, h) = (lo, hi)
+        (0 until v).foreach { j =>
+          val bit = rnd.nextInt(64)
+          if (bit < 32) l ^= 1L << bit else h ^= 1L << (bit - 32)
+        }
+        ((g * 4 + v).toLong, l, h)
+      }
+    }
+    val out = Dedup.hammingNearDup(
+        rows.toDF("doc_id", "ahash_lo", "ahash_hi"), "doc_id",
+        Seq("ahash_lo", "ahash_hi"), wordBits = 32, bandBits = 16,
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      d = java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) if d <= 3
+    } yield (a._1, b._1) -> d.toLong).toMap
+    assert(out == brute,
+      s"banded=${out.size} brute=${brute.size}; " +
+        s"missed=${(brute.keySet -- out.keySet).take(5)}")
+    assert(brute.nonEmpty && brute.values.exists(_ > 0L),
+      "fixture must exercise non-identical near pairs")
+  }
 }

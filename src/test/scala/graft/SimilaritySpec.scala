@@ -159,4 +159,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out((0, 1L)) == 2.0 && out((0, 2L)) == 4.0)
     assert(out((1, 1L)) == 10.0 && out((1, 2L)) == 20.0)
   }
+
+  test("learned k-means IVF: probe recall on geometric clusters ≥ label-derived") {
+    // three well-separated geometric clusters, but labels assigned at
+    // RANDOM — the label-derived quantizer (sim3/sim6's limitation) gets
+    // centroids near the global mean and probes a scattered third of the
+    // corpus; the learned quantizer must recover the geometry
+    val rnd2 = new scala.util.Random(11)
+    val centers = Seq(
+      Seq.tabulate(dims)(d => if (d < 5) 10.0f else 0.0f),
+      Seq.tabulate(dims)(d => if (d >= 5 && d < 10) 10.0f else 0.0f),
+      Seq.tabulate(dims)(d => if (d >= 10) 10.0f else 0.0f))
+    val pts = (0 until 60).map { i =>
+      (i.toLong,
+        centers(i % 3).map(x => x + rnd2.nextGaussian().toFloat * 0.5f),
+        rnd2.nextInt(3))
+    }
+    val cdf = pts.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val queries = cdf.filter($"vec_id" % 10 === 3)
+      .select($"vec_id", $"embedding")
+    val truth = Similarity.cosineTopK(cdf, queries, "vec_id", "embedding", 5)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(out: Array[org.apache.spark.sql.Row]): Double = {
+      val got = out
+        .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (q, t) => (got.getOrElse(q, Set.empty[Long]) & t).size }
+        .sum.toDouble / truth.map(_._2.size).sum
+    }
+    val cent = Similarity.kmeansCentroids(cdf, "vec_id", "embedding",
+      k = 3, iters = 3)
+    // every point lands in a cluster, none dropped
+    assert(cent.filter($"dim" === 1L).agg(sum($"cnt")).as[Long].head() == 60L)
+    val learned = recall(Similarity.ivfProbeCentroids(cdf, queries,
+      "vec_id", "embedding", cent, k = 5).collect())
+    val labeled = recall(Similarity.ivfProbe(cdf, queries, "vec_id",
+      "embedding", "label", 5).collect())
+    assert(learned >= labeled, s"learned=$learned labeled=$labeled")
+    assert(learned >= 0.9,
+      s"learned quantizer should recover the geometric clusters: $learned")
+    // determinism: the whole seeded Lloyd's loop replays bit-identically
+    val again = Similarity.kmeansCentroids(cdf, "vec_id", "embedding",
+      k = 3, iters = 3)
+    assert(cent.orderBy("label", "dim").collect().toSeq ==
+      again.orderBy("label", "dim").collect().toSeq)
+  }
 }

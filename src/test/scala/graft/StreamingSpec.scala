@@ -768,5 +768,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.columns.toSet ==
       Set("transactionId", "amount", "risk_type", "line"))
   }
+
+  test("warm-started streaming dedup: duplicate of an INDEXED doc caught in micro-batch 1") {
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-warmidx-")
+      .resolve("idx").toString
+    // historical corpus: docs 1 and 2 duplicate each other (their pair was
+    // decided at batch time and must NOT re-emit), doc 3 distinct
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hist = Seq((1L, dupText), (2L, dupText),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    graft.operators.DedupIndex.buildMinhashIndex(hist, "doc_id", "text", root)
+    // the initial-state path allocates extra column families — RocksDB
+    // provider required (same as every transformWithState operator here)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.nearDupVerifiedWarm(spark,
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", root,
+        jaccardThreshold = 0.5)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_warm").start()
+    try {
+      // the VERY FIRST micro-batch: doc 100 duplicates indexed doc 1,
+      // doc 101 is fresh content
+      mem.addData(Seq((100L, dupText),
+        (101L, "unrelated fresh words about stone bridges and winter rain")))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val rows = spark.table("stream_warm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    // caught against BOTH historical copies without re-shingling history,
+    // with exact Jaccard 1.0 and the keep-first drop decision on the
+    // NEW arrival
+    assert(rows.exists(t => t == ((1L, 100L, 1.0, 100L))), s"${rows.toSeq}")
+    assert(rows.exists(t => t == ((2L, 100L, 1.0, 100L))), s"${rows.toSeq}")
+    // history-vs-history pairs are not re-emitted; fresh content matches
+    // nothing
+    assert(!rows.exists(t => t._1 == 1L && t._2 == 2L), s"${rows.toSeq}")
+    assert(!rows.exists(t => t._1 == 101L || t._2 == 101L), s"${rows.toSeq}")
+  }
 }
 

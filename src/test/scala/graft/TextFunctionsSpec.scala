@@ -240,4 +240,48 @@ class TextFunctionsSpec extends AnyFunSuite {
     val re = Multimodal.repartitionByBytes(df, "payload", 8000L)
     assert(re.rdd.getNumPartitions >= 8)
   }
+
+  test("perceptual aHash: resolution-invariant through a real codec, planted pair found") {
+    import graft.operators.Dedup
+    val wordA = 0x123456789ABCDL      // 52-bit pattern, blocks 60-63 dark
+    val wordB = 0xBADC0FFEE0DDFL      // unrelated pattern (hamming 26)
+    val wordP = wordA ^ ((1L << 5) | (1L << 40)) // perturbed: 2 blocks differ
+    def split(w: Long) = (w & 0xffffffffL, w >>> 32)
+    val pats = Seq((1L, wordA, 16, 16), (2L, wordA, 40, 24),
+      (3L, wordB, 16, 16), (4L, wordP, 32, 16))
+      .map { case (id, w, px, py) =>
+        val (lo, hi) = split(w); (id, lo, hi, px, py) }
+    val df = pats.toDF("doc_id", "lo", "hi", "w", "h")
+    val pngs = Multimodal.renderBlockPng(spark, df, "doc_id", "lo", "hi",
+      "w", "h")
+    val hs = Multimodal.imageAHash(spark, pngs, "doc_id", "payload")
+      .collect().map(h => h.doc_id -> ((h.ahash_lo, h.ahash_hi))).toMap
+    // decoded hash IS the rendered pattern word — at EVERY resolution
+    assert(hs(1L) == split(wordA) && hs(2L) == split(wordA))
+    assert(hs(3L) == split(wordB) && hs(4L) == split(wordP))
+    // a bilinear-resized copy of the image stays within the near-dup bar
+    val resized = Multimodal.resizeImage(spark,
+      pngs.filter(col("doc_id") === 1L), "doc_id", "payload", 32, 32)
+    val rh = Multimodal.imageAHash(spark,
+        resized.select($"doc_id", $"payload").toDF(), "doc_id", "payload")
+      .collect().head
+    val (la, ha) = split(wordA)
+    val drift = java.lang.Long.bitCount(rh.ahash_lo ^ la) +
+      java.lang.Long.bitCount(rh.ahash_hi ^ ha)
+    assert(drift <= 3, s"resized copy drifted $drift bits")
+    // banded pair stage: same-pattern pairs + the 2-bit perturbed pair,
+    // nothing against the unrelated pattern
+    val pairs = Dedup.hammingNearDup(
+        Multimodal.imageAHash(spark, pngs, "doc_id", "payload").toDF(),
+        "doc_id", Seq("ahash_lo", "ahash_hi"), 32, 16, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs == Map((1L, 2L) -> 0L, (1L, 4L) -> 2L, (2L, 4L) -> 2L),
+      s"$pairs")
+  }
+
+  test("imageAHash drops undecodable payloads instead of fabricating hashes") {
+    val junk = Seq((9L, Array[Byte](1, 2, 3, 4, 5))).toDF("doc_id", "payload")
+    assert(Multimodal.imageAHash(spark, junk, "doc_id", "payload")
+      .collect().isEmpty)
+  }
 }

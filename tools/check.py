@@ -81,6 +81,15 @@ def check_bounded(con, spec, spark_cols, spark_rows):
     def by_key(rows):
         return sorted(rows, key=lambda r: tuple(str(r[i]) for i in key_idx))
 
+    # the zip-by-sorted-key alignment below assumes key tuples are unique;
+    # duplicates would silently compare misaligned rows and masquerade as
+    # BOUND-VALUE/BOUND-EXCEEDED — that's a spec error, name it as one
+    for side, rows in (("spark", spark_rows), ("duck", duck_rows)):
+        keys = [tuple(str(r[i]) for i in key_idx) for r in rows]
+        if len(keys) != len(set(keys)):
+            return (f"BOUND-BADSPEC duplicate key tuples on {side} side: "
+                    f"keys {spec['keys']} do not uniquely identify rows")
+
     max_rel = 0.0
     for sr, dr in zip(by_key(spark_rows), by_key(duck_rows)):
         for c, a, b in zip(duck_cols, sr, dr):
