@@ -367,11 +367,17 @@ object Dedup {
             .as("bval"))
       }
     }
+    // persist EAGERLY before the self-join: without it both join sides
+    // re-execute the full upstream (for image sketches that is the whole
+    // decode+hash pass, twice) — same reasoning as minhashLsh's shingle
+    // persist. Tiny table: bands/word rows per doc.
     val banded = hashes.select(
       (col(idCol).as("doc") +: wordCols.map(col)) :+
         explode(array(bands: _*)).as("bb"): _*)
       .select(col("doc") +: col("bb.band").as("band") +:
         col("bb.bval").as("bval") +: wordCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count()
     val dist = wordCols
       .map(c => bit_count(col(s"a.$c").bitwiseXOR(col(s"b.$c"))))
       .reduce(_ + _)
