@@ -377,6 +377,57 @@ object Similarity {
         col("cos_sim"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication — k-means cluster the embeddings, then compare pairs
+    * ONLY within a cluster and drop every doc whose cosine to a
+    * smaller-id doc in its cluster reaches `tau` (greedy keep-first, the
+    * same deterministic representative rule the text dedups use; the
+    * paper keeps one representative per semantic-dup group — which one
+    * is a policy choice, and id-order is the oracle-able one).
+    *
+    * Scale design (the paper's own argument): pass `k ≈ N /
+    * targetClusterSize` — derived from corpus count like
+    * [[deriveBandBits]] — and the within-cluster all-pairs work is
+    * ~targetClusterSize²/2 per cluster, i.e. O(N·targetClusterSize)
+    * total cosines instead of O(N²); clusters are co-located by the
+    * label hash-join, so each cluster's pairs score in one task.
+    * Clustering itself is [[kmeansCentroids]]' broadcast-join loop.
+    *
+    * Output: (idCol, label, dropped, max_sim_prior) — one row per input
+    * vector; `max_sim_prior` is the max cosine to any smaller-id
+    * cluster-mate (null when none), `dropped` ⇔ that max ≥ tau. Fully
+    * oracle-able: assignment/update sums are decimal-exact, pairwise
+    * cosines are sequential double folds, and max over an identical
+    * value set is order-free. */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, tau: Double): DataFrame = {
+    val cent = kmeansCentroids(vecs, idCol, vecCol, k, iters)
+      .select(col("label"), col("dim"), col("centroid"))
+    val ex = vecs.select(col(idCol).as("_vid"),
+        posexplode(col(vecCol)).as(Seq("pos0", "xf")))
+      .select(col("_vid"), (col("pos0") + 1).cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+    // final membership = nearest FINAL centroid (same rule the quantizer
+    // used); carry the raw vector + norm for the in-cluster cosine pass
+    val m = assignToCentroids(ex, cent)
+      .join(vecs.select(col(idCol).as("_vid"), col(vecCol).as("_vec")),
+        "_vid")
+      .withColumn("_nrm", normSeq(col("_vec")))
+    val a = m.select(col("label"), col("_vid").as("id_a"),
+      col("_vec").as("va"), col("_nrm").as("na"))
+    val b = m.select(col("label"), col("_vid").as("id_b"),
+      col("_vec").as("vb"), col("_nrm").as("nb"))
+    val prior = a.join(b, "label")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("label"), col("id_b").as("_vid"))
+      .agg(max(dotSeq(col("va"), col("vb")) / (col("na") * col("nb")))
+        .as("max_sim_prior"))
+    m.join(prior, Seq("label", "_vid"), "left")
+      .select(col("_vid").as(idCol), col("label"),
+        coalesce(col("max_sim_prior") >= tau, lit(false)).as("dropped"),
+        col("max_sim_prior"))
+  }
+
   /** IVF probe against an EXPLICIT centroid table (label, dim, centroid)
     * — [[ivfProbe]]'s engine with learned ([[kmeansCentroids]]) instead
     * of label-derived clusters: corpus membership is nearest-centroid

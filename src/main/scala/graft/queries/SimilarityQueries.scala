@@ -104,6 +104,19 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       Similarity.ivfProbe(e, e.filter($"vec_id" % 40 === 0), "vec_id",
         "embedding", "label", 5, nprobe = 2)
+    }),
+
+    // SemDeDup: k-means clusters + within-cluster cosine keep-first drop.
+    // k is DERIVED from corpus count (≈ N/64 clusters, floor 4) so the
+    // per-cluster all-pairs stays O(N·64) at every scale — the same
+    // grow-with-the-corpus discipline as sim5's band width; the SQL twin
+    // derives the identical k from count(*). τ=0.4 genuinely splits the
+    // fixture (random-ish vectors, max pairwise cosine ≈ 0.5).
+    "dd5_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val k = math.max(4L, (e.count() + 63) / 64).toInt
+      Similarity.semDedup(e, "vec_id", "embedding", k, iters = 2,
+        tau = 0.4)
     }))
 
   /** sim5's DuckDB twin, mirroring Similarity.annLsh(planes=48, bands=4,
@@ -225,13 +238,23 @@ object SimilarityQueries extends QueryPack {
          |FROM embeddings""".stripMargin,
     "sim6_ivf_probe" -> ivfSql(1),
     "sim8_ivf_nprobe" -> ivfSql(2),
-    "sim9_kmeans_ivf" -> sim9Sql(8, 2))
+    "sim9_kmeans_ivf" -> sim9Sql(8, 2),
+    "dd5_semdedup" -> dd5Sql(64, 4, 2, 0.4))
 
   /** sim9's DuckDB twin: the same seeded Lloyd's loop unrolled as CTEs —
     * hash-sampled seeds (identical [[graft.functions.PortableHash]]
     * arithmetic), per-iteration decimal-exact (c·c − 2x·c) assignment
     * with label tiebreak, decimal-exact mean update, fixed `iters`. */
-  private def sim9Sql(k: Int, iters: Int): String = {
+  private def sim9Sql(k: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k.toString, iters)}
+       |SELECT label, dim, centroid, cnt FROM cent$iters""".stripMargin
+
+  /** The unrolled-Lloyd's CTE chain (ex, seeds, cent0, asg/cent per
+    * iteration) shared by sim9's and dd5's twins. `kExpr` is a SQL
+    * scalar for k — a literal for sim9, a corpus-count-derived
+    * subquery for dd5 (so the oracle tracks the derived-k discipline
+    * across scale factors, like sim5's band width). */
+  private def kmeansCtes(kExpr: String, iters: Int): String = {
     import graft.functions.PortableHash
     val seedHash = PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")
     val iterCtes = (1 to iters).map { it =>
@@ -266,7 +289,7 @@ object SimilarityQueries extends QueryPack {
          |  WHERE rn = 1
          |), $centSelect""".stripMargin
     }.mkString(", ")
-    s"""WITH ex AS (
+    s"""ex AS (
        |  SELECT vec_id AS _vid, CAST(i AS BIGINT) AS dim,
        |    CAST(embedding[i] AS DOUBLE) AS x
        |  FROM (SELECT vec_id, embedding,
@@ -277,11 +300,54 @@ object SimilarityQueries extends QueryPack {
        |  FROM (SELECT vec_id,
        |          row_number() OVER (ORDER BY $seedHash, vec_id) AS rn
        |        FROM embeddings) s
-       |  WHERE rn <= $k
+       |  WHERE rn <= $kExpr
        |), cent0 AS (
        |  SELECT label, dim, x AS centroid FROM seeds JOIN ex USING (_vid)
-       |), $iterCtes
-       |SELECT label, dim, centroid, cnt FROM cent$iters""".stripMargin
+       |), $iterCtes""".stripMargin
+  }
+
+  /** dd5's DuckDB twin: the shared k-means chain with a corpus-derived
+    * k, one more assignment round against the FINAL centroids, then the
+    * within-cluster smaller-id max-cosine and the ≥ τ drop rule —
+    * every stage the exact arithmetic the Spark operator runs. */
+  private def dd5Sql(targetClusterSize: Int, kMin: Int, iters: Int,
+                     tau: Double): String = {
+    import graft.functions.ExactNum.sumExactSql
+    s"""WITH params AS (
+       |  SELECT greatest($kMin, CAST(ceil(count(*) / $targetClusterSize.0)
+       |    AS BIGINT)) AS kk FROM embeddings
+       |), ${kmeansCtes("(SELECT kk FROM params)", iters)},
+       |centf AS (SELECT label, dim, centroid FROM cent$iters),
+       |c2f AS (
+       |  SELECT label, ${sumExactSql("centroid * centroid")} AS c2
+       |  FROM centf GROUP BY label
+       |), dotf AS (
+       |  SELECT e._vid, c.label, ${sumExactSql("e.x * c.centroid")} AS d
+       |  FROM ex e JOIN centf c USING (dim)
+       |  GROUP BY e._vid, c.label
+       |), asgf AS (
+       |  SELECT _vid, label FROM (
+       |    SELECT d._vid, d.label,
+       |      row_number() OVER (PARTITION BY d._vid
+       |        ORDER BY (c.c2 - 2 * d.d) ASC, d.label ASC) AS rn
+       |    FROM dotf d JOIN c2f c USING (label)) t
+       |  WHERE rn = 1
+       |), mv AS (
+       |  SELECT a._vid, a.label, e.embedding,
+       |    sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm
+       |  FROM asgf a JOIN embeddings e ON e.vec_id = a._vid
+       |), prior AS (
+       |  SELECT b.label, b._vid,
+       |    max(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm))
+       |      AS max_sim_prior
+       |  FROM mv a JOIN mv b ON a.label = b.label AND a._vid < b._vid
+       |  GROUP BY b.label, b._vid
+       |)
+       |SELECT m._vid AS vec_id, m.label,
+       |  coalesce(p.max_sim_prior >= $tau, false) AS dropped,
+       |  p.max_sim_prior
+       |FROM mv m LEFT JOIN prior p
+       |  ON p.label = m.label AND p._vid = m._vid""".stripMargin
   }
 
   /** sim6/sim8's DuckDB twin: same two-stage IVF (exact-decimal centroid

@@ -207,4 +207,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cent.orderBy("label", "dim").collect().toSeq ==
       again.orderBy("label", "dim").collect().toSeq)
   }
+
+  test("semDedup drops the planted semantic dup, keeps the cluster's first doc") {
+    // three geometric clusters; doc 63 is a near-copy of doc 0 (same
+    // cluster, cosine ≈ 1) — SemDeDup must drop 63 (the larger id), keep
+    // 0, and not drop any doc whose only near-dups are across clusters
+    val rnd3 = new scala.util.Random(13)
+    val centers = Seq(
+      Seq.tabulate(dims)(d => if (d < 5) 10.0f else 0.0f),
+      Seq.tabulate(dims)(d => if (d >= 5 && d < 10) 10.0f else 0.0f),
+      Seq.tabulate(dims)(d => if (d >= 10) 10.0f else 0.0f))
+    // σ=1.0 keeps natural same-cluster cosines ≈ 1 − σ²·dims/‖c‖² ≈ 0.97,
+    // well under τ; the planted copy at σ=0.001 sits at ≈ 0.9999998
+    val base = (0 until 63).map { i =>
+      (i.toLong, centers(i % 3).map(x => x + rnd3.nextGaussian().toFloat * 1.0f))
+    }
+    val dup = (63L, base(0)._2.map(x => x + rnd3.nextGaussian().toFloat * 0.001f))
+    val cdf = (base :+ dup).toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val out = Similarity.semDedup(cdf, "vec_id", "embedding",
+      k = 3, iters = 3, tau = 0.9995).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("dropped"), r.getAs[Any]("max_sim_prior"))).toMap
+    assert(out.size == 64, "one verdict row per input vector")
+    assert(out(63L)._1, "the planted near-copy must be dropped")
+    assert(!out(0L)._1, "the keep-first representative survives")
+    // in-cluster neighbors at σ=1.0 around distant centers sit well
+    // below τ — nothing else drops
+    assert(out.count(_._2._1) == 1, s"only the planted dup drops: " +
+      out.filter(_._2._1).keys.toSeq.sorted.mkString(","))
+    // the reported similarity is the exact cosine to the kept doc
+    val sim63 = out(63L)._2.asInstanceOf[Double]
+    assert(sim63 > 0.999 && sim63 <= 1.0)
+  }
 }
