@@ -483,4 +483,54 @@ object Dedup {
       labels
     }
   }
+
+  /** Repeated-span (exact-substring) duplication profile — the n-gram
+    * approximation of suffix-array substring dedup (Lee et al. 2022,
+    * arXiv:2107.06499: repeated ≥L-token spans in the corpus are the
+    * memorization drivers). A span = `spanLen` consecutive tokens; a span
+    * is DUPLICATED iff it occurs ≥2 times corpus-wide (across docs or
+    * repeated within one). Per doc: total tokens, duplicated-span
+    * occurrence count, the number of token positions covered by at least
+    * one duplicated span, and the covered fraction — the signal a
+    * pipeline thresholds to drop or trim repetitive docs.
+    *
+    * Scale shape: one narrow explode (~n_tokens rows/doc), a hash agg on
+    * the span key, one equi-join back, and two per-doc aggs — never
+    * O(N²). The span GROUP BY key is the span STRING so the DuckDB twin
+    * is exactly portable; a 100 TB run would swap in the 8-byte
+    * xxhash64 key (the [[ngramJaccardPairs]] discipline, collision odds
+    * ~n²/2⁶⁵) to keep the shuffle fixed-width.
+    *
+    * Output: (idCol, n_tokens, n_dup_spans, dup_tokens, dup_fraction). */
+  def repeatedSpanProfile(docs: DataFrame, idCol: String, textCol: String,
+                          spanLen: Int): DataFrame = {
+    require(spanLen >= 2)
+    val toks = docs.select(col(idCol).as("doc"),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+    val sizes = toks.select(col("doc"),
+      size(col("_toks")).cast("long").as("n_tokens"))
+    val spans = toks.select(col("doc"),
+        posexplode(shingleArray(col("_toks"), spanLen))
+          .as(Seq("pos0", "span")))
+      .select(col("doc"), (col("pos0") + 1).cast("long").as("pos"),
+        col("span"))
+    val dup = spans.groupBy(col("span")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select(col("span"))
+    val hits = spans.join(dup, "span")
+    val nDup = hits.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_dup_spans"))
+    val covered = hits.select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + (spanLen - 1)))
+          .as("tpos"))
+      .distinct()
+      .groupBy(col("doc")).agg(count(lit(1)).as("dup_tokens"))
+    sizes.join(nDup, Seq("doc"), "left").join(covered, Seq("doc"), "left")
+      .na.fill(0L, Seq("n_dup_spans", "dup_tokens"))
+      .withColumn("dup_fraction",
+        when(col("n_tokens") > 0,
+          col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("doc").as(idCol), col("n_tokens"), col("n_dup_spans"),
+        col("dup_tokens"), col("dup_fraction"))
+  }
 }

@@ -465,7 +465,16 @@ object TextQueries extends QueryPack {
         regexp_count($"planted", lit(PiiIpRe)).cast("long").as("n_ips"),
         length(redacted).cast("long").as("n_chars_redacted"),
         md5(redacted).as("redacted_md5"))
-    }))
+    }),
+
+    // repeated-span (exact-substring) duplication profile: per-doc
+    // fraction of token positions covered by an 8-token span occurring
+    // ≥2× corpus-wide — the n-gram approximation of suffix-array
+    // substring dedup (Lee et al. 2022). Fixture genuinely splits: the
+    // near-dup docs share long spans, unique docs profile at 0.
+    "tx12_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpanProfile(graft.core.Tables.spread(docs(s, dir)),
+        "doc_id", "text", spanLen = 8)))
 
   /** PII patterns shared by the Spark and oracle sides — RE2-safe (no
     * backreferences/lookaround), so java.util.regex and DuckDB RE2 match
@@ -734,6 +743,41 @@ object TextQueries extends QueryPack {
     "dd1_minhash_lsh" -> dd1Sql,
     "dd4_incremental_dedup" -> dd4Sql,
     "dd2_simhash" -> dd2Sql,
+    "tx12_repeated_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS doc, regexp_extract_all(text, '\S+') AS t
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT doc, CAST(len(t) AS BIGINT) AS n_tokens FROM tok
+        |), spans AS (
+        |  SELECT doc, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(t[i:i+7], ' ') AS span
+        |  FROM (SELECT doc, t,
+        |          unnest(generate_series(1, len(t) - 7)) AS i
+        |        FROM tok) x
+        |), dup AS (
+        |  SELECT span FROM spans GROUP BY span HAVING count(*) >= 2
+        |), hits AS (
+        |  SELECT s.doc, s.pos FROM spans s JOIN dup USING (span)
+        |), ndup AS (
+        |  SELECT doc, count(*) AS n_dup_spans FROM hits GROUP BY doc
+        |), cov AS (
+        |  SELECT doc, count(*) AS dup_tokens FROM (
+        |    SELECT DISTINCT doc, pos + off AS tpos
+        |    FROM hits CROSS JOIN
+        |      (SELECT unnest(generate_series(0, 7)) AS off) o) c
+        |  GROUP BY doc
+        |)
+        |SELECT z.doc AS doc_id, z.n_tokens,
+        |  CAST(coalesce(n.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CASE WHEN z.n_tokens > 0
+        |    THEN CAST(coalesce(c.dup_tokens, 0) AS DOUBLE)
+        |      / CAST(z.n_tokens AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS dup_fraction
+        |FROM sizes z
+        |LEFT JOIN ndup n USING (doc)
+        |LEFT JOIN cov c USING (doc)""".stripMargin,
     "mm2_decode_dims" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(1 + doc_id % 37 AS INTEGER) AS width,

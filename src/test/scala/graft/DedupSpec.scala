@@ -133,4 +133,33 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty && brute.values.exists(_ > 0L),
       "fixture must exercise non-identical near pairs")
   }
+
+  test("repeatedSpanProfile: cross-doc and within-doc spans covered, clean doc at zero") {
+    // w1..w12 unique filler tokens; docs 1/2 share an exact 8-token run,
+    // doc 3 repeats its own 8-token run twice, doc 4 is span-clean, doc
+    // 5 is shorter than a span
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val selfRun = (1 to 8).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),
+      (2L, s"b1 b2 $shared b3 b4 b5 b6"),
+      (3L, s"$selfRun c1 $selfRun"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (5L, "v1 v2 v3")).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanProfile(d, "doc_id", "text", spanLen = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_dup_spans"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_fraction"))))
+      .toMap
+    assert(out.size == 5, "every doc gets a profile row")
+    // docs 1/2: exactly the shared 8-token window duplicates (the
+    // flanking tokens differ), covering 8 positions each
+    assert(out(1L) == ((13L, 1L, 8L, 8.0 / 13.0)))
+    assert(out(2L) == ((14L, 1L, 8L, 8.0 / 14.0)))
+    // doc 3: its span repeats within the doc — both occurrences count,
+    // 16 of 17 positions covered (the middle c1 breaks the run)
+    assert(out(3L) == ((17L, 2L, 16L, 16.0 / 17.0)))
+    assert(out(4L) == ((10L, 0L, 0L, 0.0)))
+    assert(out(5L) == ((3L, 0L, 0L, 0.0)))
+  }
 }
