@@ -265,21 +265,28 @@ object Similarity {
     *  - init: the k seed vectors are the docs with the k smallest
     *    (hash60(id-as-string), id) — deterministic hash sampling, no RNG;
     *  - assignment: nearest centroid by squared L2 distance, expanded as
-    *    c·c − 2x·c (the ‖x‖² term cancels in argmin); both sums are
-    *    decimal-exact ([[graft.functions.ExactNum]]), ties break on the
-    *    smaller label;
-    *  - update: per-(cluster, dim) decimal-exact mean;
+    *    c·c − 2x·c (the ‖x‖² term cancels in argmin); both dots are
+    *    PER-ROW sequential double folds against the broadcast per-label
+    *    centroid array (DuckDB's list_reduce folds identically), argmin
+    *    via min(struct(score, label)) — order-free, partial-agg safe,
+    *    ties break on the smaller label;
+    *  - update: per-(cluster, dim) decimal-exact mean
+    *    ([[graft.functions.ExactNum]] — this one IS a cross-row sum);
     *  - a FIXED iteration count, not a convergence test (a tolerance
     *    check on doubles would be engine-divergent at the margin).
     *
-    * Scale shape per iteration: the centroid table (k·dims rows) is
-    * collected and re-broadcast — Lloyd's is THE textbook broadcast-join
-    * loop, and the collect also truncates the iteration lineage (k·dims
-    * doubles, bit-preserved through the driver round trip); assignment is
-    * one broadcast join + hash agg over the exploded corpus; the update
-    * is one hash agg. Empty clusters drop out identically in both
-    * engines (no re-seeding — deterministic hash seeds on real corpora
-    * make them rare; rebuild with a different k if one vanishes).
+    * Scale shape per iteration: the centroid table (k·dims doubles) is
+    * collected and re-broadcast as arrays — Lloyd's is THE textbook
+    * broadcast-join loop, and the collect also truncates the iteration
+    * lineage (bit-preserved through the driver round trip); assignment
+    * is a broadcast cross join + codegen folds + one map-side-combined
+    * hash agg over N·k narrow rows; the update is one hash agg over the
+    * exploded corpus. (The first formulation aggregated k·N·dims
+    * decimal-exact products per iteration — measured 5× slower; the
+    * per-row fold keeps bit-portability without touching BigDecimal.)
+    * Empty clusters drop out identically in both engines (no re-seeding
+    * — deterministic hash seeds on real corpora make them rare; rebuild
+    * with a different k if one vanishes).
     *
     * Output: (label, dim, centroid, cnt) — same shape as
     * [[labelCentroids]], so the probe side is interchangeable. */
@@ -288,6 +295,7 @@ object Similarity {
     import graft.functions.{ExactNum, PortableHash}
     require(k >= 1 && iters >= 1)
     val spark = vecs.sparkSession
+    import spark.implicits._
     val ex = vecs.select(col(idCol).as("_vid"),
         posexplode(col(vecCol)).as(Seq("pos0", "xf")))
       .select(col("_vid"), (col("pos0") + 1).cast("long").as("dim"),
@@ -298,27 +306,31 @@ object Similarity {
       .withColumn("rn", row_number().over(wSeed))
       .filter(col("rn") <= k)
       .select(col("_vid"), (col("rn") - 1).cast("long").as("label"))
-    var cent = seeds.join(ex, "_vid")
-      .select(col("label"), col("dim"), col("x").as("centroid"))
-    val centSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("label",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("dim",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("centroid",
-        org.apache.spark.sql.types.DoubleType)))
+    var centRows: Seq[(Long, Long, Double)] = seeds.join(ex, "_vid")
+      .select(col("label"), col("dim"), col("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
     var out: DataFrame = null
     for (it <- 1 to iters) {
-      val assigned = assignToCentroids(ex, cent)
+      val centDf = centRows.groupBy(_._1).toSeq
+        .map { case (l, rs) => (l, rs.sortBy(_._2).map(_._3)) }
+        .sortBy(_._1).toDF("label", "c_arr")
+        .withColumn("c2", dotSeqHof(col("c_arr"), col("c_arr")))
+      val assigned = vecs
+        .select(col(idCol).as("_vid"), col(vecCol).as("_vec"))
+        .crossJoin(broadcast(centDf))
+        .withColumn("_score",
+          col("c2") - lit(2.0) * dotSeqHof(col("_vec"), col("c_arr")))
+        .groupBy(col("_vid"))
+        .agg(min(struct(col("_score"), col("label"))).as("_best"))
+        .select(col("_vid"), col("_best.label").as("label"))
       if (it < iters) {
-        val next = assigned.join(ex, "_vid")
+        // driver round trip: k·dims doubles, bit-preserved
+        centRows = assigned.join(ex, "_vid")
           .groupBy(col("label"), col("dim"))
           .agg(ExactNum.avgExact(col("x")).as("centroid"))
-        // driver round trip: k·dims doubles, bit-preserved; broadcast back
-        val rows = next.select(col("label"), col("dim"), col("centroid"))
-          .collect().toSeq
-        cent = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), centSchema)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq
       } else {
         // last update also carries cluster size (one row per dim, like
         // labelCentroids' cnt)
@@ -401,18 +413,40 @@ object Similarity {
     * value set is order-free. */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, tau: Double): DataFrame = {
-    val cent = kmeansCentroids(vecs, idCol, vecCol, k, iters)
-      .select(col("label"), col("dim"), col("centroid"))
-    val ex = vecs.select(col(idCol).as("_vid"),
-        posexplode(col(vecCol)).as(Seq("pos0", "xf")))
-      .select(col("_vid"), (col("pos0") + 1).cast("long").as("dim"),
-        col("xf").cast("double").as("x"))
-    // final membership = nearest FINAL centroid (same rule the quantizer
-    // used); carry the raw vector + norm for the in-cluster cosine pass
-    val m = assignToCentroids(ex, cent)
-      .join(vecs.select(col(idCol).as("_vid"), col(vecCol).as("_vec")),
-        "_vid")
-      .withColumn("_nrm", normSeq(col("_vec")))
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // Final centroids collected to the driver (k·dims doubles,
+    // bit-preserved — the Lloyd's-loop discipline) and re-shipped as
+    // per-label ARRAYS: the final membership pass is then a broadcast
+    // cross join + per-row sequential fold + min(struct) hash agg —
+    // map-side combinable, nothing exploded, no decimal on the hot
+    // path. The first cut reused the exploded decimal-exact assignment
+    // and spent 21 s at sf0.1 in k·N BigDecimal aggregation; per-row
+    // folds are bit-portable to DuckDB's list_reduce, so exactness
+    // survives the rewrite (argmin inputs are identical doubles in both
+    // engines) and the query runs in ~2 s.
+    val centArrs = kmeansCentroids(vecs, idCol, vecCol, k, iters)
+      .select(col("label"), col("dim"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .map { case (l, rs) => (l, rs.sortBy(_._2).map(_._3).toSeq) }
+      .sortBy(_._1)
+    val centDf = centArrs.toDF("label", "c_arr")
+      .withColumn("c2", dotSeqHof(col("c_arr"), col("c_arr")))
+    // score = ‖c‖² − 2x·c (the ‖x‖² term cancels in argmin); min over
+    // (score, label) structs = smallest score with label tiebreak —
+    // order-free, so partial aggregation is safe
+    val m = vecs.select(col(idCol).as("_vid"), col(vecCol).as("_vec"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("_score",
+        col("c2") - lit(2.0) * dotSeqHof(col("_vec"), col("c_arr")))
+      .groupBy(col("_vid"))
+      .agg(min(struct(col("_score"), col("label"))).as("_best"),
+        first(col("_vec")).as("_vec"))
+      .select(col("_best.label").as("label"), col("_vid"), col("_vec"),
+        normSeq(col("_vec")).as("_nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    m.count()
     val a = m.select(col("label"), col("_vid").as("id_a"),
       col("_vec").as("va"), col("_nrm").as("na"))
     val b = m.select(col("label"), col("_vid").as("id_b"),

@@ -273,19 +273,22 @@ object SimilarityQueries extends QueryPack {
              |  FROM asg$it a JOIN ex e USING (_vid)
              |  GROUP BY a.label, e.dim
              |)"""
-      s"""c2_$it AS (
-         |  SELECT label, ${sumExactSql("centroid * centroid")} AS c2
+      s"""carr$it AS (
+         |  SELECT label, list(centroid ORDER BY dim) AS c_arr
          |  FROM $prev GROUP BY label
-         |), dot$it AS (
-         |  SELECT e._vid, c.label, ${sumExactSql("e.x * c.centroid")} AS d
-         |  FROM ex e JOIN $prev c USING (dim)
-         |  GROUP BY e._vid, c.label
+         |), cc$it AS (
+         |  SELECT label, c_arr, ${dotSql("c_arr", "c_arr")} AS c2
+         |  FROM carr$it
+         |), scored$it AS (
+         |  SELECT e.vec_id AS _vid, c.label,
+         |    c.c2 - 2.0 * ${dotSql("e.embedding", "c.c_arr")} AS score
+         |  FROM embeddings e CROSS JOIN cc$it c
          |), asg$it AS (
          |  SELECT _vid, label FROM (
-         |    SELECT d._vid, d.label,
-         |      row_number() OVER (PARTITION BY d._vid
-         |        ORDER BY (c.c2 - 2 * d.d) ASC, d.label ASC) AS rn
-         |    FROM dot$it d JOIN c2_$it c USING (label)) t
+         |    SELECT _vid, label,
+         |      row_number() OVER (PARTITION BY _vid
+         |        ORDER BY score ASC, label ASC) AS rn
+         |    FROM scored$it) t
          |  WHERE rn = 1
          |), $centSelect""".stripMargin
     }.mkString(", ")
@@ -307,30 +310,32 @@ object SimilarityQueries extends QueryPack {
   }
 
   /** dd5's DuckDB twin: the shared k-means chain with a corpus-derived
-    * k, one more assignment round against the FINAL centroids, then the
-    * within-cluster smaller-id max-cosine and the ≥ τ drop rule —
-    * every stage the exact arithmetic the Spark operator runs. */
+    * k, one more assignment round against the FINAL centroids (per-row
+    * list_reduce folds against per-label centroid arrays — the exact
+    * fold the Spark side runs), then the within-cluster smaller-id
+    * max-cosine and the ≥ τ drop rule. */
   private def dd5Sql(targetClusterSize: Int, kMin: Int, iters: Int,
                      tau: Double): String = {
-    import graft.functions.ExactNum.sumExactSql
     s"""WITH params AS (
        |  SELECT greatest($kMin, CAST(ceil(count(*) / $targetClusterSize.0)
        |    AS BIGINT)) AS kk FROM embeddings
        |), ${kmeansCtes("(SELECT kk FROM params)", iters)},
        |centf AS (SELECT label, dim, centroid FROM cent$iters),
-       |c2f AS (
-       |  SELECT label, ${sumExactSql("centroid * centroid")} AS c2
+       |carr AS (
+       |  SELECT label, list(centroid ORDER BY dim) AS c_arr
        |  FROM centf GROUP BY label
-       |), dotf AS (
-       |  SELECT e._vid, c.label, ${sumExactSql("e.x * c.centroid")} AS d
-       |  FROM ex e JOIN centf c USING (dim)
-       |  GROUP BY e._vid, c.label
+       |), cc AS (
+       |  SELECT label, c_arr, ${dotSql("c_arr", "c_arr")} AS c2 FROM carr
+       |), scored AS (
+       |  SELECT e.vec_id AS _vid, c.label,
+       |    c.c2 - 2.0 * ${dotSql("e.embedding", "c.c_arr")} AS score
+       |  FROM embeddings e CROSS JOIN cc c
        |), asgf AS (
        |  SELECT _vid, label FROM (
-       |    SELECT d._vid, d.label,
-       |      row_number() OVER (PARTITION BY d._vid
-       |        ORDER BY (c.c2 - 2 * d.d) ASC, d.label ASC) AS rn
-       |    FROM dotf d JOIN c2f c USING (label)) t
+       |    SELECT _vid, label,
+       |      row_number() OVER (PARTITION BY _vid
+       |        ORDER BY score ASC, label ASC) AS rn
+       |    FROM scored) t
        |  WHERE rn = 1
        |), mv AS (
        |  SELECT a._vid, a.label, e.embedding,
