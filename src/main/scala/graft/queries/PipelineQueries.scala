@@ -204,6 +204,18 @@ object PipelineQueries extends QueryPack {
           countDistinct($"doc_id").as("n_docs"),
           count($"epoch").as("n_emitted"),
           countDistinct(when($"epoch".isNotNull, $"doc_id")).as("n_kept"))
+    }),
+
+    // DSIR importance resampling: hashed-bigram log-likelihood ratio of
+    // target (en docs) vs raw corpus, top-25% kept per source. BOUNDED
+    // oracle (ln is not cross-engine bit-portable); integer columns
+    // exact. Fixture genuinely selects: en-heavy docs outrank.
+    "pl11_dsir_select" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.ImportanceSampling.dsirSelect(
+        graft.core.Tables.spread(Tables.load(s, dir, "documents")),
+        "doc_id", "text", "source", $"lang" === "en",
+        buckets = 4096, keepFraction = 0.25)
     }))
 
   /** pl8's DuckDB twin: the same four stages as the Spark side, chained
@@ -344,4 +356,67 @@ object PipelineQueries extends QueryPack {
         |  count(*) AS cnt
         |FROM events WHERE event_type <> 'error'
         |GROUP BY user_id, band""".stripMargin)
+
+  /** pl11's exact-value DuckDB twin for the bounded gate: identical
+    * hashed-bigram models and rank rule; only `ln`'s last-ulp drift
+    * separates the engines (≈1e-13 accumulated — rtol 1e-9 covers it;
+    * doc_id keys align rows, n_grams is the exact integer control;
+    * source and selected are non-numeric, so the gate compares them
+    * cell-identical). */
+  override def boundedOracles
+      : Map[String, (String, Double, Seq[String], Seq[String])] = {
+    import graft.functions.ExactNum.sumExactSql
+    import graft.functions.PortableHash.hash60Sql
+    val B = 4096
+    val sql =
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, source AS grp, (lang = 'en') AS is_tgt,
+         |    regexp_extract_all(text, '\\S+') AS t
+         |  FROM documents
+         |), gb AS (
+         |  -- g is materialized a level below: hash60Sql's fold binds a
+         |  -- lambda variable i, which would capture the unnest column i
+         |  -- inside t[i] and hash 15 corrupted bigrams per row
+         |  SELECT doc, grp, is_tgt, ${hash60Sql("g")} % $B AS b
+         |  FROM (SELECT doc, grp, is_tgt, t[i] || ' ' || t[i+1] AS g
+         |        FROM (SELECT doc, grp, is_tgt, t,
+         |                unnest(generate_series(1, len(t) - 1)) AS i
+         |              FROM toks) y) x
+         |), docb AS (
+         |  SELECT doc, b, count(*) AS c FROM gb GROUP BY doc, b
+         |), tmodel AS (
+         |  SELECT b, count(*) AS ct FROM gb WHERE is_tgt GROUP BY b
+         |), ttotal AS (SELECT count(*) AS nt FROM gb WHERE is_tgt),
+         |rmodel AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+         |rtotal AS (SELECT count(*) AS nr FROM gb),
+         |w AS (
+         |  SELECT doc, ${sumExactSql("term")} AS weight FROM (
+         |    SELECT d.doc, CAST(d.c AS DOUBLE) *
+         |      (ln(CAST(coalesce(tm.ct, 0) + 1 AS DOUBLE)
+         |         / CAST(tt.nt + $B AS DOUBLE))
+         |       - ln(CAST(rm.cr + 1 AS DOUBLE)
+         |         / CAST(rt.nr + $B AS DOUBLE))) AS term
+         |    FROM docb d
+         |    JOIN rmodel rm USING (b)
+         |    LEFT JOIN tmodel tm USING (b)
+         |    CROSS JOIN ttotal tt CROSS JOIN rtotal rt) z
+         |  GROUP BY doc
+         |), base AS (
+         |  SELECT doc, grp,
+         |    greatest(CAST(len(t) AS BIGINT) - 1, 0) AS n_grams
+         |  FROM toks
+         |), ranked AS (
+         |  SELECT b2.doc, b2.grp, b2.n_grams,
+         |    coalesce(w.weight, CAST(0 AS DOUBLE)) AS weight,
+         |    row_number() OVER (PARTITION BY b2.grp
+         |      ORDER BY coalesce(w.weight, CAST(0 AS DOUBLE)) DESC,
+         |        b2.doc ASC) AS rnk,
+         |    count(*) OVER (PARTITION BY b2.grp) AS n_grp
+         |  FROM base b2 LEFT JOIN w USING (doc)
+         |)
+         |SELECT doc AS doc_id, grp AS source, n_grams, weight,
+         |  (rnk <= CAST(ceil(n_grp * 0.25) AS BIGINT)) AS selected
+         |FROM ranked""".stripMargin
+    Map("pl11_dsir_select" -> ((sql, 1e-9, Seq("doc_id"), Seq("n_grams"))))
+  }
 }

@@ -109,4 +109,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dsirSelect ranks target-like docs above off-target, zero-gram docs at weight 0") {
+    import graft.operators.ImportanceSampling
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // target bigram distribution = "alpha beta …" runs; doc 20 has the
+    // target's bigrams WITHOUT being in the target set — DSIR's whole
+    // point is that it must still rank high and be selected
+    val tgtText = (1 to 20).map(_ => "alpha beta gamma").mkString(" ")
+    val offText = (1 to 20).map(_ => "zeta eta theta").mkString(" ")
+    val docs = Seq(
+      (10L, "s1", true, tgtText),
+      (11L, "s1", true, tgtText),
+      (20L, "s1", false, tgtText),
+      (30L, "s1", false, offText),
+      (31L, "s1", false, offText),
+      (32L, "s1", false, offText),
+      (40L, "s1", false, "solo")) // 1 token → 0 grams
+      .toDF("doc_id", "src", "tgt", "text")
+    val out = ImportanceSampling.dsirSelect(docs, "doc_id", "text", "src",
+        col("tgt"), buckets = 256, keepFraction = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("weight"),
+          r.getAs[Boolean]("selected")))).toMap
+    assert(out.size == 7)
+    // the off-target raw doc scores strictly below the target-like one
+    assert(out(20L)._2 > out(30L)._2,
+      s"target-like ${out(20L)._2} must outrank off-target ${out(30L)._2}")
+    // top-50% of 7 docs = ceil(3.5) = 4: the three target-like + one more
+    assert(out(20L)._3, "target-like raw doc must be selected")
+    assert(out(10L)._3 && out(11L)._3, "target docs themselves rank top")
+    assert(!out(30L)._3 || !out(31L)._3 || !out(32L)._3,
+      "off-target docs fill at most one remaining slot")
+    assert(out(40L)._1 == 0L && out(40L)._2 == 0.0,
+      "gramless doc carries zero weight, not null")
+    // identical texts ⇒ identical weights (decimal-exact per-doc sum)
+    assert(out(30L)._2 == out(31L)._2 && out(31L)._2 == out(32L)._2)
+  }
 }
