@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{ExactNum, TextFunctions}
+
+/** Sparse lexical retrieval over the document corpus — the BM25 ranking
+  * function (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+  * Framework: BM25 and Beyond"; IDF in the Lucene `ln(1 + (N-df+0.5)/
+  * (df+0.5))` form, which keeps it positive).
+  *
+  * Scale shape: the corpus side is a (doc, term, tf) table — one narrow
+  * explode + hash agg, the inverted-index shape; document frequencies
+  * for ONLY the query terms are computed after a semi-join, so the df
+  * agg never materializes the full vocabulary for a small query load.
+  * The query-term table (queries × terms) is tiny and broadcast: the
+  * scoring join hash-partitions the corpus term table once and
+  * broadcasts the rest — no corpus shuffle beyond the (doc, term) agg.
+  * Top-k per query is a rank window partitioned by query.
+  *
+  * Numerics: per-(query, doc) score terms are summed decimal-exact
+  * (partitioning-invariant); `ln` inside IDF is the one non-portable op
+  * (not correctly rounded in either engine), so the score column is
+  * gated with the bounded oracle like pl11 — everything else (tf, dl,
+  * avgdl, the k1/b saturation arithmetic) is IEEE-exact on identical
+  * inputs.
+  *
+  * Output: (query_id, doc_id, n_hit, score, rank), rank ≤ k by
+  * (score DESC, doc_id ASC).
+  */
+object Retrieval {
+
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1)
+    val toks = docs.select(col(idCol).as("doc"),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+    val dl = toks.select(col("doc"),
+      size(col("_toks")).cast("long").as("dl"))
+    // corpus scalars: N and exact average doc length
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      ExactNum.avgExact(col("dl")).as("avgdl"))
+    // inverted index: (doc, term, tf)
+    val tf = toks.select(col("doc"), explode(col("_toks")).as("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    // DISTINCT query terms (BM25 sums each term once)
+    val qTerms = queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(TextFunctions.tokens(col(queryTextCol))))
+          .as("term"))
+    // df only for terms some query asks about
+    val df = tf.join(broadcast(qTerms.select(col("term")).distinct()),
+        "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(qTerms.join(broadcast(df), "term")), "term")
+      .join(dl, "doc")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") -
+            col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("term_score", col("idf") *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc"))
+      .agg(count(lit(1)).as("n_hit"),
+        ExactNum.sumExact(col("term_score")).as("score"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc").asc)
+    scored.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc").as("doc_id"), col("n_hit"),
+        col("score"), col("rank"))
+  }
+}

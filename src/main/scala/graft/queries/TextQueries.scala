@@ -474,7 +474,20 @@ object TextQueries extends QueryPack {
     // near-dup docs share long spans, unique docs profile at 0.
     "tx12_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanProfile(graft.core.Tables.spread(docs(s, dir)),
-        "doc_id", "text", spanLen = 8)))
+        "doc_id", "text", spanLen = 8)),
+
+    // BM25 top-5 retrieval: every 50th doc's first 3 tokens as the
+    // query load. Score column rides the bounded oracle (ln in IDF);
+    // n_hit/rank are exact controls.
+    "tx13_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.core.Tables.spread(docs(s, dir))
+      val qs = base.filter($"doc_id" % 50 === 0)
+        .select($"doc_id".as("qid"),
+          concat_ws(" ", slice(tokens($"text"), 1, 3)).as("qtext"))
+      graft.operators.Retrieval.bm25TopK(base, "doc_id", "text",
+        qs, "qid", "qtext", k = 5)
+    }))
 
   /** PII patterns shared by the Spark and oracle sides — RE2-safe (no
     * backreferences/lookaround), so java.util.regex and DuckDB RE2 match
@@ -926,4 +939,60 @@ object TextQueries extends QueryPack {
         |       WHEN hex(encode(substr(text, 1, 4))) = '89504E47' THEN 'png'
         |       ELSE 'unknown' END AS format
         |FROM documents""".stripMargin)
+
+  /** tx13's exact-value DuckDB twin for the bounded gate: identical
+    * inverted-index/df/BM25 arithmetic; `ln` inside IDF is the only
+    * cross-engine ulp source (pl11's situation), so score is bounded at
+    * rtol 1e-9 with (query_id, doc_id) keys and n_hit/rank exact. The
+    * k1+1 factor is written as the ADDITION (1.2 + 1.0), not the
+    * literal 2.2 — the Spark side computes the constant with the same
+    * IEEE add, and the two parses of "2.2" need not agree with it. */
+  override def boundedOracles
+      : Map[String, (String, Double, Seq[String], Seq[String])] = {
+    import graft.functions.ExactNum.{avgExactSql, sumExactSql}
+    val termScore =
+      "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)" +
+        " / (CAST(df AS DOUBLE) + 0.5))" +
+        " * (CAST(tf AS DOUBLE) * (1.2 + 1.0))" +
+        " / (CAST(tf AS DOUBLE) + 1.2 *" +
+        " (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+    val sql =
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, regexp_extract_all(text, '\\S+') AS t
+         |  FROM documents
+         |), dl AS (
+         |  SELECT doc, CAST(len(t) AS BIGINT) AS dl FROM toks
+         |), stats AS (
+         |  SELECT count(*) AS n_docs, ${avgExactSql("dl")} AS avgdl
+         |  FROM dl
+         |), tf AS (
+         |  SELECT doc, term, count(*) AS tf FROM (
+         |    SELECT doc, unnest(t) AS term FROM toks) u
+         |  GROUP BY doc, term
+         |), qt AS (
+         |  SELECT doc AS query_id, unnest(list_distinct(t[1:3])) AS term
+         |  FROM toks WHERE doc % 50 = 0
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM tf
+         |  WHERE term IN (SELECT DISTINCT term FROM qt)
+         |  GROUP BY term
+         |), scored AS (
+         |  SELECT q.query_id, f.doc, count(*) AS n_hit,
+         |    ${sumExactSql(termScore)} AS score
+         |  FROM qt q
+         |  JOIN tf f USING (term)
+         |  JOIN df USING (term)
+         |  JOIN dl USING (doc)
+         |  CROSS JOIN stats
+         |  GROUP BY q.query_id, f.doc
+         |)
+         |SELECT query_id, doc AS doc_id, n_hit, score, rank FROM (
+         |  SELECT query_id, doc, n_hit, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc ASC) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 5""".stripMargin
+    Map("tx13_bm25_topk" ->
+      ((sql, 1e-9, Seq("query_id", "doc_id"), Seq("n_hit", "rank"))))
+  }
 }
