@@ -106,6 +106,19 @@ object SimilarityQueries extends QueryPack {
         "embedding", "label", 5, nprobe = 2)
     }),
 
+    // Product quantization ADC (Jégou et al. 2011): per-subspace
+    // codebooks (m=8 × ks=8, seeded Lloyd's), corpus encoded to m
+    // codes, queries answered from an exact-distance lookup table —
+    // the compressed-corpus ANN path (m bytes/vector through the
+    // scoring join). No transcendentals → full hash-match oracle.
+    "sim10_pq_adc" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      graft.operators.ProductQuantization.pqTopK(
+        e, e.filter($"vec_id" % 40 === 0), "vec_id", "embedding",
+        dims = 64, m = 8, ks = 8, iters = 2, k = 5)
+    }),
+
     // SemDeDup: k-means clusters + within-cluster cosine keep-first drop.
     // k is DERIVED from corpus count (≈ N/64 clusters, floor 4) so the
     // per-cluster all-pairs stays O(N·64) at every scale — the same
@@ -239,7 +252,96 @@ object SimilarityQueries extends QueryPack {
     "sim6_ivf_probe" -> ivfSql(1),
     "sim8_ivf_nprobe" -> ivfSql(2),
     "sim9_kmeans_ivf" -> sim9Sql(8, 2),
+    "sim10_pq_adc" -> sim10Sql(8, 8, 8, 2, 5),
     "dd5_semdedup" -> dd5Sql(64, 4, 2, 0.4))
+
+  /** sim10's DuckDB twin: subvector split, shared-seed per-subspace
+    * codebooks, the unrolled Lloyd's updates keyed by (sub, code), the
+    * final encoding, and the ADC lookup-table scoring — per-row
+    * list_reduce folds + decimal-exact sums throughout, so the compare
+    * is a full hash match. (Bigram-style lambda-capture trap avoided:
+    * every dotSql input is a materialized column, never an expression
+    * over an outer positional variable.) */
+  private def sim10Sql(m: Int, subDim: Int, ks: Int, iters: Int,
+                       k: Int): String = {
+    import graft.functions.ExactNum.{avgExactSql, sumExactSql}
+    import graft.functions.PortableHash
+    val seedHash = PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")
+    // iteration it (2..iters as cb$it): update means from asg${it-1}
+    val iterCtes = (2 to iters).map { it =>
+      val prev = it - 1
+      s"""cc$prev AS (
+         |  SELECT sub, code, c_arr, ${dotSql("c_arr", "c_arr")} AS c2
+         |  FROM cb$prev
+         |), asg$prev AS (
+         |  SELECT _vid, sub, code FROM (
+         |    SELECT q._vid, q.sub, c.code,
+         |      row_number() OVER (PARTITION BY q._vid, q.sub
+         |        ORDER BY c.c2 - 2.0 * ${dotSql("q.sv", "c.c_arr")} ASC,
+         |          c.code ASC) AS rn
+         |    FROM subq q JOIN cc$prev c USING (sub)) t
+         |  WHERE rn = 1
+         |), cbe$it AS (
+         |  SELECT sub, code, CAST(pos AS BIGINT) AS dim,
+         |    ${avgExactSql("CAST(x AS DOUBLE)")} AS centroid
+         |  FROM (SELECT a.sub, a.code, s.sv[pos] AS x, pos
+         |        FROM asg$prev a
+         |        JOIN subq s USING (_vid, sub)
+         |        CROSS JOIN (SELECT unnest(generate_series(1, $subDim))
+         |                    AS pos) p) z
+         |  GROUP BY sub, code, dim
+         |), cb$it AS (
+         |  SELECT sub, code, list(centroid ORDER BY dim) AS c_arr
+         |  FROM cbe$it GROUP BY sub, code
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH subq AS (
+       |  SELECT vec_id AS _vid, CAST(sx.sub AS BIGINT) AS sub,
+       |    embedding[(sx.sub * $subDim + 1):(sx.sub * $subDim + $subDim)]
+       |      AS sv
+       |  FROM embeddings CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${m - 1})) AS sub) sx
+       |), seeds AS (
+       |  SELECT vec_id AS _vid, CAST(rn - 1 AS BIGINT) AS code
+       |  FROM (SELECT vec_id,
+       |          row_number() OVER (ORDER BY $seedHash, vec_id) AS rn
+       |        FROM embeddings) t
+       |  WHERE rn <= $ks
+       |), cb1 AS (
+       |  SELECT s.sub, sd.code,
+       |    list_transform(s.sv, x -> CAST(x AS DOUBLE)) AS c_arr
+       |  FROM seeds sd JOIN subq s ON s._vid = sd._vid
+       |), $iterCtes, ccF AS (
+       |  SELECT sub, code, c_arr, ${dotSql("c_arr", "c_arr")} AS c2
+       |  FROM cb$iters
+       |), enc AS (
+       |  SELECT _vid, sub, code FROM (
+       |    SELECT q._vid, q.sub, c.code,
+       |      row_number() OVER (PARTITION BY q._vid, q.sub
+       |        ORDER BY c.c2 - 2.0 * ${dotSql("q.sv", "c.c_arr")} ASC,
+       |          c.code ASC) AS rn
+       |    FROM subq q JOIN ccF c USING (sub)) t
+       |  WHERE rn = 1
+       |), lut AS (
+       |  SELECT q._vid AS query_id, q.sub, c.code,
+       |    ${dotSql("q.sv", "q.sv")}
+       |      - 2.0 * ${dotSql("q.sv", "c.c_arr")} + c.c2 AS d
+       |  FROM subq q JOIN ccF c USING (sub)
+       |  WHERE q._vid % 40 = 0
+       |), scored AS (
+       |  SELECT l.query_id, e._vid, ${sumExactSql("d")} AS adc_dist
+       |  FROM enc e
+       |  JOIN lut l ON l.sub = e.sub AND l.code = e.code
+       |    AND e._vid <> l.query_id
+       |  GROUP BY l.query_id, e._vid
+       |)
+       |SELECT query_id, _vid AS neighbor_id, adc_dist, rank FROM (
+       |  SELECT query_id, _vid, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist ASC, _vid ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $k""".stripMargin
+  }
 
   /** sim9's DuckDB twin: the same seeded Lloyd's loop unrolled as CTEs —
     * hash-sampled seeds (identical [[graft.functions.PortableHash]]

@@ -208,6 +208,40 @@ class SimilaritySpec extends AnyFunSuite {
       again.orderBy("label", "dim").collect().toSeq)
   }
 
+  test("PQ-ADC: planted near-copy is the top neighbor; codes compress, distances rank") {
+    import graft.operators.ProductQuantization
+    // geometric clusters (dims=16, m=4 subspaces of 4): PQ must place a
+    // near-copy at rank 1 — subspace codebooks quantize both copies to
+    // the same codes, so their ADC distance is minimal
+    val rnd4 = new scala.util.Random(17)
+    val centers = Seq(
+      Seq.tabulate(dims)(d => if (d < 8) 8.0f else 0.0f),
+      Seq.tabulate(dims)(d => if (d >= 8) 8.0f else 0.0f))
+    val pts = (0 until 40).map { i =>
+      (i.toLong, centers(i % 2).map(x => x + rnd4.nextGaussian().toFloat))
+    }
+    val dup = (99L, pts(6)._2.map(x => x + rnd4.nextGaussian().toFloat * 0.01f))
+    val cdf = (pts :+ dup).toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val out = ProductQuantization.pqTopK(cdf,
+        cdf.filter($"vec_id" === 99L), "vec_id", "embedding",
+        dims = dims, m = 4, ks = 4, iters = 2, k = 3)
+      .collect().map(r => r.getAs[Long]("rank") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toMap
+    assert(out(1L)._1 == 6L,
+      s"ADC must rank the near-copy first, got ${out(1L)}")
+    // ADC distances are non-decreasing in rank and non-negative up to
+    // quantization (d = |q-c|^2 per subspace, summed)
+    assert(out(1L)._2 <= out(2L)._2 && out(2L)._2 <= out(3L)._2)
+    // replay determinism: the whole train/encode/score path is seeded
+    val again = ProductQuantization.pqTopK(cdf,
+        cdf.filter($"vec_id" === 99L), "vec_id", "embedding",
+        dims = dims, m = 4, ks = 4, iters = 2, k = 3)
+      .collect().map(r => r.getAs[Long]("rank") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_dist"))).toMap
+    assert(out == again)
+  }
+
   test("semDedup drops the planted semantic dup, keeps the cluster's first doc") {
     // three geometric clusters; doc 63 is a near-copy of doc 0 (same
     // cluster, cosine ≈ 1) — SemDeDup must drop 63 (the larger id), keep
