@@ -423,6 +423,114 @@ object Multimodal {
       }
   }
 
+  /** Deterministic mono 16-bit PCM SQUARE-WAVE WAV rendering: sample_i =
+    * +amp for even i, −amp for odd — every decoded-feature expectation
+    * (peak = amp, rms = amp, Σ = amp·(n mod 2)) is closed-form in the
+    * fixture columns, so the PCM DECODE path gets an arithmetic DuckDB
+    * twin (the LCG renderer's samples would need 64-bit wrapping
+    * multiplication, which DuckDB refuses). */
+  def renderWavSquare(spark: SparkSession, df: DataFrame, idCol: String,
+                      nSamplesCol: String, rateCol: String,
+                      ampCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(nSamplesCol).cast("int"),
+        col(rateCol).cast("int"), col(ampCol).cast("int"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, n, rate, amp) =>
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+          bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < n) {
+            bb.putShort(if ((i & 1) == 0) amp.toShort else (-amp).toShort)
+            i += 1
+          }
+          (id, bb.array())
+        }
+      }.toDF(idCol, "payload")
+  }
+
+  /** Decoded-sample statistics of a 16-bit PCM WAV payload. */
+  case class AudioPcmStats(doc_id: Long, n_samples: Long, peak: Int,
+                           sum_samples: Long, rms: Double)
+
+  /** REAL PCM sample decode: walk RIFF chunks to fmt/data (the
+    * [[decodeWavMeta]] discipline), then read every little-endian int16
+    * sample in the data chunk and fold peak / Σx / Σx² in one pass —
+    * rms = √(Σx²/n). O(payload) but single-pass and allocation-free;
+    * None for non-WAV, non-16-bit, or malformed payloads. */
+  def decodeWavPcm(id: Long, bytes: Array[Byte]): Option[AudioPcmStats] = {
+    def u16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    try {
+      if (bytes == null || bytes.length < 44 || tag(0) != "RIFF" ||
+        tag(8) != "WAVE") None
+      else {
+        var off = 12
+        var bits = -1
+        var dataOff = -1
+        var dataLen = -1L
+        var malformed = false
+        while (!malformed && off + 8 <= bytes.length &&
+          (bits < 0 || dataOff < 0)) {
+          val id4 = tag(off); val len = u32(off + 4)
+          if (id4 == "fmt " && len >= 16 && off + 24 <= bytes.length)
+            bits = u16(off + 4 + 18)
+          else if (id4 == "data") {
+            dataOff = off + 8
+            dataLen = math.min(len, math.max(0L, bytes.length - off - 8L))
+          }
+          val advance = 8 + len.toInt + (len.toInt & 1)
+          if (advance <= 0) malformed = true else off += advance
+        }
+        if (malformed || bits != 16 || dataOff < 0 || dataLen < 2) None
+        else {
+          val n = (dataLen / 2).toInt
+          var peak = 0
+          var sum = 0L
+          var sumSq = 0L
+          var i = 0
+          while (i < n) {
+            val o = dataOff + i * 2
+            val s = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sum += s
+            sumSq += s.toLong * s.toLong
+            i += 1
+          }
+          Some(AudioPcmStats(id, n.toLong, peak, sum,
+            math.sqrt(sumSq.toDouble / n.toDouble)))
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** PCM feature-extraction operator over a binary WAV column —
+    * mapPartitions like the other decoders; undecodable payloads fall
+    * back to an all-zero stats row so the operator stays total. */
+  def pcmStats(spark: SparkSession, df: DataFrame, idCol: String,
+               binCol: String): Dataset[AudioPcmStats] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeWavPcm(id, bytes)
+            .getOrElse(AudioPcmStats(id, 0L, 0, 0L, 0.0))
+        }
+      }
+  }
+
   /** Typed metadata of a video-container payload. */
   case class VideoMeta(doc_id: Long, format: String, timescale: Int,
                        duration_ms: Long, n_tracks: Int, width: Int,

@@ -476,6 +476,22 @@ object TextQueries extends QueryPack {
       Dedup.repeatedSpanProfile(graft.core.Tables.spread(docs(s, dir)),
         "doc_id", "text", spanLen = 8)),
 
+    // REAL PCM sample decode: square-wave WAVs rendered from fixture
+    // columns (amp/length derived from doc_id), decoded back through the
+    // RIFF walk + int16 LE sample fold — peak/Σ/rms have closed-form
+    // arithmetic twins (peak = amp, rms = amp, Σ = amp·(n mod 2)).
+    "mm9_pcm_features" -> ((s, dir) => {
+      import s.implicits._
+      val withAudio = docs(s, dir).select($"doc_id",
+        (lit(50) + $"doc_id" % 100).cast("int").as("n_samples"),
+        when($"doc_id" % 2 === 0, 8000).otherwise(16000).as("rate"),
+        (lit(500) + ($"doc_id" % 16) * 1000).cast("int").as("amp"))
+      val wavs = Multimodal.renderWavSquare(s,
+        graft.core.Tables.spread(withAudio),
+        "doc_id", "n_samples", "rate", "amp")
+      Multimodal.pcmStats(s, wavs, "doc_id", "payload").toDF()
+    }),
+
     // BM25 top-5 retrieval: every 50th doc's first 3 tokens as the
     // query load. Score column rides the bounded oracle (ln in IDF);
     // n_hit/rank are exact controls.
@@ -800,6 +816,18 @@ object TextQueries extends QueryPack {
       """SELECT doc_id, 'png' AS format,
         |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+    "mm9_pcm_features" ->
+      """WITH p AS (
+        |  SELECT doc_id, (50 + doc_id % 100) AS n,
+        |    (500 + (doc_id % 16) * 1000) AS a
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(a AS INTEGER) AS peak,
+        |  CAST(a * (n % 2) AS BIGINT) AS sum_samples,
+        |  sqrt(CAST(a * a * n AS DOUBLE) / CAST(n AS DOUBLE)) AS rms
+        |FROM p""".stripMargin,
     "mm4_wav_meta" ->
       """SELECT doc_id, 'wav' AS format,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INTEGER)

@@ -284,4 +284,34 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(Multimodal.imageAHash(spark, junk, "doc_id", "payload")
       .collect().isEmpty)
   }
+
+  test("multimodal: PCM sample decode matches a driver-side LCG replay bit-for-bit") {
+    // decode the RANDOM-sample renderer's payloads (not the square-wave
+    // oracle fixture) and check peak/sum/rms against the same LCG run on
+    // the driver — exercises int16 LE sign handling on arbitrary values
+    val df = Seq((1L, 160, 8000), (2L, 441, 44100)).toDF("doc_id", "n", "rate")
+    val wavs = Multimodal.renderWav(spark, df, "doc_id", "n", "rate")
+    val got = Multimodal.pcmStats(spark, wavs, "doc_id", "payload")
+      .collect().map(s => s.doc_id -> s).toMap
+    for ((id, n) <- Seq((1L, 160), (2L, 441))) {
+      var s = id * 6364136223846793005L + 1442695040888963407L
+      var peak = 0; var sum = 0L; var sumSq = 0L
+      for (_ <- 0 until n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        val v = (s >>> 48).toShort.toInt
+        peak = math.max(peak, math.abs(v)); sum += v
+        sumSq += v.toLong * v.toLong
+      }
+      val st = got(id)
+      assert(st.n_samples == n.toLong && st.peak == peak &&
+        st.sum_samples == sum &&
+        st.rms == math.sqrt(sumSq.toDouble / n.toDouble),
+        s"doc $id: $st vs ($n, $peak, $sum)")
+    }
+    // malformed payloads fall back to the zero row, not an exception
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val fb = Multimodal.pcmStats(spark, junk, "doc_id", "payload")
+      .collect().head
+    assert(fb.n_samples == 0L && fb.peak == 0 && fb.rms == 0.0)
+  }
 }
