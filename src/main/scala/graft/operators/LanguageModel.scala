@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{ExactNum, TextFunctions}
+
+/** Corpus-trained bigram language model + per-doc perplexity — the
+  * CCNet-style quality signal (Wenzek et al. 2020, "CCNet: Extracting
+  * High Quality Monolingual Datasets from Web Crawl Data": docs are
+  * bucketed by LM perplexity; high-ppl ≈ noise, low-ppl ≈ boilerplate).
+  *
+  * Model: Laplace-smoothed conditional bigram,
+  * p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V), V = |unigram vocab|;
+  * per doc: logprob = Σ ln p over its bigrams (decimal-exact sum),
+  * ppl = exp(−logprob / n_bigrams).
+  *
+  * Scale shape: the bigram model is one hash agg over the exploded
+  * corpus; prefix totals are a second agg OVER THE MODEL (vocab-sized,
+  * not corpus-sized); scoring joins doc bigrams to the model on the
+  * bigram key — hash-partitioned equi-join, never broadcast-dependent
+  * (the vocabulary outgrows broadcast at real scale). Token-string keys
+  * keep the DuckDB twin exactly portable; the 8-byte-hash swap is the
+  * 100 TB shuffle variant (tx12's note).
+  *
+  * Numerics: ln/exp are not correctly rounded in either engine, so
+  * logprob/ppl ride the bounded oracle (pl11/tx13's treatment) with
+  * n_bigrams as the exact integer control.
+  *
+  * Output: (idCol, n_bigrams, logprob, ppl); docs with <2 tokens carry
+  * (0, 0.0, null) — a perplexity over zero bigrams is undefined, not 1.
+  */
+object LanguageModel {
+
+  def bigramPerplexity(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+    val bigrams = toks.select(col("doc"),
+        explode(when(size(col("_toks")) >= 2,
+          transform(sequence(lit(1), size(col("_toks")) - 1),
+            i => struct(element_at(col("_toks"), i).as("w1"),
+              element_at(col("_toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val vocab = toks.select(explode(col("_toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val model = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val prefix = model.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val scoredBigrams = bigrams
+      .groupBy(col("doc"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_occ"))
+      .join(model, Seq("w1", "w2"))
+      .join(prefix, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term", col("n_occ").cast("double") *
+        log((col("c12") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")))
+    val weights = scoredBigrams.groupBy(col("doc"))
+      .agg(ExactNum.sumExact(col("term")).as("logprob"))
+    toks.select(col("doc"),
+        greatest(size(col("_toks")).cast("long") - 1L, lit(0L))
+          .as("n_bigrams"))
+      .join(weights, Seq("doc"), "left")
+      .na.fill(0.0, Seq("logprob"))
+      .withColumn("ppl",
+        when(col("n_bigrams") > 0,
+          exp(col("logprob") * lit(-1.0) / col("n_bigrams").cast("double"))))
+      .select(col("doc").as(idCol), col("n_bigrams"), col("logprob"),
+        col("ppl"))
+  }
+}

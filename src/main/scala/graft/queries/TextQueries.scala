@@ -492,6 +492,12 @@ object TextQueries extends QueryPack {
       Multimodal.pcmStats(s, wavs, "doc_id", "payload").toDF()
     }),
 
+    // corpus-trained bigram-LM perplexity per doc (CCNet's quality
+    // signal). Bounded oracle (ln/exp); n_bigrams exact.
+    "tx14_lm_perplexity" -> ((s, dir) =>
+      graft.operators.LanguageModel.bigramPerplexity(
+        graft.core.Tables.spread(docs(s, dir)), "doc_id", "text")),
+
     // BM25 top-5 retrieval: every 50th doc's first 3 tokens as the
     // query load. Score column rides the bounded oracle (ln in IDF);
     // n_hit/rank are exact controls.
@@ -1020,7 +1026,50 @@ object TextQueries extends QueryPack {
          |      ORDER BY score DESC, doc ASC) AS rank
          |  FROM scored) r
          |WHERE rank <= 5""".stripMargin
-    Map("tx13_bm25_topk" ->
-      ((sql, 1e-9, Seq("query_id", "doc_id"), Seq("n_hit", "rank"))))
+    val tx14Sql =
+      s"""WITH toks AS (
+         |  SELECT doc_id AS doc, regexp_extract_all(text, '\\S+') AS t
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc, t[i] AS w1, t[i+1] AS w2
+         |  FROM (SELECT doc, t,
+         |          unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM toks) x
+         |), vocab AS (
+         |  SELECT count(DISTINCT w) AS v FROM (
+         |    SELECT unnest(t) AS w FROM toks) u
+         |), model AS (
+         |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+         |), prefix AS (
+         |  SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1
+         |), db AS (
+         |  SELECT doc, w1, w2, count(*) AS n_occ FROM bg
+         |  GROUP BY doc, w1, w2
+         |), w AS (
+         |  SELECT doc, ${sumExactSql("term")} AS logprob FROM (
+         |    SELECT d.doc, CAST(d.n_occ AS DOUBLE) *
+         |      ln(CAST(m.c12 + 1 AS DOUBLE)
+         |         / CAST(p.c1 + vv.v AS DOUBLE)) AS term
+         |    FROM db d
+         |    JOIN model m USING (w1, w2)
+         |    JOIN prefix p USING (w1)
+         |    CROSS JOIN vocab vv) z
+         |  GROUP BY doc
+         |), base AS (
+         |  SELECT doc, greatest(CAST(len(t) AS BIGINT) - 1, 0)
+         |    AS n_bigrams
+         |  FROM toks
+         |)
+         |SELECT b.doc AS doc_id, b.n_bigrams,
+         |  coalesce(w.logprob, CAST(0 AS DOUBLE)) AS logprob,
+         |  CASE WHEN b.n_bigrams > 0
+         |    THEN exp(coalesce(w.logprob, CAST(0 AS DOUBLE)) * -1.0
+         |      / CAST(b.n_bigrams AS DOUBLE)) END AS ppl
+         |FROM base b LEFT JOIN w USING (doc)""".stripMargin
+    Map(
+      "tx13_bm25_topk" ->
+        ((sql, 1e-9, Seq("query_id", "doc_id"), Seq("n_hit", "rank"))),
+      "tx14_lm_perplexity" ->
+        ((tx14Sql, 1e-9, Seq("doc_id"), Seq("n_bigrams"))))
   }
 }

@@ -147,4 +147,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     // identical texts ⇒ identical weights (decimal-exact per-doc sum)
     assert(out(30L)._2 == out(31L)._2 && out(31L)._2 == out(32L)._2)
   }
+
+  test("bigramPerplexity: predictable transitions score lower ppl than one-off ones") {
+    import graft.operators.LanguageModel
+    import spark.implicits._
+    // docs 1-3 repeat the same transitions (the model learns them);
+    // doc 4's transitions occur once each — maximally surprising
+    val common = (1 to 10).map(_ => "to be or not").mkString(" ")
+    val docs = Seq(
+      (1L, common), (2L, common), (3L, common),
+      (4L, "one two three four five six seven eight"),
+      (5L, "solo")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("logprob"),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.size == 5)
+    assert(out(1L)._3.get < out(4L)._3.get,
+      s"repeated transitions must be less perplexing: ${out(1L)} ${out(4L)}")
+    assert(out(1L) == out(2L) && out(2L) == out(3L),
+      "identical docs score identically (decimal-exact sums)")
+    // ppl = exp(-logprob/n) ≥ 1 for any probability model
+    Seq(1L, 4L).foreach(id => assert(out(id)._3.get >= 1.0))
+    // <2 tokens: no bigrams, logprob 0, ppl null (undefined, not 1)
+    assert(out(5L) == ((0L, 0.0, None)))
+  }
 }

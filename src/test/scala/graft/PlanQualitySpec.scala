@@ -19,7 +19,14 @@ class PlanQualitySpec extends AnyFunSuite {
     "sim7_topk_agg",        // same scoring as sim1; the agg replaces the SORT, not the scan
     "sim2_cosine_neardup",  // brute-force pair scoring (verification baseline)
     "q18_above_avg_orders", // scalar-subquery comparison: broadcast 1-row side
-    "q37_scalar_subquery")  // same shape (global avg broadcast to every row)
+    "q37_scalar_subquery",  // same shape (global avg broadcast to every row)
+    "sim9_kmeans_ivf",      // Lloyd's assignment: every vector scores vs the
+                            // broadcast k-row centroid table — that product
+                            // IS the k-means computation, k rows not N
+    "dd5_semdedup",         // same assignment engine as sim9
+    "pl11_dsir_select",     // broadcast 1-row model totals (nt, nr)
+    "tx13_bm25_topk",       // broadcast 1-row corpus stats (N, avgdl)
+    "tx14_lm_perplexity")   // broadcast 1-row vocab size
 
   test("no accidental cartesian / broadcast-nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
