@@ -99,10 +99,20 @@ object ProductQuantization {
       .withColumn("qc", Similarity.dotSeqHof(col("sv"), col("c_arr")))
       .select(col("query_id"), col("sub"), col("code"),
         (col("qq") - lit(2.0) * col("qc") + col("c2")).as("d"))
+    // ADC sum: each (query, doc) hits exactly one lut row per subspace,
+    // so the m distances pivot into m conditional-MAX aggs (order-free,
+    // map-side combinable, pure codegen doubles) and sum in a FIXED
+    // d0+d1+…+d(m−1) expression order — deterministic without touching
+    // BigDecimal on the hottest agg (a decimal sum here was ~2× the
+    // whole query's cost at 10×)
+    val pivots = (0 until m).map(s =>
+      max(when(col("sub") === s, col("d"))).as(s"d$s"))
     val scored = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("_vid") =!= col("query_id"))
       .groupBy(col("query_id"), col("_vid"))
-      .agg(ExactNum.sumExact(col("d")).as("adc_dist"))
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("adc_dist",
+        (0 until m).map(s => col(s"d$s")).reduce(_ + _))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("_vid").asc)
     scored.withColumn("rank", row_number().over(wTop).cast("long"))

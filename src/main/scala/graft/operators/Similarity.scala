@@ -397,13 +397,15 @@ object Similarity {
     * paper keeps one representative per semantic-dup group — which one
     * is a policy choice, and id-order is the oracle-able one).
     *
-    * Scale design (the paper's own argument): pass `k ≈ N /
-    * targetClusterSize` — derived from corpus count like
-    * [[deriveBandBits]] — and the within-cluster all-pairs work is
-    * ~targetClusterSize²/2 per cluster, i.e. O(N·targetClusterSize)
-    * total cosines instead of O(N²); clusters are co-located by the
-    * label hash-join, so each cluster's pairs score in one task.
-    * Clustering itself is [[kmeansCentroids]]' broadcast-join loop.
+    * Scale design: derive `k ≈ √N` from the corpus count (like
+    * [[deriveBandBits]], the oracle derives the same value) — total
+    * work = assignment O(N·k·d) + within-cluster pairs O(N²·d/k) is
+    * minimized at k = √N, giving O(N^1.5·d) end to end. (A
+    * fixed-cluster-SIZE derivation k = N/64 reads nicely but makes the
+    * assignment itself O(N²/64) — measured 10× slope 8.5 before the
+    * change, ~3 after.) Clusters are co-located by the label hash-join,
+    * so each cluster's pairs score in one task. Clustering itself is
+    * [[kmeansCentroids]]' broadcast-join loop.
     *
     * Output: (idCol, label, dropped, max_sim_prior) — one row per input
     * vector; `max_sim_prior` is the max cosine to any smaller-id
