@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{ExactNum, PortableHash}
@@ -15,6 +15,12 @@ import graft.functions.{ExactNum, PortableHash}
   * is m bytes per vector instead of dims·4, and the scoring join moves
   * only (vec, sub, code) rows.
   *
+  * [[ivfPqTopK]] composes this with the learned coarse quantizer
+  * ([[Similarity.kmeansCentroids]]) into the IVF-PQ index — the
+  * standard large-scale ANN layout: the coarse cell prunes the
+  * candidate set to nprobe/coarseK of the corpus, then ADC scores only
+  * the probed cells' members.
+  *
   * Determinism (the whole pipeline is hash-match oracle-able — unlike
   * BM25/DSIR there is no transcendental in sight):
   *  - codebook init: subvectors of the `ks` docs with the smallest
@@ -24,8 +30,10 @@ import graft.functions.{ExactNum, PortableHash}
   *    arrays (DuckDB list_reduce twin), min(struct(score, code)) argmin
   *    with smaller-code tiebreak; codeword update = per-(sub, code, dim)
   *    decimal-exact mean; FIXED iteration count;
-  *  - ADC: lut(q, sub, code) = q_s·q_s − 2·q_s·c + ‖c‖² (per-row IEEE),
-  *    per-(query, doc) sum over the m lut hits is decimal-exact.
+  *  - ADC: lut(q, sub, code) = q_s·q_s − 2·q_s·c + ‖c‖² (per-row IEEE);
+  *    the m per-subspace hits pivot into m conditional-MAX aggs and sum
+  *    in a fixed d0+d1+… expression order — deterministic pure-double
+  *    codegen, no BigDecimal on the hottest agg.
   *
   * Scale shape: codebooks are m·ks·subDim doubles — driver round-trip +
   * broadcast per iteration (the Lloyd's loop discipline); training
@@ -35,48 +43,60 @@ import graft.functions.{ExactNum, PortableHash}
   */
 object ProductQuantization {
 
-  /** ADC top-k: learn codebooks, encode the corpus, score `queries`.
-    * Output: (query_id, neighbor_id, adc_dist, rank ≤ k) by
-    * (adc_dist ASC, neighbor_id ASC), self-matches excluded. */
-  def pqTopK(vecs: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, dims: Int, m: Int, ks: Int, iters: Int,
-             k: Int): DataFrame = {
-    require(dims % m == 0 && ks >= 1 && iters >= 1 && k >= 1)
+  /** Trained PQ model: per-(subspace, code) codeword arrays, held
+    * driver-side (m·ks·subDim doubles) for broadcast. */
+  case class PqModel(m: Int, subDim: Int,
+                     cb: Seq[(Long, Long, Seq[Double])])
+
+  /** (id→"_vid"/`as`, sub, sv): the subvector split of a vector table. */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int, subDim: Int, as: String): DataFrame =
+    df.select(col(idCol).as(as),
+        explode(sequence(lit(0), lit(m - 1))).as("subi"),
+        col(vecCol).as("_v"))
+      .select(col(as), col("subi").cast("long").as("sub"),
+        slice(col("_v"), col("subi") * subDim + 1, lit(subDim)).as("sv"))
+
+  private def cbDf(model: PqModel): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    model.cb.toDF("sub", "code", "c_arr")
+      .withColumn("c2", Similarity.dotSeqHof(col("c_arr"), col("c_arr")))
+  }
+
+  /** Per-subspace nearest-codeword assignment of a subvector table. */
+  private def assign(sub: DataFrame, model: PqModel): DataFrame =
+    sub.join(broadcast(cbDf(model)), "sub")
+      .withColumn("_score", col("c2") -
+        lit(2.0) * Similarity.dotSeqHof(col("sv"), col("c_arr")))
+      .groupBy(col("_vid"), col("sub"))
+      .agg(min(struct(col("_score"), col("code"))).as("_best"))
+      .select(col("_vid"), col("sub"), col("_best.code").as("code"))
+
+  /** Seeded Lloyd's over every subspace jointly (labels keyed
+    * (sub, code)); `iters` fixed, last update not materialized — the
+    * returned model is the one [[encode]] re-assigns against. */
+  def train(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
+            m: Int, ks: Int, iters: Int): PqModel = {
+    require(dims % m == 0 && ks >= 1 && iters >= 1)
     val spark = vecs.sparkSession
     import spark.implicits._
     val subDim = dims / m
-    def subvectors(df: DataFrame, as: String): DataFrame =
-      df.select(col(idCol).as(as),
-          explode(sequence(lit(0), lit(m - 1))).as("subi"),
-          col(vecCol).as("_v"))
-        .select(col(as), col("subi").cast("long").as("sub"),
-          slice(col("_v"), col("subi") * subDim + 1, lit(subDim)).as("sv"))
-    val sub = subvectors(vecs, "_vid")
+    val sub = subvectors(vecs, idCol, vecCol, m, subDim, "_vid")
     val wSeed = Window.orderBy(
       PortableHash.hash60(col("_vid").cast("string")), col("_vid"))
     val seeds = vecs.select(col(idCol).as("_vid"))
       .withColumn("rn", row_number().over(wSeed))
       .filter(col("rn") <= ks)
       .select(col("_vid"), (col("rn") - 1).cast("long").as("code"))
-    // codebook as driver-side (sub, code, c_arr) — m·ks·subDim doubles
     var cb: Seq[(Long, Long, Seq[Double])] = seeds.join(sub, "_vid")
       .select(col("sub"), col("code"),
         transform(col("sv"), x => x.cast("double")).as("c_arr"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq))
       .toSeq
-    def cbDf(rows: Seq[(Long, Long, Seq[Double])]): DataFrame =
-      rows.toDF("sub", "code", "c_arr")
-        .withColumn("c2", Similarity.dotSeqHof(col("c_arr"), col("c_arr")))
-    def assign(cbRows: Seq[(Long, Long, Seq[Double])]): DataFrame =
-      sub.join(broadcast(cbDf(cbRows)), "sub")
-        .withColumn("_score", col("c2") -
-          lit(2.0) * Similarity.dotSeqHof(col("sv"), col("c_arr")))
-        .groupBy(col("_vid"), col("sub"))
-        .agg(min(struct(col("_score"), col("code"))).as("_best"))
-        .select(col("_vid"), col("sub"), col("_best.code").as("code"))
-    for (it <- 1 to iters - 1) {
-      cb = assign(cb)
+    for (_ <- 1 to iters - 1) {
+      cb = assign(sub, PqModel(m, subDim, cb))
         .join(sub, Seq("_vid", "sub"))
         .select(col("sub"), col("code"),
           posexplode(col("sv")).as(Seq("pos0", "xf")))
@@ -89,25 +109,41 @@ object ProductQuantization {
         .map { case ((s, c), rs) => (s, c, rs.sortBy(_._3).map(_._4).toSeq) }
         .sortBy(t => (t._1, t._2))
     }
-    // encode with the final codebook; codes are the stored representation
-    val codes = assign(cb)
-    // ADC lookup table: exact subspace distance from each query subvector
-    // to each codeword
-    val lut = subvectors(queries, "query_id")
-      .join(broadcast(cbDf(cb)), "sub")
+    PqModel(m, subDim, cb)
+  }
+
+  /** Encode a vector table to its stored representation:
+    * (_vid, sub, code) — m narrow rows per vector. */
+  def encode(vecs: DataFrame, idCol: String, vecCol: String,
+             model: PqModel): DataFrame =
+    assign(subvectors(vecs, idCol, vecCol, model.m, model.subDim, "_vid"),
+      model)
+
+  /** ADC lookup table: exact subspace distance from each query
+    * subvector to each codeword — (query_id, sub, code, d),
+    * Q·m·ks rows, broadcast at the scoring join. */
+  def adcLut(queries: DataFrame, idCol: String, vecCol: String,
+             model: PqModel): DataFrame =
+    subvectors(queries, idCol, vecCol, model.m, model.subDim, "query_id")
+      .join(broadcast(cbDf(model)), "sub")
       .withColumn("qq", Similarity.dotSeqHof(col("sv"), col("sv")))
       .withColumn("qc", Similarity.dotSeqHof(col("sv"), col("c_arr")))
       .select(col("query_id"), col("sub"), col("code"),
         (col("qq") - lit(2.0) * col("qc") + col("c2")).as("d"))
-    // ADC sum: each (query, doc) hits exactly one lut row per subspace,
-    // so the m distances pivot into m conditional-MAX aggs (order-free,
-    // map-side combinable, pure codegen doubles) and sum in a FIXED
-    // d0+d1+…+d(m−1) expression order — deterministic without touching
-    // BigDecimal on the hottest agg (a decimal sum here was ~2× the
-    // whole query's cost at 10×)
+
+  /** Pivoted ADC scoring + per-query top-k. `candidates` (query_id,
+    * _vid) restricts scoring to a pruned pair set (the IVF path);
+    * None scores the full corpus per query (the flat-PQ linear scan). */
+  private def adcRank(codes: DataFrame, lut: DataFrame, m: Int, k: Int,
+                      candidates: Option[DataFrame]): DataFrame = {
+    val joined = candidates match {
+      case Some(cand) => codes.join(cand, "_vid")
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      case None => codes.join(broadcast(lut), Seq("sub", "code"))
+    }
     val pivots = (0 until m).map(s =>
       max(when(col("sub") === s, col("d"))).as(s"d$s"))
-    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+    val scored = joined
       .filter(col("_vid") =!= col("query_id"))
       .groupBy(col("query_id"), col("_vid"))
       .agg(pivots.head, pivots.tail: _*)
@@ -119,5 +155,46 @@ object ProductQuantization {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("_vid").as("neighbor_id"),
         col("adc_dist"), col("rank"))
+  }
+
+  /** Flat-PQ ADC top-k: learn codebooks, encode the corpus, score every
+    * doc per query (linear scan in compressed space). Output:
+    * (query_id, neighbor_id, adc_dist, rank ≤ k) by (adc_dist ASC,
+    * neighbor_id ASC), self-matches excluded. */
+  def pqTopK(vecs: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, dims: Int, m: Int, ks: Int, iters: Int,
+             k: Int): DataFrame = {
+    val model = train(vecs, idCol, vecCol, dims, m, ks, iters)
+    adcRank(encode(vecs, idCol, vecCol, model),
+      adcLut(queries, idCol, vecCol, model), m, k, None)
+  }
+
+  /** IVF-PQ: the composed index. Corpus membership = nearest learned
+    * coarse centroid (full-dim, [[Similarity.kmeansCentroids]]); each
+    * query probes its `nprobe` nearest cells and ADC-scores ONLY their
+    * members — the candidate set is nprobe/coarseK of the corpus, the
+    * IVF pruning contract, and every pruned pair still scores through
+    * the broadcast LUT without reshipping vectors. */
+  def ivfPqTopK(vecs: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dims: Int, m: Int, ks: Int, iters: Int,
+                coarseK: Int, coarseIters: Int, nprobe: Int,
+                k: Int): DataFrame = {
+    require(nprobe >= 1 && coarseK >= 1)
+    val centArr = Similarity.centroidArrays(
+      Similarity.kmeansCentroids(vecs, idCol, vecCol, coarseK,
+        coarseIters))
+    val members = Similarity.assignToCentroidArrays(vecs, idCol, vecCol,
+      centArr)
+    val probes = Similarity.assignToCentroidArrays(queries, idCol,
+        vecCol, centArr, nprobe)
+      .select(col("_vid").as("query_id"), col("label"))
+    // probes (Q·nprobe rows) broadcast against the N-row membership —
+    // the member side is the one that scales, it must never reshuffle
+    // on an 8-value key
+    val cand = members.join(broadcast(probes), "label")
+      .select(col("query_id"), col("_vid"))
+    val model = train(vecs, idCol, vecCol, dims, m, ks, iters)
+    adcRank(encode(vecs, idCol, vecCol, model),
+      adcLut(queries, idCol, vecCol, model), m, k, Some(cand))
   }
 }

@@ -389,6 +389,48 @@ object Similarity {
         col("cos_sim"), col("rank"))
   }
 
+  /** Collect a (label, dim, centroid) table (the [[kmeansCentroids]]
+    * output shape) into a broadcastable per-label ARRAY table
+    * (label, c_arr, c2) — the driver round trip is k·dims doubles,
+    * bit-preserved, and truncates the clustering lineage so consumers
+    * don't re-run the Lloyd's loop. */
+  def centroidArrays(cent: DataFrame): DataFrame = {
+    val spark = cent.sparkSession
+    import spark.implicits._
+    cent.select(col("label"), col("dim"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .map { case (l, rs) => (l, rs.sortBy(_._2).map(_._3)) }
+      .sortBy(_._1).toDF("label", "c_arr")
+      .withColumn("c2", dotSeqHof(col("c_arr"), col("c_arr")))
+  }
+
+  /** Nearest-centroid-ARRAY assignment: broadcast cross join + per-row
+    * sequential folds, argmin of ‖c‖² − 2x·c with smaller-label
+    * tiebreak. nprobe=1 runs as a map-side-combinable min(struct) hash
+    * agg; nprobe>1 as a rank window. Output: (_vid, label), nprobe rows
+    * per vector. */
+  def assignToCentroidArrays(vecs: DataFrame, idCol: String,
+                             vecCol: String, centArr: DataFrame,
+                             nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1)
+    val scored = vecs.select(col(idCol).as("_vid"), col(vecCol).as("_vec"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("_score",
+        col("c2") - lit(2.0) * dotSeqHof(col("_vec"), col("c_arr")))
+    if (nprobe == 1)
+      scored.groupBy(col("_vid"))
+        .agg(min(struct(col("_score"), col("label"))).as("_best"))
+        .select(col("_vid"), col("_best.label").as("label"))
+    else {
+      val w = Window.partitionBy(col("_vid"))
+        .orderBy(col("_score").asc, col("label").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nprobe)
+        .select(col("_vid"), col("label"))
+    }
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication — k-means cluster the embeddings, then compare pairs
     * ONLY within a cluster and drop every doc whose cosine to a

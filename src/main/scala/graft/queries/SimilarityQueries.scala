@@ -123,6 +123,18 @@ object SimilarityQueries extends QueryPack {
         dims = 64, m = 8, ks = 8, iters = 2, k = 5)
     }),
 
+    // IVF-PQ: the composed large-scale ANN index — learned coarse cells
+    // (sim9's quantizer) prune to nprobe/coarseK of the corpus, PQ codes
+    // + broadcast ADC LUT score the probed members. Fully hash-oracled.
+    "sim11_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      graft.operators.ProductQuantization.ivfPqTopK(
+        e, e.filter($"vec_id" < 40), "vec_id", "embedding",
+        dims = 64, m = 8, ks = 8, iters = 2,
+        coarseK = 8, coarseIters = 2, nprobe = 2, k = 5)
+    }),
+
     // SemDeDup: k-means clusters + within-cluster cosine keep-first drop.
     // k is DERIVED from corpus count as k = round(√N): total work =
     // assignment O(N·k) + within-cluster pairs O(N²/k) is minimized at
@@ -259,6 +271,7 @@ object SimilarityQueries extends QueryPack {
     "sim8_ivf_nprobe" -> ivfSql(2),
     "sim9_kmeans_ivf" -> sim9Sql(8, 2),
     "sim10_pq_adc" -> sim10Sql(8, 8, 8, 2, 5),
+    "sim11_ivfpq" -> sim11Sql(8, 2, 2, 8, 8, 8, 2, 5),
     "dd5_semdedup" -> dd5Sql(4, 2, 0.4))
 
   /** sim10's DuckDB twin: subvector split, shared-seed per-subspace
@@ -268,91 +281,142 @@ object SimilarityQueries extends QueryPack {
     * is a full hash match. (Bigram-style lambda-capture trap avoided:
     * every dotSql input is a materialized column, never an expression
     * over an outer positional variable.) */
-  private def sim10Sql(m: Int, subDim: Int, ks: Int, iters: Int,
-                       k: Int): String = {
+  /** The p-prefixed PQ CTE chain (subvector split → seeded codebooks →
+    * unrolled training → final encode `penc` + query LUT `plut`) —
+    * composable with [[kmeansCtes]] (no CTE-name collisions) so sim11's
+    * IVF-PQ twin reuses it verbatim. */
+  private def pqCtes(m: Int, subDim: Int, ks: Int, iters: Int,
+                     queryWhere: String): String = {
     import graft.functions.ExactNum.avgExactSql
     import graft.functions.PortableHash
     val seedHash = PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")
-    // the m subspace distances pivot into conditional-max columns and
-    // sum in a fixed d0+d1+… order — the Spark side's exact shape
-    val pivotCols = (0 until m).map(s =>
-      s"max(CASE WHEN e.sub = $s THEN d END) AS d$s").mkString(",\n    ")
-    val pivotSum = (0 until m).map(s => s"d$s").mkString(" + ")
-    // iteration it (2..iters as cb$it): update means from asg${it-1}
     val iterCtes = (2 to iters).map { it =>
       val prev = it - 1
-      s"""cc$prev AS (
+      s"""pcc$prev AS (
          |  SELECT sub, code, c_arr, ${dotSql("c_arr", "c_arr")} AS c2
-         |  FROM cb$prev
-         |), asg$prev AS (
+         |  FROM pcb$prev
+         |), pasg$prev AS (
          |  SELECT _vid, sub, code FROM (
          |    SELECT q._vid, q.sub, c.code,
          |      row_number() OVER (PARTITION BY q._vid, q.sub
          |        ORDER BY c.c2 - 2.0 * ${dotSql("q.sv", "c.c_arr")} ASC,
          |          c.code ASC) AS rn
-         |    FROM subq q JOIN cc$prev c USING (sub)) t
+         |    FROM psubq q JOIN pcc$prev c USING (sub)) t
          |  WHERE rn = 1
-         |), cbe$it AS (
+         |), pcbe$it AS (
          |  SELECT sub, code, CAST(pos AS BIGINT) AS dim,
          |    ${avgExactSql("CAST(x AS DOUBLE)")} AS centroid
          |  FROM (SELECT a.sub, a.code, s.sv[pos] AS x, pos
-         |        FROM asg$prev a
-         |        JOIN subq s USING (_vid, sub)
+         |        FROM pasg$prev a
+         |        JOIN psubq s USING (_vid, sub)
          |        CROSS JOIN (SELECT unnest(generate_series(1, $subDim))
          |                    AS pos) p) z
          |  GROUP BY sub, code, dim
-         |), cb$it AS (
+         |), pcb$it AS (
          |  SELECT sub, code, list(centroid ORDER BY dim) AS c_arr
-         |  FROM cbe$it GROUP BY sub, code
+         |  FROM pcbe$it GROUP BY sub, code
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH subq AS (
+    s"""psubq AS (
        |  SELECT vec_id AS _vid, CAST(sx.sub AS BIGINT) AS sub,
        |    embedding[(sx.sub * $subDim + 1):(sx.sub * $subDim + $subDim)]
        |      AS sv
        |  FROM embeddings CROSS JOIN
        |    (SELECT unnest(generate_series(0, ${m - 1})) AS sub) sx
-       |), seeds AS (
+       |), pseeds AS (
        |  SELECT vec_id AS _vid, CAST(rn - 1 AS BIGINT) AS code
        |  FROM (SELECT vec_id,
        |          row_number() OVER (ORDER BY $seedHash, vec_id) AS rn
        |        FROM embeddings) t
        |  WHERE rn <= $ks
-       |), cb1 AS (
+       |), pcb1 AS (
        |  SELECT s.sub, sd.code,
        |    list_transform(s.sv, x -> CAST(x AS DOUBLE)) AS c_arr
-       |  FROM seeds sd JOIN subq s ON s._vid = sd._vid
-       |), $iterCtes, ccF AS (
+       |  FROM pseeds sd JOIN psubq s ON s._vid = sd._vid
+       |), $iterCtes, pccF AS (
        |  SELECT sub, code, c_arr, ${dotSql("c_arr", "c_arr")} AS c2
-       |  FROM cb$iters
-       |), enc AS (
+       |  FROM pcb$iters
+       |), penc AS (
        |  SELECT _vid, sub, code FROM (
        |    SELECT q._vid, q.sub, c.code,
        |      row_number() OVER (PARTITION BY q._vid, q.sub
        |        ORDER BY c.c2 - 2.0 * ${dotSql("q.sv", "c.c_arr")} ASC,
        |          c.code ASC) AS rn
-       |    FROM subq q JOIN ccF c USING (sub)) t
+       |    FROM psubq q JOIN pccF c USING (sub)) t
        |  WHERE rn = 1
-       |), lut AS (
+       |), plut AS (
        |  SELECT q._vid AS query_id, q.sub, c.code,
        |    ${dotSql("q.sv", "q.sv")}
        |      - 2.0 * ${dotSql("q.sv", "c.c_arr")} + c.c2 AS d
-       |  FROM subq q JOIN ccF c USING (sub)
-       |  WHERE q._vid < 40
-       |), scored AS (
-       |  SELECT l.query_id, e._vid, $pivotCols
-       |  FROM enc e
-       |  JOIN lut l ON l.sub = e.sub AND l.code = e.code
+       |  FROM psubq q JOIN pccF c USING (sub)
+       |  WHERE $queryWhere
+       |)""".stripMargin
+  }
+
+  private def pivotCols(m: Int): String = (0 until m).map(s =>
+    s"max(CASE WHEN e.sub = $s THEN d END) AS d$s").mkString(",\n    ")
+  private def pivotSum(m: Int): String =
+    (0 until m).map(s => s"d$s").mkString(" + ")
+
+  private def sim10Sql(m: Int, subDim: Int, ks: Int, iters: Int,
+                       k: Int): String =
+    s"""WITH ${pqCtes(m, subDim, ks, iters, "q._vid < 40")}, scored AS (
+       |  SELECT l.query_id, e._vid, ${pivotCols(m)}
+       |  FROM penc e
+       |  JOIN plut l ON l.sub = e.sub AND l.code = e.code
        |    AND e._vid <> l.query_id
        |  GROUP BY l.query_id, e._vid
        |)
        |SELECT query_id, _vid AS neighbor_id, adc_dist, rank FROM (
-       |  SELECT query_id, _vid, $pivotSum AS adc_dist,
+       |  SELECT query_id, _vid, ${pivotSum(m)} AS adc_dist,
        |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY $pivotSum ASC, _vid ASC) AS rank
+       |      ORDER BY ${pivotSum(m)} ASC, _vid ASC) AS rank
        |  FROM scored) r
        |WHERE rank <= $k""".stripMargin
-  }
+
+  /** sim11's DuckDB twin: the shared coarse k-means chain + per-row
+    * fold cell assignment (rank window — rn=1 is membership, rn ≤
+    * nprobe restricted to the query set is the probe list) composed
+    * with the shared PQ chain; scoring is restricted to probed cells'
+    * members through the candidate join, exactly the Spark plan. */
+  private def sim11Sql(coarseK: Int, coarseIters: Int, nprobe: Int,
+                       m: Int, subDim: Int, ks: Int, iters: Int,
+                       k: Int): String =
+    s"""WITH ${kmeansCtes(coarseK.toString, coarseIters)},
+       |icarr AS (
+       |  SELECT label, list(centroid ORDER BY dim) AS c_arr
+       |  FROM cent$coarseIters GROUP BY label
+       |), icc AS (
+       |  SELECT label, c_arr, ${dotSql("c_arr", "c_arr")} AS c2
+       |  FROM icarr
+       |), iscored AS (
+       |  SELECT e.vec_id AS _vid, c.label,
+       |    c.c2 - 2.0 * ${dotSql("e.embedding", "c.c_arr")} AS score
+       |  FROM embeddings e CROSS JOIN icc c
+       |), iasg AS (
+       |  SELECT _vid, label,
+       |    row_number() OVER (PARTITION BY _vid
+       |      ORDER BY score ASC, label ASC) AS rn
+       |  FROM iscored
+       |), icand AS (
+       |  SELECT p._vid AS query_id, mm._vid
+       |  FROM iasg p JOIN iasg mm ON mm.rn = 1 AND mm.label = p.label
+       |  WHERE p._vid < 40 AND p.rn <= $nprobe
+       |), ${pqCtes(m, subDim, ks, iters, "q._vid < 40")}, scored AS (
+       |  SELECT c.query_id, e._vid, ${pivotCols(m)}
+       |  FROM penc e
+       |  JOIN icand c ON c._vid = e._vid
+       |  JOIN plut l ON l.query_id = c.query_id AND l.sub = e.sub
+       |    AND l.code = e.code
+       |  WHERE e._vid <> c.query_id
+       |  GROUP BY c.query_id, e._vid
+       |)
+       |SELECT query_id, _vid AS neighbor_id, adc_dist, rank FROM (
+       |  SELECT query_id, _vid, ${pivotSum(m)} AS adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${pivotSum(m)} ASC, _vid ASC) AS rank
+       |  FROM scored) r
+       |WHERE rank <= $k""".stripMargin
 
   /** sim9's DuckDB twin: the same seeded Lloyd's loop unrolled as CTEs —
     * hash-sampled seeds (identical [[graft.functions.PortableHash]]

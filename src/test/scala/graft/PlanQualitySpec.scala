@@ -24,6 +24,8 @@ class PlanQualitySpec extends AnyFunSuite {
                             // broadcast k-row centroid table — that product
                             // IS the k-means computation, k rows not N
     "dd5_semdedup",         // same assignment engine as sim9
+    "sim11_ivfpq",          // same: coarse-cell assignment vs the
+                            // broadcast coarseK-row centroid table
     "pl11_dsir_select",     // broadcast 1-row model totals (nt, nr)
     "tx13_bm25_topk",       // broadcast 1-row corpus stats (N, avgdl)
     "tx14_lm_perplexity")   // broadcast 1-row vocab size

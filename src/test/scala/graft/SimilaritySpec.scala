@@ -242,6 +242,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out == again)
   }
 
+  test("IVF-PQ prunes to probed cells and still finds the planted near-copy") {
+    import graft.operators.ProductQuantization
+    val rnd5 = new scala.util.Random(19)
+    val centers = Seq(
+      Seq.tabulate(dims)(d => if (d < 8) 8.0f else 0.0f),
+      Seq.tabulate(dims)(d => if (d >= 8) 8.0f else 0.0f))
+    val pts = (0 until 40).map { i =>
+      (i.toLong, centers(i % 2).map(x => x + rnd5.nextGaussian().toFloat))
+    }
+    val dup = (99L, pts(6)._2.map(x => x + rnd5.nextGaussian().toFloat * 0.01f))
+    val cdf = (pts :+ dup).toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val out = ProductQuantization.ivfPqTopK(cdf,
+        cdf.filter($"vec_id" === 99L), "vec_id", "embedding",
+        dims = dims, m = 4, ks = 4, iters = 2,
+        coarseK = 2, coarseIters = 2, nprobe = 1, k = 5)
+      .collect().map(r => r.getAs[Long]("rank") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    assert(out(1L) == 6L,
+      s"IVF-PQ must still rank the near-copy first, got $out")
+    // nprobe=1 pruning: every returned neighbor lives in the query's
+    // coarse cell — the geometric cluster of even ids (centers(0))
+    assert(out.values.forall(id => id % 2 == 0),
+      s"neighbors must come only from the probed cell: $out")
+    // and the candidate set was genuinely pruned: k=5 from ~20 members
+    assert(out.size == 5)
+  }
+
   test("semDedup drops the planted semantic dup, keeps the cluster's first doc") {
     // three geometric clusters; doc 63 is a near-copy of doc 0 (same
     // cluster, cosine ≈ 1) — SemDeDup must drop 63 (the larger id), keep
