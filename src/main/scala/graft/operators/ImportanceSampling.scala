@@ -76,15 +76,16 @@ object ImportanceSampling {
          log((col("cr") + 1).cast("double") /
              (col("nr") + buckets).cast("double"))))
       .groupBy(col("doc"))
-      .agg(ExactNum.sumExact(col("term")).as("weight"))
-    val base = toks.select(col("doc"), col("grp"),
-      greatest(size(col("_toks")).cast("long") - 1L, lit(0L))
-        .as("n_grams"))
+      .agg(ExactNum.sumExact(col("term")).as("weight"),
+        sum(col("c")).as("n_grams"))
+    // per-doc gram count = Σ bucket counts, derived from the scoring agg
+    // — no second corpus tokenize pass; gramless docs fill with zeros
+    val base = docs.select(col(idCol).as("doc"), col(groupCol).as("grp"))
     val wRank = Window.partitionBy(col("grp"))
       .orderBy(col("weight").desc, col("doc").asc)
     val wCnt = Window.partitionBy(col("grp"))
     base.join(weights, Seq("doc"), "left")
-      .na.fill(0.0, Seq("weight"))
+      .na.fill(0.0, Seq("weight")).na.fill(0L, Seq("n_grams"))
       .withColumn("rnk", row_number().over(wRank))
       .withColumn("n_grp", count(lit(1)).over(wCnt))
       .withColumn("selected",

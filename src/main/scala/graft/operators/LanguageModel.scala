@@ -58,13 +58,16 @@ object LanguageModel {
       .withColumn("term", col("n_occ").cast("double") *
         log((col("c12") + 1).cast("double") /
             (col("c1") + col("v")).cast("double")))
+    // n_bigrams = Σ n_occ: every doc bigram exists in the corpus-trained
+    // model by construction, so the count derives from the scoring rows
+    // — no second corpus tokenize pass; docs with <2 tokens simply have
+    // no rows and fill with zeros through the left join
     val weights = scoredBigrams.groupBy(col("doc"))
-      .agg(ExactNum.sumExact(col("term")).as("logprob"))
-    toks.select(col("doc"),
-        greatest(size(col("_toks")).cast("long") - 1L, lit(0L))
-          .as("n_bigrams"))
+      .agg(ExactNum.sumExact(col("term")).as("logprob"),
+        sum(col("n_occ")).as("n_bigrams"))
+    docs.select(col(idCol).as("doc"))
       .join(weights, Seq("doc"), "left")
-      .na.fill(0.0, Seq("logprob"))
+      .na.fill(0.0, Seq("logprob")).na.fill(0L, Seq("n_bigrams"))
       .withColumn("ppl",
         when(col("n_bigrams") > 0,
           exp(col("logprob") * lit(-1.0) / col("n_bigrams").cast("double"))))

@@ -37,14 +37,20 @@ object Retrieval {
     require(k >= 1)
     val toks = docs.select(col(idCol).as("doc"),
       TextFunctions.tokens(col(textCol)).as("_toks"))
-    val dl = toks.select(col("doc"),
-      size(col("_toks")).cast("long").as("dl"))
-    // corpus scalars: N and exact average doc length
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      ExactNum.avgExact(col("dl")).as("avgdl"))
     // inverted index: (doc, term, tf)
     val tf = toks.select(col("doc"), explode(col("_toks")).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    // doc length = Σtf — derived from the index instead of a second
+    // corpus tokenize pass (Σ over a doc's term frequencies IS its
+    // token count; a doc with zero tokens has no terms and no score).
+    // avgdl divides by N over ALL docs (zero-token docs contribute a
+    // zero dl to the oracle's average — the sum is unchanged, the
+    // denominator must count them).
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val stats = dl.agg(ExactNum.sumExact(col("dl")).as("_s"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs"), (col("_s") / col("n_docs")).as("avgdl"))
     // DISTINCT query terms (BM25 sums each term once)
     val qTerms = queries.select(col(queryIdCol).as("query_id"),
         explode(array_distinct(TextFunctions.tokens(col(queryTextCol))))
