@@ -25,17 +25,15 @@ object Contamination {
   /** Distinct word n-grams per row: (idCol, gram). Documents shorter than
     * `n` tokens contribute no rows. */
   private def grams(df: DataFrame, idCol: String, textCol: String,
-                    n: Int): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    df.select(col(idCol), toks.as("_toks"))
+                    n: Int): DataFrame =
+    // ONE n-gram definition repo-wide: Dedup.shingleArray (a drifted
+    // second copy would silently desync tx10's oracle). array_distinct
+    // before the explode keeps per-doc dedup NARROW — the row-level
+    // .distinct() it replaces was a full shuffle for the same pairs.
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
       .select(col(idCol),
-        explode(when(size(col("_toks")) >= n,
-          transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
-            i => concat_ws(" ",
-              (0 until n).map(j => element_at(col("_toks"), i + lit(j))): _*)))
-          .otherwise(array())).as("gram"))
-      .distinct()
-  }
+        explode(array_distinct(Dedup.shingleArray(col("_toks"), n)))
+          .as("gram"))
 
   /** Score `corpus` against `bench`: one output row per corpus doc —
     * (idCol, n_grams, n_hits, contamination, flagged) where contamination

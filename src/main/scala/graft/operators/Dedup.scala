@@ -272,13 +272,23 @@ object Dedup {
         s => PortableHash.hash60(s)))
       .withColumn("sig", sig)
       .select(col(idCol).cast("long").as("doc") +: col("sig") +:
-        explode(array((0 until bands).map { b =>
-          concat(lit(s"$b:"), concat_ws("|",
-            slice(col("sig"), b * rows + 1, rows).cast("array<string>")))
-        }: _*)).as("bucket_key") +: payload: _*)
+        explode(bandKeys(col("sig"), bands, rows)).as("bucket_key") +:
+        payload: _*)
       .select(col("bucket_key") +: col("doc") +: col("sig") +: payload.map(
         _ => col("shh")): _*)
   }
+
+  /** The streaming/warm-start LSH bucket keys of a signature array:
+    * "b:" + "|"-joined band slice, one element per band. The ONE
+    * definition shared by the live path ([[minhashBands]]) and the
+    * persisted-index warm start (StreamingDedup.warmStartTextState) —
+    * a drifted second copy would land warm-started state under keys no
+    * live row ever hits: no error, pure silent recall loss. */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      concat(lit(s"$b:"), concat_ws("|",
+        slice(sig, b * rows + 1, rows).cast("array<string>")))
+    }: _*)
 
   /** SimHash sketch width: 60 bits — every bit of the engine-portable
     * [[graft.functions.PortableHash.hash60]] token hash, which is what

@@ -48,21 +48,25 @@ object ImportanceSampling {
     val toks = docs.select(col(idCol).as("doc"), col(groupCol).as("grp"),
         isTarget.as("is_tgt"),
         TextFunctions.tokens(col(textCol)).as("_toks"))
+    // bigram = Dedup.shingleArray(_, 2) — the repo's one n-gram
+    // definition. The gram subtree is NARROW (no exchange for
+    // ReuseExchange to dedup) and feeds three aggregations, so it is
+    // persisted EAGERLY — without it each consumer re-runs the
+    // regex+md5 pass over the corpus (the ngramJaccardPairs hazard).
     val grams = toks.select(col("doc"), col("grp"), col("is_tgt"),
-        explode(when(size(col("_toks")) >= 2,
-          transform(sequence(lit(1), size(col("_toks")) - 1),
-            i => concat(element_at(col("_toks"), i), lit(" "),
-              element_at(col("_toks"), i + 1))))
-          .otherwise(array().cast("array<string>"))).as("g"))
+        explode(Dedup.shingleArray(col("_toks"), 2)).as("g"))
       .withColumn("b", PortableHash.hash60(col("g")) % buckets)
+      .select(col("doc"), col("is_tgt"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    grams.count()
     val docBuckets = grams.groupBy(col("doc"), col("b"))
       .agg(count(lit(1)).as("c"))
     val tModel = grams.filter(col("is_tgt"))
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val tTotal = grams.filter(col("is_tgt"))
-      .agg(count(lit(1)).as("nt"))
     val rModel = grams.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val rTotal = grams.agg(count(lit(1)).as("nr"))
+    // model totals sum over the vocab-sized model tables, not the corpus
+    val tTotal = tModel.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
+    val rTotal = rModel.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
     // every doc bucket exists in the raw model by construction; target
     // buckets the target never saw smooth to ct=0
     val weights = docBuckets

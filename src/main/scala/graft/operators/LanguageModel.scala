@@ -33,8 +33,14 @@ object LanguageModel {
 
   def bigramPerplexity(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
+    // the token table feeds the bigram explode AND the vocab count —
+    // persist EAGERLY so the regex tokenize (the dominant per-row CPU)
+    // runs once, not once per consumer (narrow subtree: ReuseExchange
+    // cannot dedup it)
     val toks = docs.select(col(idCol).as("doc"),
-      TextFunctions.tokens(col(textCol)).as("_toks"))
+        TextFunctions.tokens(col(textCol)).as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.count()
     val bigrams = toks.select(col("doc"),
         explode(when(size(col("_toks")) >= 2,
           transform(sequence(lit(1), size(col("_toks")) - 1),

@@ -457,37 +457,20 @@ object Similarity {
     * value set is order-free. */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, tau: Double): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    // Final centroids collected to the driver (k·dims doubles,
-    // bit-preserved — the Lloyd's-loop discipline) and re-shipped as
-    // per-label ARRAYS: the final membership pass is then a broadcast
-    // cross join + per-row sequential fold + min(struct) hash agg —
-    // map-side combinable, nothing exploded, no decimal on the hot
-    // path. The first cut reused the exploded decimal-exact assignment
-    // and spent 21 s at sf0.1 in k·N BigDecimal aggregation; per-row
-    // folds are bit-portable to DuckDB's list_reduce, so exactness
-    // survives the rewrite (argmin inputs are identical doubles in both
-    // engines) and the query runs in ~2 s.
-    val centArrs = kmeansCentroids(vecs, idCol, vecCol, k, iters)
-      .select(col("label"), col("dim"), col("centroid")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .groupBy(_._1).toSeq
-      .map { case (l, rs) => (l, rs.sortBy(_._2).map(_._3).toSeq) }
-      .sortBy(_._1)
-    val centDf = centArrs.toDF("label", "c_arr")
-      .withColumn("c2", dotSeqHof(col("c_arr"), col("c_arr")))
-    // score = ‖c‖² − 2x·c (the ‖x‖² term cancels in argmin); min over
-    // (score, label) structs = smallest score with label tiebreak —
-    // order-free, so partial aggregation is safe
-    val m = vecs.select(col(idCol).as("_vid"), col(vecCol).as("_vec"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("_score",
-        col("c2") - lit(2.0) * dotSeqHof(col("_vec"), col("c_arr")))
-      .groupBy(col("_vid"))
-      .agg(min(struct(col("_score"), col("label"))).as("_best"),
-        first(col("_vec")).as("_vec"))
-      .select(col("_best.label").as("label"), col("_vid"), col("_vec"),
+    // Final centroids re-shipped as per-label ARRAYS and membership
+    // assigned by per-row sequential folds + min(struct) — the shared
+    // [[centroidArrays]]/[[assignToCentroidArrays]] machinery (one
+    // definition with sim11's IVF side; the first cut reused the
+    // exploded decimal-exact assignment and spent 21 s at sf0.1 in
+    // k·N BigDecimal aggregation). Membership is persisted EAGERLY:
+    // three consumers (both self-join sides + the verdict join) would
+    // otherwise each re-run the assignment.
+    val centArr = centroidArrays(
+      kmeansCentroids(vecs, idCol, vecCol, k, iters))
+    val m = assignToCentroidArrays(vecs, idCol, vecCol, centArr)
+      .join(vecs.select(col(idCol).as("_vid"), col(vecCol).as("_vec")),
+        "_vid")
+      .select(col("label"), col("_vid"), col("_vec"),
         normSeq(col("_vec")).as("_nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     m.count()

@@ -402,8 +402,12 @@ object PipelineQueries extends QueryPack {
          |    CROSS JOIN ttotal tt CROSS JOIN rtotal rt) z
          |  GROUP BY doc
          |), base AS (
+         |  -- coalesce mirrors the Spark side's zero-fill: a NULL text
+         |  -- row must profile as 0 grams, not NULL (greatest propagates
+         |  -- NULL and would hard-fail the exact-column compare)
          |  SELECT doc, grp,
-         |    greatest(CAST(len(t) AS BIGINT) - 1, 0) AS n_grams
+         |    greatest(coalesce(CAST(len(t) AS BIGINT), 0) - 1, 0)
+         |      AS n_grams
          |  FROM toks
          |), ranked AS (
          |  SELECT b2.doc, b2.grp, b2.n_grams,

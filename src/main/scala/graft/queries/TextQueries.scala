@@ -983,7 +983,7 @@ object TextQueries extends QueryPack {
     * IEEE add, and the two parses of "2.2" need not agree with it. */
   override def boundedOracles
       : Map[String, (String, Double, Seq[String], Seq[String])] = {
-    import graft.functions.ExactNum.{avgExactSql, sumExactSql}
+    import graft.functions.ExactNum.sumExactSql
     val termScore =
       "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)" +
         " / (CAST(df AS DOUBLE) + 0.5))" +
@@ -997,7 +997,11 @@ object TextQueries extends QueryPack {
          |), dl AS (
          |  SELECT doc, CAST(len(t) AS BIGINT) AS dl FROM toks
          |), stats AS (
-         |  SELECT count(*) AS n_docs, ${avgExactSql("dl")} AS avgdl
+         |  -- denominator is count(*) over ALL docs (a NULL/empty text
+         |  -- contributes zero length, not a skipped row) — the Spark
+         |  -- side divides its exact dl sum by the raw doc count
+         |  SELECT count(*) AS n_docs,
+         |    (${sumExactSql("dl")} / count(*)) AS avgdl
          |  FROM dl
          |), tf AS (
          |  SELECT doc, term, count(*) AS tf FROM (
@@ -1056,8 +1060,10 @@ object TextQueries extends QueryPack {
          |    CROSS JOIN vocab vv) z
          |  GROUP BY doc
          |), base AS (
-         |  SELECT doc, greatest(CAST(len(t) AS BIGINT) - 1, 0)
-         |    AS n_bigrams
+         |  -- coalesce: NULL text must count 0 bigrams (Spark zero-fills)
+         |  SELECT doc,
+         |    greatest(coalesce(CAST(len(t) AS BIGINT), 0) - 1, 0)
+         |      AS n_bigrams
          |  FROM toks
          |)
          |SELECT b.doc AS doc_id, b.n_bigrams,

@@ -274,11 +274,8 @@ object StreamingDedup {
       .select(col("doc"), sigArr.as("sig"))
       .join(shSets, "doc")
       .select(col("doc"), col("sig"), col("payload"),
-        explode(org.apache.spark.sql.functions.array(
-          (0 until meta.bands).map { b =>
-            concat(lit(s"$b:"), concat_ws("|",
-              slice(col("sig"), b * rows + 1, rows).cast("array<string>")))
-          }: _*)).as("bucket_key"))
+        explode(graft.operators.Dedup.bandKeys(col("sig"), meta.bands,
+          rows)).as("bucket_key"))
     banded
       .groupBy(col("bucket_key"))
       .agg(collect_list(struct(col("doc"), col("sig"), col("payload")))
