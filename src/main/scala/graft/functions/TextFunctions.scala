@@ -99,6 +99,20 @@ object TextFunctions {
     s"CAST(len(regexp_extract_all($e, '[.,!?;:]')) AS BIGINT)"
   def wordListCountSql(e: String, words: Seq[String]): String =
     s"CAST(len(regexp_extract_all($e, '\\b(${words.mkString("|")})\\b')) AS BIGINT)"
+  /** DuckDB twin of [[qualityScore]] — ONE definition (pl8's chain and
+    * pl12's curriculum both rank on it; a drifted copy would silently
+    * desync their oracles). */
+  def qualityScoreSql(e: String): String = {
+    val nTok = tokenCountSql(e)
+    val nStop = wordListCountSql(s"lower($e)",
+      Seq("the", "and", "of", "a", "in", "is", "to", "for"))
+    val nPunct = punctCountSql(e)
+    s"""COALESCE(
+       |      (CAST($nStop AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE)) * 2.0
+       |      + (1.0 - abs(CAST(length($e) AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE) - 5.0) / 10.0)
+       |      - (CAST($nPunct AS DOUBLE) / CAST(NULLIF(CAST(length($e) AS BIGINT), 0) AS DOUBLE)) * 5.0,
+       |      CAST(0 AS DOUBLE))""".stripMargin
+  }
   def fingerprintSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(regexp_extract_all($e, '\\S+'), " +

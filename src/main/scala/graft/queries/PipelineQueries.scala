@@ -206,6 +206,21 @@ object PipelineQueries extends QueryPack {
           countDistinct(when($"epoch".isNotNull, $"doc_id")).as("n_kept"))
     }),
 
+    // curriculum construction: quality-quartile phase per language
+    // (easy→hard ordering for curriculum training; ntile over the
+    // deterministic quality score with doc_id tiebreak is exact in
+    // both engines). Window is partitioned by lang — never global.
+    "pl12_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"lang")
+        .orderBy($"quality".asc, $"doc_id".asc)
+      graft.core.Tables.spread(Tables.load(s, dir, "documents"))
+        .select($"doc_id", $"lang",
+          TextFunctions.qualityScore($"text").as("quality"))
+        .withColumn("phase", ntile(4).over(w).cast("long"))
+    }),
+
     // DSIR importance resampling: hashed-bigram log-likelihood ratio of
     // target (en docs) vs raw corpus, top-25% kept per source. BOUNDED
     // oracle (ln is not cross-engine bit-portable); integer columns
@@ -222,18 +237,10 @@ object PipelineQueries extends QueryPack {
     * as CTEs from the already-proven per-stage SQL (tx7 normalize, tx2
     * quality, tx5 dedup, pl7 packing). */
   private def pl8Sql: String = {
-    val nTok = TextFunctions.tokenCountSql("text")
-    val nStop = TextFunctions.wordListCountSql("lower(text)",
-      Seq("the", "and", "of", "a", "in", "is", "to", "for"))
-    val nPunct = TextFunctions.punctCountSql("text")
     s"""WITH norm AS (
        |  SELECT doc_id, lang, text,
        |    ${TextFunctions.normalizeTextSql("text")} AS norm_text,
-       |    COALESCE(
-       |      (CAST($nStop AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE)) * 2.0
-       |      + (1.0 - abs(CAST(length(text) AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE) - 5.0) / 10.0)
-       |      - (CAST($nPunct AS DOUBLE) / CAST(NULLIF(CAST(length(text) AS BIGINT), 0) AS DOUBLE)) * 5.0,
-       |      CAST(0 AS DOUBLE)) AS quality
+       |    ${TextFunctions.qualityScoreSql("text")} AS quality
        |  FROM documents
        |), kept AS (
        |  SELECT * FROM norm WHERE quality > 0.0 AND norm_text <> ''
@@ -255,6 +262,13 @@ object PipelineQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "pl12_curriculum" -> {
+      val q = TextFunctions.qualityScoreSql("text")
+      s"""SELECT doc_id, lang, $q AS quality,
+         |  CAST(ntile(4) OVER (PARTITION BY lang
+         |    ORDER BY $q ASC, doc_id ASC) AS BIGINT) AS phase
+         |FROM documents""".stripMargin
+    },
     "pl9_chunk_overlap" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS ts FROM documents

@@ -148,6 +148,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(30L)._2 == out(31L)._2 && out(31L)._2 == out(32L)._2)
   }
 
+  test("pl12: phases are balanced per-lang quartiles ordered by quality") {
+    val rows = SparkEntry.queries("pl12_curriculum")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val counts = rs.groupBy(_.getAs[Long]("phase"))
+        .view.mapValues(_.length).toMap
+      assert(counts.values.max - counts.values.min <= 1,
+        s"$lang: ntile sizes must differ by at most 1: $counts")
+      val byPhase = rs.groupBy(_.getAs[Long]("phase")).toSeq.sortBy(_._1)
+        .map { case (p, prs) => (p, prs.map(_.getAs[Double]("quality"))) }
+      byPhase.sliding(2).filter(_.size == 2).foreach {
+        case Seq((_, lo), (_, hi)) =>
+          assert(lo.max <= hi.min,
+            s"$lang: phase qualities must be non-decreasing")
+        case _ => ()
+      }
+    }
+  }
+
   test("bigramPerplexity: predictable transitions score lower ppl than one-off ones") {
     import graft.operators.LanguageModel
     import spark.implicits._
