@@ -83,9 +83,11 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col("a.sh_h") === col("b.sh_h") &&
-      col("a.doc") < col("b.doc")
+    // empty blockCols = unblocked corpus (legitimate for small inputs):
+    // the condition list must not reduce over zero block predicates
+    val joinCond = (blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
+      (col("a.sh_h") === col("b.sh_h")) :+
+      (col("a.doc") < col("b.doc"))).reduce(_ && _)
     val common = sh.as("a").join(sh.as("b"), joinCond)
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("common"))

@@ -149,6 +149,25 @@ object TextQueries extends QueryPack {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3,
         Seq("lang", "source"), preShingles = Some(sharedShingles(s, dir)))),
 
+    // containment (one-sided Jaccard): |A∩B|/|A| — the asymmetric
+    // near-dup signal symmetric Jaccard misses (a short doc quoted
+    // wholesale inside a long one scores containment ≈ 1, jaccard ≈
+    // |A|/|B|). Same blocked pair machinery and shared shingle base as
+    // tx6; only pairs where either side's containment clears the
+    // threshold survive.
+    "dd6_containment" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3,
+          Seq("lang", "source"), preShingles = Some(sharedShingles(s, dir)))
+        .withColumn("containment_a",
+          $"common".cast("double") / $"n_a".cast("double"))
+        .withColumn("containment_b",
+          $"common".cast("double") / $"n_b".cast("double"))
+        .filter(greatest($"containment_a", $"containment_b") >= 0.5)
+        .select($"doc_a", $"doc_b", $"common", $"n_a", $"n_b",
+          $"containment_a", $"containment_b")
+    }),
+
     // multimodal metadata pass: documents' text bytes stand in for binary
     // payloads (no image fixtures in the container); expressions identical
     // for a real binary column.
@@ -951,6 +970,14 @@ object TextQueries extends QueryPack {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "tx6_ngram_jaccard" ->
       s"WITH $ngramPairCtes\nSELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM pairs",
+    "dd6_containment" ->
+      s"""WITH $ngramPairCtes
+         |SELECT doc_a, doc_b, common, n_a, n_b,
+         |  CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment_a,
+         |  CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE) AS containment_b
+         |FROM pairs
+         |WHERE greatest(CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE),
+         |  CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE)) >= 0.5""".stripMargin,
     "dd3_cluster" ->
       s"""WITH RECURSIVE $ngramPairCtes,
          |edges AS (

@@ -134,6 +134,27 @@ class DedupSpec extends AnyFunSuite {
       "fixture must exercise non-identical near pairs")
   }
 
+  test("containment catches a subset doc that symmetric Jaccard misses") {
+    // doc 11 is the first half of doc 10: containment(11→10) ≈ 1 while
+    // jaccard ≈ 0.5 — the asymmetric quote/subset signal dd6 keys on
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val half = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = Seq((10L, long), (11L, half), (12L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, Seq())
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("common"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("jaccard")))).toMap
+    val (common, nA, nB, jac) = pairs((10L, 11L))
+    val containmentB = common.toDouble / nB // |A∩B| / |smaller doc|
+    assert(containmentB == 1.0,
+      s"every shingle of the half-doc is in the long doc: $containmentB")
+    assert(jac < 0.5, s"symmetric jaccard must NOT flag the subset: $jac")
+    assert(nA == 38L && nB == 18L && common == 18L)
+    assert(!pairs.contains((10L, 12L)) && !pairs.contains((11L, 12L)),
+      "unrelated doc shares no shingle, no pair emitted")
+  }
+
   test("repeatedSpanProfile: cross-doc and within-doc spans covered, clean doc at zero") {
     // w1..w12 unique filler tokens; docs 1/2 share an exact 8-token run,
     // doc 3 repeats its own 8-token run twice, doc 4 is span-clean, doc
