@@ -353,6 +353,31 @@ object ExtendedQueries extends QueryPack {
           size($"mp").cast("long").as("n_keys"),
           element_at($"mp", "k").as("k_value"),
           array_join(map_keys($"mp"), ",").as("keys_csv"))
+    }),
+
+    // Q59 — recursive CTE (Spark 4's WITH RECURSIVE → UnionLoop):
+    // hierarchy walk over the implicit binary tree custkey → ⌊custkey/2⌋,
+    // counting nodes per depth. Each recursion level is ONE distributed
+    // hash join of the (shrinking) frontier against customer — levels =
+    // O(log N), so 100 TB adds ~10 more iterations, not more data per
+    // iteration; the frontier join key is the same ⌊key/2⌋ expression on
+    // both sides, so at real scale the customer side would be bucketed on
+    // it once and every level reuses the layout.
+    "q59_recursive_tree" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_rec")
+      s.sql(
+        """WITH RECURSIVE tree(custkey, depth) AS (
+          |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer_rec
+          |  WHERE c_custkey = 1
+          |  UNION ALL
+          |  SELECT c.c_custkey, t.depth + 1
+          |  FROM customer_rec c JOIN tree t
+          |    ON CAST(floor(c.c_custkey / 2) AS BIGINT) = t.custkey
+          |  WHERE c.c_custkey > 1
+          |)
+          |SELECT depth, count(*) AS n_cust,
+          |  min(custkey) AS min_key, max(custkey) AS max_key
+          |FROM tree GROUP BY depth""".stripMargin)
     }))
 
   /** q45 is approximate BY SPEC (Greenwald–Khanna at accuracy 10000 ⇒
@@ -381,6 +406,19 @@ object ExtendedQueries extends QueryPack {
       Seq("l_returnflag"), Seq("cnt"))))
 
   def oracles: Map[String, String] = Map(
+    "q59_recursive_tree" ->
+      """WITH RECURSIVE tree(custkey, depth) AS (
+        |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer
+        |  WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.depth + 1
+        |  FROM customer c JOIN tree t
+        |    ON CAST(floor(c.c_custkey / 2) AS BIGINT) = t.custkey
+        |  WHERE c.c_custkey > 1
+        |)
+        |SELECT depth, count(*) AS n_cust,
+        |  min(custkey) AS min_key, max(custkey) AS max_key
+        |FROM tree GROUP BY depth""".stripMargin,
     "q53_edit_distance" ->
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |  a.p_name AS name_a, b.p_name AS name_b,
