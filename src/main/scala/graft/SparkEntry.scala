@@ -18,7 +18,8 @@ object SparkEntry {
     ExtendedQueries,
     TextQueries,
     SimilarityQueries,
-    PipelineQueries)
+    PipelineQueries,
+    GraphQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's analytical core (W2 10 s tumbling window metrics). */

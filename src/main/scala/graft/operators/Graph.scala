@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph analytics over edge-list DataFrames.
+  *
+  * Both operators take the graph as a plain `(src,dst)` / `(s1,s2)` edge
+  * DataFrame, so any relational derivation (bipartite fact-table
+  * projections, similarity pair outputs from [[Dedup]], …) plugs in
+  * directly. Everything is equi-join + aggregate — no driver-side graph
+  * state, no adjacency collection — so the shapes hold at 100 TB:
+  * iteration count is fixed (PageRank) or work is bounded by degree
+  * orientation (triangles), never by graph diameter times data volume.
+  */
+object Graph {
+
+  /** Unnormalized PageRank (Brin & Page 1998): init rank 1.0 per node,
+    * then `iters` rounds of `r'(v) = teleport + damping · Σ_{u~v} r(u)/deg(u)`
+    * over an UNDIRECTED edge list (one row per edge; every node must
+    * appear in ≥1 edge).
+    *
+    * Arithmetic is FIXED-POINT in integer micros (rank 1.0 ≡ 1 000 000;
+    * contributions are `rank div deg`, damping is `(85·Σ) div 100`) —
+    * the same discipline as the fixed-point LSH projections: every step
+    * is integer math, so the iterate is bit-identical across partition
+    * counts, engines, and AQE re-plans with no dependence on any
+    * double→decimal rounding convention. Each floor division drops
+    * < 1e-6 of a node's mass per round — quantization, not error, and
+    * reproduced exactly by the oracle. Long headroom: a node's damped
+    * in-sum is ≤ 85·(total mass) ≈ 8.5e7·N, safe through N ≈ 1e11
+    * nodes; beyond that, shrink the micros scale.
+    *
+    * Scale shape: the degree-annotated edge table is materialized ONCE,
+    * hash-partitioned by `dst` (persisted here; a bucketed table on a
+    * cluster) — so the per-round `groupBy(dst)` aggregate needs NO
+    * exchange at all: the cached partitioning already satisfies it. The
+    * rank table (|nodes| rows, ≪ |edges|) is broadcast into the join
+    * each round, making a full iteration zero-shuffle at this scale; on
+    * a cluster where ranks outgrow a broadcast, the same loop runs with
+    * ranks bucketed by `node` against `ew` bucketed by `src` — only the
+    * small rank side moves per round, never the edges. Iterations are
+    * FIXED, not run-to-convergence: the plan depth and job count are
+    * known up front, and a fixed-power iterate is exactly reproducible
+    * by the oracle.
+    */
+  def pagerank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+               teleport: Double = 0.15): DataFrame = {
+    val dampPct = math.round(damping * 100)
+    val telMicros = math.round(teleport * 1e6)
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+    val shufflePartitions =
+      edges.sparkSession.sessionState.conf.numShufflePartitions
+    val ew = und.join(broadcast(deg), "src")
+      // explicit partition count: AQE would coalesce the ~tens-of-MB
+      // rank-contribution stream to one task (the single-task trap
+      // documented at Tables.spread)
+      .repartition(shufflePartitions, col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ew.count() // eager: five rounds read this, never the join lineage
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    (1 to iters).foreach { _ =>
+      ranks = ew.alias("e")
+        .join(broadcast(ranks.alias("r")), col("e.src") === col("r.node"))
+        .groupBy(col("e.dst"))
+        .agg(expr(s"$telMicros + ($dampPct * sum(rank div deg)) div 100")
+          .as("rank"))
+        .select(col("dst").as("node"), col("rank"))
+    }
+    ranks.select(col("node"),
+      (col("rank").cast("double") / lit(1000000.0)).as("rank"))
+  }
+
+  /** DuckDB twin of [[pagerank]] (damping 0.85 / teleport 0.15): the
+    * fixed iteration count unrolls into a CTE chain (`r0 … r$iters`),
+    * each round the same join + integer-micros fold (`//` is DuckDB
+    * floor division ≡ Spark's `div` on the nonnegative ranks).
+    * `edgesCte` must define `edges(src, dst)` (one row per undirected
+    * edge) over the fixture tables. */
+  def pagerankSql(edgesCte: String, iters: Int = 5): String = {
+    def round(i: Int): String =
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(150000 + (85 * sum(r.rank // e.deg)) // 100 AS BIGINT)
+         |      AS rank
+         |  FROM ew e JOIN r${i - 1} r ON e.src = r.node
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH edges AS ($edgesCte),
+       |und AS (SELECT src, dst FROM edges
+       |        UNION ALL SELECT dst, src FROM edges),
+       |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+       |ew AS (SELECT u.src, u.dst, d.deg
+       |       FROM und u JOIN deg d ON u.src = d.src),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank
+       |       FROM deg),
+       |${(1 to iters).map(round).mkString(",\n")}
+       |SELECT node, CAST(rank AS DOUBLE) / 1000000.0 AS rank
+       |FROM r$iters""".stripMargin
+  }
+
+  /** Exact triangle count + global clustering coefficient over an
+    * undirected edge list (`s1 < s2`, one row per edge, distinct).
+    *
+    * Algorithm: degree orientation (Schank & Wagner 2005; the
+    * MapReduce/shuffle formulation is Suri & Vassilvitskii 2011) — each
+    * edge is oriented from the (degree, id)-smaller endpoint to the
+    * larger, which turns every triangle into exactly ONE directed path
+    * u→v→w with closing edge u→w. Out-degree under this orientation is
+    * bounded by O(√|E|), so the wedge join materializes
+    * Σ out(v)·in(v) = O(|E|^{3/2}) candidate rows worst-case — the
+    * standard scalable bound — instead of Σ deg² of a naive neighbor
+    * join, and a skewed hub node costs √E per edge, not deg(hub).
+    * Everything is hash equi-joins; the count is exactly the naive
+    * s1<s2<s3 count, which is what the oracle computes.
+    *
+    * Output (one row): n_nodes, n_edges, n_wedges (Σ d(d−1)/2, exact
+    * bigint), n_triangles, clustering = 3·triangles / wedges.
+    */
+  def triangleStats(edges: DataFrame,
+                    broadcastEdgeLimit: Long = 20000000L): DataFrame = {
+    val e = edges.select(col("s1"), col("s2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val deg = e.select(col("s1").as("node"))
+      .union(e.select(col("s2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // deg has |nodes| rows ≪ |edges| but hides behind an aggregate, so
+    // the size estimate defaults pessimistic — broadcast explicitly
+    val ed = e
+      .join(broadcast(deg.select(col("node").as("s1"), col("d").as("d1"))),
+        "s1")
+      .join(broadcast(deg.select(col("node").as("s2"), col("d").as("d2"))),
+        "s2")
+    val lowerFirst = (col("d1") < col("d2")) ||
+      ((col("d1") === col("d2")) && (col("s1") < col("s2")))
+    // spread BEFORE persist: the cached edge table is only ~tens of MB,
+    // so AQE coalesces it to one task — but each cached row fans out to
+    // its out-degree in the wedge stage below; partition count must
+    // follow the DOWNSTREAM fan-out, not the cached bytes
+    val oriented = graft.core.Tables.spread(ed.select(
+        when(lowerFirst, col("s1")).otherwise(col("s2")).as("u"),
+        when(lowerFirst, col("s2")).otherwise(col("s1")).as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // The wedge set (Σ out·in rows) must never be sorted or shuffled —
+    // it is the algorithm's O(E^{3/2}) blow-up term. While the oriented
+    // edge table fits a broadcast, both the wedge join and the closing
+    // probe run map-side over one cached scan: wedges exist only inside
+    // a codegen pipeline feeding a partial count. Past the limit, the
+    // shuffle-hash hint keeps the same joins hash-based (an SMJ would
+    // sort the wedge stream) with edges partitioned by the join key.
+    def buildSide(d: DataFrame) =
+      if (nEdges <= broadcastEdgeLimit) broadcast(d) else d.hint("shuffle_hash")
+    val wedgePaths = oriented.alias("e1")
+      .join(buildSide(oriented.alias("e2")), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e2.v").as("c"))
+    val tri = wedgePaths
+      .join(buildSide(oriented.alias("e3")),
+        col("a") === col("e3.u") && col("c") === col("e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+    val edgeCount = e.agg(count(lit(1)).as("n_edges"))
+    // three single-row frames → broadcast combine (1×1 rows, by design)
+    degStats.crossJoin(edgeCount).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
+  }
+}

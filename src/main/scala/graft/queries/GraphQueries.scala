@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Graph analytics derived from the relational fixtures.
+  *
+  * A training-data pipeline meets graphs constantly — link graphs for
+  * page quality, co-occurrence graphs for topic structure, similarity
+  * graphs from the dedup pair outputs — and the engine's answer must be
+  * join+agg shapes, not a driver-resident adjacency structure. Both
+  * queries here derive their edge lists from `lineitem` (the fact table,
+  * i.e. the 100 TB side) and hand them to [[graft.operators.Graph]]:
+  *
+  *  - `gr1_pagerank`: the order↔supplier bipartite graph. Node ids are
+  *    disambiguated arithmetically (2·orderkey / 2·suppkey+1) so the
+  *    union stays a single bigint key — no string concat in the shuffle
+  *    key at scale.
+  *  - `gr2_triangles`: the part co-purchase graph (parts sharing an
+  *    order). Per-order line count is bounded (≤7 in TPC-H-shaped data),
+  *    so the pair explosion is linear in lineitem, and triangle counting
+  *    uses degree orientation (O(E^{3/2}) worst case) — see
+  *    [[graft.operators.Graph.triangleStats]].
+  */
+object GraphQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.core.Tables.load(s, dir, name)
+
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+        (col("l_orderkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+      .distinct()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "gr1_pagerank" -> ((s, dir) => {
+      Graph.pagerank(bipartiteEdges(s, dir), iters = 5)
+        .select(
+          when(col("node") % 2 === 0, "order").otherwise("supplier")
+            .as("node_kind"),
+          expr("node div 2").as("key"),
+          col("rank"))
+    }),
+
+    "gr2_triangles" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem").select(
+          col("l_orderkey").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+        .distinct()
+      val edges = ps.alias("a")
+        .join(ps.alias("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("s1"), col("b.pk").as("s2"))
+        .distinct()
+      Graph.triangleStats(edges)
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "gr1_pagerank" -> {
+      val ranks = Graph.pagerankSql(
+        """SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 2 AS src,
+          |  CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst FROM lineitem"""
+          .stripMargin, iters = 5)
+      s"""SELECT CASE WHEN node % 2 = 0 THEN 'order' ELSE 'supplier' END
+         |    AS node_kind,
+         |  node // 2 AS key, rank
+         |FROM ($ranks)""".stripMargin
+    },
+    "gr2_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS ok,
+        |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+        |edges AS (SELECT DISTINCT a.pk AS s1, b.pk AS s2
+        |          FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |          SELECT s1 AS node FROM edges
+        |          UNION ALL SELECT s2 FROM edges) GROUP BY node),
+        |tri AS (SELECT count(*) AS n_triangles FROM edges e1
+        |        JOIN edges e2 ON e1.s2 = e2.s1
+        |        JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+        |wedges AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT)
+        |    AS n_wedges FROM deg)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM edges) AS n_edges,
+        |  n_wedges, n_triangles,
+        |  CAST(3.0 * n_triangles / n_wedges AS DOUBLE) AS clustering
+        |FROM tri, wedges""".stripMargin)
+}

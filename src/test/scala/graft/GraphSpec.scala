@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Planted-graph checks for the graph operators (the fixture-scale
+  * oracle gate covers gr1/gr2 end-to-end; these pin the algorithmic
+  * invariants on graphs small enough to verify by hand). */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def edgeDf(pairs: (Long, Long)*) =
+    pairs.toDF("s1", "s2")
+
+  test("triangleStats: triangle + pendant edge, counted by hand") {
+    // K3 on {1,2,3} plus pendant 1-4: degs 3,2,2,1 → wedges 3+1+1+0 = 5,
+    // one triangle, clustering 3·1/5 = 0.6
+    val out = Graph.triangleStats(edgeDf((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)))
+      .collect().head
+    assert(out.getAs[Long]("n_nodes") === 4L)
+    assert(out.getAs[Long]("n_edges") === 4L)
+    assert(out.getAs[Long]("n_wedges") === 5L)
+    assert(out.getAs[Long]("n_triangles") === 1L)
+    assert(out.getAs[Double]("clustering") === 0.6)
+  }
+
+  test("triangleStats: star graph has wedges but zero triangles") {
+    val out = Graph.triangleStats(edgeDf((1L, 2L), (1L, 3L), (1L, 4L)))
+      .collect().head
+    assert(out.getAs[Long]("n_wedges") === 3L)
+    assert(out.getAs[Long]("n_triangles") === 0L)
+  }
+
+  test("pagerank: star graph — hub dominates, leaves symmetric, " +
+       "single round matches the closed form bit-for-bit") {
+    val edges = edgeDf((1L, 2L), (1L, 3L), (1L, 4L))
+      .select(col("s1").as("src"), col("s2").as("dst"))
+    val r1 = Graph.pagerank(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // hub: three leaves each contribute 1000000 div 1 micros →
+    // 150000 + (85·3000000) div 100 = 2700000 micros
+    assert(r1(1L) === 2.7)
+    // leaf: hub contributes 1000000 div 3 = 333333 micros →
+    // 150000 + (85·333333) div 100 = 433333 micros
+    assert(r1(2L) === 433333.0 / 1e6)
+    assert(r1(2L) === r1(3L) && r1(3L) === r1(4L))
+    val r5 = Graph.pagerank(edges, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r5(1L) > r5(2L) && r5.values.forall(_ >= 0.15))
+    assert(r5(2L) === r5(3L) && r5(3L) === r5(4L))
+  }
+
+  test("pagerank: result is partitioning-invariant (bit-identical)") {
+    val base = edgeDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .select(col("s1").as("src"), col("s2").as("dst"))
+    def run(parts: Int) =
+      Graph.pagerank(base.repartition(parts), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(1) === run(7))
+  }
+}
