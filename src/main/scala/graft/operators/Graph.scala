@@ -153,13 +153,29 @@ object Graph {
     // sort the wedge stream) with edges partitioned by the join key.
     def buildSide(d: DataFrame) =
       if (nEdges <= broadcastEdgeLimit) broadcast(d) else d.hint("shuffle_hash")
+    val maxId = e.agg(max(greatest(col("s1"), col("s2")))).head.getLong(0)
+    val wedgeBuild =
+      if (nEdges <= 2000000L) broadcast(oriented.alias("e2"))
+      else oriented.alias("e2").hint("shuffle_hash")
     val wedgePaths = oriented.alias("e1")
-      .join(buildSide(oriented.alias("e2")), col("e1.v") === col("e2.u"))
-      .select(col("e1.u").as("a"), col("e2.v").as("c"))
-    val tri = wedgePaths
-      .join(buildSide(oriented.alias("e3")),
-        col("a") === col("e3.u") && col("c") === col("e3.v"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .join(wedgeBuild, col("e1.v") === col("e2.u"))
+    // left-semi close: a wedge either closes or not (edges are distinct),
+    // so the probe never constructs output rows — and when node ids fit
+    // 31 bits the (u,v) pair packs into ONE long, turning the ~E^{3/2}
+    // probes into dense LongHashedRelation lookups instead of generic
+    // two-column row-key hashing (several× per-probe cost)
+    val tri = (if (maxId < (1L << 31)) {
+      val packed = (c1: org.apache.spark.sql.Column,
+                    c2: org.apache.spark.sql.Column) =>
+        shiftleft(c1, 32) + c2
+      wedgePaths.select(packed(col("e1.u"), col("e2.v")).as("uv"))
+        .join(buildSide(oriented.select(packed(col("u"), col("v")).as("uv"))),
+          Seq("uv"), "left_semi")
+    } else {
+      wedgePaths.select(col("e1.u").as("a"), col("e2.v").as("c"))
+        .join(buildSide(oriented.alias("e3")),
+          col("a") === col("e3.u") && col("c") === col("e3.v"), "left_semi")
+    }).agg(count(lit(1)).as("n_triangles"))
     val degStats = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
