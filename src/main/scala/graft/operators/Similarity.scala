@@ -566,4 +566,70 @@ object Similarity {
       .select(col("query_id"), col("label"), col("neighbor_id"),
         col("cos_sim"), col("rank"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * from each query's top-`n` cosine candidates, greedily select `kSel`
+    * results maximizing `lambda·rel − mu·max_sim_to_selected` — the
+    * diversity-aware re-rank step of a RAG / retrieval stack.
+    *
+    * `mu` is a parameter, NOT computed as 1−lambda: the operator and its
+    * SQL twin must evaluate literally identical double arithmetic, and
+    * 1.0−0.7 ≠ the literal 0.3 in IEEE.
+    *
+    * Scale shape: candidate generation here is the sim1 brute-force
+    * product (oracle parity); production swaps in any ANN candidate
+    * table — MMR itself only ever touches Q·n rows. The greedy loop is
+    * UNROLLED relationally: per round, one window picks each query's
+    * argmax (ties by cand id) and one broadcast join folds the winner's
+    * similarity into every survivor's running `maxsim` — so the state
+    * carried between rounds is one column, never a pairwise matrix, and
+    * the whole re-rank parallelizes over queries with `kSel` fixed
+    * stages. Each round's frame is localCheckpoint'd: the two consumers
+    * (winner, survivors) would otherwise re-execute the scoring subtree
+    * a branching-factor-2-per-round number of times.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, n: Int, kSel: Int,
+                lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    require(n >= kSel && kSel >= 1)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      normSeq(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normSeq(col(vecCol)).as("qn"))
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("cid").asc)
+    var state = c.repartition(col("cid")).crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("rel",
+        dotSeq(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= n)
+      .select(col("qid"), col("cid"), col("cv"), col("cn"), col("rel"),
+        lit(0.0).as("maxsim"))
+      .localCheckpoint()
+    val wMmr = Window.partitionBy(col("qid"))
+      .orderBy((lit(lambda) * col("rel") - lit(mu) * col("maxsim")).desc,
+        col("cid").asc)
+    val picks = (1 to kSel).map { r =>
+      val ranked = state.withColumn("prn", row_number().over(wMmr))
+        .localCheckpoint()
+      val winner = ranked.filter(col("prn") === 1)
+        .select(col("qid"), col("cid").as("wcid"), col("cv").as("wv"),
+          col("cn").as("wn"), col("rel").as("wrel"),
+          col("maxsim").as("wmax"))
+      state = ranked.filter(col("prn") > 1)
+        .join(broadcast(winner), "qid")
+        .select(col("qid"), col("cid"), col("cv"), col("cn"), col("rel"),
+          greatest(col("maxsim"),
+            dotSeq(col("cv"), col("wv")) / (col("cn") * col("wn")))
+            .as("maxsim"))
+      winner.select(col("qid").as("query_id"), col("wcid").as("cand_id"),
+        col("wrel").as("rel"), col("wmax").as("max_sim"),
+        lit(r.toLong).as("pick_order"))
+    }
+    picks.reduce(_.unionAll(_))
+      .select(col("query_id"), col("cand_id"), col("rel"), col("max_sim"),
+        (lit(lambda) * col("rel") - lit(mu) * col("max_sim")).as("mmr"),
+        col("pick_order"))
+  }
 }

@@ -135,6 +135,21 @@ object SimilarityQueries extends QueryPack {
         coarseK = 8, coarseIters = 2, nprobe = 2, k = 5)
     }),
 
+    // MMR diversity re-rank (Carbonell & Goldstein 1998): the RAG-stack
+    // step after retrieval — from each query's top-12 cosine candidates,
+    // greedily pick 5 maximizing 0.7·rel − 0.3·max-sim-to-selected. The
+    // greedy rounds unroll relationally (window argmax + broadcast
+    // winner fold into a running maxsim column), and the SQL twin
+    // unrolls the identical rounds as CTEs — every double op is the
+    // shared portable fold or plain IEEE arithmetic, so the whole
+    // re-rank hash-matches.
+    "sim12_mmr_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      Similarity.mmrRerank(e, e.filter($"vec_id" < 12), "vec_id",
+        "embedding", n = 12, kSel = 5)
+    }),
+
     // SemDeDup: k-means clusters + within-cluster cosine keep-first drop.
     // k is DERIVED from corpus count as k = round(√N): total work =
     // assignment O(N·k) + within-cluster pairs O(N²/k) is minimized at
@@ -237,7 +252,57 @@ object SimilarityQueries extends QueryPack {
          |  FROM cos) r
          |WHERE rank <= 5""".stripMargin
 
+  /** sim12's DuckDB twin: candidate top-n, then the kSel greedy MMR
+    * rounds unrolled — each round one row_number argmax (p$r/w$r) and
+    * one join folding the winner's cosine into every survivor's running
+    * maxsim (s$r) — exactly the frames the Spark loop materializes. */
+  private def sim12Sql(n: Int, kSel: Int): String = {
+    val mmrExpr = (rel: String, ms: String) =>
+      s"CAST(0.7 AS DOUBLE) * $rel - CAST(0.3 AS DOUBLE) * $ms"
+    def round(r: Int): String =
+      s"""p$r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY ${mmrExpr("rel", "maxsim")} DESC, cid ASC) AS prn
+         |  FROM s${r - 1}),
+         |w$r AS (SELECT qid, cid AS wcid, cv AS wv, cn AS wn,
+         |         rel AS wrel, maxsim AS wmax FROM p$r WHERE prn = 1),
+         |s$r AS (
+         |  SELECT s.qid, s.cid, s.cv, s.cn, s.rel,
+         |    greatest(s.maxsim,
+         |      ${dotSql("s.cv", "w.wv")} / (s.cn * w.wn)) AS maxsim
+         |  FROM p$r s JOIN w$r w ON s.qid = w.qid WHERE s.prn > 1)"""
+        .stripMargin
+    val picks = (1 to kSel)
+      .map(r => s"SELECT qid, wcid, wrel, wmax, $r AS pick_order FROM w$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qv,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS qn
+       |  FROM embeddings WHERE vec_id < 12),
+       |c AS (
+       |  SELECT vec_id AS cid, embedding AS cv,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS cn
+       |  FROM embeddings),
+       |sc AS (
+       |  SELECT qid, cid, cv, cn,
+       |    ${dotSql("qv", "cv")} / (qn * cn) AS rel
+       |  FROM c, q WHERE cid <> qid),
+       |cand AS (
+       |  SELECT qid, cid, cv, cn, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, cid ASC) AS rn FROM sc) x
+       |  WHERE rn <= $n),
+       |s0 AS (SELECT qid, cid, cv, cn, rel, CAST(0 AS DOUBLE) AS maxsim
+       |       FROM cand),
+       |${(1 to kSel).map(round).mkString(",\n")}
+       |SELECT qid AS query_id, wcid AS cand_id, wrel AS rel,
+       |  wmax AS max_sim, ${mmrExpr("wrel", "wmax")} AS mmr,
+       |  CAST(pick_order AS BIGINT) AS pick_order
+       |FROM ($picks)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "sim12_mmr_rerank" -> sim12Sql(12, 5),
     "sim5_ann_lsh" -> sim5Sql,
     "sim1_cosine_topk" -> sim1Sql,
     // the Aggregator form must produce EXACTLY the window form's rows

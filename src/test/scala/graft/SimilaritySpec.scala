@@ -302,4 +302,26 @@ class SimilaritySpec extends AnyFunSuite {
     val sim63 = out(63L)._2.asInstanceOf[Double]
     assert(sim63 > 0.999 && sim63 <= 1.0)
   }
+
+  test("MMR re-rank trades the near-duplicate runner-up for diversity") {
+    // query 0; A(1) and B(2) nearly identical (cos ≈ 0.999), C(3) as
+    // relevant as A but diverse (cos to B ≈ 0.62). Pure top-2 = B, A;
+    // MMR at λ=0.7/μ=0.3 must pick B then C.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.436f, 0.0f)),
+      (2L, Array(0.9f, 0.43f, 0.05f)),
+      (3L, Array(0.9f, -0.436f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(vecs, vecs.filter($"vec_id" === 0),
+        "vec_id", "embedding", n = 3, kSel = 2)
+      .collect().sortBy(_.getAs[Long]("pick_order"))
+    assert(out.map(_.getAs[Long]("cand_id")).toSeq === Seq(2L, 3L))
+    // pick 1 is the pure-relevance argmax (maxsim still zero)
+    assert(out(0).getAs[Double]("max_sim") === 0.0)
+    // the recorded max_sim of pick 2 is its cosine to pick 1, not to A
+    val ms = out(1).getAs[Double]("max_sim")
+    assert(ms > 0.55 && ms < 0.7, s"diverse pick's max_sim: $ms")
+    // winner scores are non-increasing round over round
+    assert(out(0).getAs[Double]("mmr") >= out(1).getAs[Double]("mmr"))
+  }
 }
