@@ -528,6 +528,36 @@ object TextQueries extends QueryPack {
           concat_ws(" ", slice(tokens($"text"), 1, 3)).as("qtext"))
       graft.operators.Retrieval.bm25TopK(base, "doc_id", "text",
         qs, "qid", "qtext", k = 5)
+    }),
+
+    // character-bigram entropy per doc — the compression-ratio-family
+    // quality signal (RefinedWeb/Gopher lineage): repetitive or
+    // template-generated text carries low H = ln n − Σc·ln c / n over
+    // its char-bigram counts. One narrow explode + two hash aggs —
+    // the tx9 shuffle shape, linear in corpus chars. Entropy rides the
+    // bounded oracle (ln); n_bigrams / n_distinct are exact controls.
+    "tx15_char_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.core.Tables.spread(docs(s, dir))
+        .select($"doc_id", coalesce($"text", lit("")).as("t"))
+      // sequence(1, n-1) is DESCENDING for n<2 — filter pre-explode
+      val grams = base.filter(length($"t") >= 2)
+        .select($"doc_id", explode(
+          transform(sequence(lit(1), length($"t") - 1),
+            i => $"t".substr(i, lit(2)))).as("g"))
+        .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      val ent = grams.groupBy($"doc_id").agg(
+          sum($"c").as("n_bigrams"),
+          count(lit(1)).as("n_distinct"),
+          graft.functions.ExactNum.sumExact(
+            $"c".cast("double") * log($"c".cast("double"))).as("_clnc"))
+      base.join(ent, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+          coalesce($"n_distinct", lit(0L)).as("n_distinct"),
+          when($"n_bigrams" > 0,
+            log($"n_bigrams".cast("double")) -
+              $"_clnc" / $"n_bigrams".cast("double")).as("entropy"))
     }))
 
   /** PII patterns shared by the Spark and oracle sides — RE2-safe (no
@@ -1099,10 +1129,35 @@ object TextQueries extends QueryPack {
          |    THEN exp(coalesce(w.logprob, CAST(0 AS DOUBLE)) * -1.0
          |      / CAST(b.n_bigrams AS DOUBLE)) END AS ppl
          |FROM base b LEFT JOIN w USING (doc)""".stripMargin
+    val tx15Sql =
+      s"""WITH base AS (
+         |  SELECT doc_id, coalesce(text, '') AS t FROM documents
+         |), grams AS (
+         |  SELECT doc_id, substr(t, i, 2) AS g
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM base WHERE len(t) >= 2) x
+         |), counts AS (
+         |  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+         |), ent AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |    count(*) AS n_distinct,
+         |    ${sumExactSql("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")}
+         |      AS clnc
+         |  FROM counts GROUP BY doc_id
+         |)
+         |SELECT b.doc_id, coalesce(e.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(e.n_distinct, 0) AS n_distinct,
+         |  CASE WHEN e.n_bigrams > 0
+         |    THEN ln(CAST(e.n_bigrams AS DOUBLE))
+         |      - e.clnc / CAST(e.n_bigrams AS DOUBLE) END AS entropy
+         |FROM base b LEFT JOIN ent e USING (doc_id)""".stripMargin
     Map(
       "tx13_bm25_topk" ->
         ((sql, 1e-9, Seq("query_id", "doc_id"), Seq("n_hit", "rank"))),
       "tx14_lm_perplexity" ->
-        ((tx14Sql, 1e-9, Seq("doc_id"), Seq("n_bigrams"))))
+        ((tx14Sql, 1e-9, Seq("doc_id"), Seq("n_bigrams"))),
+      "tx15_char_entropy" ->
+        ((tx15Sql, 1e-9, Seq("doc_id"), Seq("n_bigrams", "n_distinct"))))
   }
 }

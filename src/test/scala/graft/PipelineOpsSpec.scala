@@ -191,4 +191,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     // <2 tokens: no bigrams, logprob 0, ppl null (undefined, not 1)
     assert(out(5L) == ((0L, 0.0, None)))
   }
+
+  test("tx15: entropy bounded by ln(n_distinct), zero iff one distinct bigram") {
+    val rows = SparkEntry.queries("tx15_char_entropy")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var withEntropy = 0
+    rows.foreach { r =>
+      val nBg = r.getAs[Long]("n_bigrams")
+      val nDi = r.getAs[Long]("n_distinct")
+      if (nBg == 0L) {
+        assert(nDi == 0L && r.isNullAt(r.fieldIndex("entropy")),
+          s"doc ${r.get(0)}: zero bigrams must yield NULL entropy")
+      } else {
+        withEntropy += 1
+        val h = r.getAs[Double]("entropy")
+        // 0 ≤ H ≤ ln(n_distinct): equality at 0 iff the doc is a single
+        // repeated bigram, at the top iff counts are exactly uniform
+        assert(h >= -1e-12 && h <= math.log(nDi.toDouble) + 1e-9,
+          s"doc ${r.get(0)}: H=$h outside [0, ln($nDi)]")
+        assert((nDi == 1L) == (math.abs(h) < 1e-12),
+          s"doc ${r.get(0)}: H=0 must coincide with a single distinct bigram")
+      }
+    }
+    assert(withEntropy > 0, "fixture must exercise the entropy branch")
+  }
 }
