@@ -558,6 +558,33 @@ object TextQueries extends QueryPack {
           when($"n_bigrams" > 0,
             log($"n_bigrams".cast("double")) -
               $"_clnc" / $"n_bigrams".cast("double")).as("entropy"))
+    }),
+
+    // n-gram novelty per doc: the fraction of a doc's distinct 3-gram
+    // shingles whose FIRST owner (min doc_id corpus-wide) is the doc
+    // itself — the marginal-contribution signal behind "what does this
+    // document add to the corpus" selection. Reuses the shared on-disk
+    // shingle base (one regex pass per JVM, like tx6/dd1/dd3); one
+    // first-owner agg + one equi-join — hash shuffles only, never a
+    // pair join.
+    "tx16_ngram_novelty" -> ((s, dir) => {
+      import s.implicits._
+      val sh = sharedShingles(s, dir).df.select($"doc", $"shingle")
+      val firstOwner = sh.groupBy($"shingle")
+        .agg(min($"doc").as("first_doc"))
+      val per = sh.join(firstOwner, "shingle")
+        .groupBy($"doc")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"first_doc" === $"doc", 1L).otherwise(0L))
+            .as("n_novel"))
+        .select($"doc".as("doc_id"), $"n_shingles", $"n_novel",
+          ($"n_novel".cast("double") / $"n_shingles".cast("double"))
+            .as("novelty"))
+      docs(s, dir).select($"doc_id").join(per, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+          coalesce($"n_novel", lit(0L)).as("n_novel"),
+          $"novelty")
     }))
 
   /** PII patterns shared by the Spark and oracle sides — RE2-safe (no
@@ -569,10 +596,10 @@ object TextQueries extends QueryPack {
 
   private val subwordRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
 
-  /** Shared CTE chain producing the blocked n-gram Jaccard pair table
-    * (`pairs`): tx6's full result, reused by dd3's recursive-CTE
-    * connected-components oracle. */
-  private val ngramPairCtes =
+  /** Shared CTE prefix producing the per-doc DISTINCT 3-gram shingle
+    * table (`sh`) — the SQL twin of [[sharedShingles]]; reused by the
+    * pair chain below and tx16's novelty oracle. */
+  private val shingleCtes =
     """tok AS (
       |  SELECT doc_id, lang, source, regexp_extract_all(text, '\S+') AS ts
       |  FROM documents
@@ -584,7 +611,13 @@ object TextQueries extends QueryPack {
       |  SELECT DISTINCT doc_id, lang, source,
       |    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
       |  FROM pos
-      |), sizes AS (
+      |)""".stripMargin
+
+  /** Shared CTE chain producing the blocked n-gram Jaccard pair table
+    * (`pairs`): tx6's full result, reused by dd3's recursive-CTE
+    * connected-components oracle. */
+  private val ngramPairCtes = shingleCtes + "," +
+    """sizes AS (
       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
       |), common AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -1000,6 +1033,21 @@ object TextQueries extends QueryPack {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "tx6_ngram_jaccard" ->
       s"WITH $ngramPairCtes\nSELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM pairs",
+    "tx16_ngram_novelty" ->
+      s"""WITH $shingleCtes,
+         |fo AS (SELECT shingle, min(doc_id) AS first_doc
+         |       FROM sh GROUP BY shingle),
+         |per AS (
+         |  SELECT s.doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel,
+         |    CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |        AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS novelty
+         |  FROM sh s JOIN fo f USING (shingle) GROUP BY s.doc_id)
+         |SELECT d.doc_id, coalesce(p.n_shingles, 0) AS n_shingles,
+         |  coalesce(p.n_novel, 0) AS n_novel, p.novelty
+         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
     "dd6_containment" ->
       s"""WITH $ngramPairCtes
          |SELECT doc_a, doc_b, common, n_a, n_b,

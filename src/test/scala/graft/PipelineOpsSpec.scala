@@ -215,4 +215,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(withEntropy > 0, "fixture must exercise the entropy branch")
   }
+
+  test("tx16: novelty bounds; the earliest doc owns all its shingles") {
+    val rows = SparkEntry.queries("tx16_ngram_novelty")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val withSh = rows.filter(_.getAs[Long]("n_shingles") > 0L)
+    assert(withSh.nonEmpty)
+    withSh.foreach { r =>
+      val n = r.getAs[Long]("n_shingles"); val v = r.getAs[Long]("n_novel")
+      assert(v >= 0L && v <= n, s"doc ${r.get(0)}: $v of $n novel")
+      assert(r.getAs[Double]("novelty") === v.toDouble / n.toDouble)
+    }
+    // first_doc = min over owners, so the smallest doc_id with shingles
+    // is first owner of every shingle it has
+    val earliest = withSh.minBy(_.getAs[Long]("doc_id"))
+    assert(earliest.getAs[Double]("novelty") === 1.0)
+    // docs without shingles: zero counts, NULL novelty
+    rows.filter(_.getAs[Long]("n_shingles") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_novel") == 0L &&
+        r.isNullAt(r.fieldIndex("novelty")))
+    }
+  }
 }
