@@ -51,7 +51,12 @@ object Graph {
     val telMicros = math.round(teleport * 1e6)
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // persisted: deg seeds BOTH the edge annotation and the round-0 rank
+    // table — unpersisted, round 1's broadcast of ranks would re-execute
+    // the caller's whole edge derivation (for gr1 a second distinct()
+    // shuffle over the fact table); materialized by ew.count() below
     val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val shufflePartitions =
       edges.sparkSession.sessionState.conf.numShufflePartitions
     val ew = und.join(broadcast(deg), "src")
@@ -120,10 +125,20 @@ object Graph {
     * bigint), n_triangles, clustering = 3·triangles / wedges.
     */
   def triangleStats(edges: DataFrame,
-                    broadcastEdgeLimit: Long = 20000000L): DataFrame = {
+                    broadcastEdgeLimit: Long = 20000000L,
+                    wedgeBroadcastLimit: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col("s1"), col("s2"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count()
+    if (nEdges == 0L) {
+      // max(greatest(..)) below would be a null row — and there is
+      // nothing to join anyway
+      import spark.implicits._
+      return Seq((0L, 0L, 0L, 0L)).toDF(
+          "n_nodes", "n_edges", "n_wedges", "n_triangles")
+        .withColumn("clustering", lit(null).cast("double"))
+    }
     val deg = e.select(col("s1").as("node"))
       .union(e.select(col("s2").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -154,8 +169,12 @@ object Graph {
     def buildSide(d: DataFrame) =
       if (nEdges <= broadcastEdgeLimit) broadcast(d) else d.hint("shuffle_hash")
     val maxId = e.agg(max(greatest(col("s1"), col("s2")))).head.getLong(0)
+    // the wedge-build side fans out per probe row, so its broadcast
+    // threshold is tighter than the closing probe's — but both must
+    // respect the caller's cap
     val wedgeBuild =
-      if (nEdges <= 2000000L) broadcast(oriented.alias("e2"))
+      if (nEdges <= math.min(wedgeBroadcastLimit, broadcastEdgeLimit))
+        broadcast(oriented.alias("e2"))
       else oriented.alias("e2").hint("shuffle_hash")
     val wedgePaths = oriented.alias("e1")
       .join(wedgeBuild, col("e1.v") === col("e2.u"))
@@ -179,11 +198,16 @@ object Graph {
     val degStats = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
-    val edgeCount = e.agg(count(lit(1)).as("n_edges"))
-    // three single-row frames → broadcast combine (1×1 rows, by design)
-    degStats.crossJoin(edgeCount).crossJoin(tri)
-      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+    // two single-row frames → broadcast combine (1×1 rows, by design);
+    // n_edges is already on the driver from the eager persist count.
+    // clustering is NULL (not NaN) when the graph has no wedges — the
+    // coefficient is undefined there, and NULL is the cross-engine-safe
+    // encoding (0.0/0 is NaN in Spark but not portable)
+    degStats.crossJoin(tri)
+      .select(col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
         col("n_triangles"),
-        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("clustering"))
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("clustering"))
   }
 }

@@ -85,6 +85,8 @@ object GraphQueries extends QueryPack {
         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
         |  (SELECT count(*) FROM edges) AS n_edges,
         |  n_wedges, n_triangles,
-        |  CAST(3.0 * n_triangles / n_wedges AS DOUBLE) AS clustering
+        |  CASE WHEN n_wedges > 0
+        |    THEN CAST(3.0 * n_triangles / n_wedges AS DOUBLE) END
+        |    AS clustering
         |FROM tri, wedges""".stripMargin)
 }

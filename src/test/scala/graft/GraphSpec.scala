@@ -26,6 +26,21 @@ class GraphSpec extends AnyFunSuite {
     assert(out.getAs[Double]("clustering") === 0.6)
   }
 
+  test("triangleStats: empty edge list yields zero counts, NULL clustering") {
+    val out = Graph.triangleStats(edgeDf()).collect().head
+    assert(out.getAs[Long]("n_nodes") === 0L &&
+      out.getAs[Long]("n_edges") === 0L &&
+      out.getAs[Long]("n_triangles") === 0L)
+    assert(out.isNullAt(out.fieldIndex("clustering")))
+  }
+
+  test("triangleStats: wedge-free graph (single edge) has NULL clustering") {
+    val out = Graph.triangleStats(edgeDf((1L, 2L))).collect().head
+    assert(out.getAs[Long]("n_wedges") === 0L)
+    assert(out.isNullAt(out.fieldIndex("clustering")),
+      "0 wedges must yield NULL, not NaN — NaN is not oracle-portable")
+  }
+
   test("triangleStats: star graph has wedges but zero triangles") {
     val out = Graph.triangleStats(edgeDf((1L, 2L), (1L, 3L), (1L, 4L)))
       .collect().head
