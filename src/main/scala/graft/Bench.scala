@@ -23,12 +23,7 @@ object Bench {
     // it measures the co-tenant load that historically skewed captures.
     val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.local(cpus)
     // Warmup: pay one-time session/codegen/parquet-footer costs outside the
     // per-query timings.
     graft.core.Tables.names.foreach { t =>

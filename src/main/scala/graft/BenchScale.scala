@@ -46,12 +46,7 @@ object BenchScale {
       s"full mode materializes the sf1.0 fixture (10× sf0.1); got K=$k")
     val outDir = if (full) "/tmp/sf1.0" else s"/tmp/graft-scale-${k}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.Sessions.local(cpus)
     import graft.core.Tables
 
     // the 1× fixtures are single parquet files; a K× replica written

@@ -15,21 +15,31 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace-delimited tokens (the '\S+' definition — robust to leading/
-    * trailing/repeated whitespace, unlike split-on-' '). */
-  def tokens(text: Column): Column =
+    * trailing/repeated whitespace, unlike split-on-' ').
+    *
+    * Kernel-backed (TextKernels): profiling showed the JDK regex engine
+    * serializing under executor-thread concurrency — see TextKernels'
+    * scaladoc. The regex forms survive as `*Regex` twins, pinned
+    * bit-equal by TextKernelsSpec. */
+  def tokens(text: Column): Column = TextExpressions.tokens_fast(text)
+  def tokensRegex(text: Column): Column =
     regexp_extract_all(text, lit("\\S+"), lit(0))
 
   /** Token count without materializing the token array. */
-  def tokenCount(text: Column): Column =
+  def tokenCount(text: Column): Column = TextExpressions.token_count(text)
+  def tokenCountRegex(text: Column): Column =
     regexp_count(text, lit("\\S+")).cast("long")
 
   /** Count of punctuation characters. */
-  def punctCount(text: Column): Column =
+  def punctCount(text: Column): Column = TextExpressions.punct_count(text)
+  def punctCountRegex(text: Column): Column =
     regexp_count(text, lit("[.,!?;:]")).cast("long")
 
   /** Count of occurrences of any word in `words` (word-boundary matched,
     * case-insensitive via pre-lowered input). */
   def wordListCount(text: Column, words: Seq[String]): Column =
+    TextExpressions.word_set_count(text, words)
+  def wordListCountRegex(text: Column, words: Seq[String]): Column =
     regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b")).cast("long")
 
   /** Per-language stopword marker lists for the language-ID heuristic.
@@ -86,6 +96,8 @@ object TextFunctions {
     * pl8 pipeline and the streaming ingest pipeline all call this, so
     * batch/stream content hashes agree by construction, not copy-paste. */
   def normalizeText(text: Column): Column =
+    TextExpressions.ascii_normalize(text)
+  def normalizeTextRegex(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
 

@@ -105,7 +105,7 @@ object TextQueries extends QueryPack {
       docs(s, dir).select(
         $"doc_id",
         tokenCount($"text").as("n_tokens"),
-        regexp_count($"text", lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+        graft.functions.TextExpressions.subword_count($"text")
           .as("n_subwords"),
         length($"text").cast("long").as("n_chars_actual"))
     }),
