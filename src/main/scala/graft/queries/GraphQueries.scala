@@ -28,10 +28,21 @@ object GraphQueries extends QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.core.Tables.load(s, dir, name)
 
+  /** Fact-table scans bin-pack into a handful of tasks on the small-file
+    * fixtures, which would run distinct's partial aggregate nearly
+    * single-threaded inside the scan stage. Repartitioning by a PREFIX
+    * of the distinct keys parallelizes the aggregate (hash partitioning
+    * on a subset satisfies the aggregate's clustered distribution, so no
+    * second exchange is added) and leaves the output partitioned by the
+    * downstream join key. */
+  private def keyedSpread(df: DataFrame, key: String): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col(key))
+
   private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem").select(
+    keyedSpread(t(s, dir, "lineitem").select(
         (col("l_orderkey").cast("long") * 2).as("src"),
-        (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst")), "src")
       .distinct()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -46,9 +57,9 @@ object GraphQueries extends QueryPack {
     }),
 
     "gr2_triangles" -> ((s, dir) => {
-      val ps = t(s, dir, "lineitem").select(
+      val ps = keyedSpread(t(s, dir, "lineitem").select(
           col("l_orderkey").as("ok"),
-          col("l_partkey").cast("long").as("pk"))
+          col("l_partkey").cast("long").as("pk")), "ok")
         .distinct()
       val edges = ps.alias("a")
         .join(ps.alias("b"),
