@@ -496,6 +496,73 @@ object Dedup {
     }
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo 1995, the
+    * merge/purge method): sort the corpus by a blocking sort key (prefix
+    * of the normalized text), assign a GLOBAL sequence number, and
+    * compare each record only to its `window` successors in sort order.
+    * O(N·window) candidate pairs by construction — a different blocking
+    * family from shingle/LSH blocking (adjacency in sort order vs shared
+    * content fragments), the classic choice when near-dups share a
+    * prefix (crawl re-fetches, boilerplate-led pages, versioned docs).
+    *
+    * Scale shape: the global sequence needs NO single-partition sort —
+    * `repartitionByRange` gives contiguous key ranges, `row_number`
+    * ranks within each range, and per-range offsets (one count per
+    * partition, collected to the driver — bounded by the partition
+    * count, never the data) lift the ranks to a global sequence. The
+    * result is invariant to where the range sampler draws boundaries:
+    * (sk, doc) is a total order, so the global rank is unique. The
+    * neighbor pairing is a plain equi-join on `seq + i` (i ≤ window),
+    * never a range join. Pairs are scored by exact token-set Jaccard;
+    * docs whose normalized text is empty cannot be token-set near-dups
+    * and are excluded up front.
+    *
+    * Output: (doc_a, doc_b, gap, common, n_a, n_b, jaccard), doc_a
+    * earlier in sort order, gap = seq distance, jaccard ≥ `threshold`. */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              textCol: String, window: Int = 4,
+                              keyLen: Int = 24,
+                              threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val nt = TextFunctions.normalizeText(col(textCol))
+    val keyed = docs.select(col(idCol).as("doc"),
+        substring(nt, 1, keyLen).as("sk"),
+        array_distinct(array_remove(split(nt, " "), "")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val ranged = keyed.repartitionByRange(nPart, col("sk"), col("doc"))
+      .withColumn("_pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("sk"), col("doc")))
+    // one row per partition; the collect is bounded by the partition
+    // count (the documented driver-side exception class, cf. Tables.spread)
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = counts.map { case (p, c) => val o = (p, acc); acc += c; o }
+    import spark.implicits._
+    val offDf = offs.toSeq.toDF("_pid", "_off")
+    val seqd = ranged.withColumn("_rn", rn)
+      .join(broadcast(offDf), "_pid")
+      .select(col("doc"), col("toks"),
+        (col("_off") + col("_rn")).as("seq"))
+    val probes = seqd.select(col("doc").as("doc_a"),
+      col("toks").as("toks_a"), col("seq").as("seq_a"),
+      explode(sequence(col("seq") + 1, col("seq") + window)).as("seq"))
+    probes.join(seqd.select(col("doc").as("doc_b"),
+        col("toks").as("toks_b"), col("seq")), "seq")
+      .select(col("doc_a"), col("doc_b"),
+        (col("seq") - col("seq_a")).cast("long").as("gap"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")
+          .as("common"),
+        size(col("toks_a")).cast("long").as("n_a"),
+        size(col("toks_b")).cast("long").as("n_b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Repeated-span (exact-substring) duplication profile — the n-gram
     * approximation of suffix-array substring dedup (Lee et al. 2022,
     * arXiv:2107.06499: repeated ≥L-token spans in the corpus are the

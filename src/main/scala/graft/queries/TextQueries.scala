@@ -168,6 +168,14 @@ object TextQueries extends QueryPack {
           $"containment_a", $"containment_b")
     }),
 
+    // sorted-neighborhood dedup (merge/purge): sort by normalized-prefix
+    // key, compare each doc to its 4 successors only — the third blocking
+    // family (sort adjacency) next to shingle blocking (tx6) and LSH
+    // banding (dd1). Exact token-set Jaccard scores the pairs.
+    "dd7_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(docs(s, dir), "doc_id", "text",
+        window = 4, keyLen = 24, threshold = 0.5)),
+
     // multimodal metadata pass: documents' text bytes stand in for binary
     // payloads (no image fixtures in the container); expressions identical
     // for a real binary column.
@@ -1056,6 +1064,37 @@ object TextQueries extends QueryPack {
          |FROM pairs
          |WHERE greatest(CAST(common AS DOUBLE) / CAST(n_a AS DOUBLE),
          |  CAST(common AS DOUBLE) / CAST(n_b AS DOUBLE)) >= 0.5""".stripMargin,
+
+    // dd7's twin ranks the whole corpus by (sort key, doc) — the oracle
+    // can afford the global window; the Spark side assembles the same
+    // total order from range partitions + offsets.
+    "dd7_sorted_neighborhood" -> {
+      val nt = graft.functions.TextFunctions.normalizeTextSql("text")
+      s"""WITH keyed AS (
+         |  SELECT doc_id AS doc, substr($nt, 1, 24) AS sk,
+         |    list_distinct(list_filter(str_split($nt, ' '),
+         |      x -> x <> '')) AS toks
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT doc, toks,
+         |    row_number() OVER (ORDER BY sk, doc) AS seq
+         |  FROM keyed WHERE len(toks) > 0
+         |), pairs AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |    CAST(b.seq - a.seq AS BIGINT) AS gap,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS common,
+         |    CAST(len(a.toks) AS BIGINT) AS n_a,
+         |    CAST(len(b.toks) AS BIGINT) AS n_b
+         |  FROM ranked a JOIN ranked b
+         |    ON b.seq > a.seq AND b.seq <= a.seq + 4
+         |)
+         |SELECT doc_a, doc_b, gap, common, n_a, n_b,
+         |  CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE)
+         |    AS jaccard
+         |FROM pairs
+         |WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE)
+         |  >= 0.5""".stripMargin
+    },
     "dd3_cluster" ->
       s"""WITH RECURSIVE $ngramPairCtes,
          |edges AS (

@@ -183,4 +183,43 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((10L, 0L, 0L, 0.0)))
     assert(out(5L) == ((3L, 0L, 0L, 0.0)))
   }
+
+  test("sorted-neighborhood: prefix-sharing near-dups found, " +
+      "partition-invariant, front-divergent pair is the documented miss") {
+    // 6 docs: 1/2 share a long prefix and differ by one token (adjacent in
+    // sort order); 3 is unrelated; 5/6 are near-dups whose FIRST words
+    // differ (sort keys diverge -> not neighbors at window 2 with an
+    // intervening run of docs); 4 is an exact copy of 1.
+    val mid = (1 to 8).map(i => (100L + i,
+      s"middle filler document number $i with some words")).toSeq
+    val d = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "totally unrelated content about something else entirely"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "aaa shared tail words one two three four five six"),
+      (6L, "zzz shared tail words one two three four five six")) ++ mid)
+      .toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sortedNeighborhoodPairs(df, "doc_id", "text",
+          window = 2, keyLen = 24, threshold = 0.5)
+        .select("doc_a", "doc_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val out = pairsOf(d)
+    // exact copy + one-token near-dup, all within the window around the
+    // shared prefix:
+    assert(out.exists(p => Set((p._1, p._2)) == Set((1L, 4L)) && p._3 == 1.0)
+      || out.exists(p => Set(p._1, p._2) == Set(1L, 4L) && p._3 == 1.0))
+    assert(out.exists(p => Set(p._1, p._2) == Set(1L, 2L) && p._3 > 0.7))
+    assert(out.exists(p => Set(p._1, p._2) == Set(2L, 4L) && p._3 > 0.7))
+    // the front-divergent near-dup pair is NOT found (sort keys 'aaa...'
+    // vs 'zzz...' are separated by every other doc) - the documented
+    // blind spot that shingle blocking (tx6) covers:
+    assert(!out.exists(p => Set(p._1, p._2) == Set(5L, 6L)))
+    // no unrelated pair sneaks past the threshold
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L))
+    // global sequence is partition-invariant: same pairs from 1 partition
+    assert(pairsOf(d.repartition(1)) == out)
+    assert(pairsOf(d.repartition(13)) == out)
+  }
 }
