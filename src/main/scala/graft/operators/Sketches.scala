@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{PortableHash, TextFunctions}
+
+/** Frequency-sketch operators for corpus statistics.
+  *
+  * Count-Min sketch (Cormode & Muthukrishnan 2005): a depth×width counter
+  * grid; each item increments one bucket per hash row, an item's estimate
+  * is the MIN of its buckets — always ≥ the true count, with overshoot
+  * bounded by (corpus mass / width) per row. The sketch is built on the
+  * engine-portable [[PortableHash.hash60]] family, so bucket assignment —
+  * and therefore every estimate — is reproducible from plain SQL
+  * arithmetic in the DuckDB oracle: the sketch VALUES are hash-checked,
+  * not just "rows came back".
+  */
+object Sketches {
+
+  /** Bucket of `token` in CM row `d`: a per-row salt prefixed to the
+    * token keeps the depth rows independent with one hash family. */
+  private def cmBucket(d: Int, token: Column, width: Int): Column =
+    PortableHash.hash60(concat(lit(s"cm$d:"), token)) % width
+
+  /** SQL twin of [[cmBucket]] with the row index inlined from a
+    * generate_series column `dExpr`. */
+  def cmBucketSql(dExpr: String, tokenExpr: String, width: Int): String =
+    PortableHash.hash60Sql(
+      s"'cm' || CAST($dExpr AS VARCHAR) || ':' || $tokenExpr") + s" % $width"
+
+  /** Corpus token heavy hitters: exact top-k vocabulary with Count-Min
+    * estimates alongside — the frequency table that seeds BPE vocabulary
+    * training and stopword lists, plus the memory-bounded sketch a
+    * production pipeline substitutes when the vocabulary itself is too
+    * large to aggregate exactly.
+    *
+    * Scale shape: the exact pass is one hash aggregation over tokens
+    * (shuffle keyed on token, partial counts map-side) followed by a
+    * distributed top-k (TakeOrderedAndProject — per-partition heaps of k,
+    * never a global sort). The CM pass aggregates to a FIXED depth×width
+    * grid (here 4×1024 counters) regardless of corpus size — the partial
+    * aggregate collapses each upstream partition to ≤ depth·width rows
+    * before the (tiny) shuffle, which is the whole point of the sketch at
+    * 100 TB: vocabulary-sized state never moves, only the constant grid.
+    * The estimate join touches k·depth rows.
+    *
+    * Output: (token, n_exact, n_cm), n_cm ≥ n_exact by construction
+    * (equality iff no colliding token shares all `depth` buckets). */
+  def tokenHeavyHitters(docs: DataFrame, textCol: String, k: Int = 50,
+                        depth: Int = 4, width: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = graft.core.Tables.spread(docs)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val topk = toks.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+      .limit(k)
+    // one (d, bucket) row per token occurrence per hash row; the groupBy
+    // collapses to the constant grid
+    val cm = toks.select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          cmBucket(d, col("token"), width).as("b"))): _*)).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    // k·depth probe rows against the grid; both sides tiny — broadcast
+    val probes = topk.select(col("token"), col("n_exact"),
+      explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          cmBucket(d, col("token"), width).as("b"))): _*)).as("db"))
+      .select(col("token"), col("n_exact"),
+        col("db.d").as("d"), col("db.b").as("b"))
+    probes.join(broadcast(cm), Seq("d", "b"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_cm"))
+  }
+}

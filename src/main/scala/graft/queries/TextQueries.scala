@@ -593,7 +593,13 @@ object TextQueries extends QueryPack {
           coalesce($"n_shingles", lit(0L)).as("n_shingles"),
           coalesce($"n_novel", lit(0L)).as("n_novel"),
           $"novelty")
-    }))
+    }),
+
+    // corpus token heavy hitters: exact top-50 vocabulary + Count-Min
+    // estimates on the portable hash family — sketch VALUES oracle-checked,
+    // not just candidate membership (see operators.Sketches).
+    "tx17_token_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Sketches.tokenHeavyHitters(docs(s, dir), "text")))
 
   /** PII patterns shared by the Spark and oracle sides — RE2-safe (no
     * backreferences/lookaround), so java.util.regex and DuckDB RE2 match
@@ -1056,6 +1062,32 @@ object TextQueries extends QueryPack {
          |SELECT d.doc_id, coalesce(p.n_shingles, 0) AS n_shingles,
          |  coalesce(p.n_novel, 0) AS n_novel, p.novelty
          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // tx17's twin rebuilds the 4x1024 Count-Min grid from the same
+    // portable-hash bucket arithmetic — estimates compared VALUE-exact.
+    "tx17_token_heavy_hitters" -> {
+      import graft.operators.Sketches.cmBucketSql
+      raw"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+         |  FROM documents
+         |), counts AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM toks GROUP BY token
+         |), topk AS (
+         |  SELECT token, n_exact FROM counts
+         |  ORDER BY n_exact DESC, token ASC LIMIT 50
+         |), ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+         |cm AS (
+         |  SELECT ds.d AS d, ${cmBucketSql("ds.d", "token", 1024)} AS b,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM toks CROSS JOIN ds GROUP BY 1, 2
+         |)
+         |SELECT t.token, t.n_exact, min(c.cnt) AS n_cm
+         |FROM topk t CROSS JOIN ds
+         |JOIN cm c ON c.d = ds.d
+         |  AND c.b = ${cmBucketSql("ds.d", "t.token", 1024)}
+         |GROUP BY t.token, t.n_exact""".stripMargin
+    },
     "dd6_containment" ->
       s"""WITH $ngramPairCtes
          |SELECT doc_a, doc_b, common, n_a, n_b,
