@@ -378,7 +378,38 @@ object ExtendedQueries extends QueryPack {
           |SELECT depth, count(*) AS n_cust,
           |  min(custkey) AS min_key, max(custkey) AS max_key
           |FROM tree GROUP BY depth""".stripMargin)
+    }),
+
+    // Q60 — Bloom-filter semi-join reduction (see operators.BloomJoin):
+    // the BUILDING-segment customer keys collapse to an 8192-bit mask;
+    // orders are pruned by the mask BEFORE the join, and the output keeps
+    // bloom positives and true matches side by side so the filter's exact
+    // false-positive set is part of what the oracle hash-checks.
+    "q60_bloom_semijoin" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.BloomJoin
+      val cust = t(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey".cast("string").as("bkey"))
+      val mask = BloomJoin.buildMask(cust, $"bkey", BloomM, BloomK)
+      val orders = t(s, dir, "orders")
+        .filter(BloomJoin.mightContain(
+          mask, $"o_custkey".cast("string"), BloomM, BloomK))
+      orders.join(broadcast(cust),
+          orders("o_custkey").cast("string") === cust("bkey"), "left")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_bloom_pass"),
+          count($"bkey").as("n_true"),
+          sumExact(when($"bkey".isNotNull, $"o_totalprice"))
+            .as("true_revenue"))
     }))
+
+  /** q60's filter geometry: ~300 build keys at sf0.01 in 8192 bits with
+    * 3 hash rows ⇒ fpp ≈ 0.1% — small but nonzero, so the fixture
+    * exercises false positives surviving to `n_bloom_pass` while the
+    * exact join keeps `n_true`/`true_revenue` clean. */
+  private val BloomM = 8192
+  private val BloomK = 3
 
   /** q45 is approximate BY SPEC (Greenwald–Khanna at accuracy 10000 ⇒
     * rank error ≤ N/10000, a handful of ranks at fixture scale): the
@@ -406,6 +437,40 @@ object ExtendedQueries extends QueryPack {
       Seq("l_returnflag"), Seq("cnt"))))
 
   def oracles: Map[String, String] = Map(
+    // q60's twin rebuilds the identical bit set from the portable-hash
+    // bucket arithmetic and replays the membership test per order row —
+    // the false-positive set is reproduced exactly, not approximated.
+    "q60_bloom_semijoin" -> {
+      import graft.operators.BloomJoin.bloomBitSql
+      s"""WITH bkeys AS (
+         |  SELECT CAST(c_custkey AS VARCHAR) AS bkey FROM customer
+         |  WHERE c_mktsegment = 'BUILDING'
+         |), js AS (SELECT unnest(generate_series(0, ${BloomK - 1})) AS j),
+         |bits AS (
+         |  SELECT DISTINCT ${bloomBitSql("js.j", "b.bkey", BloomM)} AS pos
+         |  FROM bkeys b CROSS JOIN js
+         |), ppos AS (
+         |  -- correlated-subquery membership trips DuckDB's binder inside
+         |  -- the hash lambda; the cross-join spelling is equivalent
+         |  SELECT o.o_orderkey AS okey,
+         |    ${bloomBitSql("js.j", "CAST(o.o_custkey AS VARCHAR)",
+                BloomM)} AS pos
+         |  FROM orders o CROSS JOIN js
+         |), pass AS (
+         |  SELECT okey FROM ppos
+         |  WHERE pos IN (SELECT pos FROM bits)
+         |  GROUP BY okey HAVING count(*) = $BloomK
+         |)
+         |SELECT o_orderpriority, count(*) AS n_bloom_pass,
+         |  count(b.bkey) AS n_true,
+         |  ${graft.functions.ExactNum.sumExactSql(
+              "CASE WHEN b.bkey IS NOT NULL THEN o_totalprice END")}
+         |    AS true_revenue
+         |FROM orders o JOIN pass ON o.o_orderkey = pass.okey
+         |LEFT JOIN bkeys b
+         |  ON CAST(o.o_custkey AS VARCHAR) = b.bkey
+         |GROUP BY o_orderpriority""".stripMargin
+    },
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer
