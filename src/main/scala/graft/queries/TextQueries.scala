@@ -599,7 +599,12 @@ object TextQueries extends QueryPack {
     // estimates on the portable hash family — sketch VALUES oracle-checked,
     // not just candidate membership (see operators.Sketches).
     "tx17_token_heavy_hitters" -> ((s, dir) =>
-      graft.operators.Sketches.tokenHeavyHitters(docs(s, dir), "text")))
+      graft.operators.Sketches.tokenHeavyHitters(docs(s, dir), "text")),
+
+    // BPE merge-candidate table: corpus → vocabulary (one hash agg) →
+    // weighted character-pair counts over the vocab (see operators.Bpe).
+    "tx18_bpe_pairs" -> ((s, dir) =>
+      graft.operators.Bpe.pairStats(docs(s, dir), "text")))
 
   /** PII patterns shared by the Spark and oracle sides — RE2-safe (no
     * backreferences/lookaround), so java.util.regex and DuckDB RE2 match
@@ -1088,6 +1093,25 @@ object TextQueries extends QueryPack {
          |  AND c.b = ${cmBucketSql("ds.d", "t.token", 1024)}
          |GROUP BY t.token, t.n_exact""".stripMargin
     },
+
+    // tx18's twin: same aggregate-then-explode ordering; DuckDB's
+    // generate_series(1, 0) is empty, so no single-char guard needed.
+    "tx18_bpe_pairs" ->
+      raw"""WITH words AS (
+         |  SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+         |  FROM documents
+         |), wc AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+         |  FROM words GROUP BY word
+         |), pairs AS (
+         |  SELECT substring(word, CAST(t.i AS INTEGER), 2) AS pair,
+         |    wcnt, word
+         |  FROM wc, unnest(generate_series(1, length(word) - 1)) AS t(i)
+         |)
+         |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS n_pair,
+         |  count(DISTINCT word) AS n_vocab
+         |FROM pairs GROUP BY pair
+         |ORDER BY n_pair DESC, pair ASC LIMIT 30""".stripMargin,
     "dd6_containment" ->
       s"""WITH $ngramPairCtes
          |SELECT doc_a, doc_b, common, n_a, n_b,
