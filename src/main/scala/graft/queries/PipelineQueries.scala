@@ -231,6 +231,36 @@ object PipelineQueries extends QueryPack {
         graft.core.Tables.spread(Tables.load(s, dir, "documents")),
         "doc_id", "text", "source", $"lang" === "en",
         buckets = 4096, keepFraction = 0.25)
+    }),
+
+    // SCD2 merge (see operators.Scd2): orders as the dimension snapshot,
+    // a derived CDC batch exercising all four paths — pass-through closed
+    // rows (k%10), no-op updates (k%6), real changes (k%3 minus k%6),
+    // and brand-new keys (k%100==7, offset out of the key range).
+    "pl13_scd2_merge" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val hist = o.select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderdate".as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"),
+          lit(true).as("is_current"))
+        .unionByName(o.filter($"o_orderkey" % 10 === 0)
+          .select($"o_orderkey", lit("P").as("o_orderstatus"),
+            ($"o_totalprice" - 50.0).as("o_totalprice"),
+            ($"o_orderdate" - expr("INTERVAL 90 DAYS")).as("valid_from"),
+            $"o_orderdate".as("valid_to"), lit(false).as("is_current")))
+      val upd = o.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey",
+          when($"o_orderkey" % 6 === 0, $"o_orderstatus")
+            .otherwise(lit("U")).as("o_orderstatus"),
+          when($"o_orderkey" % 6 === 0, $"o_totalprice")
+            .otherwise($"o_totalprice" + 100.0).as("o_totalprice"),
+          ($"o_orderdate" + expr("INTERVAL 30 DAYS")).as("eff"))
+        .unionByName(o.filter($"o_orderkey" % 100 === 7)
+          .select(($"o_orderkey" + 100000000L).as("o_orderkey"),
+            $"o_orderstatus", $"o_totalprice", $"o_orderdate".as("eff")))
+      graft.operators.Scd2.merge(hist, upd, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"), "eff")
     }))
 
   /** pl8's DuckDB twin: the same four stages as the Spark side, chained
@@ -262,6 +292,50 @@ object PipelineQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // pl13's twin spells the merge as four UNION ALL branches over the
+    // same derived history/batch CTEs; attrs are non-null so plain
+    // equality matches the Spark side's null-safe <=>.
+    "pl13_scd2_merge" ->
+      """WITH hist AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    o_totalprice AS price, o_orderdate AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'P', o_totalprice - 50.0,
+        |    o_orderdate - INTERVAL 90 DAY, o_orderdate, FALSE
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |), upd AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN o_orderstatus
+        |         ELSE 'U' END AS status,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice
+        |         ELSE o_totalprice + 100.0 END AS price,
+        |    o_orderdate + INTERVAL 30 DAY AS eff
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice,
+        |    o_orderdate
+        |  FROM orders WHERE o_orderkey % 100 = 7
+        |), cur AS (SELECT * FROM hist WHERE is_current)
+        |SELECT k AS o_orderkey, status AS o_orderstatus,
+        |  price AS o_totalprice, valid_from, valid_to, is_current
+        |FROM hist WHERE NOT is_current
+        |UNION ALL
+        |SELECT c.k, c.status, c.price, c.valid_from, c.valid_to,
+        |  c.is_current
+        |FROM cur c LEFT JOIN upd u ON c.k = u.k
+        |WHERE u.k IS NULL OR (c.status = u.status AND c.price = u.price)
+        |UNION ALL
+        |SELECT c.k, c.status, c.price, c.valid_from, u.eff, FALSE
+        |FROM cur c JOIN upd u ON c.k = u.k
+        |WHERE NOT (c.status = u.status AND c.price = u.price)
+        |UNION ALL
+        |SELECT u.k, u.status, u.price, u.eff, CAST(NULL AS TIMESTAMP),
+        |  TRUE
+        |FROM upd u LEFT JOIN cur c ON c.k = u.k
+        |WHERE c.k IS NULL
+        |   OR NOT (c.status = u.status AND c.price = u.price)""".stripMargin,
     "pl12_curriculum" -> {
       val q = TextFunctions.qualityScoreSql("text")
       s"""SELECT doc_id, lang, $q AS quality,
