@@ -261,6 +261,33 @@ object PipelineQueries extends QueryPack {
             $"o_orderstatus", $"o_totalprice", $"o_orderdate".as("eff")))
       graft.operators.Scd2.merge(hist, upd, Seq("o_orderkey"),
         Seq("o_orderstatus", "o_totalprice"), "eff")
+    }),
+
+    // z-order clustering witness (see operators.ZOrder): per-bucket
+    // bounding boxes over (custkey, order day) under the interleaved key
+    // — the file-stats table a pruning reader consults. Dimensions are
+    // range-normalized to 6 bits first (integer DIV against the global
+    // min/max — one broadcast stats row, the pass a zorder write runs
+    // anyway): raw values never reach the code's top bits, and rank-space
+    // interleaving is what lakehouse OPTIMIZE implementations actually
+    // cluster on, at any scale factor.
+    "pl14_zorder_stats" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.ZOrder
+      val o = Tables.load(s, dir, "orders").select(
+        $"o_custkey".as("cust"),
+        datediff($"o_orderdate", lit("1970-01-01")).cast("long").as("day"))
+      val mm = o.agg(max($"cust").as("cx"), min($"day").as("mind"),
+        max($"day").as("maxd"))
+      val scaled = o.crossJoin(broadcast(mm)).select($"cust", $"day",
+        expr("cust * 64 DIV (cx + 1)").as("sx"),
+        expr("(day - mind) * 64 DIV (maxd - mind + 1)").as("sy"))
+      scaled
+        .groupBy(shiftright(ZOrder.zValue(Seq($"sx", $"sy"), 6), 8)
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"cust").as("min_cust"), max($"cust").as("max_cust"),
+          min($"day").as("min_day"), max($"day").as("max_day"))
     }))
 
   /** pl8's DuckDB twin: the same four stages as the Spark side, chained
@@ -292,6 +319,29 @@ object PipelineQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // pl14's twin inlines the identical shift-mask-or interleave over the
+    // same integer-DIV range normalization (// is DuckDB's integer DIV).
+    "pl14_zorder_stats" -> {
+      val z = graft.operators.ZOrder.zValueSql(Seq("sx", "sy"), 6)
+      s"""WITH base AS (
+         |  SELECT o_custkey AS c,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+         |      AS day
+         |  FROM orders
+         |), mm AS (
+         |  SELECT max(c) AS cx, min(day) AS mind, max(day) AS maxd
+         |  FROM base
+         |), scaled AS (
+         |  SELECT c, day,
+         |    CAST(c * 64 // (cx + 1) AS BIGINT) AS sx,
+         |    CAST((day - mind) * 64 // (maxd - mind + 1) AS BIGINT) AS sy
+         |  FROM base CROSS JOIN mm
+         |)
+         |SELECT ($z >> 8) AS bucket, count(*) AS n_rows,
+         |  min(c) AS min_cust, max(c) AS max_cust,
+         |  min(day) AS min_day, max(day) AS max_day
+         |FROM scaled GROUP BY bucket""".stripMargin
+    },
     // pl13's twin spells the merge as four UNION ALL branches over the
     // same derived history/batch CTEs; attrs are non-null so plain
     // equality matches the Spark side's null-safe <=>.
