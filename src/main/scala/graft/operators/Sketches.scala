@@ -57,11 +57,7 @@ object Sketches {
       .limit(k)
     // one (d, bucket) row per token occurrence per hash row; the groupBy
     // collapses to the constant grid
-    val cm = toks.select(explode(array((0 until depth).map(d =>
-        struct(lit(d).as("d"),
-          cmBucket(d, col("token"), width).as("b"))): _*)).as("db"))
-      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
-      .agg(count(lit(1)).cast("long").as("cnt"))
+    val cm = cmGrid(toks, depth, width)
     // k·depth probe rows against the grid; both sides tiny — broadcast
     val probes = topk.select(col("token"), col("n_exact"),
       explode(array((0 until depth).map(d =>
@@ -73,4 +69,28 @@ object Sketches {
       .groupBy(col("token"), col("n_exact"))
       .agg(min(col("cnt")).as("n_cm"))
   }
+
+  /** Streaming twin of the Count-Min grid: the same portable bucket
+    * assignment as a STREAMING aggregation in update mode. The state
+    * store holds exactly the depth×width counter grid — constant memory
+    * for any stream length, the sketch's defining property — and because
+    * bucket arithmetic is identical, a drained stream's grid is
+    * row-for-row equal to the batch grid over the same corpus
+    * (pinned in SketchesSpec). */
+  def streamingCmGrid(docs: DataFrame, textCol: String,
+                      depth: Int = 4, width: Int = 1024): DataFrame =
+    cmGrid(docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token")),
+      depth, width)
+
+  /** One (d, bucket) row per token occurrence per hash row, collapsed to
+    * the constant depth×width grid. Works unchanged over a batch or a
+    * streaming token table — the shared definition is what makes the
+    * batch/stream equality in SketchesSpec true by construction. */
+  private def cmGrid(toks: DataFrame, depth: Int, width: Int): DataFrame =
+    toks.select(explode(array((0 until depth).map(d =>
+        struct(lit(d).as("d"),
+          cmBucket(d, col("token"), width).as("b"))): _*)).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
 }

@@ -44,6 +44,31 @@ class SketchesSpec extends AnyFunSuite {
       "65536-wide grid over 400 tokens should be collision-free")
   }
 
+  test("streamed CM grid equals the batch grid over the same corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val texts = (1 to 120).map(i => s"tok${i % 17} tok${i % 5} shared")
+    val mem = MemoryStream[String]
+    val q = Sketches.streamingCmGrid(
+        mem.toDF().withColumnRenamed("value", "text"), "text",
+        depth = 4, width = 64)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cm_stream").start()
+    try {
+      // three micro-batches: state must accumulate across them
+      texts.grouped(40).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("cm_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Sketches.streamingCmGrid(
+        texts.toDF("text"), "text", depth = 4, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.size <= 4 * 64, "state exceeded the constant grid")
+  }
+
   test("top-k tie-break is (count desc, token asc) and deterministic") {
     val docs = Seq("b b a a d c c", "d e").toDF("text")
     val out = Sketches.tokenHeavyHitters(docs, "text", k = 3)
