@@ -30,8 +30,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "tx13_bm25_topk",       // broadcast 1-row corpus stats (N, avgdl)
     "tx14_lm_perplexity",   // broadcast 1-row vocab size
     "gr2_triangles",        // final combine of three 1-row stat frames
-    "sim12_mmr_rerank")     // candidate gen = sim1's brute product
+    "sim12_mmr_rerank",     // candidate gen = sim1's brute product
                             // (bounded query side, broadcast)
+    "pl14_zorder_stats")    // broadcast 1-row global min/max for the
+                            // range normalization (the zorder stats pass)
 
   test("no accidental cartesian / broadcast-nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
