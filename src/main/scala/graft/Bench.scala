@@ -94,13 +94,27 @@ object Bench {
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve(s"BENCH_FULL-$sfLabel.json"),
         fullLine.getBytes("UTF-8"))
+      // Commit-suffixed history copy: a later degraded capture must never
+      // clobber the only clean record of a round (ADVICE r6).
+      val hist = dir.resolve("history")
+      java.nio.file.Files.createDirectories(hist)
+      java.nio.file.Files.write(
+        hist.resolve(s"BENCH_FULL-$sfLabel-$commit.json"),
+        fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // ONE compact JSON line on stdout (short keys, 3-dec secs): must fit the
-    // driver's bounded tail window in FULL, including sbt's trailing
-    // "[success]" line (~80 chars).
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f(v) }
+    // ONE compact JSON line on stdout: must fit the driver's bounded tail
+    // window in FULL, including sbt's trailing "[success]" line (~80 chars).
+    // At 131+ keys that demands every byte: short keys, 2-dec secs, failed
+    // queries omitted from the map (they are -1 placeholders carrying no
+    // timing; the errors array names them), errors as short keys. Full
+    // precision + full names live in bench/BENCH_FULL-<sf>.json.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.filter(_._2 >= 0)
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","errors":$errs,$cond}""")
+    val errsShort = failed.sorted.map("\"" + shortKey(_) + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","errors":$errsShort,$cond}""")
     spark.stop()
   }
 }

@@ -91,14 +91,13 @@ object BenchScale {
       remap("customer", "c_custkey")
       remap("supplier", "s_suppkey")
       remap("part", "p_partkey")
-      // events.ts must round-trip back to the fixture's nanos-long
-      // encoding: Tables.load always applies `ts div 1000` on a raw LONG
-      // column, so writing the loader's converted TimestampType back
-      // would break every events query at read time
+      // events.ts writes back as native TIMESTAMP(MICROS) — the same
+      // encoding the driver's regenerated fixtures use; Tables.load is
+      // schema-adaptive (micros passes through, legacy nanos-long gets
+      // `div 1000`), so no round-trip re-encoding is needed
       rep(Tables.load(spark, sfDir, "events"))
         .withColumn("event_id", col("event_id") * k + col("_r"))
         .withColumn("user_id", col("user_id") * k + col("_r"))
-        .withColumn("ts", unix_micros(col("ts")) * 1000L)
         .drop("_r")
         .repartition(outParts)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")

@@ -17,12 +17,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's TimestampType
-      // (µs) rejects outright; read the raw nanos as long and truncate to
-      // µs — exactly what DuckDB/pyarrow do when downcasting ns → µs.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+      // generations and TIMESTAMP(MICROS) in others. Adapt to whatever the
+      // file actually stores: with nanosAsLong set (a no-op for micros
+      // files) a nanos column scans as LongType, which we truncate to µs —
+      // exactly what DuckDB/pyarrow do when downcasting ns → µs; a native
+      // timestamp column passes through (NTZ casts to LTZ identically under
+      // the UTC session the harness pins).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register all fixture tables as temp views (for spark.sql use). */

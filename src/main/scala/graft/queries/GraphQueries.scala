@@ -57,9 +57,14 @@ object GraphQueries extends QueryPack {
     }),
 
     "gr2_triangles" -> ((s, dir) => {
-      val ps = keyedSpread(t(s, dir, "lineitem").select(
+      // NO keyedSpread here (unlike gr1): the pre-aggregate exchange ships
+      // the full fact table before any reduction, and the pair build below
+      // reshuffles by (s1,s2) regardless — measured +34% at sf1.0 (commit
+      // 4a3b767's capture: 13.33 s → 17.87 s). Scan-stage partial distinct
+      // plus the aggregate's own (ok,pk) exchange is the cheaper staging.
+      val ps = t(s, dir, "lineitem").select(
           col("l_orderkey").as("ok"),
-          col("l_partkey").cast("long").as("pk")), "ok")
+          col("l_partkey").cast("long").as("pk"))
         .distinct()
       val edges = ps.alias("a")
         .join(ps.alias("b"),
