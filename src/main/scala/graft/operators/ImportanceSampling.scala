@@ -31,11 +31,11 @@ import graft.functions.{ExactNum, PortableHash, TextFunctions}
   *
   * Numerics: `ln` is NOT correctly-rounded in either engine (measured:
   * 32/200k samples differ by 1 ulp between glibc and HotSpot's
-  * Math.log), so the weight column is gated with a BOUNDED oracle
-  * (rtol 1e-9 ≫ the ~1e-13 accumulated ulp drift) with the integer
-  * columns compared exactly — the q21/q45 sketch treatment. Per-doc
-  * term summation is decimal-exact ([[ExactNum.sumExact]]) so the
-  * Spark-side value is partitioning-invariant.
+  * Math.log), but each ln-bearing term is quantized to DECIMAL(28,6)
+  * inside [[ExactNum.sumExact]] before the fold — the 1e-6 quantum is
+  * ~10 orders above the ulp drift, so the summed weight is bit-identical
+  * across engines AND partitioning-invariant, and the output carries a
+  * full hash oracle (pl11).
   *
   * Output: (idCol, groupCol, n_grams, weight, selected).
   */

@@ -22,9 +22,12 @@ import graft.functions.{ExactNum, TextFunctions}
   * keep the DuckDB twin exactly portable; the 8-byte-hash swap is the
   * 100 TB shuffle variant (tx12's note).
   *
-  * Numerics: ln/exp are not correctly rounded in either engine, so
-  * logprob/ppl ride the bounded oracle (pl11/tx13's treatment) with
-  * n_bigrams as the exact integer control.
+  * Numerics: per-bigram score terms are decimal-quantized before the
+  * fold ([[ExactNum.sumExact]]), so logprob is engine-portable outright;
+  * ppl applies `exp` to that portable value and is itself quantized
+  * through the same DECIMAL(28,6) round-trip — the emitted doubles are
+  * bit-identical across engines (ln/exp's last-ulp drift is absorbed by
+  * the 1e-6 quantization step), making the full output hash-oracle-able.
   *
   * Output: (idCol, n_bigrams, logprob, ppl); docs with <2 tokens carry
   * (0, 0.0, null) — a perplexity over zero bigrams is undefined, not 1.
@@ -76,7 +79,8 @@ object LanguageModel {
       .na.fill(0.0, Seq("logprob")).na.fill(0L, Seq("n_bigrams"))
       .withColumn("ppl",
         when(col("n_bigrams") > 0,
-          exp(col("logprob") * lit(-1.0) / col("n_bigrams").cast("double"))))
+          exp(col("logprob") * lit(-1.0) / col("n_bigrams").cast("double"))
+            .cast(ExactNum.Exact).cast("double")))
       .select(col("doc").as(idCol), col("n_bigrams"), col("logprob"),
         col("ppl"))
   }

@@ -20,11 +20,12 @@ import graft.functions.{ExactNum, TextFunctions}
   * Top-k per query is a rank window partitioned by query.
   *
   * Numerics: per-(query, doc) score terms are summed decimal-exact
-  * (partitioning-invariant); `ln` inside IDF is the one non-portable op
-  * (not correctly rounded in either engine), so the score column is
-  * gated with the bounded oracle like pl11 — everything else (tf, dl,
-  * avgdl, the k1/b saturation arithmetic) is IEEE-exact on identical
-  * inputs.
+  * (partitioning-invariant); `ln` inside IDF is the one non-correctly-
+  * rounded op, but its last-ulp drift is absorbed by the DECIMAL(28,6)
+  * per-term quantization inside the fold, so the summed score is
+  * bit-portable and the output carries a full hash oracle (tx13) —
+  * everything else (tf, dl, avgdl, the k1/b saturation arithmetic) is
+  * IEEE-exact on identical inputs.
   *
   * Output: (query_id, doc_id, n_hit, score, rank), rank ≤ k by
   * (score DESC, doc_id ASC).

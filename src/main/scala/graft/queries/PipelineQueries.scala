@@ -222,9 +222,10 @@ object PipelineQueries extends QueryPack {
     }),
 
     // DSIR importance resampling: hashed-bigram log-likelihood ratio of
-    // target (en docs) vs raw corpus, top-25% kept per source. BOUNDED
-    // oracle (ln is not cross-engine bit-portable); integer columns
-    // exact. Fixture genuinely selects: en-heavy docs outrank.
+    // target (en docs) vs raw corpus, top-25% kept per source. Full hash
+    // oracle: ln-bearing terms are decimal-quantized pre-fold (sumExact),
+    // making the weights bit-portable. Fixture genuinely selects:
+    // en-heavy docs outrank.
     "pl11_dsir_select" -> ((s, dir) => {
       import s.implicits._
       graft.operators.ImportanceSampling.dsirSelect(
@@ -493,16 +494,15 @@ object PipelineQueries extends QueryPack {
         |  CASE WHEN value > 100.0 THEN 'hi' ELSE 'lo' END AS band,
         |  count(*) AS cnt
         |FROM events WHERE event_type <> 'error'
-        |GROUP BY user_id, band""".stripMargin)
+        |GROUP BY user_id, band""".stripMargin) ++ dsirTwinSql
 
-  /** pl11's exact-value DuckDB twin for the bounded gate: identical
-    * hashed-bigram models and rank rule; only `ln`'s last-ulp drift
-    * separates the engines (≈1e-13 accumulated — rtol 1e-9 covers it;
-    * doc_id keys align rows, n_grams is the exact integer control;
-    * source and selected are non-numeric, so the gate compares them
-    * cell-identical). */
-  override def boundedOracles
-      : Map[String, (String, Double, Seq[String], Seq[String])] = {
+  /** pl11's exact-value DuckDB twin — a FULL hash oracle: every ln-bearing
+    * term is decimal-quantized before the fold ([[graft.functions.ExactNum
+    * .sumExact]] on both sides), so the weight doubles are bit-identical
+    * across engines (ln's last-ulp drift ≈2e-16 relative is 10 orders
+    * below the 1e-6 quantum); integer/boolean columns were always exact,
+    * and the rank rule ties on (weight DESC, doc ASC) identically. */
+  private lazy val dsirTwinSql: Map[String, String] = {
     import graft.functions.ExactNum.sumExactSql
     import graft.functions.PortableHash.hash60Sql
     val B = 4096
@@ -559,6 +559,6 @@ object PipelineQueries extends QueryPack {
          |SELECT doc AS doc_id, grp AS source, n_grams, weight,
          |  (rnk <= CAST(ceil(n_grp * 0.25) AS BIGINT)) AS selected
          |FROM ranked""".stripMargin
-    Map("pl11_dsir_select" -> ((sql, 1e-9, Seq("doc_id"), Seq("n_grams"))))
+    Map("pl11_dsir_select" -> sql)
   }
 }

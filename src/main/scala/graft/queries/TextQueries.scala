@@ -520,14 +520,15 @@ object TextQueries extends QueryPack {
     }),
 
     // corpus-trained bigram-LM perplexity per doc (CCNet's quality
-    // signal). Bounded oracle (ln/exp); n_bigrams exact.
+    // signal). Full hash oracle: logprob is a decimal-quantized fold,
+    // ppl a DECIMAL(28,6) round-trip of exp over it.
     "tx14_lm_perplexity" -> ((s, dir) =>
       graft.operators.LanguageModel.bigramPerplexity(
         graft.core.Tables.spread(docs(s, dir)), "doc_id", "text")),
 
     // BM25 top-5 retrieval: every 50th doc's first 3 tokens as the
-    // query load. Score column rides the bounded oracle (ln in IDF);
-    // n_hit/rank are exact controls.
+    // query load. Full hash oracle: per-term scores (ln in IDF) are
+    // decimal-quantized pre-fold, so the summed score is bit-portable.
     "tx13_bm25_topk" -> ((s, dir) => {
       import s.implicits._
       val base = graft.core.Tables.spread(docs(s, dir))
@@ -542,8 +543,9 @@ object TextQueries extends QueryPack {
     // quality signal (RefinedWeb/Gopher lineage): repetitive or
     // template-generated text carries low H = ln n − Σc·ln c / n over
     // its char-bigram counts. One narrow explode + two hash aggs —
-    // the tx9 shuffle shape, linear in corpus chars. Entropy rides the
-    // bounded oracle (ln); n_bigrams / n_distinct are exact controls.
+    // the tx9 shuffle shape, linear in corpus chars. Full hash oracle:
+    // clnc is a decimal-quantized fold; the final entropy value takes
+    // the same DECIMAL(28,6) round-trip, absorbing ln's ulp drift.
     "tx15_char_entropy" -> ((s, dir) => {
       import s.implicits._
       val base = graft.core.Tables.spread(docs(s, dir))
@@ -559,13 +561,19 @@ object TextQueries extends QueryPack {
           count(lit(1)).as("n_distinct"),
           graft.functions.ExactNum.sumExact(
             $"c".cast("double") * log($"c".cast("double"))).as("_clnc"))
+      // entropy's final ln(n) is the one fresh transcendental; the
+      // DECIMAL(28,6) round-trip (sumExact's own machinery) absorbs
+      // last-ulp ln drift and makes the double bit-portable → the whole
+      // output is hash-oracle-able, no bounded gate needed
       base.join(ent, Seq("doc_id"), "left")
         .select($"doc_id",
           coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
           coalesce($"n_distinct", lit(0L)).as("n_distinct"),
           when($"n_bigrams" > 0,
-            log($"n_bigrams".cast("double")) -
-              $"_clnc" / $"n_bigrams".cast("double")).as("entropy"))
+            (log($"n_bigrams".cast("double")) -
+              $"_clnc" / $"n_bigrams".cast("double"))
+              .cast(graft.functions.ExactNum.Exact).cast("double"))
+            .as("entropy"))
     }),
 
     // n-gram novelty per doc: the fraction of a doc's distinct 3-gram
@@ -1172,17 +1180,20 @@ object TextQueries extends QueryPack {
         |  CASE WHEN hex(encode(substr(text, 1, 2))) = 'FFD8' THEN 'jpeg'
         |       WHEN hex(encode(substr(text, 1, 4))) = '89504E47' THEN 'png'
         |       ELSE 'unknown' END AS format
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin) ++ lnTwinSql
 
-  /** tx13's exact-value DuckDB twin for the bounded gate: identical
-    * inverted-index/df/BM25 arithmetic; `ln` inside IDF is the only
-    * cross-engine ulp source (pl11's situation), so score is bounded at
-    * rtol 1e-9 with (query_id, doc_id) keys and n_hit/rank exact. The
-    * k1+1 factor is written as the ADDITION (1.2 + 1.0), not the
-    * literal 2.2 — the Spark side computes the constant with the same
-    * IEEE add, and the two parses of "2.2" need not agree with it. */
-  override def boundedOracles
-      : Map[String, (String, Double, Seq[String], Seq[String])] = {
+  /** Exact-value DuckDB twins for the three ln/exp queries (tx13 BM25,
+    * tx14 perplexity, tx15 entropy). These are FULL hash oracles, not
+    * bounded gates: every transcendental lands in a DECIMAL(28,6)
+    * round-trip — per-term inside [[graft.functions.ExactNum.sumExact]]
+    * (score/logprob/clnc) and on the final ppl/entropy value — which
+    * absorbs ln/exp's last-ulp cross-engine drift (≈2e-16 relative,
+    * 10 orders below the 1e-6 quantum), so the emitted doubles are
+    * bit-identical across engines. The k1+1 factor is written as the
+    * ADDITION (1.2 + 1.0), not the literal 2.2 — the Spark side computes
+    * the constant with the same IEEE add, and the two parses of "2.2"
+    * need not agree with it. */
+  private lazy val lnTwinSql: Map[String, String] = {
     import graft.functions.ExactNum.sumExactSql
     val termScore =
       "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)" +
@@ -1269,8 +1280,9 @@ object TextQueries extends QueryPack {
          |SELECT b.doc AS doc_id, b.n_bigrams,
          |  coalesce(w.logprob, CAST(0 AS DOUBLE)) AS logprob,
          |  CASE WHEN b.n_bigrams > 0
-         |    THEN exp(coalesce(w.logprob, CAST(0 AS DOUBLE)) * -1.0
-         |      / CAST(b.n_bigrams AS DOUBLE)) END AS ppl
+         |    THEN CAST(CAST(exp(coalesce(w.logprob, CAST(0 AS DOUBLE))
+         |      * -1.0 / CAST(b.n_bigrams AS DOUBLE))
+         |      AS DECIMAL(28,6)) AS DOUBLE) END AS ppl
          |FROM base b LEFT JOIN w USING (doc)""".stripMargin
     val tx15Sql =
       s"""WITH base AS (
@@ -1292,15 +1304,13 @@ object TextQueries extends QueryPack {
          |SELECT b.doc_id, coalesce(e.n_bigrams, 0) AS n_bigrams,
          |  coalesce(e.n_distinct, 0) AS n_distinct,
          |  CASE WHEN e.n_bigrams > 0
-         |    THEN ln(CAST(e.n_bigrams AS DOUBLE))
-         |      - e.clnc / CAST(e.n_bigrams AS DOUBLE) END AS entropy
+         |    THEN CAST(CAST(ln(CAST(e.n_bigrams AS DOUBLE))
+         |      - e.clnc / CAST(e.n_bigrams AS DOUBLE)
+         |      AS DECIMAL(28,6)) AS DOUBLE) END AS entropy
          |FROM base b LEFT JOIN ent e USING (doc_id)""".stripMargin
     Map(
-      "tx13_bm25_topk" ->
-        ((sql, 1e-9, Seq("query_id", "doc_id"), Seq("n_hit", "rank"))),
-      "tx14_lm_perplexity" ->
-        ((tx14Sql, 1e-9, Seq("doc_id"), Seq("n_bigrams"))),
-      "tx15_char_entropy" ->
-        ((tx15Sql, 1e-9, Seq("doc_id"), Seq("n_bigrams", "n_distinct"))))
+      "tx13_bm25_topk" -> sql,
+      "tx14_lm_perplexity" -> tx14Sql,
+      "tx15_char_entropy" -> tx15Sql)
   }
 }
