@@ -72,4 +72,50 @@ class FormatsSpec extends AnyFunSuite {
       .head.toString
     assert(!files.contains("o_year=1996") || files.contains("o_year=1997"))
   }
+
+  /** Rows the parquet scan actually surfaced (post row-group/file stats
+    * skipping, pre Spark-side Filter) — the physical-pruning witness. */
+  private def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    scan.metrics("numOutputRows").value
+  }
+
+  test("z-order layout: single-dimension predicate skips files a linear " +
+      "layout must read (min/max stats pruning observed in scan metrics)") {
+    import graft.operators.ZOrder
+    // 128×128 uniform grid, 16 output files ⇒ z-layout = 4×4 grid of
+    // 32×32 rectangles (one row group per file, so row-group stats
+    // skipping IS file skipping); linear layout = 16 x-stripes covering
+    // the full y range.
+    val bits = 7
+    val grid = spark.range(128L * 128L).select(
+      (col("id") % 128).as("x"),
+      (col("id") / 128).cast("long").as("y"))
+    val outL = tmp("graft-zlin"); val outZ = tmp("graft-zord")
+    grid.repartitionByRange(16, col("x"))
+      .write.mode("overwrite").parquet(outL)
+    ZOrder.layout(grid, Seq(col("x"), col("y")), bits, 16)
+      .write.mode("overwrite").parquet(outZ)
+    // predicate on y ONLY: orthogonal to the linear sort key — the case
+    // z-ordering exists for
+    val pred = col("y") >= 40 && col("y") <= 60
+    val zq = spark.read.parquet(outZ).filter(pred)
+    val lq = spark.read.parquet(outL).filter(pred)
+    // the filter must reach the parquet scan for stats skipping to apply
+    assert(zq.queryExecution.executedPlan.collectLeaves().head.toString
+      .contains("PushedFilters: [IsNotNull(y), GreaterThanOrEqual(y,40"))
+    // identical results either way
+    assert(zq.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      lq.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    val (zRows, lRows) = (scannedRows(zq), scannedRows(lq))
+    // linear: every x-stripe spans all y ⇒ nothing skips (16384 rows
+    // surface). z: only the y∈[32,64) band of rectangles survives the
+    // min/max check ⇒ ≤ ~2 bands of 4 files = 8192 rows, in practice 1.
+    assert(lRows == 128L * 128L, s"linear layout unexpectedly skipped: $lRows")
+    assert(zRows * 2 <= lRows,
+      s"z-order layout did not skip files: z=$zRows linear=$lRows")
+  }
 }

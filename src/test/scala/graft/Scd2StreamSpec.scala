@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scd2
+import graft.streaming.Scd2Stream
+
+/** Streaming SCD2 / CDC apply (the pl13 twin): replayed micro-batches
+  * leave history identical, out-of-order/late updates converge to the
+  * batch-merge result, within-batch duplicates collapse to the latest. */
+class Scd2StreamSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val keyCols = Seq("k")
+  private val attrCols = Seq("attr")
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+
+  private def init: DataFrame =
+    Seq((1L, "A", ts(100)), (2L, "A", ts(100)), (3L, "A", ts(100)))
+      .toDF("k", "attr", "valid_from")
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+
+  private def upd(rows: (Long, String, Long)*): DataFrame =
+    rows.toSeq.toDF("k", "attr", "eff_s")
+      .withColumn("eff", timestamp_seconds($"eff_s")).drop("eff_s")
+
+  private def histSet(df: DataFrame): Set[(Long, String, Long, Long, Boolean)] =
+    df.select($"k", $"attr", unix_timestamp($"valid_from"),
+        coalesce(unix_timestamp($"valid_to"), lit(-1L)), $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("replayed micro-batch leaves history identical (idempotent by batchId," +
+      " and by change detection under a fresh id)") {
+    val dim = tmp("graft-scd2s-replay")
+    val b = upd((1L, "B", 200L), (4L, "N", 200L))
+    Scd2Stream.applyBatch(b, 0L, dim, init, keyCols, attrCols, "eff")
+    val h0 = histSet(Scd2Stream.currentDim(spark, dim, init))
+    // replay under the SAME id: version exists -> untouched
+    Scd2Stream.applyBatch(b, 0L, dim, init, keyCols, attrCols, "eff")
+    assert(Scd2Stream.latestVersion(spark, dim).exists(_.endsWith("v0")))
+    assert(histSet(Scd2Stream.currentDim(spark, dim, init)) == h0)
+    // duplicate delivery under a NEW id: change detection no-ops every row
+    Scd2Stream.applyBatch(b, 1L, dim, init, keyCols, attrCols, "eff")
+    assert(Scd2Stream.latestVersion(spark, dim).exists(_.endsWith("v1")))
+    assert(histSet(Scd2Stream.currentDim(spark, dim, init)) == h0)
+  }
+
+  test("out-of-order + duplicate-keyed stream converges to the batch merge" +
+      " of the winning updates") {
+    val dim = tmp("graft-scd2s-ooo")
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val updates = mem.toDF().toDF("k", "attr", "eff_s")
+      .withColumn("eff", timestamp_seconds($"eff_s")).drop("eff_s")
+    val q = Scd2Stream.sink(updates, dim, init, keyCols, attrCols, "eff",
+        tmp("graft-scd2s-ckpt"))
+      .start()
+    try {
+      // batch 1: k=1 -> C @300; k=5 twice IN one batch (150 then 250 —
+      // the 250 must win); k=4 brand-new
+      mem.addData(Seq((1L, "C", 300L), (5L, "X", 150L), (5L, "Y", 250L),
+        (4L, "N", 200L)))
+      q.processAllAvailable()
+      // batch 2 arrives LATER but carries an OLDER k=1 update (eff 180 <
+      // current valid_from 300 — stale, must drop) plus a real k=2 change
+      mem.addData(Seq((1L, "B", 180L), (2L, "D", 400L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = histSet(Scd2Stream.currentDim(spark, dim, init))
+    // ONE batch merge of only the winners produces the same history
+    val winners = upd((1L, "C", 300L), (5L, "Y", 250L), (4L, "N", 200L),
+      (2L, "D", 400L))
+    val batch = histSet(
+      Scd2.merge(init, winners, keyCols, attrCols, "eff"))
+    assert(streamed == batch)
+    // and the late k=1 update truly vanished: no version with attr B
+    assert(!streamed.exists(_._2 == "B"))
+  }
+
+  test("pruneVersions keeps the newest K versions and the read side") {
+    val dim = tmp("graft-scd2s-prune")
+    (0 to 3).foreach { i =>
+      Scd2Stream.applyBatch(upd((1L, s"V$i", 200L + i)), i.toLong, dim,
+        init, keyCols, attrCols, "eff")
+    }
+    val before = histSet(Scd2Stream.currentDim(spark, dim, init))
+    Scd2Stream.pruneVersions(spark, dim, keep = 2)
+    assert(Scd2Stream.latestVersion(spark, dim).exists(_.endsWith("v3")))
+    assert(histSet(Scd2Stream.currentDim(spark, dim, init)) == before)
+  }
+}
