@@ -114,8 +114,8 @@ object Sources {
     * Driver-side by design: this sink targets windowed AGGREGATE tables
     * (one row per closed window — the reference's metrics table), so a
     * micro-batch is O(windows), not O(events); collecting it is bounded by
-    * construction. A fact-table sink would stage per-partition and MERGE
-    * server-side instead. */
+    * construction. Fact-table micro-batches use [[stagedUpsertBatch]]
+    * (per-partition staging + server-side merge) instead. */
   def upsertBatch(batch: DataFrame, cfg: JdbcConfig,
                   keyCols: Seq[String] = Seq("window_start")): Unit = {
     val rows = batch.collect()
@@ -164,6 +164,140 @@ object Sources {
         throw e
     } finally conn.close()
   }
+
+  /** Key index on `cols`, created once and kept: the server-side merge
+    * (DELETE … WHERE EXISTS) degenerates to an O(target×stage) nested
+    * loop without an index to probe — measured as a 25-minute hang on a
+    * 100k×100k Derby replay vs seconds indexed. */
+  private def ensureKeyIndex(conn: java.sql.Connection, table: String,
+                             cols: Seq[String]): Unit = {
+    val st = conn.createStatement()
+    try st.executeUpdate(
+      s"CREATE INDEX ${table}_gkix ON $table (${cols.mkString(", ")})")
+    catch { case e: java.sql.SQLException
+      if Option(e.getSQLState).exists(s => s == "X0Y32" || s == "42P07") ||
+        Option(e.getMessage).exists(_.toLowerCase.contains("already exist"))
+      => () }
+    finally st.close()
+  }
+
+  /** Fact-table-scale idempotent micro-batch upsert — the distributed
+    * alternative to [[upsertBatch]]'s driver-side collect, for sinks whose
+    * micro-batch is O(events), not O(windows). Rows never visit the
+    * driver:
+    *
+    *  1. each partition batch-INSERTs its rows into `<table>_stage` in its
+    *     own transaction, preceded by a partition-scoped DELETE so a
+    *     retried task rewrites its slice instead of duplicating it
+    *     (partition contents are deterministic under Spark's retry
+    *     contract — the same caveat every staged JDBC writer carries);
+    *  2. ONE driver-side transaction then merges server-side — delete the
+    *     target rows whose key tuple appears in the stage, insert the
+    *     stage, clear the stage — and commits.
+    *
+    * A replayed micro-batch re-runs both phases against the freshly
+    * cleared stage and overwrites the same keys: exactly-once OUTPUT,
+    * the [[upsertBatch]] contract, at O(batch/partitions) memory per
+    * executor and O(1) rows on the driver. The key-identifies-rows
+    * fail-fast runs server-side (GROUP BY … HAVING over the stage), so
+    * it costs no extra Spark job over the batch. */
+  def stagedUpsertBatch(batch: DataFrame, cfg: JdbcConfig,
+                        keyCols: Seq[String] = Seq("window_start"),
+                        insertBatchSize: Int = 1000): Unit = {
+    val schema = batch.schema
+    keyCols.foreach(schema.fieldIndex) // fail fast on a typo'd key
+    val stage = s"${cfg.table}_stage"
+    val stageSchema = StructType(schema.fields :+
+      StructField("graft_pt", LongType, nullable = false))
+    val setup = java.sql.DriverManager.getConnection(
+      cfg.url, cfg.user, cfg.password)
+    try {
+      ensureTable(setup, cfg.table, schema)
+      ensureTable(setup, stage, stageSchema)
+      ensureKeyIndex(setup, cfg.table, keyCols)
+      ensureKeyIndex(setup, stage, keyCols)
+      val st = setup.createStatement()
+      try st.executeUpdate(s"DELETE FROM $stage") finally st.close()
+    } finally setup.close()
+
+    val colNames = schema.fieldNames
+    val insSql = s"INSERT INTO $stage (${colNames.mkString(", ")}, graft_pt) " +
+      s"VALUES (${schema.fields.map(_ => "?").mkString(", ")}, ?)"
+    val nCols = schema.size
+    batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        val conn = java.sql.DriverManager.getConnection(
+          cfg.url, cfg.user, cfg.password)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(
+            s"DELETE FROM $stage WHERE graft_pt = ?")
+          try { del.setLong(1, pid); del.executeUpdate() } finally del.close()
+          val ins = conn.prepareStatement(insSql)
+          try {
+            var n = 0
+            it.foreach { r =>
+              (0 until nCols).foreach(i => ins.setObject(i + 1, r.get(i)))
+              ins.setLong(nCols + 1, pid)
+              ins.addBatch()
+              n += 1
+              if (n % insertBatchSize == 0) ins.executeBatch()
+            }
+            ins.executeBatch()
+          } finally ins.close()
+          conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw e
+        } finally conn.close()
+      }
+    }
+
+    val conn = java.sql.DriverManager.getConnection(
+      cfg.url, cfg.user, cfg.password)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      try {
+        val dup = st.executeQuery(
+          s"SELECT 1 FROM $stage GROUP BY ${keyCols.mkString(", ")} " +
+            "HAVING COUNT(*) > 1 FETCH FIRST 1 ROWS ONLY")
+        val hasDup = try dup.next() finally dup.close()
+        require(!hasDup,
+          s"stagedUpsertBatch: batch has duplicate values for key " +
+            s"${keyCols.mkString(",")} — pass every grouping column as a " +
+            "key column")
+        val keyMatch = keyCols
+          .map(k => s"s.$k = ${cfg.table}.$k").mkString(" AND ")
+        st.executeUpdate(s"DELETE FROM ${cfg.table} WHERE EXISTS " +
+          s"(SELECT 1 FROM $stage s WHERE $keyMatch)")
+        st.executeUpdate(s"INSERT INTO ${cfg.table} " +
+          s"(${colNames.mkString(", ")}) " +
+          s"SELECT ${colNames.mkString(", ")} FROM $stage")
+        st.executeUpdate(s"DELETE FROM $stage")
+      } finally st.close()
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => () }
+        throw e
+    } finally conn.close()
+  }
+
+  /** Streaming fact-table JDBC sink: [[stagedUpsertBatch]] per
+    * micro-batch — the documented alternative a fact-scale deployment
+    * uses where [[jdbcSink]]'s aggregate-table collect would not hold. */
+  def jdbcFactSink(df: DataFrame, cfg: JdbcConfig, checkpoint: String,
+                   keyCols: Seq[String], trigger: Trigger = DefaultTrigger)
+      : DataStreamWriter[_] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        stagedUpsertBatch(batch, cfg, keyCols)
+      }
 
   /** K2 — streaming JDBC sink via foreachBatch (Structured Streaming has no
     * built-in one). Unlike the reference (batch size 1, no checkpointing —
