@@ -54,19 +54,32 @@ object LanguageModel {
       .select(col("doc"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val vocab = toks.select(explode(col("_toks")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    val model = bigrams.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
-    val prefix = model.groupBy(col("w1"))
-      .agg(sum(col("c12")).as("c1"))
-    val scoredBigrams = bigrams
+    // ONE corpus-scale shuffle: the per-doc bigram aggregate. The model
+    // (corpus bigram counts) is its re-aggregation — vocabulary-sized
+    // input, so the second explode+agg the previous shape paid over the
+    // full corpus disappears. Persist: it feeds both the model build and
+    // the scoring join below.
+    val docBigrams = bigrams
       .groupBy(col("doc"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_occ"))
-      .join(model, Seq("w1", "w2"))
-      .join(prefix, Seq("w1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docBigrams.count()
+    val model = docBigrams.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n_occ")).as("c12"))
+    val prefix = model.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    // fold prefix totals, the vocab scalar, and the log itself into the
+    // MODEL rows (vocabulary-sized) before the corpus-scale join — ln
+    // evaluates once per distinct bigram, not once per (doc, bigram),
+    // and scoring is a single equi-join instead of join+join+crossJoin
+    val modelScored = model.join(prefix, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("term", col("n_occ").cast("double") *
-        log((col("c12") + 1).cast("double") /
-            (col("c1") + col("v")).cast("double")))
+      .withColumn("lp", log((col("c12") + 1).cast("double") /
+        (col("c1") + col("v")).cast("double")))
+      .select(col("w1"), col("w2"), col("lp"))
+    val scoredBigrams = docBigrams
+      .join(modelScored, Seq("w1", "w2"))
+      .withColumn("term", col("n_occ").cast("double") * col("lp"))
     // n_bigrams = Σ n_occ: every doc bigram exists in the corpus-trained
     // model by construction, so the count derives from the scoring rows
     // — no second corpus tokenize pass; docs with <2 tokens simply have
