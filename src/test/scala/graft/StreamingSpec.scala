@@ -108,6 +108,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(rep.snapshotJson.startsWith("{"))
   }
 
+  test("prometheus endpoint serves reporter gauges in exposition format") {
+    implicit val sc = spark.sqlContext
+    val rep = new graft.streaming.MetricsReporter
+    spark.streams.addListener(rep)
+    val mem = MemoryStream[String]
+    val q = Pipelines.metricsPipeline(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("prom_q").start()
+    val ep = new graft.streaming.PrometheusEndpoint(rep, port = 0)
+    val port = ep.start()
+    try {
+      mem.addData(Generator.toWire(Generator.batch(spark, 20))
+        .as[String].collect().toSeq)
+      q.processAllAvailable()
+      val conn = new java.net.URL(s"http://127.0.0.1:$port/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("text/plain"))
+      val body = scala.io.Source.fromInputStream(conn.getInputStream,
+        "UTF-8").mkString
+      conn.disconnect()
+      // every non-comment line is `name value` with a Prometheus-legal
+      // name and a parseable double — i.e. a scraper accepts the page
+      val lines = body.split("\n").filter(_.nonEmpty)
+      assert(lines.nonEmpty)
+      lines.filterNot(_.startsWith("#")).foreach { l =>
+        val Array(name, value) = l.split(" ", 2)
+        assert(name.matches("[a-zA-Z_:][a-zA-Z0-9_:]*"), l)
+        assert(!value.toDouble.isNaN, l)
+      }
+      Seq("records_in_rate", "records_out_rate", "avg_latency",
+        "checkpoint_size", "dropped_late_rows").foreach { id =>
+        assert(body.contains(s"# TYPE graft_$id gauge"), s"missing $id")
+        assert(lines.exists(_.startsWith(s"graft_$id ")), s"missing $id value")
+      }
+    } finally {
+      ep.stop(); q.stop(); spark.streams.removeListener(rep)
+    }
+  }
+
   test("flatMapGroupsWithState: per-sender running totals with alerts") {
     implicit val sc = spark.sqlContext
     import graft.core.Schemas.RemittanceTransaction
