@@ -33,6 +33,13 @@ object Sessions {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", mpb)
+      // ObjectHashAggregate (collect_set/collect_list aggs) falls back
+      // to SORT-BASED aggregation after this many distinct groups per
+      // task — Spark's default 128 turns any fact-scale collect into a
+      // full sort. 64k groups × bounded payloads is well inside the
+      // executor heap at every tested SF.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
     if (utc) b = b.config("spark.sql.session.timeZone", "UTC")
     val spark = b.getOrCreate()

@@ -57,19 +57,27 @@ object GraphQueries extends QueryPack {
     }),
 
     "gr2_triangles" -> ((s, dir) => {
-      // NO keyedSpread here (unlike gr1): the pre-aggregate exchange ships
-      // the full fact table before any reduction, and the pair build below
-      // reshuffles by (s1,s2) regardless — measured +34% at sf1.0 (commit
-      // 4a3b767's capture: 13.33 s → 17.87 s). Scan-stage partial distinct
-      // plus the aggregate's own (ok,pk) exchange is the cheaper staging.
-      val ps = t(s, dir, "lineitem").select(
-          col("l_orderkey").as("ok"),
-          col("l_partkey").cast("long").as("pk"))
-        .distinct()
-      val edges = ps.alias("a")
-        .join(ps.alias("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("s1"), col("b.pk").as("s2"))
+      // Edge build without a self-join: per-order part sets are BOUNDED
+      // (≤7 in TPC-H-shaped data), so collect the sorted distinct part
+      // set per order in ONE aggregation (map-side partial, dedup
+      // within order for free) and expand s1<s2 pairs in-row. vs the
+      // previous ps.distinct ⋈ ps staging this drops a corpus-scale
+      // exchange and the join, leaving groupBy(ok) + pair-distinct as
+      // the only shuffles. The in-row expansion is quadratic in order
+      // size — exactly as the self-join was — and stays safe wherever
+      // group size is bounded.
+      val pairs = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey").cast("long")))
+          .as("parts"))
+        .filter(size(col("parts")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(parts) - 1), i ->
+            |  transform(sequence(i + 1, size(parts)), j ->
+            |    struct(element_at(parts, i) AS s1,
+            |           element_at(parts, j) AS s2))))""".stripMargin))
+          .as("p"))
+      val edges = pairs.select(col("p.s1").as("s1"), col("p.s2").as("s2"))
         .distinct()
       Graph.triangleStats(edges)
     }))
