@@ -93,4 +93,65 @@ object Sketches {
           cmBucket(d, col("token"), width).as("b"))): _*)).as("db"))
       .groupBy(col("db.d").as("d"), col("db.b").as("b"))
       .agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** KMV (k-minimum-values) distinct-count sketch per group (Bar-Yossef
+    * et al. 2002; Beyer et al. 2007's unbiased estimator): keep the k
+    * smallest hash values of the key set; with h_k the k-th smallest of
+    * a hash uniform on [0, 2^60), distinct ≈ (k−1)·2^60 / h_k. Unlike
+    * the HLL behind q21 (whose register layout is engine-private, hence
+    * its bounded oracle), every number here derives from
+    * [[PortableHash.hash60]] order statistics — plain SQL arithmetic the
+    * DuckDB oracle reproduces bit-for-bit, giving a fully hash-checkable
+    * distinct sketch.
+    *
+    * Scale shape: one dedup shuffle on (group, hash), then the k-min
+    * selection runs TWO-STAGE — k smallest per (group, input partition)
+    * first, so the per-group global sort sees ≤ k·partitions rows, never
+    * the full key set (the relational spelling of the sketch's bounded
+    * k-heap partial aggregate; a group with a billion distinct keys
+    * never sorts a billion rows in one task). Groups with fewer than k
+    * distinct hashes keep them all and the estimate degrades to the
+    * EXACT count (n_kept), the sketch's sparse regime.
+    *
+    * Output: (grp, n_kept, h_k, est_distinct). */
+  def kmvDistinct(df: DataFrame, grp: Column, key: Column,
+                  k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dk = df.filter(key.isNotNull)
+      .select(grp.as("grp"), PortableHash.hash60(key.cast("string")).as("h"))
+      .distinct()
+    val local = dk.withColumn("p", spark_partition_id())
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("grp"), col("p"))
+          .orderBy(col("h"))))
+      .filter(col("rn") <= k).select(col("grp"), col("h"))
+    val kept = local.withColumn("rn",
+        row_number().over(Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rn") <= k)
+    kept.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(Pow60) /
+            col("h_k").cast("double")))
+  }
+
+  /** 2^60 as a double (exact): the hash range for the KMV estimator. */
+  val Pow60: Double = 1152921504606846976.0
+
+  /** DuckDB twin of [[kmvDistinct]]'s selection + estimate, as a CTE
+    * body parameterized on the source relation and expressions. */
+  def kmvSql(from: String, grpExpr: String, keyExpr: String,
+             k: Int = 64): String =
+    s"""SELECT grp, count(*) AS n_kept, max(h) AS h_k,
+       |  CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |       ELSE ${(k - 1).toDouble} * ${Pow60} / CAST(max(h) AS DOUBLE)
+       |  END AS est_distinct
+       |FROM (
+       |  SELECT grp, h,
+       |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT $grpExpr AS grp,
+       |          ${PortableHash.hash60Sql(s"CAST($keyExpr AS VARCHAR)")} AS h
+       |        FROM $from WHERE $keyExpr IS NOT NULL)
+       |) WHERE rn <= $k GROUP BY grp""".stripMargin
 }

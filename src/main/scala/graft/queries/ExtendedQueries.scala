@@ -402,7 +402,32 @@ object ExtendedQueries extends QueryPack {
           count($"bkey").as("n_true"),
           sumExact(when($"bkey".isNotNull, $"o_totalprice"))
             .as("true_revenue"))
+    }),
+
+    // Q61 — KMV distinct-count sketch (see operators.Sketches.kmvDistinct):
+    // the fully hash-checkable counterpart to q21's HLL. Two regimes in
+    // one output: partkey groups exceed k=64 (estimator formula path),
+    // shipmode groups hold under k hashes (sparse path: est == exact).
+    "q61_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Sketches
+      val li = t(s, dir, "lineitem")
+      def side(key: org.apache.spark.sql.Column, keyName: String,
+               kind: String): DataFrame =
+        Sketches.kmvDistinct(li, $"l_returnflag", key, KmvK)
+          .join(li.groupBy($"l_returnflag".as("grp"))
+            .agg(countDistinct(key).as("exact_distinct")), Seq("grp"))
+          .withColumn("key_kind", lit(kind))
+      side($"l_partkey", "l_partkey", "partkey")
+        .unionByName(side($"l_linestatus", "l_linestatus", "linestatus"))
+        .select($"key_kind", $"grp".as("l_returnflag"), $"n_kept",
+          $"h_k", $"est_distinct", $"exact_distinct")
     }))
+
+  /** q61's sketch size: 64 minima ⇒ expected relative error
+    * ~1/√(k−2) ≈ 12.7%; the oracle reproduces the estimate exactly
+    * either way, this only calibrates how informative it is. */
+  private val KmvK = 64
 
   /** q60's filter geometry: ~300 build keys at sf0.01 in 8192 bits with
     * 3 hash rows ⇒ fpp ≈ 0.1% — small but nonzero, so the fixture
@@ -470,6 +495,29 @@ object ExtendedQueries extends QueryPack {
          |LEFT JOIN bkeys b
          |  ON CAST(o.o_custkey AS VARCHAR) = b.bkey
          |GROUP BY o_orderpriority""".stripMargin
+    },
+    // q61's twin replays the k-min order statistics from the portable
+    // hash and the same IEEE-754 estimate arithmetic — the sketch VALUES
+    // (kth hash, estimate) hash-match, not just group counts.
+    "q61_kmv_distinct" -> {
+      import graft.operators.Sketches.kmvSql
+      s"""WITH dense AS (${kmvSql("lineitem", "l_returnflag",
+            "l_partkey", KmvK)}),
+         |dex AS (SELECT l_returnflag AS grp,
+         |          count(DISTINCT l_partkey) AS exact_distinct
+         |        FROM lineitem GROUP BY 1),
+         |sparse AS (${kmvSql("lineitem", "l_returnflag",
+            "l_linestatus", KmvK)}),
+         |sex AS (SELECT l_returnflag AS grp,
+         |          count(DISTINCT l_linestatus) AS exact_distinct
+         |        FROM lineitem GROUP BY 1)
+         |SELECT 'partkey' AS key_kind, d.grp AS l_returnflag, d.n_kept,
+         |  d.h_k, d.est_distinct, dex.exact_distinct
+         |FROM dense d JOIN dex ON d.grp = dex.grp
+         |UNION ALL
+         |SELECT 'linestatus' AS key_kind, s.grp AS l_returnflag, s.n_kept,
+         |  s.h_k, s.est_distinct, sex.exact_distinct
+         |FROM sparse s JOIN sex ON s.grp = sex.grp""".stripMargin
     },
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (

@@ -69,6 +69,39 @@ class SketchesSpec extends AnyFunSuite {
     assert(streamed.size <= 4 * 64, "state exceeded the constant grid")
   }
 
+  test("KMV distinct estimate: calibrated error, partition-invariant, " +
+      "exact in the sparse regime") {
+    // 3 groups with known distinct counts: g0 5000 keys, g1 800 keys
+    // (both >> k: formula path), g2 9 keys (sparse path)
+    val rows = (1 to 5000).map(i => ("g0", s"a$i")) ++
+      (1 to 800).map(i => ("g1", s"b$i")) ++
+      (1 to 9).map(i => ("g2", s"c$i")) ++
+      (1 to 800).map(i => ("g1", s"b$i")) // duplicates must not matter
+    val df = rows.toDF("grp", "key")
+    val out = Sketches.kmvDistinct(df, col("grp"), col("key"), k = 64)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("est_distinct"))).toMap
+    // k=64 ⇒ stderr ≈ 1/√62 ≈ 12.7%; 4σ bound keeps flake odds nil
+    assert(math.abs(out("g0")._2 / 5000.0 - 1.0) < 0.5, out("g0"))
+    assert(math.abs(out("g1")._2 / 800.0 - 1.0) < 0.5, out("g1"))
+    assert(out("g0")._1 == 64L && out("g1")._1 == 64L)
+    // sparse regime: all 9 hashes kept, estimate IS the exact count
+    assert(out("g2") == ((9L, 9.0)))
+    // the two-stage k-min selection must not depend on physical layout
+    Seq(1, 7, 32).foreach { n =>
+      val re = Sketches.kmvDistinct(df.repartition(n), col("grp"),
+          col("key"), k = 64)
+        .collect().map(r => r.getAs[String]("grp") ->
+          (r.getAs[Long]("n_kept"), r.getAs[Long]("h_k"),
+            r.getAs[Double]("est_distinct"))).toMap
+      val base = Sketches.kmvDistinct(df, col("grp"), col("key"), k = 64)
+        .collect().map(r => r.getAs[String]("grp") ->
+          (r.getAs[Long]("n_kept"), r.getAs[Long]("h_k"),
+            r.getAs[Double]("est_distinct"))).toMap
+      assert(re == base, s"repartition($n) changed the sketch")
+    }
+  }
+
   test("top-k tie-break is (count desc, token asc) and deterministic") {
     val docs = Seq("b b a a d c c", "d e").toDF("text")
     val out = Sketches.tokenHeavyHitters(docs, "text", k = 3)
