@@ -115,7 +115,15 @@ object Sketches {
     *
     * Output: (grp, n_kept, h_k, est_distinct). */
   def kmvDistinct(df: DataFrame, grp: Column, key: Column,
-                  k: Int = 64): DataFrame = {
+                  k: Int = 64): DataFrame =
+    kmvEstimate(kMinHashes(df, grp, key, k), k)
+
+  /** The sketch STATE: the k smallest distinct key hashes per group,
+    * as (grp, h) rows. Exposed because KMV states are mergeable — the
+    * k-min of a union of sets is the k-min of the union of their
+    * k-min states (q62 builds union/intersection estimates on this). */
+  def kMinHashes(df: DataFrame, grp: Column, key: Column,
+                 k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dk = df.filter(key.isNotNull)
       .select(grp.as("grp"), PortableHash.hash60(key.cast("string")).as("h"))
@@ -125,16 +133,19 @@ object Sketches {
         row_number().over(Window.partitionBy(col("grp"), col("p"))
           .orderBy(col("h"))))
       .filter(col("rn") <= k).select(col("grp"), col("h"))
-    val kept = local.withColumn("rn",
+    local.withColumn("rn",
         row_number().over(Window.partitionBy(col("grp")).orderBy(col("h"))))
-      .filter(col("rn") <= k)
+      .filter(col("rn") <= k).select(col("grp"), col("h"))
+  }
+
+  /** (grp, n_kept, h_k, est_distinct) from a [[kMinHashes]] state. */
+  def kmvEstimate(kept: DataFrame, k: Int): DataFrame =
     kept.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
       .withColumn("est_distinct",
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(Pow60) /
             col("h_k").cast("double")))
-  }
 
   /** 2^60 as a double (exact): the hash range for the KMV estimator. */
   val Pow60: Double = 1152921504606846976.0

@@ -422,6 +422,64 @@ object ExtendedQueries extends QueryPack {
         .unionByName(side($"l_linestatus", "l_linestatus", "linestatus"))
         .select($"key_kind", $"grp".as("l_returnflag"), $"n_kept",
           $"h_k", $"est_distinct", $"exact_distinct")
+    }),
+
+    // Q62 — KMV set operations (Beyer et al. 2007 §4): the part sets
+    // bought by BUILDING vs MACHINERY customers, their union estimated
+    // by MERGING the two k-min states (k-min of the union of states —
+    // the mergeability that lets per-partition sketches combine at
+    // 100 TB without revisiting data), and their intersection estimated
+    // as ρ/k · est_union where ρ counts merged-state members present in
+    // BOTH side states. Exact union/intersection ride along; every
+    // estimate is portable-hash order statistics, hash-checked exactly.
+    "q62_kmv_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Sketches
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+      val ords = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val cust = t(s, dir, "customer")
+        .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+        .select($"c_custkey", $"c_mktsegment".as("side"))
+      val sides = li.join(ords, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .select($"side", $"l_partkey".as("pk"))
+      val kept = Sketches.kMinHashes(sides, $"side", $"pk", KmvK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perSide = Sketches.kmvEstimate(kept, KmvK).groupBy().agg(
+        max(when($"grp" === "BUILDING", $"est_distinct"))
+          .as("est_building"),
+        max(when($"grp" === "MACHINERY", $"est_distinct"))
+          .as("est_machinery"))
+      // union sketch = k smallest of the two states' union (≤2k rows)
+      val merged = kept.select($"h").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy($"h")))
+        .filter($"rn" <= KmvK).select($"h")
+      val uAgg = merged
+        .agg(count(lit(1)).as("n_kept_u"), max($"h").as("h_k_u"))
+        .withColumn("est_union",
+          when($"n_kept_u" < KmvK, $"n_kept_u".cast("double"))
+            .otherwise(lit((KmvK - 1).toDouble) *
+              lit(Sketches.Pow60) / $"h_k_u".cast("double")))
+      val inBoth = kept.groupBy($"h")
+        .agg(countDistinct($"grp").as("ns"))
+        .filter($"ns" === 2).select($"h")
+      val rho = merged.join(inBoth, Seq("h"))
+        .agg(count(lit(1)).as("rho"))
+      val exact = sides.groupBy($"pk")
+        .agg(countDistinct($"side").as("ns"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when($"ns" === 2, 1L).otherwise(0L))
+            .as("exact_intersection"))
+      uAgg.crossJoin(broadcast(rho)).crossJoin(broadcast(exact))
+        .crossJoin(broadcast(perSide))
+        .withColumn("est_intersection",
+          when($"n_kept_u" < KmvK, $"rho".cast("double"))
+            .otherwise(($"rho".cast("double") / lit(KmvK.toDouble)) *
+              $"est_union"))
+        .select($"n_kept_u", $"h_k_u", $"est_union", $"rho",
+          $"est_intersection", $"exact_union", $"exact_intersection",
+          $"est_building", $"est_machinery")
     }))
 
   /** q61's sketch size: 64 minima ⇒ expected relative error
@@ -518,6 +576,61 @@ object ExtendedQueries extends QueryPack {
          |SELECT 'linestatus' AS key_kind, s.grp AS l_returnflag, s.n_kept,
          |  s.h_k, s.est_distinct, sex.exact_distinct
          |FROM sparse s JOIN sex ON s.grp = sex.grp""".stripMargin
+    },
+    // q62's twin merges the same two k-min states and replays the
+    // ρ/k · est_union intersection estimator with the identical double
+    // AST; exact union/intersection come from plain distinct counting.
+    "q62_kmv_set_ops" -> {
+      import graft.functions.PortableHash
+      val est = s"CASE WHEN count(*) < $KmvK THEN CAST(count(*) AS DOUBLE) " +
+        s"ELSE ${(KmvK - 1).toDouble} * ${graft.operators.Sketches.Pow60} " +
+        s"/ CAST(max(h) AS DOUBLE) END"
+      s"""WITH sides AS (
+         |  SELECT DISTINCT c.c_mktsegment AS side, l.l_partkey AS pk
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+         |), hs AS (
+         |  SELECT DISTINCT side,
+         |    ${PortableHash.hash60Sql("CAST(pk AS VARCHAR)")} AS h
+         |  FROM sides
+         |), ka AS (
+         |  SELECT side, h FROM (
+         |    SELECT side, h,
+         |      row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+         |    FROM hs) WHERE rn <= $KmvK
+         |), per_side AS (
+         |  SELECT
+         |    max(CASE WHEN grp = 'BUILDING' THEN est END) AS est_building,
+         |    max(CASE WHEN grp = 'MACHINERY' THEN est END) AS est_machinery
+         |  FROM (SELECT side AS grp, $est AS est FROM ka GROUP BY side)
+         |), merged AS (
+         |  SELECT h FROM (
+         |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |    FROM (SELECT DISTINCT h FROM ka)) WHERE rn <= $KmvK
+         |), u AS (
+         |  SELECT count(*) AS n_kept_u, max(h) AS h_k_u, $est AS est_union
+         |  FROM merged
+         |), both_h AS (
+         |  SELECT h FROM ka GROUP BY h HAVING count(DISTINCT side) = 2
+         |), rr AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS rho
+         |  FROM merged JOIN both_h ON merged.h = both_h.h
+         |), ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS exact_union,
+         |    CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS exact_intersection
+         |  FROM (SELECT pk, count(DISTINCT side) AS ns
+         |        FROM sides GROUP BY pk)
+         |)
+         |SELECT u.n_kept_u, u.h_k_u, u.est_union, rr.rho,
+         |  CASE WHEN u.n_kept_u < $KmvK THEN CAST(rr.rho AS DOUBLE)
+         |       ELSE (CAST(rr.rho AS DOUBLE) / ${KmvK.toDouble})
+         |            * u.est_union END AS est_intersection,
+         |  ex.exact_union, ex.exact_intersection,
+         |  per_side.est_building, per_side.est_machinery
+         |FROM u, rr, ex, per_side""".stripMargin
     },
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (

@@ -289,6 +289,47 @@ object PipelineQueries extends QueryPack {
         .agg(count(lit(1)).as("n_rows"),
           min($"cust").as("min_cust"), max($"cust").as("max_cust"),
           min($"day").as("min_day"), max($"day").as("max_day"))
+    }),
+
+    // temperature-scaled source mixing (Arivazhagan et al. 2019 §4;
+    // mT5's α-sampling, Xue et al. 2021): sample source s with
+    // probability ∝ n_s^α, α=0.5, downsampling to a half-corpus budget.
+    // Unlike pl10 (fixed integer weights, upsampling) the rates DERIVE
+    // from corpus statistics. α=0.5 keeps it exactly oracle-able:
+    // IEEE-754 sqrt is correctly rounded, the cross-source weight sum
+    // runs in DECIMAL, and every division is spelled in the same double
+    // AST in both engines. Selection is the deterministic hash
+    // threshold, so n_selected is exact, not expected-value.
+    //
+    // Scale shape: two tiny aggregates (per-source counts, one totals
+    // row), a broadcast rate join, and one narrow filtered count —
+    // nothing corpus-scale shuffles except the per-source count.
+    "pl15_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.{ExactNum, PortableHash}
+      val docs = Tables.load(s, dir, "documents")
+      val counts = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+      val ws = counts.withColumn("w",
+        sqrt($"n_docs".cast("double")).cast(ExactNum.Exact))
+      val tot = ws.agg(sum($"w").cast("double").as("w_tot"),
+        expr("sum(n_docs) div 2").as("budget"))
+      val rates = ws.crossJoin(broadcast(tot)).select(
+        $"source", $"n_docs", $"budget",
+        ($"w".cast("double") / $"w_tot").as("share"))
+        .withColumn("rate", least(lit(1.0),
+          ($"budget".cast("double") * $"share") /
+            $"n_docs".cast("double")))
+      val rated = rates.select($"source", $"n_docs", $"share", $"rate")
+      docs.select($"doc_id", $"source")
+        .join(broadcast(rated), Seq("source"))
+        .withColumn("sel",
+          PortableHash.hash60($"doc_id".cast("string")).cast("double") <
+            $"rate" * lit(graft.operators.Sketches.Pow60))
+        .groupBy($"source")
+        .agg(max($"n_docs").as("n_docs"), max($"share").as("share"),
+          max($"rate").as("rate"),
+          sum(when($"sel", 1L).otherwise(0L)).as("n_selected"))
     }))
 
   /** pl8's DuckDB twin: the same four stages as the Spark side, chained
@@ -320,6 +361,37 @@ object PipelineQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // pl15's twin replays the α=0.5 rate derivation with the identical
+    // numeric AST: IEEE sqrt → DECIMAL(28,6) weight sum → double
+    // divisions in the same order → portable-hash threshold.
+    "pl15_temperature_mix" -> {
+      import graft.functions.PortableHash
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+         |), w AS (
+         |  SELECT source, n_docs,
+         |    CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(28,6)) AS w
+         |  FROM c
+         |), t AS (
+         |  SELECT CAST(sum(w) AS DOUBLE) AS w_tot,
+         |    sum(n_docs) // 2 AS budget FROM w
+         |), r AS (
+         |  SELECT source, n_docs,
+         |    CAST(w AS DOUBLE) / w_tot AS share,
+         |    least(1.0, (CAST(budget AS DOUBLE) *
+         |        (CAST(w AS DOUBLE) / w_tot)) / CAST(n_docs AS DOUBLE))
+         |      AS rate
+         |  FROM w, t
+         |)
+         |SELECT d.source, max(r.n_docs) AS n_docs, max(r.share) AS share,
+         |  max(r.rate) AS rate,
+         |  CAST(sum(CASE WHEN
+         |      ${PortableHash.hash60Sql("CAST(d.doc_id AS VARCHAR)")}
+         |        < r.rate * 1152921504606846976.0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+         |FROM documents d JOIN r ON d.source = r.source
+         |GROUP BY d.source""".stripMargin
+    },
     // pl14's twin inlines the identical shift-mask-or interleave over the
     // same integer-DIV range normalization (// is DuckDB's integer DIV).
     "pl14_zorder_stats" -> {

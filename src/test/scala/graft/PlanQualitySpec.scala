@@ -32,8 +32,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "gr2_triangles",        // final combine of three 1-row stat frames
     "sim12_mmr_rerank",     // candidate gen = sim1's brute product
                             // (bounded query side, broadcast)
-    "pl14_zorder_stats")    // broadcast 1-row global min/max for the
+    "pl14_zorder_stats",    // broadcast 1-row global min/max for the
                             // range normalization (the zorder stats pass)
+    "pl15_temperature_mix", // broadcast 1-row corpus totals (w_tot, budget)
+    "q62_kmv_set_ops")      // final combine of 1-row sketch-stat frames
 
   test("no accidental cartesian / broadcast-nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

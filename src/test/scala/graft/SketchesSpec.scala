@@ -102,6 +102,31 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV merge: k-min of unioned states equals the union's own sketch") {
+    import org.apache.spark.sql.expressions.Window
+    // overlapping key sets: merging the two 64-min STATES must give
+    // exactly the sketch a fresh pass over A ∪ B would build — the
+    // property that lets per-partition/per-day sketches combine without
+    // revisiting data
+    val a = (1 to 3000).map(i => ("A", s"x$i"))
+    val b = (2000 to 4500).map(i => ("B", s"x$i"))
+    val df = (a ++ b).toDF("grp", "key")
+    val kept = Sketches.kMinHashes(df, col("grp"), col("key"), 64)
+    val mergedState = kept.select(lit("u").as("grp"), col("h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rn") <= 64).select(col("grp"), col("h"))
+    val viaMerge = Sketches.kmvEstimate(mergedState, 64)
+      .collect().map(r => (r.getAs[Long]("n_kept"), r.getAs[Long]("h_k"),
+        r.getAs[Double]("est_distinct"))).head
+    val direct = Sketches.kmvDistinct(
+        df.select(lit("u").as("g"), col("key")), col("g"), col("key"), 64)
+      .collect().map(r => (r.getAs[Long]("n_kept"), r.getAs[Long]("h_k"),
+        r.getAs[Double]("est_distinct"))).head
+    assert(viaMerge == direct)
+    assert(math.abs(direct._3 / 4500.0 - 1.0) < 0.5, direct)
+  }
+
   test("top-k tie-break is (count desc, token asc) and deterministic") {
     val docs = Seq("b b a a d c c", "d e").toDF("text")
     val out = Sketches.tokenHeavyHitters(docs, "text", k = 3)
