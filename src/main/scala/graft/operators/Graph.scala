@@ -126,7 +126,8 @@ object Graph {
     */
   def triangleStats(edges: DataFrame,
                     broadcastEdgeLimit: Long = 20000000L,
-                    wedgeBroadcastLimit: Long = 2000000L): DataFrame = {
+                    wedgeBroadcastLimit: Long = 2000000L,
+                    maxOrientedWedges: Long = 50000000000L): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("s1"), col("s2"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -168,6 +169,22 @@ object Graph {
     // sort the wedge stream) with edges partitioned by the join key.
     def buildSide(d: DataFrame) =
       if (nEdges <= broadcastEdgeLimit) broadcast(d) else d.hint("shuffle_hash")
+    // wedge-budget guard: the join below materializes Σ out(v)·in(v)
+    // probe rows. Degree orientation bounds that by O(E^{3/2}) for any
+    // graph, but a pathologically dense PROJECTION (one giant order ⇒ a
+    // clique) still explodes within that bound. The exact oriented wedge
+    // count costs two node-sized aggs off the cached edge table — pay it
+    // up front and fail with the number and the knob, instead of letting
+    // a 100×-scale job discover it as an hours-long stage.
+    val wedgeWork = oriented.groupBy(col("u")).agg(count(lit(1)).as("o"))
+      .join(oriented.groupBy(col("v")).agg(count(lit(1)).as("i")),
+        col("u") === col("v"))
+      .agg(coalesce(sum(col("o") * col("i")), lit(0L))).head.getLong(0)
+    require(wedgeWork <= maxOrientedWedges,
+      s"triangleStats: oriented wedge count $wedgeWork exceeds the " +
+        s"$maxOrientedWedges budget — the projection is too dense to " +
+        "enumerate; pre-filter hub groups (cap per-key set size at the " +
+        "edge build) or raise maxOrientedWedges deliberately")
     val maxId = e.agg(max(greatest(col("s1"), col("s2")))).head.getLong(0)
     // the wedge-build side fans out per probe row, so its broadcast
     // threshold is tighter than the closing probe's — but both must

@@ -48,6 +48,22 @@ class GraphSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_triangles") === 0L)
   }
 
+  test("triangleStats: wedge budget trips on a dense projection, " +
+      "default budget changes nothing") {
+    // K8: 28 edges, oriented wedge work Σ out·in > 0 — a budget of 1
+    // must refuse up front rather than enumerate
+    val k8 = (for { a <- 1L to 8L; b <- (a + 1) to 8L } yield (a, b))
+    val e = intercept[IllegalArgumentException] {
+      Graph.triangleStats(edgeDf(k8: _*), maxOrientedWedges = 1L).collect()
+    }
+    assert(e.getMessage.contains("wedge count"))
+    // and under the default budget the same graph counts exactly: K8 has
+    // C(8,3)=56 triangles, clustering 1.0
+    val ok = Graph.triangleStats(edgeDf(k8: _*)).collect().head
+    assert(ok.getAs[Long]("n_triangles") === 56L)
+    assert(ok.getAs[Double]("clustering") === 1.0)
+  }
+
   test("pagerank: star graph — hub dominates, leaves symmetric, " +
        "single round matches the closed form bit-for-bit") {
     val edges = edgeDf((1L, 2L), (1L, 3L), (1L, 4L))
