@@ -480,6 +480,47 @@ object ExtendedQueries extends QueryPack {
         .select($"n_kept_u", $"h_k_u", $"est_union", $"rho",
           $"est_intersection", $"exact_union", $"exact_intersection",
           $"est_building", $"est_machinery")
+    }),
+
+    // Q63 — funnel / sequential event-pattern matching (the
+    // MATCH_RECOGNIZE shape Spark lacks natively): per user, the first
+    // view, the first click strictly AFTER it, the first purchase
+    // strictly after THAT. Expressed as cascaded conditional-min
+    // aggregations — every join and aggregate keys on user_id, so after
+    // the first exchange the whole cascade stays co-partitioned (no
+    // per-user event arrays collected; state per pass is 3 timestamps).
+    "q63_funnel_stages" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id", $"event_type", $"ts")
+      val s1 = ev.groupBy($"user_id")
+        .agg(min(when($"event_type" === "view", $"ts")).as("t_view"))
+      val s2 = ev.join(s1, Seq("user_id")).groupBy($"user_id")
+        .agg(max($"t_view").as("t_view"),
+          min(when($"event_type" === "click" && $"ts" > $"t_view", $"ts"))
+            .as("t_click"))
+      val s3 = ev.join(s2, Seq("user_id")).groupBy($"user_id")
+        .agg(max($"t_view").as("t_view"), max($"t_click").as("t_click"),
+          min(when($"event_type" === "purchase" && $"ts" > $"t_click",
+            $"ts")).as("t_purchase"))
+      s3.withColumn("stage",
+        when($"t_purchase".isNotNull, 3L)
+          .when($"t_click".isNotNull, 2L)
+          .when($"t_view".isNotNull, 1L).otherwise(0L))
+    }),
+
+    // Q64 — cohort retention matrix: users cohorted by first-active
+    // day, activity counted per (cohort, day offset). Two aggregations
+    // and one join, all keyed on user_id / the output pair — the
+    // standard product-analytics query at any scale.
+    "q64_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      val day = floor(unix_millis($"ts") / 86400000L).cast("long")
+      val act = t(s, dir, "events")
+        .select($"user_id", day.as("day")).distinct()
+      val cohort = act.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      act.join(cohort, Seq("user_id"))
+        .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+        .agg(countDistinct($"user_id").as("n_active"))
     }))
 
   /** q61's sketch size: 64 minima ⇒ expected relative error
@@ -632,6 +673,41 @@ object ExtendedQueries extends QueryPack {
          |  per_side.est_building, per_side.est_machinery
          |FROM u, rr, ex, per_side""".stripMargin
     },
+    "q63_funnel_stages" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM ev GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, max(s1.t_view) AS t_view,
+        |    min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+        |        THEN e.ts END) AS t_click
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, max(s2.t_view) AS t_view,
+        |    max(s2.t_click) AS t_click,
+        |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+        |        THEN e.ts END) AS t_purchase
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id
+        |)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS stage
+        |FROM s3""".stripMargin,
+    "q64_cohort_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+        |)
+        |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM act a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer
