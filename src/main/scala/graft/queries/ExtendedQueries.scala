@@ -508,6 +508,26 @@ object ExtendedQueries extends QueryPack {
           .when($"t_view".isNotNull, 1L).otherwise(0L))
     }),
 
+    // Q65 — session path transitions: the event-type Markov matrix
+    // (prev → next counts + exact gap mass) over per-user event-time
+    // order, transitions cut at the 30-minute session gap (t2's
+    // sessionization constant). One window keyed on user, one hash agg
+    // on the 5×5 type matrix; (ts, event_id) ordering makes ties
+    // deterministic in both engines.
+    "q65_session_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type", $"ts")
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .withColumn("gap_ms",
+          unix_millis($"ts") - lag(unix_millis($"ts"), 1).over(w))
+        .filter($"prev_type".isNotNull && $"gap_ms" <= 1800000L)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          sum($"gap_ms").as("sum_gap_ms"))
+    }),
+
     // Q64 — cohort retention matrix: users cohorted by first-active
     // day, activity counted per (cohort, day offset). Two aggregations
     // and one join, all keyed on user_id / the output pair — the
@@ -697,6 +717,19 @@ object ExtendedQueries extends QueryPack {
         |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
         |    AS stage
         |FROM s3""".stripMargin,
+    "q65_session_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    lag(event_type) OVER w AS prev_type,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT prev_type, event_type AS next_type,
+        |  count(*) AS n_transitions, CAST(sum(gap_ms) AS BIGINT)
+        |    AS sum_gap_ms
+        |FROM o WHERE prev_type IS NOT NULL AND gap_ms <= 1800000
+        |GROUP BY 1, 2""".stripMargin,
     "q64_cohort_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day
