@@ -84,6 +84,86 @@ object StatefulOps {
       }
   }
 
+  /** Funnel state: min view, max seen ts, pruned click/purchase sets. */
+  case class FunnelState(vMin: Long, maxTs: Long, clicks: Seq[Long],
+                         purchases: Seq[Long])
+
+  /** A finalized per-user funnel row (epoch-ms stage timestamps). */
+  case class FunnelResult(user_id: Long, t_view_ms: Option[Long],
+                          t_click_ms: Option[Long],
+                          t_purchase_ms: Option[Long], stage: Int)
+
+  /** Streaming twin of q63's funnel (first view → first click strictly
+    * after it → first purchase strictly after that), CORRECT under
+    * out-of-order arrival: per-user state buffers the minimal sufficient
+    * statistics and the funnel is finalized only when the event-time
+    * timeout fires (watermark past last event + horizon), exactly like a
+    * batch pass over the user's history.
+    *
+    * Why the state stays small — pruning with a proof obligation:
+    *  - views: only the MINIMUM view time can matter; one long.
+    *  - clicks: the current click answer b = min{c > vMin} only ever
+    *    DECREASES (later batches can only lower vMin or add smaller
+    *    clicks), so clicks > b can never become the answer — pruned.
+    *    Kept clicks are those ≤ b (each is the answer for some final
+    *    vMin below it). With no view yet, every distinct click is a
+    *    candidate — the unpruned worst case is the user's distinct click
+    *    times inside the watermark horizon, the irreducible cost of
+    *    order-insensitive sequence matching.
+    *  - purchases: same argument against the (also monotone) click
+    *    answer.
+    *
+    * Input: (user_id LONG, event_type STRING, ts TIMESTAMP), watermarked
+    * — the timeout clock is the watermark, as in [[sessionsWithTimeout]]. */
+  def funnelStages(spark: SparkSession, events: DataFrame,
+                   horizonMs: Long): Dataset[FunnelResult] = {
+    import spark.implicits._
+    val NoV = Long.MaxValue
+    events.select("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelResult](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val FunnelState(vMin, _, clicks, purchases) = state.get
+            state.remove()
+            val tView = if (vMin == NoV) None else Some(vMin)
+            val tClick = tView.flatMap(v =>
+              clicks.filter(_ > v).sorted.headOption)
+            val tPurch = tClick.flatMap(c =>
+              purchases.filter(_ > c).sorted.headOption)
+            val stage = Seq(tView, tClick, tPurch).takeWhile(_.isDefined).size
+            Iterator.single(FunnelResult(user, tView, tClick, tPurch, stage))
+          } else {
+            val st = state.getOption.getOrElse(
+              FunnelState(NoV, 0L, Seq.empty, Seq.empty))
+            var (vMin, maxTs) = (st.vMin, st.maxTs)
+            var clicks = st.clicks
+            var purchases = st.purchases
+            rows.foreach { case (_, typ, ts) =>
+              val ms = ts.getTime
+              maxTs = math.max(maxTs, ms)
+              typ match {
+                case "view"     => vMin = math.min(vMin, ms)
+                case "click"    => clicks = clicks :+ ms
+                case "purchase" => purchases = purchases :+ ms
+                case _          => ()
+              }
+            }
+            clicks = clicks.distinct.sorted
+            val b = clicks.find(_ > vMin)
+            clicks = b.fold(clicks)(x => clicks.filter(_ <= x))
+            purchases = purchases.distinct.sorted
+            val b2 = b.flatMap(x => purchases.find(_ > x))
+            purchases = b2.fold(purchases)(x => purchases.filter(_ <= x))
+            state.update(FunnelState(vMin, maxTs, clicks, purchases))
+            state.setTimeoutTimestamp(maxTs + horizonMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-key running max on the `transformWithState` arbitrary-state API
     * (Spark 4): typed `ValueState` handles, explicit TTL surface, timer
     * registration — the successor to flatMapGroupsWithState, and the API a

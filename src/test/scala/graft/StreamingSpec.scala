@@ -371,6 +371,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("b") == ((1L, 5.0, 100000L, true)))
   }
 
+  test("streaming funnel: out-of-order micro-batches finalize to the " +
+      "batch q63 stages on timeout") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val events = mem.toDF().toDF("user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+      .withWatermark("ts", "1 hour")
+    val q = graft.streaming.StatefulOps
+      .funnelStages(spark, events, horizonMs = 30000L)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream").start()
+    try {
+      // the SAME planted users as EventAnalyticsSpec's q63 test, arriving
+      // maximally out of order across micro-batches: purchases first,
+      // user 2's pre-view click early, user 1's view LAST
+      mem.addData(Seq((1L, "purchase", 30L), (2L, "click", 10L),
+        (3L, "view", 10L), (4L, "click", 10L)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, "click", 20L), (2L, "view", 20L),
+        (3L, "purchase", 5L), (4L, "click", 20L)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, "view", 10L), (2L, "click", 30L)))
+      q.processAllAvailable()
+      // advance the watermark far past every user's maxTs + horizon
+      mem.addData(Seq((99L, "view", 20000L)))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, "view", 30000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("funnel_stream").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Int]("stage"), Option(r.getAs[Any]("t_click_ms"))))
+      .toMap
+    // user 1: view@10 click@20 purchase@30 despite arrival order ⇒ 3;
+    // user 2: the click@10 BEFORE view@20 must not count, click@30
+    // does ⇒ 2; user 3: purchase precedes the view ⇒ 1; user 4: clicks
+    // without any view ⇒ 0
+    assert(out(1L) == ((3, Some(20000L))))
+    assert(out(2L) == ((2, Some(30000L))))
+    assert(out(3L) == ((1, None)))
+    assert(out(4L) == ((0, None)))
+  }
+
   test("chained windowed aggregations: 10s counts roll up to 1min in one stream") {
     // Spark 4 allows multiple stateful operators in append mode when the
     // second aggregation windows over the FIRST's `window` struct (the
