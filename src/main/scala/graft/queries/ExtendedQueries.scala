@@ -441,9 +441,14 @@ object ExtendedQueries extends QueryPack {
       val cust = t(s, dir, "customer")
         .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
         .select($"c_custkey", $"c_mktsegment".as("side"))
+      // ONE pass builds the distinct (side, pk) base — part-dimension-
+      // sized — off the fact join; both the sketch states and the exact
+      // counts read it, so the 3-way join never executes twice
       val sides = li.join(ords, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .select($"side", $"l_partkey".as("pk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val kept = Sketches.kMinHashes(sides, $"side", $"pk", KmvK)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val perSide = Sketches.kmvEstimate(kept, KmvK).groupBy().agg(
