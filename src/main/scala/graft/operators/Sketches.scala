@@ -150,6 +150,40 @@ object Sketches {
   /** 2^60 as a double (exact): the hash range for the KMV estimator. */
   val Pow60: Double = 1152921504606846976.0
 
+  /** Streaming twin of [[kmvDistinct]]: the same k-min state maintained
+    * per group across micro-batches via flatMapGroupsWithState — state
+    * is AT MOST k longs per group (the sketch's defining bound; folding
+    * a batch is merge-with-state, the exact operation SketchesSpec pins
+    * ≡ a fresh batch pass), and each batch emits the group's refreshed
+    * (n_kept, h_k, est_distinct) row for a replace-by-key sink.
+    * Estimate arithmetic is [[kmvEstimate]]'s, verbatim. */
+  def streamingKmvDistinct(
+      df: DataFrame, grpCol: String, keyCol: String, k: Int = 64)
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(keyCol).isNotNull)
+      .select(col(grpCol).cast("string").as("grp"),
+        PortableHash.hash60(col(keyCol).cast("string")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], (String, Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (grp, rows, state: GroupState[Seq[Long]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            rows.map(_._2)).distinct.sorted.take(k)
+          state.update(merged)
+          val nKept = merged.size.toLong
+          val hK = merged.last
+          val est = if (nKept < k) nKept.toDouble
+            else (k - 1).toDouble * Pow60 / hK.toDouble
+          Iterator.single((grp, nKept, hK, est))
+      }
+      .toDF("grp", "n_kept", "h_k", "est_distinct")
+  }
+
   /** DuckDB twin of [[kmvDistinct]]'s selection + estimate, as a CTE
     * body parameterized on the source relation and expressions. */
   def kmvSql(from: String, grpExpr: String, keyExpr: String,

@@ -127,6 +127,41 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(direct._3 / 4500.0 - 1.0) < 0.5, direct)
   }
 
+  test("streaming KMV: drained stream's final sketch equals the batch " +
+      "sketch over the same keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val rows = (1 to 3000).map(i => ("g0", s"a$i")) ++
+      (1 to 40).map(i => ("g1", s"b$i")) ++
+      (500 to 1500).map(i => ("g0", s"a$i")) // cross-batch repeats
+    val mem = MemoryStream[(String, String)]
+    val q = Sketches.streamingKmvDistinct(
+        mem.toDF().toDF("grp", "key"), "grp", "key", k = 64)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("kmv_stream").start()
+    try {
+      rows.grouped(700).foreach { chunk =>
+        mem.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // update mode: last row per group is the final sketch
+    val streamed = spark.table("kmv_stream")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("n_kept").desc, col("h_k").asc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("h_k"),
+          r.getAs[Double]("est_distinct"))).toMap
+    val batch = Sketches.kmvDistinct(rows.toDF("grp", "key"),
+        col("grp"), col("key"), k = 64)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("h_k"),
+          r.getAs[Double]("est_distinct"))).toMap
+    assert(streamed == batch)
+    assert(batch("g1")._1 == 40L) // sparse group: all hashes kept
+  }
+
   test("top-k tie-break is (count desc, token asc) and deterministic") {
     val docs = Seq("b b a a d c c", "d e").toDF("text")
     val out = Sketches.tokenHeavyHitters(docs, "text", k = 3)
