@@ -176,15 +176,21 @@ object Graph {
     // count costs two node-sized aggs off the cached edge table — pay it
     // up front and fail with the number and the knob, instead of letting
     // a 100×-scale job discover it as an hours-long stage.
-    val wedgeWork = oriented.groupBy(col("u")).agg(count(lit(1)).as("o"))
-      .join(oriented.groupBy(col("v")).agg(count(lit(1)).as("i")),
-        col("u") === col("v"))
-      .agg(coalesce(sum(col("o") * col("i")), lit(0L))).head.getLong(0)
-    require(wedgeWork <= maxOrientedWedges,
-      s"triangleStats: oriented wedge count $wedgeWork exceeds the " +
-        s"$maxOrientedWedges budget — the projection is too dense to " +
-        "enumerate; pre-filter hub groups (cap per-key set size at the " +
-        "edge build) or raise maxOrientedWedges deliberately")
+    // fast path: wedgeWork ≤ E^{3/2} under degree orientation, so when
+    // even that ceiling is inside the budget the exact count (two aggs +
+    // a driver collect) is pure overhead — only graphs big enough to
+    // possibly trip the guard pay for it
+    if (nEdges.toDouble * math.sqrt(nEdges.toDouble) > maxOrientedWedges) {
+      val wedgeWork = oriented.groupBy(col("u")).agg(count(lit(1)).as("o"))
+        .join(oriented.groupBy(col("v")).agg(count(lit(1)).as("i")),
+          col("u") === col("v"))
+        .agg(coalesce(sum(col("o") * col("i")), lit(0L))).head.getLong(0)
+      require(wedgeWork <= maxOrientedWedges,
+        s"triangleStats: oriented wedge count $wedgeWork exceeds the " +
+          s"$maxOrientedWedges budget — the projection is too dense to " +
+          "enumerate; pre-filter hub groups (cap per-key set size at the " +
+          "edge build) or raise maxOrientedWedges deliberately")
+    }
     val maxId = e.agg(max(greatest(col("s1"), col("s2")))).head.getLong(0)
     // the wedge-build side fans out per probe row, so its broadcast
     // threshold is tighter than the closing probe's — but both must

@@ -407,19 +407,18 @@ object ExtendedQueries extends QueryPack {
     // Q61 — KMV distinct-count sketch (see operators.Sketches.kmvDistinct):
     // the fully hash-checkable counterpart to q21's HLL. Two regimes in
     // one output: partkey groups exceed k=64 (estimator formula path),
-    // shipmode groups hold under k hashes (sparse path: est == exact).
+    // linestatus groups hold under k hashes (sparse path: est == exact).
     "q61_kmv_distinct" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.Sketches
       val li = t(s, dir, "lineitem")
-      def side(key: org.apache.spark.sql.Column, keyName: String,
-               kind: String): DataFrame =
+      def side(key: org.apache.spark.sql.Column, kind: String): DataFrame =
         Sketches.kmvDistinct(li, $"l_returnflag", key, KmvK)
           .join(li.groupBy($"l_returnflag".as("grp"))
             .agg(countDistinct(key).as("exact_distinct")), Seq("grp"))
           .withColumn("key_kind", lit(kind))
-      side($"l_partkey", "l_partkey", "partkey")
-        .unionByName(side($"l_linestatus", "l_linestatus", "linestatus"))
+      side($"l_partkey", "partkey")
+        .unionByName(side($"l_linestatus", "linestatus"))
         .select($"key_kind", $"grp".as("l_returnflag"), $"n_kept",
           $"h_k", $"est_distinct", $"exact_distinct")
     }),

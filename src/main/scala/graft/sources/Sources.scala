@@ -91,17 +91,20 @@ object Sources {
     val cols = schema.fields
       .map(f => s"${f.name} ${ddlType(f.dataType)}").mkString(", ")
     val st = conn.createStatement()
-    // only a table-exists failure may be swallowed: SQLState X0Y32 (Derby)
-    // / 42P07 (Postgres), or the literal "already exist" message. A bare
-    // "exist" match would also swallow "schema does not exist" and mask
-    // the real DDL error until the INSERT fails confusingly.
     try st.executeUpdate(s"CREATE TABLE $table ($cols)")
-    catch { case e: java.sql.SQLException
-      if Option(e.getSQLState).exists(s => s == "X0Y32" || s == "42P07") ||
-        Option(e.getMessage).exists(_.toLowerCase.contains("already exist"))
-      => () }
+    catch { case e: java.sql.SQLException if isAlreadyExists(e) => () }
     finally st.close()
   }
+
+  /** Only an object-exists failure may be swallowed by idempotent DDL:
+    * SQLState X0Y32 (Derby) / 42P07 (Postgres), or the literal "already
+    * exist" message. A bare "exist" match would also swallow "schema
+    * does not exist" and mask the real DDL error until the INSERT fails
+    * confusingly. One shared predicate: a new backend's state code is
+    * added once, for tables and indexes both. */
+  private def isAlreadyExists(e: java.sql.SQLException): Boolean =
+    Option(e.getSQLState).exists(s => s == "X0Y32" || s == "42P07") ||
+      Option(e.getMessage).exists(_.toLowerCase.contains("already exist"))
 
   /** Idempotent micro-batch upsert: ONE transaction that DELETEs the
     * batch's `keyCols` tuples and re-INSERTs the batch's rows. A replayed
@@ -174,10 +177,7 @@ object Sources {
     val st = conn.createStatement()
     try st.executeUpdate(
       s"CREATE INDEX ${table}_gkix ON $table (${cols.mkString(", ")})")
-    catch { case e: java.sql.SQLException
-      if Option(e.getSQLState).exists(s => s == "X0Y32" || s == "42P07") ||
-        Option(e.getMessage).exists(_.toLowerCase.contains("already exist"))
-      => () }
+    catch { case e: java.sql.SQLException if isAlreadyExists(e) => () }
     finally st.close()
   }
 
@@ -261,8 +261,15 @@ object Sources {
       conn.setAutoCommit(false)
       val st = conn.createStatement()
       try {
+        // distinct FULL rows first: a speculative / zombie task attempt
+        // that double-commits a partition leaves byte-identical copies
+        // (both attempts stage the same deterministic content under the
+        // same partition id), which must not abort a correct batch; the
+        // check flags only keys carrying ≥2 DIFFERENT tuples — a real
+        // key-does-not-identify-rows violation
         val dup = st.executeQuery(
-          s"SELECT 1 FROM $stage GROUP BY ${keyCols.mkString(", ")} " +
+          s"SELECT 1 FROM (SELECT DISTINCT ${colNames.mkString(", ")} " +
+            s"FROM $stage) d GROUP BY ${keyCols.mkString(", ")} " +
             "HAVING COUNT(*) > 1 FETCH FIRST 1 ROWS ONLY")
         val hasDup = try dup.next() finally dup.close()
         require(!hasDup,
@@ -275,7 +282,7 @@ object Sources {
           s"(SELECT 1 FROM $stage s WHERE $keyMatch)")
         st.executeUpdate(s"INSERT INTO ${cfg.table} " +
           s"(${colNames.mkString(", ")}) " +
-          s"SELECT ${colNames.mkString(", ")} FROM $stage")
+          s"SELECT DISTINCT ${colNames.mkString(", ")} FROM $stage")
         st.executeUpdate(s"DELETE FROM $stage")
       } finally st.close()
       conn.commit()

@@ -16,7 +16,11 @@ class MetricsReporter extends StreamingQueryListener {
   /** metric id → formatted value; ids mirror MetricsService.java:33-63. */
   val latest = new ConcurrentHashMap[String, String]()
 
-  private def fmt2(d: Double): String = f"$d%.2f"
+  // Locale.ROOT: these strings feed the Prometheus exposition page,
+  // where a comma decimal separator (default-locale %.2f under e.g.
+  // de_DE) is a parse error that fails the whole scrape
+  private def fmt2(d: Double): String =
+    "%.2f".formatLocal(java.util.Locale.ROOT, d)
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
 

@@ -38,20 +38,27 @@ import graft.operators.Scd2
   */
 object Scd2Stream {
 
+  /** One listing/parse of the version dirs, shared by the read side and
+    * the vacuum so their completeness policies cannot diverge:
+    * (batchId, path, complete) where complete = `_SUCCESS` present. */
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+                           base: org.apache.hadoop.fs.Path)
+      : Seq[(Long, org.apache.hadoop.fs.Path, Boolean)] =
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(id =>
+        (id, s.getPath, fs.exists(new org.apache.hadoop.fs.Path(
+          s.getPath, "_SUCCESS")))))
+      .sortBy(_._1)
+
   /** Resolve the newest applied version dir under `dimPath`, if any. */
   def latestVersion(spark: SparkSession, dimPath: String): Option[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dimPath),
       spark.sparkContext.hadoopConfiguration)
-    val base = new org.apache.hadoop.fs.Path(dimPath)
-    if (!fs.exists(base)) None
-    else fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-      .flatMap(s => s.getPath.getName.drop(1).toLongOption
-        .filter(_ => fs.exists(new org.apache.hadoop.fs.Path(
-          s.getPath, "_SUCCESS")))
-        .map(_ -> s.getPath.toString))
-      .sortBy(_._1).lastOption.map(_._2)
+    listVersions(fs, new org.apache.hadoop.fs.Path(dimPath))
+      .filter(_._3).lastOption.map(_._2.toString)
   }
 
   /** Read the current dimension state (empty-with-schema before the
@@ -103,16 +110,23 @@ object Scd2Stream {
         applyBatch(b, id, dimPath, init, keyCols, attrCols, effCol)
       }
 
-  /** Drop all but the newest `keep` applied versions (the vacuum). */
+  /** Drop all but the newest `keep` COMPLETE versions (the vacuum).
+    * Only `_SUCCESS`-complete versions count toward `keep` — a partial
+    * dir (crash mid-write) must never displace the last good version,
+    * or the read side would silently reset to the seed. Stale partials
+    * (older than the newest complete version) are garbage and deleted;
+    * a partial NEWER than every complete version may be an in-flight
+    * write and is left alone. */
   def pruneVersions(spark: SparkSession, dimPath: String, keep: Int): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dimPath), spark.sparkContext.hadoopConfiguration)
-    val base = new org.apache.hadoop.fs.Path(dimPath)
-    if (!fs.exists(base)) return
-    val versions = fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
-      .flatMap(s => s.getPath.getName.drop(1).toLongOption.map(_ -> s.getPath))
-      .sortBy(_._1)
-    versions.dropRight(keep).foreach { case (_, p) => fs.delete(p, true) }
+    val versions = listVersions(fs, new org.apache.hadoop.fs.Path(dimPath))
+    val complete = versions.filter(_._3)
+    val keepIds = complete.takeRight(keep).map(_._1).toSet
+    val newestComplete = complete.lastOption.map(_._1).getOrElse(Long.MinValue)
+    versions.foreach { case (id, p, ok) =>
+      if ((ok && !keepIds.contains(id)) || (!ok && id < newestComplete))
+        fs.delete(p, true)
+    }
   }
 }

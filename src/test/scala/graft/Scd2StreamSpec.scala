@@ -98,4 +98,33 @@ class Scd2StreamSpec extends AnyFunSuite {
     assert(Scd2Stream.latestVersion(spark, dim).exists(_.endsWith("v3")))
     assert(histSet(Scd2Stream.currentDim(spark, dim, init)) == before)
   }
+
+  test("pruneVersions never counts a partial version toward keep, " +
+      "and deletes only STALE partials") {
+    val dim = tmp("graft-scd2s-partial")
+    (0 to 1).foreach { i =>
+      Scd2Stream.applyBatch(upd((1L, s"V$i", 200L + i)), i.toLong, dim,
+        init, keyCols, attrCols, "eff")
+    }
+    val good = histSet(Scd2Stream.currentDim(spark, dim, init))
+    // v2: a crash mid-write — data files but no _SUCCESS
+    val v2 = new java.io.File(s"$dim/v2")
+    assert(v2.mkdirs())
+    java.nio.file.Files.write(v2.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    // v0 older than newest complete (v1) but v2 is newer: keep=1 must
+    // retain v1 (the last good version), drop v0, and leave the
+    // possibly-in-flight v2 alone
+    Scd2Stream.pruneVersions(spark, dim, keep = 1)
+    assert(Scd2Stream.latestVersion(spark, dim).exists(_.endsWith("v1")))
+    assert(histSet(Scd2Stream.currentDim(spark, dim, init)) == good)
+    assert(v2.exists(), "in-flight partial was deleted")
+    assert(!new java.io.File(s"$dim/v0").exists())
+    // once v3 completes, the v2 partial is stale and the vacuum removes it
+    Scd2Stream.applyBatch(upd((1L, "V3", 300L)), 3L, dim,
+      init, keyCols, attrCols, "eff")
+    Scd2Stream.pruneVersions(spark, dim, keep = 1)
+    assert(!v2.exists(), "stale partial survived the vacuum")
+    assert(Scd2Stream.latestVersion(spark, dim).exists(_.endsWith("v3")))
+  }
 }
