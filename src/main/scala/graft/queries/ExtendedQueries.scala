@@ -532,6 +532,37 @@ object ExtendedQueries extends QueryPack {
           sum($"gap_ms").as("sum_gap_ms"))
     }),
 
+    // Q66 — exact INTERPOLATED percentiles (quantile_cont semantics,
+    // complementing q25's discrete variant): rank positions from one
+    // per-group sort, linear interpolation v_lo + (v_hi − v_lo)·frac
+    // computed manually with the SAME double AST in both engines — no
+    // reliance on either engine's internal quantile interpolation. No
+    // value buffering: the window ranks, two rows per (group, p) are
+    // extracted, and a 3-wide conditional agg folds them.
+    "q66_percentile_interp" -> ((s, dir) => {
+      import s.implicits._
+      val ranked = t(s, dir, "lineitem")
+        .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"g").orderBy($"v")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"g")))
+      val qs = Seq(0.25, 0.5, 0.75)
+      val picked = ranked.select(
+        ($"g" +: $"n" +: qs.zipWithIndex.flatMap { case (p, i) =>
+          val pos = ($"n" - 1).cast("double") * lit(p)
+          val lo = floor(pos).cast("long") + 1
+          val hi = least(lo + 1, $"n")
+          Seq(when($"rn" === lo, $"v").as(s"lo$i"),
+            when($"rn" === hi, $"v").as(s"hi$i"),
+            (pos - floor(pos)).as(s"fr$i"))
+        }): _*)
+      picked.groupBy($"g".as("l_returnflag"))
+        .agg(max($"n").as("cnt"),
+          (max($"lo0") + (max($"hi0") - max($"lo0")) * max($"fr0")).as("p25"),
+          (max($"lo1") + (max($"hi1") - max($"lo1")) * max($"fr1")).as("p50"),
+          (max($"lo2") + (max($"hi2") - max($"lo2")) * max($"fr2")).as("p75"))
+    }),
+
     // Q64 — cohort retention matrix: users cohorted by first-active
     // day, activity counted per (cohort, day offset). Two aggregations
     // and one join, all keyed on user_id / the output pair — the
@@ -696,6 +727,33 @@ object ExtendedQueries extends QueryPack {
          |  ex.exact_union, ex.exact_intersection,
          |  per_side.est_building, per_side.est_machinery
          |FROM u, rr, ex, per_side""".stripMargin
+    },
+    "q66_percentile_interp" -> {
+      def block(i: Int, p: String) =
+        s"""CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * $p)
+           |    AS BIGINT) + 1 THEN v END AS lo$i,
+           |  CASE WHEN rn = least(CAST(floor(CAST(n - 1 AS DOUBLE) * $p)
+           |    AS BIGINT) + 2, n) THEN v END AS hi$i,
+           |  CAST(n - 1 AS DOUBLE) * $p
+           |    - floor(CAST(n - 1 AS DOUBLE) * $p) AS fr$i""".stripMargin
+      s"""WITH ranked AS (
+         |  SELECT l_returnflag AS g, l_extendedprice AS v,
+         |    row_number() OVER (PARTITION BY l_returnflag
+         |      ORDER BY l_extendedprice) AS rn,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem
+         |), picked AS (
+         |  SELECT g, n,
+         |  ${block(0, "0.25")},
+         |  ${block(1, "0.5")},
+         |  ${block(2, "0.75")}
+         |  FROM ranked
+         |)
+         |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS cnt,
+         |  max(lo0) + (max(hi0) - max(lo0)) * max(fr0) AS p25,
+         |  max(lo1) + (max(hi1) - max(lo1)) * max(fr1) AS p50,
+         |  max(lo2) + (max(hi2) - max(lo2)) * max(fr2) AS p75
+         |FROM picked GROUP BY g""".stripMargin
     },
     "q63_funnel_stages" ->
       """WITH ev AS (SELECT user_id, event_type, ts FROM events),
