@@ -127,6 +127,36 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
 
+  /** Benchmark decontamination in embedding space: every corpus vector
+    * whose cosine against ANY benchmark vector clears `threshold`, with
+    * the closest benchmark id (ties → smaller id). [[graft.operators.Contamination]]
+    * is the n-gram variant; this is the semantic one — paraphrased eval
+    * leakage that token overlap misses (the reason embedding-space decon
+    * exists as a separate pipeline stage). Scale shape: the benchmark
+    * side is small BY CONSTRUCTION (an eval suite, thousands of rows),
+    * so corpus × broadcast(benchmark) is a LINEAR corpus scan — the one
+    * cross join that stays the right plan at 100 TB (cost |corpus|·|B|·D
+    * multiplies, no corpus shuffle). The threshold filter runs BEFORE
+    * the per-vector argmax window, so the rank sort only ever sees the
+    * contaminated sliver, not the full product. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("c_vec"),
+      normSeq(col(vecCol)).as("c_norm"))
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("b_vec"),
+      normSeq(col(vecCol)).as("b_norm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("bench_id").asc)
+    c.repartition(col("vec_id")).crossJoin(broadcast(b))
+      .withColumn("cos_sim",
+        dotSeq(col("c_vec"), col("b_vec")) / (col("c_norm") * col("b_norm")))
+      .filter(col("cos_sim") >= threshold)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id"), col("cos_sim"))
+  }
+
   /** Deterministic ±1 hyperplane sign for (plane, dim): LCG parity. */
   private def planeSign(p: Int, dims: Int): Column =
     when(((lit(p.toLong * dims) + col("dim")) * 48271L % 2147483647L) % 2L === 0L,

@@ -576,6 +576,37 @@ object ExtendedQueries extends QueryPack {
       act.join(cohort, Seq("user_id"))
         .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
         .agg(countDistinct($"user_id").as("n_active"))
+    }),
+
+    // Q67 — per-user adaptive anomaly detection: the reference's static
+    // risk threshold (P2, StreamJob.java:92-100) upgraded to a per-entity
+    // baseline — each event z-scored against the mean/std of THAT user's
+    // complete prior history (expanding window over event-time order, the
+    // batch twin of streaming fraud scoring; ties broken by event_id so
+    // both engines see one total order). The prefix sums fold in exact
+    // decimal — order-portable under any partitioning — and mean/var/z
+    // are then IEEE arithmetic on identical operands, so the flagged
+    // set carries a full hash oracle. Scale: one exchange on user_id
+    // (high-cardinality key), per-user sort of a bounded history — the
+    // canonical keyed-window shape; no state beyond the sort.
+    "q67_user_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      val pw = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dec = $"value".cast("decimal(14,6)")
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts", $"value")
+        .withColumn("n_prior", count($"value").over(pw))
+        .withColumn("s", sum(dec).over(pw).cast("double"))
+        .withColumn("s2", sum(dec * dec).over(pw).cast("double"))
+        .filter($"n_prior" >= 10)
+        .withColumn("mean_prior", $"s" / $"n_prior")
+        .withColumn("var_prior",
+          ($"s2" - $"s" * $"s" / $"n_prior") / ($"n_prior" - 1))
+        .withColumn("z", ($"value" - $"mean_prior") / sqrt($"var_prior"))
+        .filter($"var_prior" > 0.0 && abs($"z") > 3.0)
+        .select($"event_id", $"user_id", $"value", $"n_prior",
+          $"mean_prior", $"z")
     }))
 
   /** q61's sketch size: 64 minima ⇒ expected relative error
@@ -803,6 +834,28 @@ object ExtendedQueries extends QueryPack {
         |  count(DISTINCT a.user_id) AS n_active
         |FROM act a JOIN c ON a.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+    // q67's twin: same expanding ROWS frame, same decimal-exact prefix
+    // sums, same double AST for mean/var/z — flagged rows hash-match.
+    "q67_user_anomaly" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |    count(value) OVER pw AS n_prior,
+        |    CAST(sum(CAST(value AS DECIMAL(14,6))) OVER pw AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value AS DECIMAL(14,6)) *
+        |      CAST(value AS DECIMAL(14,6))) OVER pw AS DOUBLE) AS s2
+        |  FROM events
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT event_id, user_id, value, n_prior,
+        |    s / n_prior AS mean_prior,
+        |    (s2 - s * s / n_prior) / (n_prior - 1) AS var_prior
+        |  FROM w WHERE n_prior >= 10
+        |)
+        |SELECT event_id, user_id, value, n_prior, mean_prior,
+        |  (value - mean_prior) / sqrt(var_prior) AS z
+        |FROM z WHERE var_prior > 0
+        |  AND abs((value - mean_prior) / sqrt(var_prior)) > 3.0""".stripMargin,
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer

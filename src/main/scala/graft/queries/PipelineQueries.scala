@@ -330,7 +330,35 @@ object PipelineQueries extends QueryPack {
         .agg(max($"n_docs").as("n_docs"), max($"share").as("share"),
           max($"rate").as("rate"),
           sum(when($"sel", 1L).otherwise(0L)).as("n_selected"))
+    }),
+
+    // pl16 — cluster-balanced (diversity) sampling: every cluster's
+    // contribution capped at [[ClusterCap]] members, picked in portable-
+    // hash order (deterministic pseudo-random — retry-safe, engine-
+    // portable, no rand()). The post-clustering companion to pl3's
+    // fraction-stratified sampler: a FRACTION per stratum preserves the
+    // corpus's imbalance, a CAP flattens it — how curation suppresses
+    // over-represented modes (boilerplate clusters) without touching
+    // rare ones. The fixture's label column stands in for any cluster
+    // assignment (dd5/sim9 produce the learned one). Scale: one exchange
+    // on the cluster id + a per-cluster top-m window — WindowGroupLimit
+    // prunes each map task to ≤ cap rows before the shuffle, so the
+    // exchange carries O(k·cap), not the corpus.
+    "pl16_cluster_cap_sample" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.PortableHash
+      val w = Window.partitionBy($"label").orderBy($"pick", $"vec_id")
+      Tables.load(s, dir, "embeddings")
+        .select($"vec_id", $"label",
+          PortableHash.hash60($"vec_id".cast("string")).as("pick"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= ClusterCap)
+        .select($"vec_id", $"label", $"rn")
     }))
+
+  /** pl16's per-cluster keep budget. */
+  private val ClusterCap = 25
 
   /** pl8's DuckDB twin: the same four stages as the Spark side, chained
     * as CTEs from the already-proven per-stage SQL (tx7 normalize, tx2
@@ -361,6 +389,16 @@ object PipelineQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // pl16's twin: identical (hash, vec_id) pick order per label.
+    "pl16_cluster_cap_sample" -> {
+      import graft.functions.PortableHash
+      s"""SELECT vec_id, label, CAST(rn AS BIGINT) AS rn FROM (
+         |  SELECT vec_id, label, row_number() OVER (PARTITION BY label
+         |    ORDER BY ${PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")},
+         |      vec_id) AS rn
+         |  FROM embeddings) q
+         |WHERE rn <= 25""".stripMargin
+    },
     // pl15's twin replays the α=0.5 rate derivation with the identical
     // numeric AST: IEEE sqrt → DECIMAL(28,6) weight sum → double
     // divisions in the same order → portable-hash threshold.

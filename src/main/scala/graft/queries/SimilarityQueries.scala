@@ -163,6 +163,21 @@ object SimilarityQueries extends QueryPack {
       val k = math.max(4L, math.round(math.sqrt(e.count().toDouble))).toInt
       Similarity.semDedup(e, "vec_id", "embedding", k, iters = 2,
         tau = 0.4)
+    }),
+
+    // semantic contamination: corpus vectors too close (cosine ≥ 0.35 —
+    // production would use ~0.9 on real embeddings; the fixture corpus
+    // is near-orthogonal random vectors, max cross cosine ≈ 0.49) to the
+    // label-0 slice standing in for an eval benchmark's embeddings. The
+    // embedding-space complement of tx10's n-gram contamination check —
+    // catches paraphrased leakage token overlap misses. Corpus ×
+    // broadcast(benchmark) is linear in the corpus (see
+    // Similarity.semanticContamination's scale note).
+    "dd8_semantic_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      Similarity.semanticContamination(e.filter($"label" =!= 0),
+        e.filter($"label" === 0), "vec_id", "embedding", 0.35)
     }))
 
   /** sim5's DuckDB twin, mirroring Similarity.annLsh(planes=48, bands=4,
@@ -332,6 +347,25 @@ object SimilarityQueries extends QueryPack {
       s"""SELECT vec_id, label,
          |  sqrt(${dotSql("embedding", "embedding")}) AS l2_norm
          |FROM embeddings""".stripMargin,
+    // dd8's twin: WHERE runs before the QUALIFY window in DuckDB exactly
+    // as Spark's filter runs before the row_number — both argmax sorts
+    // see only above-threshold pairs.
+    "dd8_semantic_contamination" ->
+      s"""WITH b AS (
+         |  SELECT vec_id AS bench_id, embedding AS b_vec,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS b_norm
+         |  FROM embeddings WHERE label = 0
+         |), c AS (
+         |  SELECT vec_id, embedding AS c_vec,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS c_norm
+         |  FROM embeddings WHERE label <> 0
+         |)
+         |SELECT vec_id, bench_id,
+         |  ${dotSql("c_vec", "b_vec")} / (c_norm * b_norm) AS cos_sim
+         |FROM c, b
+         |WHERE ${dotSql("c_vec", "b_vec")} / (c_norm * b_norm) >= 0.35
+         |QUALIFY row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY cos_sim DESC, bench_id ASC) = 1""".stripMargin,
     "sim6_ivf_probe" -> ivfSql(1),
     "sim8_ivf_nprobe" -> ivfSql(2),
     "sim9_kmeans_ivf" -> sim9Sql(8, 2),

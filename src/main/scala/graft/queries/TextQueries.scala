@@ -612,7 +612,30 @@ object TextQueries extends QueryPack {
     // BPE merge-candidate table: corpus → vocabulary (one hash agg) →
     // weighted character-pair counts over the vocab (see operators.Bpe).
     "tx18_bpe_pairs" -> ((s, dir) =>
-      graft.operators.Bpe.pairStats(docs(s, dir), "text")))
+      graft.operators.Bpe.pairStats(docs(s, dir), "text")),
+
+    // hashed-linear-classifier quality scoring (the fastText / DCLM
+    // model-based filter shape): each token hashes into one of
+    // [[ClassifierBuckets]] weight buckets and the document's margin is
+    // the sum of its tokens' bucket weights. The weight table here is a
+    // deterministic arithmetic stand-in for learned parameters — what
+    // matters is the EXECUTION shape, which is the same one a learned
+    // model uses: per-doc scoring is a pure narrow fold over the token
+    // array (zero shuffles, zero joins — `aggregate` over `tokens`), so
+    // classifier filtering at 100 TB is embarrassingly parallel. (A
+    // weight table too large to inline compiles to a broadcast join
+    // after an explode instead — still no corpus shuffle; the margin
+    // re-agg keys on doc_id.) Integer weights ⇒ the margin is a LONG sum
+    // — order-insensitive, full hash oracle.
+    "tx19_classifier" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(
+        $"doc_id",
+        tokenCount($"text").as("n_tokens"),
+        aggregate(tokens($"text"), lit(0L),
+          (acc, t) => acc + tokenWeight(t)).as("margin"))
+        .withColumn("keep", ($"margin" > 0L).as("keep"))
+    }))
 
   /** PII patterns shared by the Spark and oracle sides — RE2-safe (no
     * backreferences/lookaround), so java.util.regex and DuckDB RE2 match
@@ -622,6 +645,18 @@ object TextQueries extends QueryPack {
   private val PiiIpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
 
   private val subwordRe = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** tx19's hashed weight vector: bucket = hash60(token) mod B, weight =
+    * (bucket·131 mod 401) − 200 ∈ [−200, 200]. All operands stay far
+    * under 2^62, so the arithmetic is overflow-free (and therefore
+    * identical) in both engines. */
+  private val ClassifierBuckets = 4096
+  private def tokenWeight(t: org.apache.spark.sql.Column) =
+    (graft.functions.PortableHash.hash60(t) % ClassifierBuckets) * 131L %
+      401L - 200L
+  private def tokenWeightSql(e: String): String =
+    s"(((${graft.functions.PortableHash.hash60Sql(e)} % $ClassifierBuckets)" +
+      s" * 131) % 401 - 200)"
 
   /** Shared CTE prefix producing the per-doc DISTINCT 3-gram shingle
     * table (`sh`) — the SQL twin of [[sharedShingles]]; reused by the
@@ -1120,6 +1155,26 @@ object TextQueries extends QueryPack {
          |  count(DISTINCT word) AS n_vocab
          |FROM pairs GROUP BY pair
          |ORDER BY n_pair DESC, pair ASC LIMIT 30""".stripMargin,
+
+    // tx19's twin scores token-by-token through unnest + re-agg (SQL has
+    // no guaranteed-fold order for a lambda over hash arithmetic this
+    // deep, but the margin is an integer SUM — order-free); the LEFT
+    // JOIN keeps zero-token docs at margin 0, matching the Spark fold's
+    // empty-array init.
+    "tx19_classifier" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+         |  FROM documents
+         |), tw AS (
+         |  SELECT doc_id, CAST(sum(${tokenWeightSql("t")}) AS BIGINT)
+         |    AS margin
+         |  FROM tok GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  ${graft.functions.TextFunctions.tokenCountSql("text")} AS n_tokens,
+         |  COALESCE(tw.margin, 0) AS margin,
+         |  COALESCE(tw.margin, 0) > 0 AS keep
+         |FROM documents d LEFT JOIN tw ON d.doc_id = tw.doc_id""".stripMargin,
     "dd6_containment" ->
       s"""WITH $ngramPairCtes
          |SELECT doc_a, doc_b, common, n_a, n_b,

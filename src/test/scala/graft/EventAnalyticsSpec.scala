@@ -83,4 +83,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("view", "error") -> ((1L, 60000L)),
       ("signup", "purchase") -> ((1L, 0L))))
   }
+
+  /** Events dir variant with explicit values (q67 needs them). */
+  private def eventsDirV(
+      rows: Seq[(Long, String, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-events").toString
+    rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_seconds(col("ts_s").cast("long")))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q67 anomaly: flags vs own history only, after warmup, var>0") {
+    // user 1: ten alternating 9/11 priors (mean 10, var 10/9), then 1000
+    //   ⇒ flagged with z = 990/sqrt(10/9); a final normal 10 ⇒ not
+    //   flagged (its z uses the updated history including the 1000).
+    // user 2: only 10 events — the big value arrives at n_prior=9,
+    //   inside the warmup ⇒ never flagged.
+    // user 3: ten IDENTICAL priors then 1000 — zero variance baseline
+    //   cannot be z-scored ⇒ excluded by the var>0 guard, not Inf/NaN.
+    def ramp(u: Long, base: Long, vs: Seq[Double]) =
+      vs.zipWithIndex.map { case (v, i) =>
+        (base + i, (10 * (i + 1)).toString, u, "view", v) }
+    val alt = Seq.tabulate(10)(i => if (i % 2 == 0) 9.0 else 11.0)
+    val rows = ramp(1L, 100L, alt ++ Seq(1000.0, 10.0)) ++
+      ramp(2L, 200L, Seq.fill(9)(10.0) :+ 1000.0) ++
+      ramp(3L, 300L, Seq.fill(10)(7.0) :+ 1000.0)
+    val dir = eventsDirV(scala.util.Random.shuffle(rows))
+    val out = SparkEntry.queries("q67_user_anomaly")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("event_id") == 110L &&
+      r.getAs[Long]("user_id") == 1L &&
+      r.getAs[Long]("n_prior") == 10L &&
+      r.getAs[Double]("mean_prior") == 10.0 &&
+      r.getAs[Double]("z") == 990.0 / math.sqrt(10.0 / 9.0))
+  }
 }

@@ -18,6 +18,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "sim1_cosine_topk",     // brute-force baseline: corpus × broadcast(queries)
     "sim7_topk_agg",        // same scoring as sim1; the agg replaces the SORT, not the scan
     "sim2_cosine_neardup",  // brute-force pair scoring (verification baseline)
+    "dd8_semantic_contamination", // corpus × broadcast(benchmark): the
+                            // benchmark side is small by construction
+                            // (an eval suite), so the product is a
+                            // linear corpus scan — right plan at 100 TB
     "q18_above_avg_orders", // scalar-subquery comparison: broadcast 1-row side
     "q37_scalar_subquery",  // same shape (global avg broadcast to every row)
     "sim9_kmeans_ivf",      // Lloyd's assignment: every vector scores vs the
