@@ -194,4 +194,75 @@ object StatefulOps {
       .transformWithState(new RunningMaxProcessor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** q67's per-user running moments: event count + decimal-exact Σv and
+    * Σv² of everything seen so far (scale 6/12 — the same quantization
+    * as the batch query's DECIMAL(14,6) casts, so the stream and batch
+    * scores are bit-identical, not approximately equal). */
+  case class AnomalyState(n: Long, s: BigDecimal, s2: BigDecimal)
+
+  /** A flagged event — same columns as q67's batch output. */
+  case class AnomalyFlag(user_id: Long, event_id: Long, value: Double,
+                         n_prior: Long, mean_prior: Double, z: Double)
+
+  /** Streaming twin of q67_user_anomaly: each event is z-scored against
+    * its own user's running history the moment it arrives — the online
+    * fraud-detector shape the batch query replays offline (the
+    * reference's static risk threshold, StreamJob.java:92-100, upgraded
+    * to an adaptive per-key baseline). State per user is THREE numbers
+    * (count, Σv, Σv² as exact decimals), so state size is O(users),
+    * independent of stream length — no event history is retained.
+    *
+    * Parity contract: within a micro-batch rows are re-ordered by
+    * (ts_ms, event_id) before folding, so when arrival order respects
+    * event time across batches (the in-order ingest case; StreamingSpec
+    * pins it) the flagged set EQUALS the batch query's, bit-for-bit.
+    * Under out-of-order arrival the online score intentionally differs:
+    * a late event scores against the history at ARRIVAL — that is the
+    * real-time semantic; the batch query is the retrospective one. */
+  class AnomalyProcessor(warmup: Long, zThreshold: Double)
+      extends StatefulProcessor[Long, (Long, Long, Long, Double), AnomalyFlag] {
+    @transient private var st: ValueState[AnomalyState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AnomalyState]("moments",
+        Encoders.product[AnomalyState], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Long, Long, Double)],
+                                 timers: TimerValues): Iterator[AnomalyFlag] = {
+      var cur = if (st.exists()) st.get() else AnomalyState(0L, 0, 0)
+      val out = Seq.newBuilder[AnomalyFlag]
+      // batch-order parity within the micro-batch: (ts, event_id)
+      rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+        case (_, eventId, _, v) =>
+          if (cur.n >= warmup) {
+            // the same double AST as q67: decimal sums cast to double,
+            // then IEEE mean/var/z on identical operands
+            val s = cur.s.toDouble
+            val s2 = cur.s2.toDouble
+            val mean = s / cur.n
+            val varPrior = (s2 - s * s / cur.n) / (cur.n - 1)
+            val z = (v - mean) / math.sqrt(varPrior)
+            if (varPrior > 0.0 && math.abs(z) > zThreshold)
+              out += AnomalyFlag(user, eventId, v, cur.n, mean, z)
+          }
+          val dec = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          cur = AnomalyState(cur.n + 1, cur.s + dec, cur.s2 + dec * dec)
+      }
+      st.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** Input: (user_id LONG, event_id LONG, ts TIMESTAMP, value DOUBLE). */
+  def userAnomalies(spark: SparkSession, events: DataFrame,
+                    warmup: Long = 10L,
+                    zThreshold: Double = 3.0): Dataset[AnomalyFlag] = {
+    import spark.implicits._
+    events.select("user_id", "event_id", "ts", "value")
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .map(r => (r._1, r._2, r._3.getTime, r._4))
+      .groupByKey(_._1)
+      .transformWithState(new AnomalyProcessor(warmup, zThreshold),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -817,6 +817,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("b", 2.0)) && rows.contains(("b", 7.0)))
   }
 
+  test("transformWithState: streaming anomaly flags ≡ q67 batch, bit-for-bit") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // user 1: ten alternating 9/11 priors, then 1000 (flagged), then 10;
+    // user 2: stays in warmup. In-order ingest split MID-HISTORY across
+    // micro-batches — the flag decision in batch 2 depends on state
+    // accumulated in batch 1.
+    val alt = Seq.tabulate(10)(i => if (i % 2 == 0) 9.0 else 11.0)
+    val rows = (alt ++ Seq(1000.0, 10.0)).zipWithIndex.map { case (v, i) =>
+      (1L, 100L + i, new java.sql.Timestamp(10000L * (i + 1)), v) } ++
+      Seq.tabulate(5)(i =>
+        (2L, 200L + i, new java.sql.Timestamp(10000L * (i + 1)), 500.0))
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val q = graft.streaming.StatefulOps.userAnomalies(spark,
+        mem.toDS().toDF("user_id", "event_id", "ts", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anom").start()
+    try {
+      val (b1, b2) = rows.splitAt(6)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val got = spark.table("anom").collect().map(r =>
+      (r.getAs[Long]("event_id"), r.getAs[Long]("n_prior"),
+        r.getAs[Double]("mean_prior"), r.getAs[Double]("z"))).toSet
+    // batch twin over the identical rows written as an events fixture
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    rows.toDF("user_id", "event_id", "ts", "value")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        lit("view").as("event_type"), col("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = SparkEntry.queries("q67_user_anomaly")(spark, dir)
+      .collect().map(r =>
+        (r.getAs[Long]("event_id"), r.getAs[Long]("n_prior"),
+          r.getAs[Double]("mean_prior"), r.getAs[Double]("z"))).toSet
+    assert(want.nonEmpty && got == want,
+      s"stream $got must equal batch $want EXACTLY (decimal-quantized state)")
+  }
+
   test("Trigger.AvailableNow processes the backlog then terminates on its own") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[String]
