@@ -607,6 +607,30 @@ object ExtendedQueries extends QueryPack {
         .filter($"var_prior" > 0.0 && abs($"z") > 3.0)
         .select($"event_id", $"user_id", $"value", $"n_prior",
           $"mean_prior", $"z")
+    }),
+
+    // Q68 — ANALYZE-style table statistics in one pass: per-column null
+    // counts, min/max, and EXACT distinct counts — what a cost-based
+    // optimizer ingests (and what q21's HLL approximates; this is its
+    // exact twin for the stats-maintenance job). Multiple exact
+    // count(DISTINCT) in one agg compile to a single Expand + one
+    // shuffle pass (rows × #distinct-columns, each projected to its own
+    // narrow key) — still one scan of the fact table; at 100 TB the
+    // stats job swaps the exact NDVs for the HLL sketch column-by-column
+    // without touching the min/max/null plumbing.
+    "q68_table_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"l_orderkey").as("orderkey_ndv"),
+        countDistinct($"l_partkey").as("partkey_ndv"),
+        countDistinct($"l_returnflag").as("returnflag_ndv"),
+        sum(when($"l_quantity".isNull, 1L).otherwise(0L))
+          .as("quantity_nulls"),
+        min($"l_quantity").as("quantity_min"),
+        max($"l_quantity").as("quantity_max"),
+        min($"l_shipdate").as("shipdate_min"),
+        max($"l_shipdate").as("shipdate_max"))
     }))
 
   /** q61's sketch size: 64 minima ⇒ expected relative error
@@ -856,6 +880,18 @@ object ExtendedQueries extends QueryPack {
         |  (value - mean_prior) / sqrt(var_prior) AS z
         |FROM z WHERE var_prior > 0
         |  AND abs((value - mean_prior) / sqrt(var_prior)) > 3.0""".stripMargin,
+    "q68_table_stats" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS orderkey_ndv,
+        |  count(DISTINCT l_partkey) AS partkey_ndv,
+        |  count(DISTINCT l_returnflag) AS returnflag_ndv,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS quantity_nulls,
+        |  min(l_quantity) AS quantity_min,
+        |  max(l_quantity) AS quantity_max,
+        |  min(l_shipdate) AS shipdate_min,
+        |  max(l_shipdate) AS shipdate_max
+        |FROM lineitem""".stripMargin,
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer

@@ -355,6 +355,76 @@ object PipelineQueries extends QueryPack {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter($"rn" <= ClusterCap)
         .select($"vec_id", $"label", $"rn")
+    }),
+
+    // per-group winsorization at exact [p05, p95] — the outlier-clipping
+    // pass before loss/length statistics feed a curriculum. The quantiles
+    // are EXACT rank order statistics, but no corpus-scale sort happens:
+    // a (group, value) hash agg collapses the fact table to its value
+    // HISTOGRAM, the cumulative window runs over that histogram (domain-
+    // bounded — distinct prices, not rows — so the per-group sorted pass
+    // holds even though l_returnflag has only 3 values; a raw per-group
+    // row sort here would put 33 TB through 3 tasks at target scale),
+    // bound value v(k) = min v with cum(v) ≥ k, and the tiny bounds frame
+    // broadcasts back for the clip pass. Clipped values are untouched
+    // doubles (least/greatest only) and the sum folds in decimal — full
+    // hash oracle.
+    "pl17_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
+      val wCum = Window.partitionBy($"g").orderBy($"v")
+      val wAll = Window.partitionBy($"g")
+      val cum = li.groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(wAll))
+      val loR = greatest(lit(1L), ceil($"n".cast("double") * 0.05))
+      val hiR = ceil($"n".cast("double") * 0.95)
+      val bounds = cum.groupBy($"g").agg(
+        min(when($"cum" >= loR, $"v")).as("p05"),
+        min(when($"cum" >= hiR, $"v")).as("p95"))
+      li.join(broadcast(bounds), "g")
+        .groupBy($"g".as("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          max($"p05").as("p05"), max($"p95").as("p95"),
+          sum(when($"v" < $"p05", 1L).otherwise(0L)).as("clipped_lo"),
+          sum(when($"v" > $"p95", 1L).otherwise(0L)).as("clipped_hi"),
+          graft.functions.ExactNum.sumExact(
+            least(greatest($"v", $"p05"), $"p95")).as("sum_winsorized"))
+    }),
+
+    // per-source distribution drift: Pearson χ² of each source's language
+    // mix against the corpus-wide mix — the mixture-monitoring gate that
+    // catches a crawl source going off-distribution between snapshots.
+    // χ² = Σ_b (obs·N − n_s·n_b)² / (N·n_s·n_b) (the obs−exp form scaled
+    // through by N to keep every operand an exact count). ONE corpus-
+    // scale hash agg produces the (source, bucket) counts; everything
+    // after runs on the sources×buckets grid (the cross join is that
+    // grid — two aggregate-sized sides, never the corpus), completed
+    // with zero-observation cells because a source MISSING a bucket is
+    // maximal drift evidence, not absence of data. Per-cell arithmetic
+    // is IEEE double over exact counts (deterministic in any engine; no
+    // overflow at any corpus size) and the final fold is decimal-exact.
+    "pl18_source_drift" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val obs = d.groupBy($"source", $"lang").agg(count(lit(1)).as("obs"))
+      val bySrc = obs.groupBy($"source").agg(sum($"obs").as("n_s"))
+      val byLang = obs.groupBy($"lang").agg(sum($"obs").as("n_b"))
+      val total = d.agg(count(lit(1)).as("n_total"))
+      val grid = bySrc.crossJoin(byLang)
+        .join(obs, Seq("source", "lang"), "left")
+        .withColumn("obs", coalesce($"obs", lit(0L)))
+        .crossJoin(broadcast(total))
+      val dev = $"obs".cast("double") * $"n_total".cast("double") -
+        $"n_s".cast("double") * $"n_b".cast("double")
+      val denom = $"n_total".cast("double") * $"n_s".cast("double") *
+        $"n_b".cast("double")
+      grid.withColumn("term", dev * dev / denom)
+        .groupBy($"source")
+        .agg(max($"n_s").as("n_docs"),
+          graft.functions.ExactNum.sumExact($"term").as("chi2"))
     }))
 
   /** pl16's per-cluster keep budget. */
@@ -399,6 +469,69 @@ object PipelineQueries extends QueryPack {
          |  FROM embeddings) q
          |WHERE rn <= 25""".stripMargin
     },
+    // pl17's twin: identical histogram-cumulative rank extraction (value
+    // at rank k = min v with cum(v) ≥ k), identical clip + decimal fold.
+    "pl17_winsorize" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT g, v,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM hist
+        |), bounds AS (
+        |  SELECT g,
+        |    min(CASE WHEN cum >= greatest(1,
+        |      CAST(ceil(CAST(n AS DOUBLE) * 0.05) AS BIGINT)) THEN v END)
+        |      AS p05,
+        |    min(CASE WHEN cum >=
+        |      CAST(ceil(CAST(n AS DOUBLE) * 0.95) AS BIGINT) THEN v END)
+        |      AS p95
+        |  FROM cum GROUP BY g
+        |)
+        |SELECT li.l_returnflag, count(*) AS cnt,
+        |  max(p05) AS p05, max(p95) AS p95,
+        |  CAST(sum(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS clipped_lo,
+        |  CAST(sum(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS clipped_hi,
+        |  CAST(sum(CAST(least(greatest(l_extendedprice, p05), p95)
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS sum_winsorized
+        |FROM lineitem li JOIN bounds ON li.l_returnflag = bounds.g
+        |GROUP BY li.l_returnflag""".stripMargin,
+    // pl18's twin: the same grid completion and the same double AST
+    // ((obs·N − n_s·n_b)² / ((N·n_s)·n_b)) so the IEEE results match
+    // bit-for-bit before the decimal fold.
+    "pl18_source_drift" ->
+      """WITH obs AS (
+        |  SELECT source, lang, count(*) AS obs
+        |  FROM documents GROUP BY source, lang
+        |), s AS (
+        |  SELECT source, CAST(sum(obs) AS BIGINT) AS n_s
+        |  FROM obs GROUP BY source
+        |), b AS (
+        |  SELECT lang, CAST(sum(obs) AS BIGINT) AS n_b
+        |  FROM obs GROUP BY lang
+        |), t AS (SELECT count(*) AS n_total FROM documents),
+        |grid AS (
+        |  SELECT s.source, s.n_s, b.lang, b.n_b,
+        |    COALESCE(obs.obs, 0) AS obs, n_total
+        |  FROM s CROSS JOIN b
+        |  LEFT JOIN obs ON s.source = obs.source AND b.lang = obs.lang
+        |  CROSS JOIN t
+        |), terms AS (
+        |  SELECT source, n_s,
+        |    (CAST(obs AS DOUBLE) * CAST(n_total AS DOUBLE) -
+        |     CAST(n_s AS DOUBLE) * CAST(n_b AS DOUBLE)) AS dev,
+        |    (CAST(n_total AS DOUBLE) * CAST(n_s AS DOUBLE) *
+        |     CAST(n_b AS DOUBLE)) AS denom
+        |  FROM grid
+        |)
+        |SELECT source, max(n_s) AS n_docs,
+        |  CAST(sum(CAST(dev * dev / denom AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS chi2
+        |FROM terms GROUP BY source""".stripMargin,
     // pl15's twin replays the α=0.5 rate derivation with the identical
     // numeric AST: IEEE sqrt → DECIMAL(28,6) weight sum → double
     // divisions in the same order → portable-hash threshold.

@@ -635,6 +635,33 @@ object TextQueries extends QueryPack {
         aggregate(tokens($"text"), lit(0L),
           (acc, t) => acc + tokenWeight(t)).as("margin"))
         .withColumn("keep", ($"margin" > 0L).as("keep"))
+    }),
+
+    // out-of-vocabulary-rate curation: the vocabulary is the corpus's own
+    // tokens with document frequency ≥ [[OovMinDf]] (the pl2 TF-DF build
+    // reused as a filter model), and a document is kept when at most 20%
+    // of its token OCCURRENCES fall outside it — the standard "gibberish /
+    // wrong-domain" gate that runs after tokenizer training. Shuffle
+    // budget: one (doc,token)-distinct agg + one token-keyed df agg build
+    // the vocab (both corpus passes but narrow 2-column rows); the
+    // membership probe is a LEFT ANTI join whose build side is the vocab —
+    // MB-scale at any corpus size (df ≥ k caps it at |tokens|/k), so AQE
+    // broadcasts it and the corpus never shuffles for the probe; the final
+    // agg keys on doc_id. All counts are LONGs — full hash oracle.
+    "tx20_oov_rate" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val tok = d.select($"doc_id", explode(tokens($"text")).as("token"))
+      val vocab = tok.distinct().groupBy($"token")
+        .agg(count(lit(1)).as("df"))
+        .filter($"df" >= OovMinDf).select($"token")
+      val oov = tok.join(vocab, Seq("token"), "left_anti")
+        .groupBy($"doc_id").agg(count(lit(1)).as("oov"))
+      d.select($"doc_id", tokenCount($"text").as("n_tokens"))
+        .join(oov, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"oov", lit(0L)).as("oov"),
+          (coalesce($"oov", lit(0L)) * 5L <= $"n_tokens").as("keep"))
     }))
 
   /** PII patterns shared by the Spark and oracle sides — RE2-safe (no
@@ -650,6 +677,10 @@ object TextQueries extends QueryPack {
     * (bucket·131 mod 401) − 200 ∈ [−200, 200]. All operands stay far
     * under 2^62, so the arithmetic is overflow-free (and therefore
     * identical) in both engines. */
+  /** tx20's vocabulary threshold: a token is in-vocabulary when ≥ this
+    * many distinct documents contain it. */
+  private val OovMinDf = 20
+
   private val ClassifierBuckets = 4096
   private def tokenWeight(t: org.apache.spark.sql.Column) =
     (graft.functions.PortableHash.hash60(t) % ClassifierBuckets) * 131L %
@@ -1175,6 +1206,27 @@ object TextQueries extends QueryPack {
          |  COALESCE(tw.margin, 0) AS margin,
          |  COALESCE(tw.margin, 0) > 0 AS keep
          |FROM documents d LEFT JOIN tw ON d.doc_id = tw.doc_id""".stripMargin,
+    // tx20: vocabulary = tokens in ≥ OovMinDf distinct docs; oov counts
+    // token OCCURRENCES (not distinct tokens) outside it, so a doc that
+    // repeats one rare token 50 times is correctly penalized 50×.
+    "tx20_oov_rate" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+         |  FROM documents
+         |), vocab AS (
+         |  SELECT token FROM (SELECT DISTINCT doc_id, token FROM tok)
+         |  GROUP BY token HAVING count(*) >= $OovMinDf
+         |), oov AS (
+         |  SELECT doc_id, count(*) AS oov FROM tok
+         |  WHERE token NOT IN (SELECT token FROM vocab)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id,
+         |  ${graft.functions.TextFunctions.tokenCountSql("text")} AS n_tokens,
+         |  COALESCE(oov.oov, 0) AS oov,
+         |  COALESCE(oov.oov, 0) * 5 <=
+         |    ${graft.functions.TextFunctions.tokenCountSql("text")} AS keep
+         |FROM documents d LEFT JOIN oov ON d.doc_id = oov.doc_id""".stripMargin,
     "dd6_containment" ->
       s"""WITH $ngramPairCtes
          |SELECT doc_a, doc_b, common, n_a, n_b,

@@ -39,7 +39,12 @@ class PlanQualitySpec extends AnyFunSuite {
     "pl14_zorder_stats",    // broadcast 1-row global min/max for the
                             // range normalization (the zorder stats pass)
     "pl15_temperature_mix", // broadcast 1-row corpus totals (w_tot, budget)
-    "q62_kmv_set_ops")      // final combine of 1-row sketch-stat frames
+    "q62_kmv_set_ops",      // final combine of 1-row sketch-stat frames
+    "pl18_source_drift")    // sources×buckets grid completion: both sides
+                            // are aggregate frames (distinct sources /
+                            // distinct buckets), so the product is
+                            // grid-sized at any corpus scale — plus the
+                            // 1-row total broadcast
 
   test("no accidental cartesian / broadcast-nested-loop joins in any plan") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Planted-input semantics for the stats/drift/curation queries added in
+  * round 7b: tx20's OOV arithmetic counts occurrences (not distinct
+  * tokens), pl17's winsorize bounds are exact rank order statistics read
+  * off the value histogram, pl18's χ² completes the grid with
+  * zero-observation cells, and q68's stats row survives NULLs.
+  */
+class StatsAndDriftSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("tx20 oov: occurrences counted, df>=20 vocab, 20% keep gate") {
+    val dir = tmp("graft-oov")
+    val base = (1L to 20L).map(i => (i, "common", "en", "s", 6L))
+    val rows = base ++ Seq(
+      (21L, "common rare rare rare rare rare", "en", "s", 31L),
+      (22L, "common common common common rare", "en", "s", 31L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("tx20_oov_rate")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("oov"),
+          r.getAs[Boolean]("keep")))).toMap
+    // df(common)=22 >= 20 in-vocab; df(rare)=2 out-of-vocab
+    assert(out(1L) == ((1L, 0L, true)))
+    assert(out(21L) == ((6L, 5L, false))) // 5*5=25 > 6 tokens
+    assert(out(22L) == ((5L, 1L, true)))  // 1*5=5 <= 5 tokens
+  }
+
+  test("pl17 winsorize: histogram rank bounds, clip counts, exact sum") {
+    val dir = tmp("graft-win")
+    val rows = (1 to 100).map(v => ("A", v.toDouble)) ++
+      (Seq.fill(9)(1.0) :+ 100.0).map(v => ("B", v))
+    rows.toDF("l_returnflag", "l_extendedprice")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("pl17_winsorize")(spark, dir)
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val a = out("A")
+    // n=100: lo rank ceil(5)=5 -> p05=5; hi rank ceil(95)=95 -> p95=95
+    assert(a.getAs[Double]("p05") == 5.0 && a.getAs[Double]("p95") == 95.0)
+    assert(a.getAs[Long]("clipped_lo") == 4L &&
+      a.getAs[Long]("clipped_hi") == 5L)
+    // sum = (5+..+95) + 4*5 + 5*95
+    assert(a.getAs[Double]("sum_winsorized") == (5 to 95).sum + 20 + 475.0)
+    val b = out("B")
+    // n=10, duplicated low value: lo rank 1 -> histogram cum(1)=9 >= 1
+    assert(b.getAs[Double]("p05") == 1.0 &&
+      b.getAs[Double]("p95") == 100.0)
+    assert(b.getAs[Long]("clipped_lo") == 0L &&
+      b.getAs[Long]("clipped_hi") == 0L)
+    assert(b.getAs[Double]("sum_winsorized") == 109.0)
+  }
+
+  test("pl18 drift: chi-square with grid-completed zero cells") {
+    val dir = tmp("graft-drift")
+    def docs(src: String, lang: String, n: Int) =
+      (1 to n).map(_ => (src, lang))
+    val rows = docs("A", "en", 30) ++ docs("A", "de", 10) ++
+      docs("B", "en", 10) ++ docs("B", "de", 30) ++ docs("C", "fr", 20)
+    rows.zipWithIndex
+      .map { case ((src, lang), i) => (i.toLong, "t", lang, src, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("pl18_source_drift")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("chi2")))).toMap
+    // hand computation (N=100): A = 12.25 + 2.25 + 8 (missing fr cell)
+    assert(out("A") == ((40L, 22.5)))
+    assert(out("B") == ((40L, 22.5)))
+    // C observed ONLY fr: zero cells contribute 8+8, fr cell 64
+    assert(out("C") == ((20L, 80.0)))
+  }
+
+  test("q68 table stats: ndv, null counts, min/max in one pass") {
+    val dir = tmp("graft-stats")
+    val ts = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    Seq(
+      (1L, 10L, "A", Some(5.0), ts),
+      (1L, 11L, "R", Some(2.0), ts2),
+      (2L, 10L, "A", None, ts),
+      (3L, 12L, "N", Some(9.0), ts))
+      .toDF("l_orderkey", "l_partkey", "l_returnflag", "l_quantity",
+        "l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val r = SparkEntry.queries("q68_table_stats")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("orderkey_ndv") == 3L)
+    assert(r.getAs[Long]("partkey_ndv") == 3L)
+    assert(r.getAs[Long]("returnflag_ndv") == 3L)
+    assert(r.getAs[Long]("quantity_nulls") == 1L)
+    assert(r.getAs[Double]("quantity_min") == 2.0)
+    assert(r.getAs[Double]("quantity_max") == 9.0)
+    assert(r.getAs[java.sql.Timestamp]("shipdate_min") == ts)
+    assert(r.getAs[java.sql.Timestamp]("shipdate_max") == ts2)
+  }
+}
