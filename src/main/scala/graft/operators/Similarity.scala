@@ -662,4 +662,104 @@ object Similarity {
         (lit(lambda) * col("rel") - lit(mu) * col("max_sim")).as("mmr"),
         col("pick_order"))
   }
+
+  /** Upper-triangle covariance + Pearson correlation of the embedding
+    * dimensions over the whole corpus — the input to PCA whitening /
+    * dimensionality reduction before SemDeDup-style clustering, and the
+    * redundant-dimension diagnostic for a learned embedder.
+    *
+    * Outer-product accumulation expressed relationally: ONE generate pass
+    * expands each vector's d(d+1)/2 upper-triangle product terms IN-ROW
+    * (nested `transform` over index sequences — no self-join of the
+    * exploded view, which would shuffle N·d rows to pair them), and ONE
+    * hash agg over the cell keys reduces them. Partial aggregation
+    * collapses every partition to ≤ d(d+1)/2 cells map-side, so the
+    * exchange carries O(partitions · d²) rows regardless of corpus size —
+    * the same math a treeAggregate outer-product loop does, with codegen
+    * and AQE for free. Per-dim moment sums ride a second narrow agg (64
+    * cells); the d²-row cell frame then joins the d-row stats frame
+    * twice — broadcast-sized at any corpus.
+    *
+    * Numerics: per-row products in IEEE double; cross-row folds in
+    * fixed point — `floor(p·1e12)` (bit-identical in any engine; a
+    * double→DECIMAL(s) ROUNDING cast is NOT — Spark rounds the shortest
+    * decimal representation, DuckDB the exact binary value, and at 12
+    * fractional digits those disagree) summed in DECIMAL(38,0) with 26
+    * digits of headroom over any corpus cardinality; cov/corr derived
+    * per-cell in double from the exact sums with one AST shared with the
+    * oracle — fully hash-checkable. */
+  def covarianceMatrix(vecs: DataFrame, vecCol: String): DataFrame = {
+    def sum12(c: Column): Column =
+      sum(floor(c * Scale)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("double") / Scale
+    val v = col(vecCol)
+    val ex = vecs.select(posexplode(v).as(Seq("pos0", "xf")))
+      .select(col("pos0").cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+    val stats = ex.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum12(col("x")).as("s"),
+        sum12(col("x") * col("x")).as("s2"))
+    val pairs = flatten(transform(
+      sequence(lit(0), size(v) - 1),
+      i => transform(sequence(i, size(v) - 1),
+        j => struct(i.cast("long").as("i"), j.cast("long").as("j"),
+          (element_at(v, i + 1).cast("double") *
+            element_at(v, j + 1).cast("double")).as("p")))))
+    val cells = vecs.select(explode(pairs).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.p"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum12(col("p")).as("s_ij"))
+    val si = stats.select(col("dim").as("i"), col("s").as("s_i"),
+      col("s2").as("s2_i"))
+    val sj = stats.select(col("dim").as("j"), col("s").as("s_j"),
+      col("s2").as("s2_j"))
+    def varOf(s: Column, s2: Column, n: Column): Column =
+      (s2 - s * s / n) / (n - 1)
+    cells.join(broadcast(si), "i").join(broadcast(sj), "j")
+      .withColumn("cov", (col("s_ij") - col("s_i") * col("s_j") / col("n"))
+        / (col("n") - 1))
+      .withColumn("corr", col("cov") /
+        (sqrt(varOf(col("s_i"), col("s2_i"), col("n"))) *
+          sqrt(varOf(col("s_j"), col("s2_j"), col("n")))))
+      .select(col("i"), col("j"), col("n"), col("cov"), col("corr"))
+  }
+
+  /** Top principal component by power iteration over the d×d covariance
+    * frame, plus each vector's projection onto it — the 1-D PCA used for
+    * duplicate-axis detection and as the split direction in recursive
+    * bisecting projections.
+    *
+    * Scale shape: the ONLY driver-side data is the covariance matrix
+    * (d² doubles — KBs for any real embedder, computed distributed by
+    * [[covarianceMatrix]]) and the d-vector iterate; the corpus-scale
+    * projection pass is a narrow per-row fold against the broadcast
+    * component. Deterministic: fixed uniform init, fixed iteration
+    * count, sign normalized so component(argmax |component|) > 0. */
+  def topPrincipalComponent(vecs: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 50): (Array[Double], DataFrame) = {
+    val cells = covarianceMatrix(vecs, vecCol)
+      .select(col("i"), col("j"), col("cov")).collect()
+    val d = (cells.map(_.getLong(0)).max + 1).toInt
+    val m = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    var w = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val nw = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0.0)((acc, j) => acc + m(i)(j) * w(j)))
+      val nrm = math.sqrt(nw.foldLeft(0.0)((a, x) => a + x * x))
+      if (nrm > 0) w = nw.map(_ / nrm)
+    }
+    val flip = if (w(w.indices.maxBy(i => math.abs(w(i)))) < 0) -1.0 else 1.0
+    val pc = w.map(_ * flip)
+    val pcCol = array(pc.map(lit): _*)
+    // HOF fold, not VectorDot: the component literal is array<double>
+    // while the corpus column is array<float> — zip_with casts per element
+    val projected = vecs.select(col(idCol), dotSeqHof(col(vecCol),
+      pcCol).as("pc1_score"))
+    (pc, projected)
+  }
 }

@@ -178,7 +178,16 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       Similarity.semanticContamination(e.filter($"label" =!= 0),
         e.filter($"label" === 0), "vec_id", "embedding", 0.35)
-    }))
+    }),
+
+    // dimension covariance + correlation matrix (the PCA-whitening /
+    // redundant-dimension-diagnostic input): outer products expanded
+    // IN-ROW and reduced by one hash agg — the relational form of a
+    // treeAggregate outer-product accumulation (see
+    // Similarity.covarianceMatrix's scale note). DECIMAL(38,12) folds →
+    // one shared double AST per cell ⇒ full hash oracle.
+    "sim13_covariance" -> ((s, dir) =>
+      Similarity.covarianceMatrix(emb(s, dir), "embedding")))
 
   /** sim5's DuckDB twin, mirroring Similarity.annLsh(planes=48, bands=4,
     * τ=0.35, dims=64, targetBucketSize=8, maxBucket=1024) stage by stage:
@@ -318,6 +327,41 @@ object SimilarityQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "sim12_mmr_rerank" -> sim12Sql(12, 5),
+    // sim13's twin pairs dimensions by a self-join of the exploded view
+    // (the oracle can afford the N·d² shuffle the Spark side's in-row
+    // expansion avoids); same fixed-point floor folds (a rounding
+    // double→decimal cast would diverge at 12 digits — see
+    // Similarity.covarianceMatrix), same cov/corr AST.
+    "sim13_covariance" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) p
+        |), stats AS (
+        |  SELECT dim, count(*) AS n,
+        |    CAST(sum(CAST(floor((x) * 1e12) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1e12 AS s,
+        |    CAST(sum(CAST(floor((x * x) * 1e12) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1e12 AS s2
+        |  FROM ex GROUP BY dim
+        |), cells AS (
+        |  SELECT a.dim AS i, b.dim AS j, count(*) AS n,
+        |    CAST(sum(CAST(floor((a.x * b.x) * 1e12) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1e12 AS s_ij
+        |  FROM ex a JOIN ex b
+        |    ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i, j, cells.n,
+        |  (s_ij - si.s * sj.s / cells.n) / (cells.n - 1) AS cov,
+        |  ((s_ij - si.s * sj.s / cells.n) / (cells.n - 1)) /
+        |    (sqrt((si.s2 - si.s * si.s / cells.n) / (cells.n - 1)) *
+        |     sqrt((sj.s2 - sj.s * sj.s / cells.n) / (cells.n - 1))) AS corr
+        |FROM cells
+        |JOIN stats si ON cells.i = si.dim
+        |JOIN stats sj ON cells.j = sj.dim""".stripMargin,
     "sim5_ann_lsh" -> sim5Sql,
     "sim1_cosine_topk" -> sim1Sql,
     // the Aggregator form must produce EXACTLY the window form's rows

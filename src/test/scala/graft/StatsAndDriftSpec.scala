@@ -81,6 +81,40 @@ class StatsAndDriftSpec extends AnyFunSuite {
     assert(out("C") == ((20L, 80.0)))
   }
 
+  test("sim13 covariance: hand-computed cov/corr, zero-mean dim") {
+    val vecs = Seq(
+      Array(1f, 2f, 0f), Array(2f, 4f, 1f), Array(3f, 6f, -1f))
+      .toDF("embedding")
+    val out = graft.operators.Similarity
+      .covarianceMatrix(vecs, "embedding")
+      .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j")) ->
+        ((r.getAs[Double]("cov"), r.getAs[Double]("corr")))).toMap
+    assert(out.size == 6) // upper triangle of d=3
+    assert(out((0L, 0L)) == ((1.0, 1.0)))
+    assert(out((1L, 1L)) == ((4.0, 1.0)))
+    assert(out((2L, 2L)) == ((1.0, 1.0)))
+    assert(out((0L, 1L)) == ((2.0, 1.0)))   // dim1 = 2·dim0 exactly
+    assert(out((0L, 2L)) == ((-0.5, -0.5)))
+    assert(out((1L, 2L)) == ((-1.0, -0.5)))
+  }
+
+  test("pc1: power iteration recovers the dominant direction") {
+    val vecs = Seq((1L, Array(1f, 2f)), (2L, Array(2f, 4f)),
+      (3L, Array(3f, 6f)), (4L, Array(-1f, -2f)))
+      .toDF("vec_id", "embedding")
+    val (pc, projected) = graft.operators.Similarity
+      .topPrincipalComponent(vecs, "vec_id", "embedding")
+    // rank-1 covariance: PC1 = (1,2)/√5 exactly
+    val s5 = math.sqrt(5.0)
+    assert(math.abs(pc(0) - 1.0 / s5) < 1e-12 &&
+      math.abs(pc(1) - 2.0 / s5) < 1e-12)
+    val scores = projected.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pc1_score"))
+      .toMap
+    assert(math.abs(scores(1L) - 5.0 / s5) < 1e-9)  // (1,2)·(1,2)/√5
+    assert(math.abs(scores(4L) + 5.0 / s5) < 1e-9)
+  }
+
   test("q68 table stats: ndv, null counts, min/max in one pass") {
     val dir = tmp("graft-stats")
     val ts = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
