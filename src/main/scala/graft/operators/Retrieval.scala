@@ -82,4 +82,33 @@ object Retrieval {
       .select(col("query_id"), col("doc").as("doc_id"), col("n_hit"),
         col("score"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * rankings: RRF(d) = Σ_lists 1/(c + rank_d), FULL OUTER on
+    * (query, doc) so a doc on one list only keeps that list's term and a
+    * query absent from one ranking fuses single-list. Ranking-agnostic
+    * (any (query_id, doc_id, rank) pair of frames) and grid-sized: the
+    * inputs are already top-k lists, so the fusion join/window touch
+    * O(queries · k) rows no matter the corpus behind them. 1/(c+rank)
+    * over integer ranks is one shared double AST — no transcendentals,
+    * fully hash-oracle-able. */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, c: Double = 60.0,
+      k: Int = 10): DataFrame = {
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    sparse.select(col("query_id"), col("doc_id"),
+        col("rank").as("r_sparse"))
+      .join(dense.select(col("query_id"), col("doc_id"),
+        col("rank").as("r_dense")), Seq("query_id", "doc_id"),
+        "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("r_sparse").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c) + col("r_dense").cast("double")),
+          lit(0.0)))
+      .withColumn("fused_rank", row_number().over(wF).cast("long"))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("r_sparse"),
+        col("r_dense"), col("rrf"), col("fused_rank"))
+  }
 }

@@ -631,6 +631,31 @@ object ExtendedQueries extends QueryPack {
         max($"l_quantity").as("quantity_max"),
         min($"l_shipdate").as("shipdate_min"),
         max($"l_shipdate").as("shipdate_max"))
+    }),
+
+    // Q69 — exponential-decay (EWMA) recency score per user: each event
+    // weighted 2^-k by its recency rank — the feature-store "recent
+    // activity" signal whose half-life forgets stale behavior. α = 1/2
+    // is deliberate: the weight is 1/(1<<k), an EXACT power of two in
+    // both engines (a libm pow(α,k) would be bounded-gate territory),
+    // zeroed past k=62 where the shift would overflow (true weight
+    // < 2.3e-19 — far below the decimal fold's resolution, so the
+    // truncation is invisible AND portable). One user-keyed exchange;
+    // per-user sorts are user-grained — the q67 scale class.
+    "q69_ewma_user" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      t(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("k", (row_number().over(w) - 1).cast("long"))
+        .withColumn("wt", when($"k" <= 62L,
+          lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), " +
+            "CAST(k AS INT)) AS DOUBLE)")).otherwise(lit(0.0)))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sumExact($"value" * $"wt").as("ewma"),
+          max(when($"k" === 0L, $"value")).as("last_value"))
     }))
 
   /** q61's sketch size: 64 minima ⇒ expected relative error
@@ -892,6 +917,24 @@ object ExtendedQueries extends QueryPack {
         |  min(l_shipdate) AS shipdate_min,
         |  max(l_shipdate) AS shipdate_max
         |FROM lineitem""".stripMargin,
+    // q69's twin: identical rank, identical 1/(1<<k) exact weights.
+    "q69_ewma_user" ->
+      s"""WITH ranked AS (
+         |  SELECT user_id, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) - 1 AS k
+         |  FROM events
+         |), wtd AS (
+         |  SELECT user_id, value, k,
+         |    CASE WHEN k <= 62 THEN
+         |      1.0 / CAST((CAST(1 AS BIGINT) << CAST(k AS INT)) AS DOUBLE)
+         |    ELSE 0.0 END AS wt
+         |  FROM ranked
+         |)
+         |SELECT user_id, count(*) AS n_events,
+         |  ${sumExactSql("value * wt")} AS ewma,
+         |  max(CASE WHEN k = 0 THEN value END) AS last_value
+         |FROM wtd GROUP BY user_id""".stripMargin,
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer

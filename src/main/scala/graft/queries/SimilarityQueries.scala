@@ -187,7 +187,37 @@ object SimilarityQueries extends QueryPack {
     // Similarity.covarianceMatrix's scale note). DECIMAL(38,12) folds →
     // one shared double AST per cell ⇒ full hash oracle.
     "sim13_covariance" -> ((s, dir) =>
-      Similarity.covarianceMatrix(emb(s, dir), "embedding")))
+      Similarity.covarianceMatrix(emb(s, dir), "embedding")),
+
+    // hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    // RRF(d) = Σ_lists 1/(60 + rank_d) over the sparse (tx13 BM25) and
+    // dense (cosine) top-10 lists, FULL OUTER on (query, doc) — a doc on
+    // one list only keeps that list's term; a query with no embedding
+    // (the fixture has fewer vectors than docs at sf≥0.1) fuses
+    // sparse-only. Every weight is 1/(60+r) over integer ranks — one
+    // shared double AST, no transcendentals ⇒ full hash oracle. The
+    // rankings are INPUTS here: the dense list uses the brute scorer for
+    // oracle-checkability; at scale the IVF-PQ ranking (sim11) swaps in
+    // — RRF itself is ranking-agnostic, grid-sized work per query.
+    "sim14_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions
+      val base = graft.core.Tables.spread(
+        graft.core.Tables.load(s, dir, "documents"))
+      val qs = base.filter($"doc_id" % 50 === 0)
+        .select($"doc_id".as("qid"),
+          concat_ws(" ", slice(TextFunctions.tokens($"text"), 1, 3))
+            .as("qtext"))
+      val sparse = graft.operators.Retrieval
+        .bm25TopK(base, "doc_id", "text", qs, "qid", "qtext", k = 10)
+        .select($"query_id", $"doc_id", $"rank")
+      val e = emb(s, dir)
+      val dense = Similarity
+        .cosineTopK(e, e.filter($"vec_id" % 50 === 0), "vec_id",
+          "embedding", k = 10)
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      graft.operators.Retrieval.rrfFuse(sparse, dense, k = 10)
+    }))
 
   /** sim5's DuckDB twin, mirroring Similarity.annLsh(planes=48, bands=4,
     * τ=0.35, dims=64, targetBucketSize=8, maxBucket=1024) stage by stage:
@@ -327,6 +357,43 @@ object SimilarityQueries extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "sim12_mmr_rerank" -> sim12Sql(12, 5),
+    // sim14's twin: the tx13 BM25 chain (k=10) and the sim1-style brute
+    // cosine ranking as subqueries, fused with the identical
+    // 1/(60+rank) AST.
+    "sim14_hybrid_rrf" ->
+      s"""WITH sparse AS (
+         |  SELECT query_id, doc_id, rank AS r_sparse
+         |  FROM (${TextQueries.bm25RankedSql(10)}) s
+         |), nv AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), dense AS (
+         |  SELECT query_id, doc_id, rank AS r_dense FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+         |          DESC, c.vec_id ASC) AS rank
+         |    FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id % 50 = 0) d
+         |  WHERE rank <= 10
+         |), fused AS (
+         |  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         |    COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         |    s.r_sparse, d.r_dense,
+         |    COALESCE(1.0 / (60.0 + CAST(s.r_sparse AS DOUBLE)), 0.0) +
+         |    COALESCE(1.0 / (60.0 + CAST(d.r_dense AS DOUBLE)), 0.0)
+         |      AS rrf
+         |  FROM sparse s FULL OUTER JOIN dense d
+         |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+         |)
+         |SELECT query_id, doc_id, r_sparse, r_dense, rrf,
+         |  rank AS fused_rank
+         |FROM (
+         |  SELECT f.*, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS rank
+         |  FROM fused f) z
+         |WHERE rank <= 10""".stripMargin,
     // sim13's twin pairs dimensions by a self-join of the exploded view
     // (the oracle can afford the N·d² shuffle the Spark side's in-row
     // expansion avoids); same fixed-point floor folds (a rounding

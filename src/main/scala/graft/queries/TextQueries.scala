@@ -1300,7 +1300,9 @@ object TextQueries extends QueryPack {
     * ADDITION (1.2 + 1.0), not the literal 2.2 — the Spark side computes
     * the constant with the same IEEE add, and the two parses of "2.2"
     * need not agree with it. */
-  private lazy val lnTwinSql: Map[String, String] = {
+  /** tx13's full BM25 ranking twin, parameterized on the top-k cut so
+    * sim14's fusion oracle can reuse the whole chain as a subquery. */
+  private[queries] def bm25RankedSql(k: Int): String = {
     import graft.functions.ExactNum.sumExactSql
     val termScore =
       "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)" +
@@ -1308,7 +1310,6 @@ object TextQueries extends QueryPack {
         " * (CAST(tf AS DOUBLE) * (1.2 + 1.0))" +
         " / (CAST(tf AS DOUBLE) + 1.2 *" +
         " (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
-    val sql =
       s"""WITH toks AS (
          |  SELECT doc_id AS doc, regexp_extract_all(text, '\\S+') AS t
          |  FROM documents
@@ -1347,7 +1348,12 @@ object TextQueries extends QueryPack {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, doc ASC) AS rank
          |  FROM scored) r
-         |WHERE rank <= 5""".stripMargin
+         |WHERE rank <= $k""".stripMargin
+  }
+
+  private lazy val lnTwinSql: Map[String, String] = {
+    import graft.functions.ExactNum.sumExactSql
+    val sql = bm25RankedSql(5)
     val tx14Sql =
       s"""WITH toks AS (
          |  SELECT doc_id AS doc, regexp_extract_all(text, '\\S+') AS t

@@ -40,6 +40,10 @@ class PlanQualitySpec extends AnyFunSuite {
                             // range normalization (the zorder stats pass)
     "pl15_temperature_mix", // broadcast 1-row corpus totals (w_tot, budget)
     "q62_kmv_set_ops",      // final combine of 1-row sketch-stat frames
+    "sim14_hybrid_rrf",     // dense candidate list = sim1's brute product
+                            // (oracle-checkable baseline; the scale path
+                            // swaps in sim11's IVF-PQ ranking — RRF
+                            // fusion itself is grid-sized per query)
     "pl18_source_drift")    // sources×buckets grid completion: both sides
                             // are aggregate frames (distinct sources /
                             // distinct buckets), so the product is

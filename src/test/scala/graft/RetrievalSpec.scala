@@ -49,4 +49,22 @@ class RetrievalSpec extends AnyFunSuite {
     // n_hit counts DISTINCT matched query terms: doc 1 matches 2
     assert(out((300L, 1L))._1 == 1L && out((300L, 1L))._2 == 2L)
   }
+
+  test("rrf fusion: both-list docs beat single-list, missing lists fuse") {
+    import spark.implicits._
+    val sparse = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 11L, 1L), (1L, 12L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = graft.operators.Retrieval.rrfFuse(sparse, dense)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id")) ->
+        ((r.getAs[Double]("rrf"), r.getAs[Long]("fused_rank")))).toMap
+    // doc 11 on BOTH lists: 1/62 + 1/61 beats doc 10's 1/61 alone
+    assert(out((1L, 11L)) == ((1.0 / 62 + 1.0 / 61, 1L)))
+    assert(out((1L, 10L)) == ((1.0 / 61, 2L)))
+    assert(out((1L, 12L)) == ((1.0 / 62, 3L)))
+    // query 2 has no dense list at all — sparse-only fusion survives
+    assert(out((2L, 30L)) == ((1.0 / 61, 1L)))
+  }
 }

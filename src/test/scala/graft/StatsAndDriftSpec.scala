@@ -115,6 +115,24 @@ class StatsAndDriftSpec extends AnyFunSuite {
     assert(math.abs(scores(4L) + 5.0 / s5) < 1e-9)
   }
 
+  test("q69 ewma: exact half-life weights by recency rank") {
+    val dir = tmp("graft-ewma")
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    Seq(
+      (1L, 1L, t(1), 10.0), (2L, 1L, t(2), 20.0), (3L, 1L, t(3), 40.0),
+      (4L, 2L, t(9), 7.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q69_ewma_user")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("ewma"),
+          r.getAs[Double]("last_value")))).toMap
+    // user 1 by recency: 40·1 + 20·½ + 10·¼ = 52.5
+    assert(out(1L) == ((3L, 52.5, 40.0)))
+    assert(out(2L) == ((1L, 7.0, 7.0)))
+  }
+
   test("q68 table stats: ndv, null counts, min/max in one pass") {
     val dir = tmp("graft-stats")
     val ts = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
