@@ -43,4 +43,74 @@ object Bpe {
       .orderBy(col("n_pair").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** One vocabulary entry mid-training: the word's current symbol
+    * segmentation and its corpus frequency. */
+  case class VocabEntry(word: String, symbols: Seq[String], wc: Long)
+
+  /** A learned merge: the adjacent pair chosen at one round and its
+    * weighted occurrence count when chosen. */
+  case class Merge(left: String, right: String, n: Long)
+
+  /** Full BPE merge training (Sennrich et al. 2016 alg. 1): iterate —
+    * count adjacent symbol pairs over the vocabulary weighted by word
+    * frequency, merge the argmax pair everywhere, repeat `nMerges`
+    * times (stopping early when no pair is left).
+    *
+    * Scale: the corpus collapses to the word-frequency vocabulary ONCE
+    * (the one corpus-scale aggregation, same as [[pairStats]]); every
+    * training round then runs on the vocabulary alone — a pair-count agg
+    * (vocab × word length rows) plus a 1-row argmax collect, and a typed
+    * map rewriting each word's symbol array. That is the textbook
+    * shape: at web scale the vocab is tens of millions of rows against a
+    * 100 TB corpus, so rounds cost vocabulary work, not corpus work.
+    * `localCheckpoint` every few rounds keeps the plan from growing
+    * linearly with rounds. Deterministic: argmax tie-break is
+    * (count desc, left asc, right asc); non-adjacent re-pairing follows
+    * the standard left-to-right greedy scan.
+    */
+  def train(docs: DataFrame, textCol: String,
+      nMerges: Int): (Seq[Merge], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: org.apache.spark.sql.Dataset[VocabEntry] =
+      graft.core.Tables.spread(docs)
+        .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        .as[(String, Long)]
+        .map { case (w, c) => VocabEntry(w, w.map(_.toString), c) }
+        .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[Merge]()
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val best = vocab
+        .flatMap(e => e.symbols.zip(e.symbols.drop(1))
+          .map(p => (p._1, p._2, e.wc)))
+        .groupBy(col("_1").as("l"), col("_2").as("r"))
+        .agg(sum(col("_3")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(l, r, n)
+        vocab = vocab.map { e =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < e.symbols.length) {
+            if (i + 1 < e.symbols.length &&
+                e.symbols(i) == l && e.symbols(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += e.symbols(i); i += 1 }
+          }
+          e.copy(symbols = out.toSeq)
+        }
+        round += 1
+        if (round % 4 == 0) vocab = vocab.localCheckpoint()
+      }
+    }
+    (merges.toSeq, vocab.toDF())
+  }
 }

@@ -725,6 +725,34 @@ object Similarity {
       .select(col("i"), col("j"), col("n"), col("cov"), col("corr"))
   }
 
+  /** Per-dimension z-standardization of the corpus embeddings — the
+    * whitening-lite preprocessing before cosine/k-means so no dimension's
+    * scale dominates the metric. Same shuffle budget as the stats half of
+    * [[covarianceMatrix]]: one narrow explode + one d-cell hash agg, then
+    * the d-row stats frame broadcasts back onto the exploded view — the
+    * corpus never shuffles. Same fixed-point floor folds (bit-portable);
+    * mean/std/z derive per-row in double with one oracle-shared AST. */
+  def standardize(vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    def sum12(c: Column): Column =
+      sum(floor(c * Scale)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("double") / Scale
+    val ex = vecs.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("pos0", "xf")))
+      .select(col(idCol), col("pos0").cast("long").as("dim"),
+        col("xf").cast("double").as("x"))
+    val stats = ex.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum12(col("x")).as("s"),
+        sum12(col("x") * col("x")).as("s2"))
+      .select(col("dim"), (col("s") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1))
+          .as("std"))
+    ex.join(broadcast(stats), "dim")
+      .select(col(idCol), col("dim"), col("x"),
+        ((col("x") - col("mean")) / col("std")).as("z"))
+  }
+
   /** Top principal component by power iteration over the d×d covariance
     * frame, plus each vector's projection onto it — the 1-D PCA used for
     * duplicate-axis detection and as the split direction in recursive

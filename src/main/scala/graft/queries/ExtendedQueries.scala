@@ -656,6 +656,43 @@ object ExtendedQueries extends QueryPack {
         .agg(count(lit(1)).as("n_events"),
           sumExact($"value" * $"wt").as("ewma"),
           max(when($"k" === 0L, $"value")).as("last_value"))
+    }),
+
+    // Q70 — point-in-time (temporal-validity) join: each fact row joins
+    // the dimension VERSION that was valid at its event time — the
+    // feature-store correctness primitive that prevents label leakage
+    // (training rows must see yesterday's features, not today's). The
+    // dimension is a pl13-style SCD2 history (non-overlapping
+    // [valid_from, valid_to) intervals per key); the join is an equi
+    // join on the key with the validity range as a residual predicate —
+    // hash co-partitioned on l_orderkey, never a cartesian (q28's range-
+    // rides-equi-key class), and at most one version matches by the
+    // SCD2 non-overlap invariant. Facts before any version survive the
+    // LEFT join as status 'none' — silently dropping them would
+    // misreport coverage.
+    "q70_pit_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val hist = o.select($"o_orderkey", $"o_orderstatus",
+          $"o_orderdate".as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"),
+          lit(true).as("is_current"))
+        .unionByName(o.filter($"o_orderkey" % 10 === 0)
+          .select($"o_orderkey", lit("P").as("o_orderstatus"),
+            ($"o_orderdate" - expr("INTERVAL 90 DAYS")).as("valid_from"),
+            $"o_orderdate".as("valid_to"), lit(false).as("is_current")))
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_returnflag", $"l_extendedprice",
+          $"l_shipdate")
+        .join(hist,
+          $"l_orderkey" === $"o_orderkey" &&
+            $"valid_from" <= $"l_shipdate" &&
+            ($"valid_to".isNull || $"l_shipdate" < $"valid_to"), "left")
+        .groupBy(coalesce($"o_orderstatus", lit("none")).as("status"),
+          $"l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          sumExact($"l_extendedprice").as("revenue"),
+          sum(when($"is_current", 1L).otherwise(0L)).as("n_current"))
     }))
 
   /** q61's sketch size: 64 minima ⇒ expected relative error
@@ -935,6 +972,27 @@ object ExtendedQueries extends QueryPack {
          |  ${sumExactSql("value * wt")} AS ewma,
          |  max(CASE WHEN k = 0 THEN value END) AS last_value
          |FROM wtd GROUP BY user_id""".stripMargin,
+    // q70's twin: same SCD2 history, same validity-range join.
+    "q70_pit_join" ->
+      s"""WITH hist AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS status,
+         |    o_orderdate AS valid_from,
+         |    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, 'P', o_orderdate - INTERVAL 90 DAY,
+         |    o_orderdate, FALSE
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |)
+         |SELECT COALESCE(status, 'none') AS status, l_returnflag,
+         |  count(*) AS cnt,
+         |  ${sumExactSql("l_extendedprice")} AS revenue,
+         |  CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_current
+         |FROM lineitem LEFT JOIN hist
+         |  ON l_orderkey = k AND valid_from <= l_shipdate
+         |  AND (valid_to IS NULL OR l_shipdate < valid_to)
+         |GROUP BY 1, 2""".stripMargin,
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer

@@ -189,6 +189,12 @@ object SimilarityQueries extends QueryPack {
     "sim13_covariance" -> ((s, dir) =>
       Similarity.covarianceMatrix(emb(s, dir), "embedding")),
 
+    // per-dimension z-standardization (whitening-lite before metric ops):
+    // stats agg + broadcast-back — the corpus never shuffles. Full hash
+    // oracle on every (vec, dim, z) row.
+    "sim15_standardize" -> ((s, dir) =>
+      Similarity.standardize(emb(s, dir), "vec_id", "embedding")),
+
     // hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
     // RRF(d) = Σ_lists 1/(60 + rank_d) over the sparse (tx13 BM25) and
     // dense (cosine) top-10 lists, FULL OUTER on (query, doc) — a doc on
@@ -429,6 +435,30 @@ object SimilarityQueries extends QueryPack {
         |FROM cells
         |JOIN stats si ON cells.i = si.dim
         |JOIN stats sj ON cells.j = sj.dim""".stripMargin,
+    // sim15's twin: same exploded view, same fixed-point stat folds,
+    // same mean/std/z AST.
+    "sim15_standardize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) p
+        |), stats AS (
+        |  SELECT dim,
+        |    (CAST(sum(CAST(floor((x) * 1e12) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1e12) / count(*) AS mean,
+        |    sqrt(((CAST(sum(CAST(floor((x * x) * 1e12) AS DECIMAL(38,0)))
+        |        AS DOUBLE) / 1e12)
+        |      - (CAST(sum(CAST(floor((x) * 1e12) AS DECIMAL(38,0)))
+        |          AS DOUBLE) / 1e12)
+        |        * (CAST(sum(CAST(floor((x) * 1e12) AS DECIMAL(38,0)))
+        |            AS DOUBLE) / 1e12) / count(*))
+        |      / (count(*) - 1)) AS std
+        |  FROM ex GROUP BY dim
+        |)
+        |SELECT vec_id, ex.dim, x, (x - mean) / std AS z
+        |FROM ex JOIN stats ON ex.dim = stats.dim""".stripMargin,
     "sim5_ann_lsh" -> sim5Sql,
     "sim1_cosine_topk" -> sim1Sql,
     // the Aggregator form must produce EXACTLY the window form's rows

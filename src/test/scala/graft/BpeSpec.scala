@@ -31,4 +31,27 @@ class BpeSpec extends AnyFunSuite {
   test("single-char-only corpus yields no pairs") {
     assert(Bpe.pairStats(Seq("a b c a").toDF("text"), "text").count() == 0)
   }
+
+  test("train: merges apply greedily and re-pair across rounds") {
+    // wc: ab=3, abc=1. Round 1: (a,b)=4 wins; round 2 pairs the MERGED
+    // symbol: (ab,c)=1 — only reachable after round 1's rewrite.
+    val (merges, vocab) =
+      Bpe.train(Seq("ab ab ab abc").toDF("text"), "text", nMerges = 5)
+    assert(merges.map(m => (m.left, m.right, m.n)) ==
+      Seq(("a", "b", 4L), ("ab", "c", 1L)))
+    val syms = vocab.collect().map(r => r.getAs[String]("word") ->
+      r.getAs[scala.collection.Seq[String]]("symbols").toSeq).toMap
+    assert(syms("ab") == Seq("ab") && syms("abc") == Seq("abc"))
+  }
+
+  test("train: greedy left-to-right scan on overlapping occurrences") {
+    // "aaa": pairs (a,a)x2 → merge (a,a); greedy scan yields [aa, a],
+    // NOT [a, aa] — the Sennrich reference behavior.
+    val (merges, vocab) =
+      Bpe.train(Seq("aaa").toDF("text"), "text", nMerges = 1)
+    assert(merges.head.left == "a" && merges.head.right == "a" &&
+      merges.head.n == 2L)
+    val syms = vocab.collect().head.getAs[scala.collection.Seq[String]]("symbols").toSeq
+    assert(syms == Seq("aa", "a"))
+  }
 }
