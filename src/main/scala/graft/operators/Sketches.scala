@@ -184,6 +184,63 @@ object Sketches {
       .toDF("grp", "n_kept", "h_k", "est_distinct")
   }
 
+  /** One partition's maintained column statistics (q68's ANALYZE row,
+    * kept fresh incrementally): exact count/null/min/max plus the KMV
+    * distinct estimate of the key column. */
+  case class ColStats(grp: String, n_rows: Long, n_nulls: Long,
+                      vmin: Double, vmax: Double, n_kept: Long,
+                      est_distinct: Double)
+
+  /** Streaming stats maintenance — the q68 ANALYZE job without the
+    * rescan: per-group (table-partition) count / null-count / min / max
+    * merged exactly across micro-batches, plus the KMV k-min state for
+    * the key column's NDV estimate. At 100 TB, re-running ANALYZE after
+    * every ingest batch rescans the table; this keeps CBO stats current
+    * for the cost of the arriving rows. State per group is O(k) longs +
+    * four scalars — every piece MERGEABLE (counts add, min/min, max/max,
+    * KMV union-take-k), which is exactly why these are the stats engines
+    * maintain incrementally. Emits the refreshed row per group per batch
+    * (update mode, replace-by-key sink). */
+  def streamingColumnStats(df: DataFrame, grpCol: String, valCol: String,
+      keyCol: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+      OutputMode}
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(grpCol).cast("string").as("grp"),
+        col(valCol).cast("double").as("v"),
+        PortableHash.hash60(col(keyCol).cast("string")).as("h"))
+      .as[(String, Option[Double], Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double, Double, Seq[Long]),
+        ColStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (grp, rows,
+            state: GroupState[(Long, Long, Double, Double, Seq[Long])]) =>
+          var (n, nulls, vmin, vmax, kmv) = state.getOption
+            .getOrElse((0L, 0L, Double.PositiveInfinity,
+              Double.NegativeInfinity, Seq.empty[Long]))
+          val hs = scala.collection.mutable.ArrayBuffer[Long]()
+          rows.foreach { case (_, v, h) =>
+            n += 1
+            v match {
+              case Some(x) =>
+                if (x < vmin) vmin = x
+                if (x > vmax) vmax = x
+              case None => nulls += 1
+            }
+            h.foreach(hs += _)
+          }
+          kmv = (kmv ++ hs).distinct.sorted.take(k)
+          state.update((n, nulls, vmin, vmax, kmv))
+          val nKept = kmv.size.toLong
+          val est = if (nKept == 0) 0.0
+            else if (nKept < k) nKept.toDouble
+            else (k - 1).toDouble * Pow60 / kmv.last.toDouble
+          Iterator.single(ColStats(grp, n, nulls, vmin, vmax, nKept, est))
+      }.toDF()
+  }
+
   /** DuckDB twin of [[kmvDistinct]]'s selection + estimate, as a CTE
     * body parameterized on the source relation and expressions. */
   def kmvSql(from: String, grpExpr: String, keyExpr: String,

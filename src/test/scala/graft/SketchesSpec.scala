@@ -162,6 +162,38 @@ class SketchesSpec extends AnyFunSuite {
     assert(batch("g1")._1 == 40L) // sparse group: all hashes kept
   }
 
+  test("streaming column stats merge exactly across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, Option[Double], Long)]
+    val q = Sketches.streamingColumnStats(
+        mem.toDF().toDF("grp", "v", "key"), "grp", "v", "key", k = 64)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("stats_stream").start()
+    try {
+      // batch 1: g1 values 5, null, 9 over keys 1..3
+      mem.addData(Seq(("g1", Some(5.0), 1L), ("g1", None, 2L),
+        ("g1", Some(9.0), 3L)))
+      q.processAllAvailable()
+      // batch 2: widen min AND max, repeat key 1 (ndv must not grow)
+      mem.addData(Seq(("g1", Some(1.0), 1L), ("g1", Some(20.0), 4L),
+        ("g2", Some(7.0), 9L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("stats_stream")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("n_rows").desc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+          r.getAs[Double]("vmin"), r.getAs[Double]("vmax"),
+          r.getAs[Double]("est_distinct")))).toMap
+    // sparse regime (< k distinct keys): the estimate IS the exact ndv
+    assert(last("g1") == ((5L, 1L, 1.0, 20.0, 4.0)))
+    assert(last("g2") == ((1L, 0L, 7.0, 7.0, 1.0)))
+  }
+
   test("top-k tie-break is (count desc, token asc) and deterministic") {
     val docs = Seq("b b a a d c c", "d e").toDF("text")
     val out = Sketches.tokenHeavyHitters(docs, "text", k = 3)
