@@ -693,6 +693,46 @@ object ExtendedQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"),
           sumExact($"l_extendedprice").as("revenue"),
           sum(when($"is_current", 1L).otherwise(0L)).as("n_current"))
+    }),
+
+    // Q71 — quantile normalization: each group's values are mapped onto
+    // the GLOBAL distribution through a 101-point quantile grid — the
+    // score-calibration step that makes per-source quality scores
+    // comparable before a corpus-wide keep threshold (a p90 doc from a
+    // verbose source and a p90 doc from a terse one land on the same
+    // calibrated value). Distributed exactness without a global row
+    // sort: per-row group quantiles come from group-keyed windows; the
+    // global side is the pl17 histogram trick (cumulative over DISTINCT
+    // values — domain-bounded, not data-bounded) probed at the 101 grid
+    // ranks; the corpus then equi-joins the broadcast 101-row grid. The
+    // one nonequi join (grid ranks × histogram) touches two
+    // aggregate-sized frames only.
+    "q71_quantile_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select($"o_orderpriority".as("g"),
+        $"o_totalprice".as("v"), $"o_orderkey".as("id"))
+      val ranked = o
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"g").orderBy($"v", $"id")).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"g")))
+      val q = when($"n" === 1L, lit(0.0))
+        .otherwise(($"rn" - 1L).cast("double") / ($"n" - 1L).cast("double"))
+      val bucketed = ranked.withColumn("qb", floor(q * 100.0).cast("long"))
+      val hist = o.groupBy($"v").agg(count(lit(1)).as("c"))
+        .withColumn("cum",
+          sum($"c").over(Window.orderBy($"v")).cast("long"))
+      val nTot = o.agg(count(lit(1)).as("n_tot"))
+      val grid = s.range(0, 101).toDF("qb")
+        .crossJoin(broadcast(nTot))
+        .withColumn("r", floor($"qb".cast("double") / 100.0 *
+          ($"n_tot" - 1L).cast("double")).cast("long") + 1L)
+      val gridVals = grid.alias("gr")
+        .join(hist.alias("h"), expr("h.cum >= gr.r"))
+        .groupBy(col("gr.qb").as("qb")).agg(min(col("h.v")).as("gv"))
+      bucketed.join(broadcast(gridVals), "qb")
+        .groupBy($"g".as("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), sumExact($"gv").as("sum_norm"),
+          min($"gv").as("min_norm"), max($"gv").as("max_norm"))
     }))
 
   /** q61's sketch size: 64 minima ⇒ expected relative error
@@ -993,6 +1033,41 @@ object ExtendedQueries extends QueryPack {
          |  ON l_orderkey = k AND valid_from <= l_shipdate
          |  AND (valid_to IS NULL OR l_shipdate < valid_to)
          |GROUP BY 1, 2""".stripMargin,
+    // q71's twin: same rank/bucket/grid arithmetic, same histogram probe.
+    "q71_quantile_normalize" ->
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS g, o_totalprice AS v,
+         |    o_orderkey AS id
+         |  FROM orders
+         |), ranked AS (
+         |  SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS n
+         |  FROM o
+         |), bucketed AS (
+         |  SELECT g, CAST(floor((CASE WHEN n = 1 THEN 0.0
+         |    ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END)
+         |    * 100.0) AS BIGINT) AS qb
+         |  FROM ranked
+         |), hist AS (
+         |  SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+         |  FROM (SELECT v, count(*) AS c FROM o GROUP BY v) hc
+         |), nt AS (SELECT count(*) AS n_tot FROM o),
+         |grid AS (
+         |  SELECT qb, CAST(floor(CAST(qb AS DOUBLE) / 100.0 *
+         |    CAST(n_tot - 1 AS DOUBLE)) AS BIGINT) + 1 AS r
+         |  FROM (SELECT unnest(generate_series(0, 100)) AS qb) b
+         |  CROSS JOIN nt
+         |), gv AS (
+         |  SELECT qb, min(v) AS gv
+         |  FROM grid JOIN hist ON hist.cum >= grid.r
+         |  GROUP BY qb
+         |)
+         |SELECT g AS o_orderpriority, count(*) AS cnt,
+         |  ${sumExactSql("gv")} AS sum_norm,
+         |  min(gv) AS min_norm, max(gv) AS max_norm
+         |FROM bucketed JOIN gv USING (qb)
+         |GROUP BY g""".stripMargin,
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer

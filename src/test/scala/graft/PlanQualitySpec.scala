@@ -40,6 +40,10 @@ class PlanQualitySpec extends AnyFunSuite {
                             // range normalization (the zorder stats pass)
     "pl15_temperature_mix", // broadcast 1-row corpus totals (w_tot, budget)
     "q62_kmv_set_ops",      // final combine of 1-row sketch-stat frames
+    "q71_quantile_normalize", // grid-ranks × value-histogram probe: both
+                            // sides aggregate-sized (101 rows × distinct
+                            // values) at any corpus; the corpus itself
+                            // equi-joins the broadcast 101-row grid
     "sim14_hybrid_rrf",     // dense candidate list = sim1's brute product
                             // (oracle-checkable baseline; the scale path
                             // swaps in sim11's IVF-PQ ranking — RRF

@@ -133,6 +133,23 @@ class StatsAndDriftSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 7.0, 7.0)))
   }
 
+  test("q71 quantile normalize: shifted groups land on the same values") {
+    val dir = tmp("graft-qnorm")
+    val rows = (1 to 4).map(v => ("A", v.toDouble, v.toLong)) ++
+      (1 to 4).map(v => ("B", 100.0 + v, 10L + v))
+    rows.toDF("o_orderpriority", "o_totalprice", "o_orderkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q71_quantile_normalize")(spark, dir)
+      .collect().map(r => r.getAs[String]("o_orderpriority") ->
+        ((r.getAs[Long]("cnt"), r.getAs[Double]("sum_norm"),
+          r.getAs[Double]("min_norm"), r.getAs[Double]("max_norm")))).toMap
+    // group ranks 1..4 → quantiles 0, ⅓, ⅔, 1 → global grid values
+    // {1, 3, 101, 104} for BOTH groups — calibration erases the shift
+    assert(out("A") == ((4L, 209.0, 1.0, 104.0)))
+    assert(out("B") == out("A"))
+  }
+
   test("q68 table stats: ndv, null counts, min/max in one pass") {
     val dir = tmp("graft-stats")
     val ts = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
