@@ -113,4 +113,47 @@ object Bpe {
     }
     (merges.toSeq, vocab.toDF())
   }
+
+  /** Apply learned merges to encode the corpus — the tokenizer's
+    * inference path: each word re-runs the merge list in RANK order
+    * (lowest-rank applicable merge first, the standard BPE encode), so a
+    * word unseen at training time still segments deterministically.
+    *
+    * Scale: the merge table (vocabulary-training output, ~30k-100k rows
+    * for real tokenizers) broadcasts to every task as a plain Map; the
+    * corpus pass is one narrow typed map — zero shuffles, zero joins.
+    * Output: (doc id, n_words, n_tokens) — the sequence-length table
+    * that feeds packing (pl7) and token-budget accounting. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rank: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (m, i) => (m.left, m.right) -> i }.toMap
+    val bc = spark.sparkContext.broadcast(rank)
+    docs.select(col(idCol).cast("long").as("id"),
+        TextFunctions.tokens(col(textCol)).as("ws"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ws) =>
+        val r = bc.value
+        var nTok = 0L
+        ws.foreach { w =>
+          var syms = w.map(_.toString)
+          var done = false
+          while (!done && syms.length > 1) {
+            // lowest-rank applicable merge, leftmost occurrence first
+            val cand = syms.zip(syms.tail).zipWithIndex
+              .flatMap { case (p, i) => r.get(p).map(rk => (rk, i)) }
+            if (cand.isEmpty) done = true
+            else {
+              val (_, i) = cand.min
+              syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++
+                syms.drop(i + 2)
+            }
+          }
+          nTok += syms.length
+        }
+        (id, ws.length.toLong, nTok)
+      }.toDF("id", "n_words", "n_tokens")
+  }
 }

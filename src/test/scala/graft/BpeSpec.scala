@@ -44,6 +44,22 @@ class BpeSpec extends AnyFunSuite {
     assert(syms("ab") == Seq("ab") && syms("abc") == Seq("abc"))
   }
 
+  test("encode: rank order wins over position; unseen words segment") {
+    import graft.operators.Bpe.Merge
+    // merges learned elsewhere: rank 0 = (b,c), rank 1 = (a,b).
+    // "abc": the LOWEST-RANK applicable merge (b,c) fires first even
+    // though (a,b) sits further left → [a, bc], then nothing applies.
+    val merges = Seq(Merge("b", "c", 9L), Merge("a", "b", 5L))
+    val out = Bpe.encode(
+        Seq((1L, "abc ab zzz"), (2L, "")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // abc → [a, bc] (2); ab → [ab] (1); zzz unseen → [z,z,z] (3)
+    assert(out(1L) == ((3L, 6L)))
+    assert(out(2L) == ((0L, 0L)))
+  }
+
   test("train: greedy left-to-right scan on overlapping occurrences") {
     // "aaa": pairs (a,a)x2 → merge (a,a); greedy scan yields [aa, a],
     // NOT [a, aa] — the Sennrich reference behavior.
