@@ -733,7 +733,50 @@ object ExtendedQueries extends QueryPack {
         .groupBy($"g".as("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"), sumExact($"gv").as("sum_norm"),
           min($"gv").as("min_norm"), max($"gv").as("max_norm"))
+    }),
+
+    // Q72 — per-group OLS trend: regress event value on time per
+    // event_type — the drift/trend detector behind "is this metric
+    // degrading" alerts, computed exactly from five decimal-folded
+    // moment sums (n, Σx, Σy, Σxy, Σx²) in ONE map-side-combined hash
+    // agg; slope/intercept derive per group in double from the exact
+    // sums with one oracle-shared AST. x is seconds since a FIXED 2024
+    // epoch, not raw epoch seconds: re-centering bounds x² so the folds
+    // keep headroom at any row count, and a fixed constant (unlike
+    // per-group min(ts)) needs no extra pass and is identical in both
+    // engines. The moment folds are fixed-point FLOOR (sim13's pattern),
+    // not the DECIMAL(28,6) rounding cast: x² sits near 1e12, where the
+    // 1e-6 quantum is ~500× finer than the double's own ulp — a rounding
+    // cast there reads digits the two engines expand differently
+    // (shortest-repr vs exact binary; measured: the sxx sums land one
+    // ulp apart), while floor of the SAME double is bit-identical.
+    "q72_group_regression" -> ((s, dir) => {
+      import s.implicits._
+      def sumF6(c: org.apache.spark.sql.Column) =
+        sum(floor(c * 1e6)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / 1e6
+      val epoch = lit("2024-01-01 00:00:00").cast("timestamp")
+      t(s, dir, "events")
+        .select($"event_type",
+          (unix_timestamp($"ts") - unix_timestamp(epoch))
+            .cast("double").as("x"),
+          $"value".as("y"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sumF6($"x").as("sx"), sumF6($"y").as("sy"),
+          sumF6($"x" * $"y").as("sxy"),
+          sumF6($"x" * $"x").as("sxx"))
+        .withColumn("slope",
+          ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+        .withColumn("intercept", ($"sy" - $"slope" * $"sx") / $"n")
+        .select($"event_type", $"n", $"slope", $"intercept")
     }))
+
+  /** q72's fold twin: fixed-point floor at 1e-6 (bit-identical across
+    * engines; a rounding decimal cast is not at these magnitudes). */
+  private def sumF6Sql(e: String): String =
+    s"(CAST(sum(CAST(floor(($e) * 1e6) AS DECIMAL(38,0))) AS DOUBLE) / 1e6)"
 
   /** q61's sketch size: 64 minima ⇒ expected relative error
     * ~1/√(k−2) ≈ 12.7%; the oracle reproduces the estimate exactly
@@ -1068,6 +1111,28 @@ object ExtendedQueries extends QueryPack {
          |  min(gv) AS min_norm, max(gv) AS max_norm
          |FROM bucketed JOIN gv USING (qb)
          |GROUP BY g""".stripMargin,
+    // q72's twin: same re-centered x (1704067200 = the 2024-01-01 UTC
+    // epoch the Spark side derives under the pinned UTC session), same
+    // moment folds, same slope/intercept AST.
+    "q72_group_regression" ->
+      s"""WITH pts AS (
+         |  SELECT event_type,
+         |    CAST(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200
+         |      AS DOUBLE) AS x,
+         |    value AS y
+         |  FROM events
+         |), m AS (
+         |  SELECT event_type, count(*) AS n,
+         |    ${sumF6Sql("x")} AS sx, ${sumF6Sql("y")} AS sy,
+         |    ${sumF6Sql("x * y")} AS sxy,
+         |    ${sumF6Sql("x * x")} AS sxx
+         |  FROM pts GROUP BY event_type
+         |)
+         |SELECT event_type, n,
+         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+         |    AS intercept
+         |FROM m""".stripMargin,
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer

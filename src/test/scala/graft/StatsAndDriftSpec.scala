@@ -150,6 +150,27 @@ class StatsAndDriftSpec extends AnyFunSuite {
     assert(out("B") == out("A"))
   }
 
+  test("q72 regression: exact slope/intercept on a planted line") {
+    val dir = tmp("graft-reg")
+    // absolute epoch millis (2024-01-01T00:00:00Z) — a Timestamp.valueOf
+    // string would shift with the JVM default zone
+    def t(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    // y = 2x + 1 exactly; a second flat group y = 7
+    val rows = Seq(
+      (1L, 10L, t(0), 1.0, "up"), (2L, 10L, t(1), 3.0, "up"),
+      (3L, 10L, t(2), 5.0, "up"),
+      (4L, 11L, t(0), 7.0, "flat"), (5L, 11L, t(10), 7.0, "flat"))
+    rows.toDF("event_id", "user_id", "ts", "value", "event_type")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q72_group_regression")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("slope"),
+          r.getAs[Double]("intercept")))).toMap
+    assert(out("up") == ((3L, 2.0, 1.0)))
+    assert(out("flat") == ((2L, 0.0, 7.0)))
+  }
+
   test("q68 table stats: ndv, null counts, min/max in one pass") {
     val dir = tmp("graft-stats")
     val ts = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
