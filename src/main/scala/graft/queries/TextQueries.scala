@@ -662,6 +662,30 @@ object TextQueries extends QueryPack {
         .select($"doc_id", $"n_tokens",
           coalesce($"oov", lit(0L)).as("oov"),
           (coalesce($"oov", lit(0L)) * 5L <= $"n_tokens").as("keep"))
+    }),
+
+    // readability scoring (Flesch reading-ease + Flesch–Kincaid grade):
+    // the audience-level quality feature curriculum builders bucket on.
+    // Sentences = [.!?]+ runs, syllables = vowel-group runs — the
+    // standard regex approximation, with BOTH engines running the same
+    // RE2-safe patterns so counts (and therefore the pure-arithmetic
+    // scores) hash-match. Zero-shuffle narrow pass; empty docs are
+    // guarded to 1 word / 1 sentence rather than NaN rows.
+    "tx21_readability" -> ((s, dir) => {
+      import s.implicits._
+      val w = greatest(lit(1L), tokenCount($"text"))
+      val sents = greatest(lit(1L),
+        size(regexp_extract_all($"text", lit("[.!?]+"), lit(0)))
+          .cast("long"))
+      val syl = size(regexp_extract_all(lower($"text"),
+        lit("[aeiouy]+"), lit(0))).cast("long")
+      val wps = w.cast("double") / sents.cast("double")
+      val spw = syl.cast("double") / w.cast("double")
+      docs(s, dir).select($"doc_id",
+        tokenCount($"text").as("n_words"),
+        sents.as("n_sentences"), syl.as("n_syllables"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
+        (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
     }))
 
   /** PII patterns shared by the Spark and oracle sides — RE2-safe (no
@@ -1227,6 +1251,24 @@ object TextQueries extends QueryPack {
          |  COALESCE(oov.oov, 0) * 5 <=
          |    ${graft.functions.TextFunctions.tokenCountSql("text")} AS keep
          |FROM documents d LEFT JOIN oov ON d.doc_id = oov.doc_id""".stripMargin,
+    // tx21's twin: same regex counts, same guarded-ratio AST.
+    "tx21_readability" -> {
+      val nTok = graft.functions.TextFunctions.tokenCountSql("text")
+      val w = s"greatest(1, $nTok)"
+      val sents =
+        "greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))"
+      val syl =
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)"
+      val wps = s"(CAST($w AS DOUBLE) / CAST($sents AS DOUBLE))"
+      val spw = s"(CAST($syl AS DOUBLE) / CAST($w AS DOUBLE))"
+      s"""SELECT doc_id,
+         |  $nTok AS n_words,
+         |  $sents AS n_sentences,
+         |  $syl AS n_syllables,
+         |  206.835 - 1.015 * $wps - 84.6 * $spw AS flesch,
+         |  0.39 * $wps + 11.8 * $spw - 15.59 AS fk_grade
+         |FROM documents""".stripMargin
+    },
     "dd6_containment" ->
       s"""WITH $ngramPairCtes
          |SELECT doc_a, doc_b, common, n_a, n_b,

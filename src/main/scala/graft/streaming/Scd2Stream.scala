@@ -110,6 +110,40 @@ object Scd2Stream {
         applyBatch(b, id, dimPath, init, keyCols, attrCols, effCol)
       }
 
+  /** Streaming point-in-time enrichment — the q70 batch query's
+    * streaming twin, and the read side of this module's maintained
+    * dimension: each micro-batch of FACTS joins the persisted SCD2
+    * history on key + validity range, so a fact is labeled with the
+    * dimension version valid AT ITS OWN EVENT TIME even when the
+    * dimension has since moved on (the feature-store label-leakage
+    * guard, online). Late facts are the whole point: a fact replayed
+    * hours later still lands on its historical version, not today's.
+    *
+    * Per batch: one equi join on the keys with the validity range as a
+    * residual predicate (q70's plan class — never a cartesian); the
+    * dimension read resolves [[latestVersion]] at batch time, so
+    * enrichment always sees the newest COMMITTED history from the
+    * concurrent [[sink]]. Unmatched facts keep NULL attrs (status
+    * 'none' semantics) rather than being dropped. */
+  def pitEnrich(facts: DataFrame, dimPath: String, init: DataFrame,
+      keyCols: Seq[String], tsCol: String, checkpoint: String,
+      out: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val dim0 = currentDim(b.sparkSession, dimPath, init)
+        // prefix the dim's key columns so the join output is unambiguous
+        val dim = keyCols.foldLeft(dim0)((d, k) =>
+          d.withColumnRenamed(k, s"_dim_$k"))
+        val cond = keyCols.map(k => b(k) === dim(s"_dim_$k"))
+          .reduce(_ && _) &&
+          dim("valid_from") <= b(tsCol) &&
+          (dim("valid_to").isNull || b(tsCol) < dim("valid_to"))
+        out(b.join(dim, cond, "left")
+          .drop(keyCols.map(k => s"_dim_$k"): _*), id)
+      }.start()
+
   /** Drop all but the newest `keep` COMPLETE versions (the vacuum).
     * Only `_SUCCESS`-complete versions count toward `keep` — a partial
     * dir (crash mid-write) must never displace the last good version,

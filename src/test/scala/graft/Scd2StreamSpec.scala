@@ -127,4 +127,32 @@ class Scd2StreamSpec extends AnyFunSuite {
     assert(!v2.exists(), "stale partial survived the vacuum")
     assert(Scd2Stream.latestVersion(spark, dim).exists(_.endsWith("v3")))
   }
+
+  test("pitEnrich: facts land on the version valid at THEIR event time") {
+    val dim = tmp("graft-scd2s-pit")
+    // dimension: k=1 is A from 100, becomes B at 300
+    Scd2Stream.applyBatch(upd((1L, "B", 300L)), 0L, dim,
+      init, keyCols, attrCols, "eff")
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val facts = mem.toDF().toDF("k", "ts_s", "amount")
+      .withColumn("ts", timestamp_seconds($"ts_s")).drop("ts_s")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+    val q = Scd2Stream.pitEnrich(facts, dim, init, keyCols, "ts",
+      tmp("graft-scd2s-pit-ckpt"), (df, _) => got.synchronized {
+        got ++= df.select($"k", unix_timestamp($"ts"), $"attr")
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            Option(r.getString(2)).getOrElse("none")))
+      })
+    try {
+      mem.addData(Seq(
+        (1L, 200L, 1.0),   // during [100, 300) -> A (the CLOSED version)
+        (1L, 350L, 2.0),   // during [300, null) -> B (current)
+        (1L, 50L, 3.0),    // before any version -> none
+        (9L, 200L, 4.0)))  // unknown key -> none
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == Set((1L, 200L, "A"), (1L, 350L, "B"),
+      (1L, 50L, "none"), (9L, 200L, "none")))
+  }
 }
