@@ -771,6 +771,73 @@ object ExtendedQueries extends QueryPack {
           ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
         .withColumn("intercept", ($"sy" - $"slope" * $"sx") / $"n")
         .select($"event_type", $"n", $"slope", $"intercept")
+    }),
+
+    // Q73 — Benford first-digit screen: the classic forensic-accounting
+    // fraud signal (fabricated amounts over-represent mid digits), i.e.
+    // the reference's static risk threshold upgraded to a statistical
+    // screen over the whole amount distribution. First digit via the
+    // string head of the INTEGER part (a long renders identically in
+    // any engine; a double's string can flip to scientific notation at
+    // engine-specific thresholds, and log10 on the data path is not
+    // portable-exact near powers of ten — |v| ≥ 1 filtered, so the
+    // integer part carries the leading digit);
+    // expected share ln(1+1/d)/ln(10) is 9 CONSTANTS evaluated
+    // identically from the same literals in both engines, so the χ²
+    // stays fully hash-checkable. One corpus hash agg on (type, digit);
+    // the χ² folds over the 9-digit grid per group, zero-completed —
+    // a digit never occurring is itself Benford evidence.
+    "q73_benford" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "events")
+        .filter($"value".isNotNull && abs($"value") >= 1.0)
+        .select($"event_type",
+          substring(floor(abs($"value")).cast("long").cast("string"), 1, 1)
+            .cast("long").as("digit"))
+      val obs = d.groupBy($"event_type", $"digit")
+        .agg(count(lit(1)).as("obs"))
+      val bySrc = obs.groupBy($"event_type").agg(sum($"obs").as("n_s"))
+      val digits = s.range(1, 10).toDF("digit")
+      val grid = bySrc.crossJoin(broadcast(digits))
+        .join(obs, Seq("event_type", "digit"), "left")
+        .withColumn("obs", coalesce($"obs", lit(0L)))
+        .withColumn("p", log(lit(1.0) + lit(1.0) / $"digit".cast("double"))
+          / log(lit(10.0)))
+      val dev = $"obs".cast("double") - $"n_s".cast("double") * $"p"
+      grid.withColumn("term", dev * dev / ($"n_s".cast("double") * $"p"))
+        .groupBy($"event_type")
+        .agg(max($"n_s").as("n_amounts"),
+          sumExact($"term").as("chi2"))
+    }),
+
+    // Q74 — lag-1 autocorrelation per event type: Pearson r over each
+    // user's consecutive value pairs — q72's time-series sibling (is the
+    // metric trending vs. is it STICKY — momentum/mean-reversion of
+    // per-user behavior). Pairs come from a lag window keyed on
+    // (user, type) — fine-grained, never a per-type global sort — and
+    // the six moment sums fold decimal-exact in one type-keyed agg
+    // (values are O(100), squarely in the proven sumExact regime).
+    // r derives per group in double with the oracle-shared AST.
+    "q74_lag_autocorr" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      val pairs = t(s, dir, "events")
+        .select($"user_id", $"event_type", $"ts", $"event_id",
+          $"value".as("y"))
+        .withColumn("x", lag($"y", 1).over(w))
+        .filter($"x".isNotNull)
+      pairs.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sumExact($"x").as("sx"), sumExact($"y").as("sy"),
+          sumExact($"x" * $"y").as("sxy"),
+          sumExact($"x" * $"x").as("sxx"),
+          sumExact($"y" * $"y").as("syy"))
+        .withColumn("r1",
+          ($"n_pairs" * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n_pairs" * $"sxx" - $"sx" * $"sx") *
+             sqrt($"n_pairs" * $"syy" - $"sy" * $"sy")))
+        .select($"event_type", $"n_pairs", $"r1")
     }))
 
   /** q72's fold twin: fixed-point floor at 1e-6 (bit-identical across
@@ -1132,6 +1199,60 @@ object ExtendedQueries extends QueryPack {
          |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
          |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
          |    AS intercept
+         |FROM m""".stripMargin,
+    // q73's twin: same integer-part first digit, same 9-constant
+    // Benford expectation (ln's last-ulp drift sits ~10 orders below
+    // the DECIMAL(28,6) quantum inside the fold — the tx13/tx14
+    // absorption argument).
+    "q73_benford" ->
+      s"""WITH d AS (
+         |  SELECT event_type,
+         |    CAST(substr(CAST(CAST(floor(abs(value)) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM events WHERE value IS NOT NULL AND abs(value) >= 1.0
+         |), obs AS (
+         |  SELECT event_type, digit, count(*) AS obs FROM d GROUP BY 1, 2
+         |), s AS (
+         |  SELECT event_type, CAST(sum(obs) AS BIGINT) AS n_s
+         |  FROM obs GROUP BY 1
+         |), grid AS (
+         |  SELECT s.event_type, s.n_s, dg.digit,
+         |    COALESCE(obs.obs, 0) AS obs,
+         |    ln(1.0 + 1.0 / CAST(dg.digit AS DOUBLE)) / ln(10.0) AS p
+         |  FROM s
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS digit) dg
+         |  LEFT JOIN obs ON s.event_type = obs.event_type
+         |    AND dg.digit = obs.digit
+         |), terms AS (
+         |  SELECT event_type, n_s,
+         |    (CAST(obs AS DOUBLE) - CAST(n_s AS DOUBLE) * p) AS dev,
+         |    (CAST(n_s AS DOUBLE) * p) AS denom
+         |  FROM grid
+         |)
+         |SELECT event_type, max(n_s) AS n_amounts,
+         |  ${sumExactSql("dev * dev / denom")} AS chi2
+         |FROM terms GROUP BY event_type""".stripMargin,
+    // q74's twin: same (user, type)-keyed lag, same moment folds/AST.
+    "q74_lag_autocorr" ->
+      s"""WITH lagged AS (
+         |  SELECT event_type, value AS y,
+         |    lag(value) OVER (PARTITION BY user_id, event_type
+         |      ORDER BY ts, event_id) AS x
+         |  FROM events
+         |), p AS (
+         |  SELECT event_type, x, y FROM lagged WHERE x IS NOT NULL
+         |), m AS (
+         |  SELECT event_type, count(*) AS n_pairs,
+         |    ${sumExactSql("x")} AS sx, ${sumExactSql("y")} AS sy,
+         |    ${sumExactSql("x * y")} AS sxy,
+         |    ${sumExactSql("x * x")} AS sxx,
+         |    ${sumExactSql("y * y")} AS syy
+         |  FROM p GROUP BY event_type
+         |)
+         |SELECT event_type, n_pairs,
+         |  (n_pairs * sxy - sx * sy) /
+         |    (sqrt(n_pairs * sxx - sx * sx) *
+         |     sqrt(n_pairs * syy - sy * sy)) AS r1
          |FROM m""".stripMargin,
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (

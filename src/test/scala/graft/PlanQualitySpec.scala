@@ -40,6 +40,9 @@ class PlanQualitySpec extends AnyFunSuite {
                             // range normalization (the zorder stats pass)
     "pl15_temperature_mix", // broadcast 1-row corpus totals (w_tot, budget)
     "q62_kmv_set_ops",      // final combine of 1-row sketch-stat frames
+    "q73_benford",          // 9-digit grid completion: broadcast of a
+                            // constant 9-row frame against per-group
+                            // totals — grid-sized at any corpus
     "q71_quantile_normalize", // grid-ranks × value-histogram probe: both
                             // sides aggregate-sized (101 rows × distinct
                             // values) at any corpus; the corpus itself

@@ -171,6 +171,46 @@ class StatsAndDriftSpec extends AnyFunSuite {
     assert(out("flat") == ((2L, 0.0, 7.0)))
   }
 
+  test("q73 benford: integer-part digits, sub-1 excluded, zero cells") {
+    val dir = tmp("graft-benford")
+    def t0(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    // digits: 10→1, 1.5→1, 2.0→2, 30→3; 0.5 excluded (|v| < 1)
+    val vals = Seq(10.0, 1.5, 2.0, 30.0, 0.5)
+    vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, 1L, t0(i), v, "u") }
+      .toDF("event_id", "user_id", "ts", "value", "event_type")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q73_benford")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_amounts") == 4L)
+    val p = (d: Int) => math.log(1.0 + 1.0 / d) / math.log(10.0)
+    val obs = Map(1 -> 2.0, 2 -> 1.0, 3 -> 1.0)
+    val expected = (1 to 9).map { d =>
+      val e = 4.0 * p(d); val dev = obs.getOrElse(d, 0.0) - e
+      // mirror the query's DECIMAL(28,6) per-term quantization
+      BigDecimal(dev * dev / e).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sum
+    assert(math.abs(r.getAs[Double]("chi2") - expected) < 1e-9)
+  }
+
+  test("q74 autocorr: planted alternating and monotone series") {
+    val dir = tmp("graft-autocorr")
+    def t0(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val alt = Seq(1.0, 2.0, 1.0, 2.0, 1.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, 1L, t0(i), v, "alt") }
+    val mono = Seq(1.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => (10L + i, 2L, t0(i), v, "mono") }
+    (alt ++ mono).toDF("event_id", "user_id", "ts", "value", "event_type")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q74_lag_autocorr")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("r1")))).toMap
+    assert(out("alt") == ((4L, -1.0)))   // perfect anticorrelation
+    assert(out("mono") == ((2L, 1.0)))   // perfect momentum
+  }
+
   test("q68 table stats: ndv, null counts, min/max in one pass") {
     val dir = tmp("graft-stats")
     val ts = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
