@@ -686,6 +686,36 @@ object TextQueries extends QueryPack {
         sents.as("n_sentences"), syl.as("n_syllables"),
         (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"),
         (lit(0.39) * wps + lit(11.8) * spw - lit(15.59)).as("fk_grade"))
+    }),
+
+    // per-document TF-IDF keyword extraction (top-3 terms per doc) —
+    // the auto-tagging op behind topic routing and dedup explanation.
+    // Builds on pl2's (doc, term, tf)/(term, df) tables: one explode +
+    // two hash aggs; the idf join rides the token-keyed exchange and
+    // the per-doc top-3 is a WindowGroupLimit-pruned rank window on
+    // doc_id. The tf·idf score is DECIMAL(28,6)-quantized BEFORE the
+    // rank ordering so ln's cross-engine ulp drift cannot flip a
+    // ranking tie — remaining exact ties break (score desc, term asc).
+    "tx22_keywords" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val tok = d.select($"doc_id", explode(tokens($"text")).as("term"))
+      val tf = tok.groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          (($"tf".cast("double")) *
+            log(($"n_docs".cast("double") + 1.0) /
+              ($"df".cast("double") + 1.0)))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+            .cast("double"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"score".desc, $"term".asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"term", $"tf", $"df", $"score", $"rank")
     }))
 
   /** PII patterns shared by the Spark and oracle sides — RE2-safe (no
@@ -1269,6 +1299,30 @@ object TextQueries extends QueryPack {
          |  0.39 * $wps + 11.8 * $spw - 15.59 AS fk_grade
          |FROM documents""".stripMargin
     },
+    // tx22's twin: same tf/df tables, same quantized-score ranking.
+    "tx22_keywords" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM tok GROUP BY doc_id, term
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.term AS term, tf, df,
+         |    CAST(CAST(CAST(tf AS DOUBLE) *
+         |      ln((CAST(n_docs AS DOUBLE) + 1.0) /
+         |          (CAST(df AS DOUBLE) + 1.0))
+         |      AS DECIMAL(28,6)) AS DOUBLE) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n
+         |)
+         |SELECT doc_id, term, tf, df, score, rank FROM (
+         |  SELECT scored.*, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term ASC) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 3""".stripMargin,
     "dd6_containment" ->
       s"""WITH $ngramPairCtes
          |SELECT doc_a, doc_b, common, n_a, n_b,

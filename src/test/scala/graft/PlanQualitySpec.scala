@@ -32,6 +32,7 @@ class PlanQualitySpec extends AnyFunSuite {
                             // broadcast coarseK-row centroid table
     "pl11_dsir_select",     // broadcast 1-row model totals (nt, nr)
     "tx13_bm25_topk",       // broadcast 1-row corpus stats (N, avgdl)
+    "tx22_keywords",        // broadcast 1-row doc count into the idf
     "tx14_lm_perplexity",   // broadcast 1-row vocab size
     "gr2_triangles",        // final combine of three 1-row stat frames
     "sim12_mmr_rerank",     // candidate gen = sim1's brute product
