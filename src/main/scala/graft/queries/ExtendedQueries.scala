@@ -838,6 +838,46 @@ object ExtendedQueries extends QueryPack {
             (sqrt($"n_pairs" * $"sxx" - $"sx" * $"sx") *
              sqrt($"n_pairs" * $"syy" - $"sy" * $"sy")))
         .select($"event_type", $"n_pairs", $"r1")
+    }),
+
+    // Q75 — association rules (market-basket support / confidence /
+    // lift): which parts co-occur in orders beyond chance. Baskets come
+    // from ONE order-keyed collect_set agg and pairs expand IN-ROW
+    // (gr2's edge-build trick — sorted set, i<j index pairs — so the
+    // corpus never self-joins to pair itself; per-basket work is
+    // bounded by order size). Item and pair counts are exact; support /
+    // confidence / lift are double ratios of exact longs with the
+    // oracle-shared AST. The n_ab ≥ 2 floor is the standard min-support
+    // prune — at scale it is what keeps the pair table candidate-sized
+    // (pairs seen once carry no rule evidence).
+    "q75_assoc_rules" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      val baskets = li.groupBy($"ok")
+        .agg(sort_array(collect_set($"pk")).as("parts"))
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val pairs = baskets.filter(size($"parts") >= 2)
+        .select(explode(flatten(transform(
+          sequence(lit(0), size($"parts") - 2),
+          i => transform(sequence(i + 1, size($"parts") - 1),
+            j => struct(element_at($"parts", i + 1).as("a"),
+              element_at($"parts", j + 1).as("b")))))).as("p"))
+        .select($"p.a", $"p.b")
+      val nab = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 2L)
+      val na = li.distinct().groupBy($"pk").agg(count(lit(1)).as("n_item"))
+      nab
+        .join(na.select($"pk".as("a"), $"n_item".as("n_a")), "a")
+        .join(na.select($"pk".as("b"), $"n_item".as("n_b")), "b")
+        .crossJoin(broadcast(nOrders))
+        .select($"a", $"b", $"n_ab", $"n_a", $"n_b",
+          ($"n_ab".cast("double") / $"n_orders".cast("double"))
+            .as("support"),
+          ($"n_ab".cast("double") / $"n_a".cast("double"))
+            .as("confidence"),
+          ($"n_ab".cast("double") * $"n_orders".cast("double") /
+            ($"n_a".cast("double") * $"n_b".cast("double"))).as("lift"))
     }))
 
   /** q72's fold twin: fixed-point floor at 1e-6 (bit-identical across
@@ -1254,6 +1294,31 @@ object ExtendedQueries extends QueryPack {
          |    (sqrt(n_pairs * sxx - sx * sx) *
          |     sqrt(n_pairs * syy - sy * sy)) AS r1
          |FROM m""".stripMargin,
+    // q75's twin: the oracle pairs via a distinct self-join (same pair
+    // multiset as the Spark side's in-row expansion over sorted sets);
+    // same ratio AST.
+    "q75_assoc_rules" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        |), nord AS (
+        |  SELECT count(DISTINCT ok) AS n_orders FROM d
+        |), nab AS (
+        |  SELECT x.pk AS a, y.pk AS b, count(*) AS n_ab
+        |  FROM d x JOIN d y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), na AS (
+        |  SELECT pk, count(*) AS n_item FROM d GROUP BY pk
+        |)
+        |SELECT a, b, n_ab, sa.n_item AS n_a, sb.n_item AS n_b,
+        |  CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+        |  CAST(n_ab AS DOUBLE) / CAST(sa.n_item AS DOUBLE) AS confidence,
+        |  CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+        |    (CAST(sa.n_item AS DOUBLE) * CAST(sb.n_item AS DOUBLE))
+        |    AS lift
+        |FROM nab
+        |JOIN na sa ON nab.a = sa.pk
+        |JOIN na sb ON nab.b = sb.pk
+        |CROSS JOIN nord""".stripMargin,
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer

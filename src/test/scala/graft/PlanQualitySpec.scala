@@ -41,6 +41,8 @@ class PlanQualitySpec extends AnyFunSuite {
                             // range normalization (the zorder stats pass)
     "pl15_temperature_mix", // broadcast 1-row corpus totals (w_tot, budget)
     "q62_kmv_set_ops",      // final combine of 1-row sketch-stat frames
+    "q75_assoc_rules",      // broadcast 1-row basket count into the
+                            // support/lift ratios
     "q73_benford",          // 9-digit grid completion: broadcast of a
                             // constant 9-row frame against per-group
                             // totals — grid-sized at any corpus

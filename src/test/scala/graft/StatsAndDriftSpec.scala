@@ -211,6 +211,25 @@ class StatsAndDriftSpec extends AnyFunSuite {
     assert(out("mono") == ((2L, 1.0)))   // perfect momentum
   }
 
+  test("q75 association rules: hand-computed support/confidence/lift") {
+    val dir = tmp("graft-assoc")
+    // baskets: {1,2} {1,2} {1,3} {2}; only pair (1,2) clears n_ab >= 2
+    val rows = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 3L), (40L, 2L), (40L, 2L)) // dup line collapses
+    rows.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q75_assoc_rules")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("a") == 1L && r.getAs[Long]("b") == 2L)
+    assert(r.getAs[Long]("n_ab") == 2L &&
+      r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("support") == 0.5)
+    assert(r.getAs[Double]("confidence") == 2.0 / 3.0)
+    assert(r.getAs[Double]("lift") == 2.0 * 4.0 / 9.0)
+  }
+
   test("q68 table stats: ndv, null counts, min/max in one pass") {
     val dir = tmp("graft-stats")
     val ts = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
