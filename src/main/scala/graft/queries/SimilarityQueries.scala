@@ -195,6 +195,33 @@ object SimilarityQueries extends QueryPack {
     "sim15_standardize" -> ((s, dir) =>
       Similarity.standardize(emb(s, dir), "vec_id", "embedding")),
 
+    // k-means clustering quality: per-cluster inertia (Σ‖x−c‖²) and
+    // sizes over the learned sim9 quantizer — the elbow-curve /
+    // cluster-health metric that decides k and flags collapsed
+    // clusters. ‖x−c‖² expands to x·x + (c·c − 2x·c): both terms are
+    // the SAME per-row sequential folds the assignment already runs
+    // (one broadcast of the k-row centroid arrays, no corpus shuffle
+    // beyond the final label agg), folded decimal-exact. Fully
+    // hash-oracled through the unrolled Lloyd's twin.
+    "sim16_kmeans_inertia" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cent = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 8, iters = 2)
+      val centArr = Similarity.centroidArrays(cent)
+      val best = e.select($"vec_id", $"embedding",
+          Similarity.dotSeqHof($"embedding", $"embedding").as("x2"))
+        .crossJoin(broadcast(centArr))
+        .withColumn("score", $"c2" - lit(2.0) *
+          Similarity.dotSeqHof($"embedding", $"c_arr"))
+        .groupBy($"vec_id")
+        .agg(min(struct($"score", $"label")).as("b"), max($"x2").as("x2"))
+      best.groupBy($"b.label".as("label"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.ExactNum.sumExact($"x2" + $"b.score")
+            .as("inertia"))
+    }),
+
     // hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
     // RRF(d) = Σ_lists 1/(60 + rank_d) over the sparse (tx13 BM25) and
     // dense (cosine) top-10 lists, FULL OUTER on (query, doc) — a doc on
@@ -510,6 +537,7 @@ object SimilarityQueries extends QueryPack {
     "sim6_ivf_probe" -> ivfSql(1),
     "sim8_ivf_nprobe" -> ivfSql(2),
     "sim9_kmeans_ivf" -> sim9Sql(8, 2),
+    "sim16_kmeans_inertia" -> sim16Sql(8, 2),
     "sim10_pq_adc" -> sim10Sql(8, 8, 8, 2, 5),
     "sim11_ivfpq" -> sim11Sql(8, 2, 2, 8, 8, 8, 2, 5),
     "dd5_semdedup" -> dd5Sql(4, 2, 0.4))
@@ -657,6 +685,34 @@ object SimilarityQueries extends QueryPack {
        |      ORDER BY ${pivotSum(m)} ASC, _vid ASC) AS rank
        |  FROM scored) r
        |WHERE rank <= $k""".stripMargin
+
+  /** sim16's twin: the shared Lloyd's chain, final-centroid arrays, one
+    * more scored assignment, then the per-cluster inertia fold. */
+  private def sim16Sql(k: Int, iters: Int): String = {
+    import graft.functions.ExactNum.sumExactSql
+    s"""WITH ${kmeansCtes(k.toString, iters)},
+       |carrf AS (
+       |  SELECT label, list(centroid ORDER BY dim) AS c_arr
+       |  FROM cent$iters GROUP BY label
+       |), ccf AS (
+       |  SELECT label, c_arr, ${dotSql("c_arr", "c_arr")} AS c2
+       |  FROM carrf
+       |), scoredf AS (
+       |  SELECT e.vec_id, c.label,
+       |    c.c2 - 2.0 * ${dotSql("e.embedding", "c.c_arr")} AS score,
+       |    ${dotSql("e.embedding", "e.embedding")} AS x2
+       |  FROM embeddings e CROSS JOIN ccf c
+       |), bestf AS (
+       |  SELECT vec_id, label, score, x2 FROM (
+       |    SELECT sf.*, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score ASC, label ASC) AS rn
+       |    FROM scoredf sf) t
+       |  WHERE rn = 1
+       |)
+       |SELECT label, count(*) AS cnt,
+       |  ${sumExactSql("x2 + score")} AS inertia
+       |FROM bestf GROUP BY label""".stripMargin
+  }
 
   /** sim9's DuckDB twin: the same seeded Lloyd's loop unrolled as CTEs —
     * hash-sampled seeds (identical [[graft.functions.PortableHash]]

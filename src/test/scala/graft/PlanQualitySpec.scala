@@ -24,6 +24,8 @@ class PlanQualitySpec extends AnyFunSuite {
                             // linear corpus scan — right plan at 100 TB
     "q18_above_avg_orders", // scalar-subquery comparison: broadcast 1-row side
     "q37_scalar_subquery",  // same shape (global avg broadcast to every row)
+    "sim16_kmeans_inertia", // same assignment engine as sim9 (broadcast
+                            // k-row centroid arrays)
     "sim9_kmeans_ivf",      // Lloyd's assignment: every vector scores vs the
                             // broadcast k-row centroid table — that product
                             // IS the k-means computation, k rows not N
