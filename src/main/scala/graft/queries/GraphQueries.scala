@@ -80,6 +80,35 @@ object GraphQueries extends QueryPack {
       val edges = pairs.select(col("p.s1").as("s1"), col("p.s2").as("s2"))
         .distinct()
       Graph.triangleStats(edges)
+    }),
+
+    // GR3 — connected components of the REPEATED-co-purchase graph
+    // (q75's n_ab ≥ 2 association edges): the "product family"
+    // decomposition — components are substitute/complement groups, and
+    // the size histogram is the is-this-graph-one-giant-blob diagnostic
+    // that decides whether component-level parallelism exists at all.
+    // Edge build = gr2's in-row basket expansion + the min-support agg;
+    // components via the same dual-regime min-label machinery as dd3
+    // (driver union-find ≤ 50M edges / pointer-jumped label propagation
+    // above). Output: per-component (min-label id, size).
+    "gr3_components" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey").cast("long")))
+          .as("parts"))
+        .filter(size(col("parts")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(parts) - 1), i ->
+            |  transform(sequence(i + 1, size(parts)), j ->
+            |    struct(element_at(parts, i) AS a,
+            |           element_at(parts, j) AS b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val edges = pairs.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_ab")).filter(col("n_ab") >= 2L)
+      graft.operators.Dedup.nearDupClusters(edges, "a", "b")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_parts"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -93,6 +122,29 @@ object GraphQueries extends QueryPack {
          |  node // 2 AS key, rank
          |FROM ($ranks)""".stripMargin
     },
+    // gr3's twin: the q75 edge build + dd3's recursive-CTE closure.
+    "gr3_components" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT)
+        |    AS pk FROM lineitem
+        |), nab AS (
+        |  SELECT x.pk AS a, y.pk AS b
+        |  FROM d x JOIN d y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM nab
+        |  UNION
+        |  SELECT b AS src, a AS dst FROM nab
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |), comp AS (
+        |  SELECT src AS part, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src
+        |)
+        |SELECT cluster_id, count(*) AS n_parts
+        |FROM comp GROUP BY cluster_id""".stripMargin,
     "gr2_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_orderkey AS ok,
         |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
