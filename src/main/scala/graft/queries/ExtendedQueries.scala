@@ -878,6 +878,31 @@ object ExtendedQueries extends QueryPack {
             .as("confidence"),
           ($"n_ab".cast("double") * $"n_orders".cast("double") /
             ($"n_a".cast("double") * $"n_b".cast("double"))).as("lift"))
+    }),
+
+    // Q77 — rolling 7-day EXACT distinct users (trailing-window DAU/WAU):
+    // the metric a naive rangeBetween window CANNOT express (count
+    // DISTINCT over a sliding frame isn't a streaming-friendly window
+    // function and a per-day subquery rescans 7×). The scalable exact
+    // form: each (day, user) observation EXPLODES into the ≤7 trailing
+    // report days it contributes to, then ONE (day, user)-distinct agg +
+    // ONE day agg — linear in events × window/granularity, the standard
+    // trick; the approximate swap-in at larger windows is q61's
+    // mergeable KMV per day. Report days restricted to days with ≥1
+    // event (the observable domain — no day spine needed).
+    "q77_rolling_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(to_date($"ts").as("day"), $"user_id")
+      val days = ev.select($"day").distinct()
+      val contrib = ev.distinct()
+        .select($"user_id", explode(sequence(lit(0), lit(6))).as("off"),
+          $"day")
+        .select($"user_id", date_add($"day", $"off").as("rday"))
+        .distinct()
+      days.join(contrib, $"day" === $"rday")
+        .groupBy($"day")
+        .agg(count(lit(1)).as("users_7d")) // (rday, user) distinct above
     }))
 
   /** q72's fold twin: fixed-point floor at 1e-6 (bit-identical across
@@ -1319,6 +1344,19 @@ object ExtendedQueries extends QueryPack {
         |JOIN na sa ON nab.a = sa.pk
         |JOIN na sb ON nab.b = sb.pk
         |CROSS JOIN nord""".stripMargin,
+    // q77's twin: same explode-into-trailing-days contribution trick.
+    "q77_rolling_distinct" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        |), days AS (SELECT DISTINCT day FROM ev),
+        |contrib AS (
+        |  SELECT DISTINCT user_id, day + CAST(off AS INTEGER) AS rday
+        |  FROM ev
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+        |)
+        |SELECT day, count(*) AS users_7d
+        |FROM days JOIN contrib ON day = rday
+        |GROUP BY day""".stripMargin,
     "q59_recursive_tree" ->
       """WITH RECURSIVE tree(custkey, depth) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT) FROM customer

@@ -425,6 +425,33 @@ object PipelineQueries extends QueryPack {
         .groupBy($"source")
         .agg(max($"n_s").as("n_docs"),
           graft.functions.ExactNum.sumExact($"term").as("chi2"))
+    }),
+
+    // deterministic sharded epoch shuffle: the training-order permutation
+    // between epochs. Each (epoch, doc) hashes to a shard and a rank
+    // within the shard — the SHAPE real loaders use (a shard is a
+    // worker's file; pos is the read order within it), and the reason
+    // this scales: the rank window keys on (epoch, shard), so no task
+    // ever sorts more than corpus/shards rows, where a single global
+    // per-epoch permutation rank would serialize the corpus through one
+    // sort. Retry-safe and seedless-RNG-free: the permutation is pure
+    // hash arithmetic, so epoch 0 reproduces bit-identically on any
+    // cluster and epochs decorrelate via the epoch-prefixed hash.
+    "pl19_epoch_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.PortableHash
+      val d = Tables.load(s, dir, "documents").select($"doc_id")
+      val epochs = s.range(0, 2).toDF("epoch")
+      val keyed = d.crossJoin(broadcast(epochs))
+        .withColumn("h", PortableHash.hash60(
+          concat($"epoch".cast("string"), lit(":"),
+            $"doc_id".cast("string"))))
+        .withColumn("shard", pmod($"h", lit(8L)))
+      keyed.withColumn("pos", row_number().over(
+          Window.partitionBy($"epoch", $"shard")
+            .orderBy($"h", $"doc_id")).cast("long"))
+        .select($"epoch", $"doc_id", $"shard", $"pos")
     }))
 
   /** pl16's per-cluster keep budget. */
@@ -468,6 +495,22 @@ object PipelineQueries extends QueryPack {
          |      vec_id) AS rn
          |  FROM embeddings) q
          |WHERE rn <= 25""".stripMargin
+    },
+    // pl19's twin: identical epoch-prefixed hash, shard, and in-shard
+    // rank.
+    "pl19_epoch_shuffle" -> {
+      import graft.functions.PortableHash
+      val h = PortableHash.hash60Sql(
+        "CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+      s"""WITH e AS (
+         |  SELECT doc_id, epoch, $h AS h
+         |  FROM documents
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS epoch) ep
+         |)
+         |SELECT epoch, doc_id, h % 8 AS shard,
+         |  row_number() OVER (PARTITION BY epoch, h % 8
+         |    ORDER BY h, doc_id) AS pos
+         |FROM e""".stripMargin
     },
     // pl17's twin: identical histogram-cumulative rank extraction (value
     // at rank k = min v with cum(v) ≥ k), identical clip + decimal fold.

@@ -43,6 +43,8 @@ class PlanQualitySpec extends AnyFunSuite {
                             // range normalization (the zorder stats pass)
     "pl15_temperature_mix", // broadcast 1-row corpus totals (w_tot, budget)
     "q62_kmv_set_ops",      // final combine of 1-row sketch-stat frames
+    "pl19_epoch_shuffle",   // corpus × broadcast 2-row epoch frame — the
+                            // explicit epoch replication
     "q75_assoc_rules",      // broadcast 1-row basket count into the
                             // support/lift ratios
     "q73_benford",          // 9-digit grid completion: broadcast of a

@@ -230,6 +230,26 @@ class StatsAndDriftSpec extends AnyFunSuite {
     assert(r.getAs[Double]("lift") == 2.0 * 4.0 / 9.0)
   }
 
+  test("q77 rolling distinct: trailing window, cross-day dedup") {
+    val dir = tmp("graft-roll")
+    def d(day: Int, off: Int = 0) =
+      new java.sql.Timestamp(1704067200000L + day * 86400000L + off * 1000L)
+    // u2 active on day0 AND day3 (must dedup in day3's window);
+    // day8's trailing window includes day3 but NOT day0
+    val rows = Seq((1L, 1L, d(0)), (2L, 2L, d(0)), (3L, 2L, d(3)),
+      (4L, 3L, d(8)))
+    rows.zipWithIndex.map { case ((id, u, ts), i) =>
+      (id, u, ts, 1.0, "view") }
+      .toDF("event_id", "user_id", "ts", "value", "event_type")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q77_rolling_distinct")(spark, dir)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("users_7d")).toMap
+    assert(out == Map("2024-01-01" -> 2L, "2024-01-04" -> 2L,
+      "2024-01-09" -> 2L))
+  }
+
   test("q68 table stats: ndv, null counts, min/max in one pass") {
     val dir = tmp("graft-stats")
     val ts = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
