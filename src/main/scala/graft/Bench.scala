@@ -103,18 +103,30 @@ object Bench {
         fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // ONE compact JSON line on stdout: must fit the driver's bounded tail
-    // window in FULL, including sbt's trailing "[success]" line (~80 chars).
-    // At 131+ keys that demands every byte: short keys, 2-dec secs, failed
-    // queries omitted from the map (they are -1 placeholders carrying no
-    // timing; the errors array names them), errors as short keys. Full
-    // precision + full names live in bench/BENCH_FULL-<sf>.json.
+    // window (2000 chars) in FULL, including sbt's trailing "[success]"
+    // line (~80 chars). Short keys, 2-dec secs, failed queries omitted
+    // from the map (they are -1 placeholders carrying no timing; the
+    // errors array names them), errors as short keys — and, since the
+    // suite keeps growing (157 keys ≈ 1870 chars already), a HARD byte
+    // budget: the map carries the slowest queries first and stops before
+    // the line can overflow, stamping how many sub-threshold entries were
+    // dropped ("qn" = suite size, "omitted" = dropped count). Totals and
+    // errors are always complete; full precision + full names live in
+    // bench/BENCH_FULL-<sf>.json (committed) either way.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.filter(_._2 >= 0)
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
-      .mkString("{", ",", "}")
     val errsShort = failed.sorted.map("\"" + shortKey(_) + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","errors":$errsShort,$cond}""")
+    val ok = results.filter(_._2 >= 0).sortBy(-_._2)
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","errors":$errsShort,"qn":${results.size},"omitted":$omitted,$cond}"""
+    }
+    val MaxLine = 1850
+    var keep = ok.size
+    while (keep > 0 && line(ok.take(keep), ok.size - keep).length > MaxLine)
+      keep -= 1
+    println(line(ok.take(keep), ok.size - keep))
     spark.stop()
   }
 }
