@@ -257,6 +257,72 @@ object ExtendedQueries extends QueryPack {
           count(lit(1)).as("cnt"))
     }),
 
+    // Q78 — window DISTRIBUTION functions (ntile / percent_rank /
+    // cume_dist): per-entity quantile bucketing over each customer's
+    // order history. Partitioned by customer — millions of small
+    // independent partitions at 100 TB, so the per-partition sort never
+    // degenerates into a global one. The ORDER BY is made unique with
+    // the order key: ntile assigns by ROW position, and an
+    // engine-defined tie order would break the cross-engine hash.
+    // percent_rank/cume_dist are single correctly-rounded divisions of
+    // exactly-representable integers — bit-portable with no
+    // quantization step.
+    "q78_window_distribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+    }),
+
+    // Q79 — referential-integrity audit: every FK edge of the schema
+    // checked in one result (child rows, distinct FK values, orphan rows
+    // / keys). Each edge aggregates the child to its DISTINCT key set
+    // first (one hash shuffle of the fact, carrying only the key and a
+    // count) and LEFT ANTI joins the key-pruned parent — the parent scan
+    // reads a single column and broadcasts when small. The
+    // `[degraded]` twin re-runs the orders→customer edge against a
+    // parent with every 10th key dropped (a simulated lost partition):
+    // the audit must DETECT breakage, not just confirm intact fixtures.
+    "q79_fk_audit" -> ((s, dir) => {
+      import s.implicits._
+      def edge(name: String, child: DataFrame, key: String,
+               parent: DataFrame, pkey: String): DataFrame = {
+        val keys = child.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("rows_per_key"))
+        val orphans = keys.join(parent.select(col(pkey).as("k")),
+          Seq("k"), "left_anti")
+        keys.agg(
+            count(lit(1)).as("n_keys"),
+            sum($"rows_per_key").as("n_child_rows"))
+          .crossJoin(orphans.agg(
+            count(lit(1)).as("n_orphan_keys"),
+            coalesce(sum($"rows_per_key"), lit(0L)).as("n_orphan_rows")))
+          .select(lit(name).as("fk"), $"n_child_rows", $"n_keys",
+            $"n_orphan_keys", $"n_orphan_rows")
+      }
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      edge("customer.nationkey->nation", cust, "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey")
+        .unionAll(edge("lineitem.orderkey->orders", li, "l_orderkey",
+          ord, "o_orderkey"))
+        .unionAll(edge("lineitem.partkey->part", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey"))
+        .unionAll(edge("lineitem.suppkey->supplier", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"))
+        .unionAll(edge("orders.custkey->customer", ord, "o_custkey",
+          cust, "c_custkey"))
+        .unionAll(edge("orders.custkey->customer[degraded]", ord,
+          "o_custkey", cust.filter($"c_custkey" % 10 =!= 0), "c_custkey"))
+        .unionAll(edge("supplier.nationkey->nation", t(s, dir, "supplier"),
+          "s_nationkey", t(s, dir, "nation"), "n_nationkey"))
+    }),
+
     // Q55 — deterministic mode (most frequent value) per group: count +
     // one ranking window with an explicit value tie-break. The built-in
     // mode() leaves ties engine-defined, so cross-engine parity requires
@@ -1536,6 +1602,43 @@ object ExtendedQueries extends QueryPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
         |  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin,
+    "q79_fk_audit" -> {
+      def e(name: String, child: String, key: String,
+            parent: String, pkey: String, pwhere: String) =
+        s"""SELECT '$name' AS fk,
+           |  (SELECT count(*) FROM $child) AS n_child_rows,
+           |  (SELECT count(DISTINCT $key) FROM $child) AS n_keys,
+           |  (SELECT count(*) FROM (
+           |     SELECT DISTINCT $key AS k FROM $child) c
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |     WHERE p.$pkey = c.k $pwhere)) AS n_orphan_keys,
+           |  (SELECT count(*) FROM $child c
+           |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |     WHERE p.$pkey = c.$key $pwhere)) AS n_orphan_rows""".stripMargin
+      Seq(
+        e("customer.nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey", ""),
+        e("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey", ""),
+        e("lineitem.partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey", ""),
+        e("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey", ""),
+        e("orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey", ""),
+        e("orders.custkey->customer[degraded]", "orders", "o_custkey",
+          "customer", "c_custkey", "AND p.c_custkey % 10 <> 0"),
+        e("supplier.nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey", "")).mkString(" UNION ALL ")
+    },
+    "q78_window_distribution" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "q52_ratio_to_report" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  o_totalprice /

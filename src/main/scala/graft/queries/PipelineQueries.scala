@@ -452,6 +452,45 @@ object PipelineQueries extends QueryPack {
           Window.partitionBy($"epoch", $"shard")
             .orderBy($"h", $"doc_id")).cast("long"))
         .select($"epoch", $"doc_id", $"shard", $"pos")
+    }),
+
+    // snapshot diff (CDC without a log): two ingest snapshots compared by
+    // primary key in ONE co-partitioned FULL OUTER join — the change feed
+    // (added / deleted / changed) a pipeline derives when the upstream
+    // can only hand over full dumps. Emits only the delta; at 100 TB the
+    // output is delta-sized while the join is the unavoidable one
+    // pk-shuffle of each snapshot (bucketed layouts drop even that). The
+    // "tomorrow" snapshot is derived deterministically from today's
+    // (every 97th key deleted, every 89th price restated ×1.1, every
+    // 101st re-ingested under a shifted key) so both engines rebuild
+    // identical inputs.
+    "pl20_snapshot_diff" -> ((s, dir) => {
+      import s.implicits._
+      val a = Tables.load(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val b = a.filter($"o_orderkey" % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 89 === 0, $"o_totalprice" * 1.1)
+            .otherwise($"o_totalprice"))
+        .unionAll(a.filter($"o_orderkey" % 101 === 0)
+          .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+            $"o_custkey", lit("N").as("o_orderstatus"),
+            lit(100.0).as("o_totalprice")))
+      val an = a.select($"o_orderkey", $"o_orderstatus".as("status_old"),
+        $"o_totalprice".as("price_old"))
+      val bn = b.select($"o_orderkey", $"o_orderstatus".as("status_new"),
+        $"o_totalprice".as("price_new"))
+      an.join(bn, Seq("o_orderkey"), "full_outer")
+        .withColumn("change",
+          when($"status_old".isNull, "added")
+            .when($"status_new".isNull, "deleted")
+            .when($"status_old" =!= $"status_new" ||
+              $"price_old" =!= $"price_new", "changed")
+            .otherwise("unchanged"))
+        .filter($"change" =!= "unchanged")
+        .select($"o_orderkey", $"change", $"status_old", $"price_old",
+          $"status_new", $"price_new")
     }))
 
   /** pl16's per-cluster keep budget. */
@@ -498,6 +537,37 @@ object PipelineQueries extends QueryPack {
     },
     // pl19's twin: identical epoch-prefixed hash, shard, and in-shard
     // rank.
+    // pl20's twin: same derived snapshots, same full-outer diff.
+    "pl20_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders
+        |), b AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 89 = 0
+        |         THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM a WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, 'N',
+        |    CAST(100.0 AS DOUBLE)
+        |  FROM a WHERE o_orderkey % 101 = 0
+        |), j AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    a.o_orderstatus AS status_old, a.o_totalprice AS price_old,
+        |    b.o_orderstatus AS status_new, b.o_totalprice AS price_new
+        |  FROM a FULL OUTER JOIN b USING (o_orderkey)
+        |)
+        |SELECT o_orderkey,
+        |  CASE WHEN status_old IS NULL THEN 'added'
+        |       WHEN status_new IS NULL THEN 'deleted'
+        |       WHEN status_old <> status_new
+        |         OR price_old <> price_new THEN 'changed'
+        |       ELSE 'unchanged' END AS change,
+        |  status_old, price_old, status_new, price_new
+        |FROM j
+        |WHERE NOT (status_old IS NOT NULL AND status_new IS NOT NULL
+        |  AND status_old = status_new AND price_old = price_new)""".stripMargin,
     "pl19_epoch_shuffle" -> {
       import graft.functions.PortableHash
       val h = PortableHash.hash60Sql(
