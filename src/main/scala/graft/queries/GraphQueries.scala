@@ -109,6 +109,51 @@ object GraphQueries extends QueryPack {
       graft.operators.Dedup.nearDupClusters(edges, "a", "b")
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_parts"))
+    }),
+
+    // GR4 — link prediction by common-neighborhood overlap: for every
+    // node pair joined by ≥2 wedges of the repeated-co-purchase graph,
+    // the common-neighbor count and neighborhood Jaccard, flagged with
+    // whether the pair is already an edge (the un-linked high-Jaccard
+    // pairs are the predictions). ONE wedge join on the
+    // support-thresholded (n_ab ≥ 2) graph — the same Σdeg² complexity
+    // class as gr2's triangle count, kept sparse by min-support rather
+    // than a degree cap — then two broadcast-sized degree joins. The
+    // final Jaccard is a single correctly-rounded division of exact
+    // integers, so the whole row hash-oracles.
+    "gr4_neighbor_jaccard" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_partkey").cast("long")))
+          .as("parts"))
+        .filter(size(col("parts")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(parts) - 1), i ->
+            |  transform(sequence(i + 1, size(parts)), j ->
+            |    struct(element_at(parts, i) AS a,
+            |           element_at(parts, j) AS b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val nab = pairs.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_ab")).filter(col("n_ab") >= 2L)
+        .select(col("a"), col("b"))
+      val und = nab.unionAll(nab.select(col("b").as("a"), col("a").as("b")))
+      val deg = und.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+      val common = und.as("x").join(und.as("y"),
+          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("u"), col("y.b").as("v"))
+        .agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 2)
+      common
+        .join(deg.select(col("n").as("u"), col("d").as("deg_u")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("deg_v")), "v")
+        .join(nab.select(col("a").as("u"), col("b").as("v"),
+          lit(true).as("e")), Seq("u", "v"), "left")
+        .select(col("u"), col("v"), col("common"), col("deg_u"),
+          col("deg_v"), coalesce(col("e"), lit(false)).as("is_edge"),
+          (col("common").cast("double") /
+            (col("deg_u") + col("deg_v") - col("common")).cast("double"))
+            .as("jaccard"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -145,6 +190,32 @@ object GraphQueries extends QueryPack {
         |)
         |SELECT cluster_id, count(*) AS n_parts
         |FROM comp GROUP BY cluster_id""".stripMargin,
+    // gr4's twin: same support-thresholded edge build, same wedge join.
+    "gr4_neighbor_jaccard" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT)
+        |    AS pk FROM lineitem
+        |), nab AS (
+        |  SELECT x.pk AS a, y.pk AS b
+        |  FROM d x JOIN d y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), und AS (
+        |  SELECT a, b FROM nab UNION ALL SELECT b, a FROM nab
+        |), deg AS (
+        |  SELECT a AS n, count(*) AS d FROM und GROUP BY a
+        |), common AS (
+        |  SELECT x.b AS u, y.b AS v, count(*) AS common
+        |  FROM und x JOIN und y ON x.a = y.a AND x.b < y.b
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT u, v, common, du.d AS deg_u, dv.d AS deg_v,
+        |  (e.a IS NOT NULL) AS is_edge,
+        |  CAST(common AS DOUBLE) /
+        |    CAST(du.d + dv.d - common AS DOUBLE) AS jaccard
+        |FROM common c
+        |JOIN deg du ON du.n = c.u
+        |JOIN deg dv ON dv.n = c.v
+        |LEFT JOIN nab e ON e.a = c.u AND e.b = c.v""".stripMargin,
     "gr2_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_orderkey AS ok,
         |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
