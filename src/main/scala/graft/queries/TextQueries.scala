@@ -176,6 +176,20 @@ object TextQueries extends QueryPack {
       Dedup.sortedNeighborhoodPairs(docs(s, dir), "doc_id", "text",
         window = 4, keyLen = 24, threshold = 0.5)),
 
+    // EXACT all-pairs Jaccard join by prefix filtering (PPJoin family) —
+    // the fourth dedup family: unlike LSH banding there are NO false
+    // negatives, unlike sorted neighborhood no window misses; candidates
+    // concentrate on each doc's rarest shingles under the df-ascending
+    // global order. Runs on the shared 3-gram shingle base (unigram sets
+    // are degenerate in this templated fixture — >50% of ALL pairs pass
+    // 0.6 on unigrams; shingle sets separate near-dups sharply).
+    // Threshold 1/2 as an exact rational — every gate is integer
+    // arithmetic, so the full pair set hash-oracles.
+    "dd9_ppjoin_allpairs" -> ((s, dir) =>
+      graft.operators.PrefixJoin.jaccardJoinSets(
+        sharedShingles(s, dir).df.select(col("doc"), col("shingle")),
+        "doc", "shingle", tNum = 1, tDen = 2)),
+
     // multimodal metadata pass: documents' text bytes stand in for binary
     // payloads (no image fixtures in the container); expressions identical
     // for a real binary column.
@@ -1005,6 +1019,12 @@ object TextQueries extends QueryPack {
          |FROM r""".stripMargin
     },
     "dd1_minhash_lsh" -> dd1Sql,
+    "dd9_ppjoin_allpairs" ->
+      graft.operators.PrefixJoin.jaccardJoinSetsSql(
+        s"""  SELECT id, tk FROM (
+           |    WITH $shingleCtes
+           |    SELECT doc_id AS id, shingle AS tk FROM sh) z""".stripMargin,
+        tNum = 1, tDen = 2),
     "dd4_incremental_dedup" -> dd4Sql,
     "dd2_simhash" -> dd2Sql,
     "tx12_repeated_spans" ->

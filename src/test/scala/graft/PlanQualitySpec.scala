@@ -58,6 +58,9 @@ class PlanQualitySpec extends AnyFunSuite {
                             // (oracle-checkable baseline; the scale path
                             // swaps in sim11's IVF-PQ ranking — RRF
                             // fusion itself is grid-sized per query)
+    "q79_fk_audit",         // per-FK combine of two 1-row audit
+                            // aggregates (total + orphan counts) — each
+                            // side collapses to one row before the join
     "pl18_source_drift")    // sources×buckets grid completion: both sides
                             // are aggregate frames (distinct sources /
                             // distinct buckets), so the product is
