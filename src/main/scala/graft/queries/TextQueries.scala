@@ -370,6 +370,32 @@ object TextQueries extends QueryPack {
           .filter(col("jaccard") >= 0.008),
         "doc_a", "doc_b")),
 
+    // canonical-document selection: the pipeline step AFTER clustering —
+    // each near-dup cluster keeps its highest-quality member (quality
+    // DESC, doc_id ASC tie-break); singletons form their own cluster and
+    // survive. Composes dd3's connected components with tx2's quality
+    // signal: one left join + one per-cluster ranking window (clusters
+    // are tiny, so the window never sees a large partition). The kept=
+    // false rows ARE the dedup deletions, with the evidence attached.
+    "pl21_canonical_pick" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", 3,
+            Seq("lang", "source"),
+            preShingles = Some(sharedShingles(s, dir)))
+          .filter(col("jaccard") >= 0.008),
+        "doc_a", "doc_b")
+      d.select($"doc_id", qualityScore($"text").as("quality"))
+        .join(clusters.select(col("doc").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"cluster_id")
+            .orderBy($"quality".desc, $"doc_id".asc)))
+        .select($"doc_id", $"cluster_id", $"quality", ($"rn" === 1).as("kept"))
+    }),
+
     // corpus-wide segment-level dedup (the CCNet/boilerplate-removal
     // pass): chunk each doc into 8-token segments (the fixture text is an
     // unpunctuated token stream, so fixed-width chunking is the honest
@@ -1381,6 +1407,43 @@ object TextQueries extends QueryPack {
          |FROM pairs
          |WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE)
          |  >= 0.5""".stripMargin
+    },
+    // pl21's twin: dd3's component closure + tx2's quality expression +
+    // the same per-cluster ranking window.
+    "pl21_canonical_pick" -> {
+      val nTok = tokenCountSql("text")
+      val nStop = wordListCountSql("lower(text)",
+        Seq("the", "and", "of", "a", "in", "is", "to", "for"))
+      val nPunct = punctCountSql("text")
+      val quality =
+        s"""COALESCE(
+           |  (CAST($nStop AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE)) * 2.0
+           |  + (1.0 - abs(CAST(length(text) AS DOUBLE) / CAST(NULLIF($nTok, 0) AS DOUBLE) - 5.0) / 10.0)
+           |  - (CAST($nPunct AS DOUBLE) / CAST(NULLIF(CAST(length(text) AS BIGINT), 0) AS DOUBLE)) * 5.0,
+           |  CAST(0 AS DOUBLE))""".stripMargin
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= 0.008
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jaccard >= 0.008
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), comp AS (
+         |  SELECT src AS doc, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), q AS (
+         |  SELECT doc_id, $quality AS quality FROM documents
+         |), wc AS (
+         |  SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id,
+         |    q.quality
+         |  FROM q LEFT JOIN comp c ON c.doc = q.doc_id
+         |)
+         |SELECT doc_id, cluster_id, quality,
+         |  (row_number() OVER (PARTITION BY cluster_id
+         |     ORDER BY quality DESC, doc_id ASC) = 1) AS kept
+         |FROM wc""".stripMargin
     },
     "dd3_cluster" ->
       s"""WITH RECURSIVE $ngramPairCtes,
