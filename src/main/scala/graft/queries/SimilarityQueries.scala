@@ -43,6 +43,16 @@ object SimilarityQueries extends QueryPack {
     "sim2_cosine_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.45)),
 
+    // Johnson–Lindenstrauss ±1 random projection 64→8 dims: the
+    // dimension-reduction pass before ANN/clustering when dim is the
+    // cost driver. The sign matrix derives from the portable hash and
+    // inlines as literals (KB-scale), so the map is zero-shuffle and
+    // both engines rebuild it from the seed alone; distance
+    // preservation is property-tested in SimilaritySpec.
+    "sim17_random_projection" -> ((s, dir) =>
+      graft.operators.RandomProjection.project(emb(s, dir), "vec_id",
+        "embedding", d = 64, m = 8)),
+
     // per-label centroids (IVF coarse-quantizer build): exact mean per dim.
     "sim3_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(emb(s, dir), "label", "embedding")),
@@ -503,6 +513,8 @@ object SimilarityQueries extends QueryPack {
          |  JOIN n ny ON ny.vec_id = y.vec_id
          |)
          |SELECT id_a, id_b, cos_sim FROM cos WHERE cos_sim >= 0.45""".stripMargin,
+    "sim17_random_projection" ->
+      graft.operators.RandomProjection.projectSql(d = 64, m = 8),
     "sim3_label_centroids" ->
       s"""SELECT label, CAST(i AS BIGINT) AS dim,
          |  ${sumExactSql("CAST(embedding[i] AS DOUBLE)")} / count(embedding[i]) AS centroid,

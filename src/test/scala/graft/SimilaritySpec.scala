@@ -324,4 +324,32 @@ class SimilaritySpec extends AnyFunSuite {
     // winner scores are non-increasing round over round
     assert(out(0).getAs[Double]("mmr") >= out(1).getAs[Double]("mmr"))
   }
+
+  test("JL random projection preserves pairwise distances (on average)") {
+    import graft.operators.RandomProjection
+    val d = 32; val m = 8
+    val rnd2 = new scala.util.Random(11)
+    val base = (0L until 60L).map(i =>
+      (i, Seq.fill(d)(rnd2.nextGaussian().toFloat)))
+    val df2 = base.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val proj = RandomProjection.project(df2, "vec_id", "embedding", d, m)
+      .collect().map(r => r.getLong(0) ->
+        (1 to m).map(j => r.getDouble(j)).toArray).toMap
+    val orig = base.map { case (i, v) => i -> v.map(_.toDouble).toArray }.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // independent ±1 signs ⇒ E[‖Pa−Pb‖²] = m·‖a−b‖², so ‖Pa−Pb‖²/m is
+    // an unbiased estimator with per-pair variance ~2/m; the MEAN
+    // distortion over ~200 pairs concentrates near 1
+    val ratios = for (i <- 0L until 20L; j <- (i + 1) until 20L) yield
+      d2(proj(i), proj(j)) / m / d2(orig(i), orig(j))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.75 && mean < 1.25, s"mean JL distortion $mean")
+    // every single pair stays within a loose constant-factor band (at
+    // m=8 the per-pair ratio is χ²₈/8-distributed — wide tails, so the
+    // band is deliberately generous; the tight claim is the mean)
+    assert(ratios.forall(r => r > 0.02 && r < 20.0),
+      s"pathological pair distortion: min=${ratios.min} max=${ratios.max}")
+  }
 }
