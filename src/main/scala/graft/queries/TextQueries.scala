@@ -742,6 +742,42 @@ object TextQueries extends QueryPack {
     // doc_id. The tf·idf score is DECIMAL(28,6)-quantized BEFORE the
     // rank ordering so ln's cross-engine ulp drift cannot flip a
     // ranking tie — remaining exact ties break (score desc, term asc).
+    // per-source Zipf rank-frequency fit: OLS slope of ln(freq) over
+    // ln(rank) on each source's top-256 tokens — the vocabulary-health
+    // diagnostic (natural text sits near slope −1; templated/corrupt
+    // sources flatten or cliff). One corpus (source, token) agg; the
+    // rank window and the fit run on vocab-sized then 256-row frames.
+    // Portable numerics: both lns take the DECIMAL(28,6) round-trip
+    // (tx22's technique), the moment sums are q72's pre-quantized
+    // decimal folds, and slope/intercept are computed from the same
+    // AST in both engines.
+    "tx23_zipf_fit" -> ((s, dir) => {
+      import s.implicits._
+      val R = 256
+      def q6(c: org.apache.spark.sql.Column) =
+        c.cast(org.apache.spark.sql.types.DecimalType(28, 6)).cast("double")
+      def sumF6(c: org.apache.spark.sql.Column) =
+        sum(floor(c * 1e6)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / 1e6
+      val freq = docs(s, dir)
+        .select($"source", explode(tokens($"text")).as("tk"))
+        .groupBy($"source", $"tk").agg(count(lit(1)).as("freq"))
+      val xy = freq.withColumn("r", row_number().over(
+          Window.partitionBy($"source").orderBy($"freq".desc, $"tk".asc)))
+        .filter($"r" <= R)
+        .select($"source",
+          q6(log($"r".cast("double"))).as("x"),
+          q6(log($"freq".cast("double"))).as("y"))
+      xy.groupBy($"source").agg(count(lit(1)).as("n"),
+          sumF6($"x").as("sx"), sumF6($"y").as("sy"),
+          sumF6($"x" * $"y").as("sxy"), sumF6($"x" * $"x").as("sxx"))
+        .withColumn("zipf_slope",
+          ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+        .withColumn("intercept", ($"sy" - $"zipf_slope" * $"sx") / $"n")
+        .select($"source", $"n", $"zipf_slope", $"intercept")
+    }),
+
     "tx22_keywords" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
@@ -1351,6 +1387,44 @@ object TextQueries extends QueryPack {
          |  0.39 * $wps + 11.8 * $spw - 15.59 AS fk_grade
          |FROM documents""".stripMargin
     },
+    // tx23's twin: same quantized lns, same pre-quantized moment folds,
+    // same slope/intercept AST.
+    "tx23_zipf_fit" ->
+      raw"""WITH tok AS (
+         |  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tk
+         |  FROM documents
+         |), freq AS (
+         |  SELECT source, tk, count(*) AS freq FROM tok GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT source, freq, row_number() OVER (PARTITION BY source
+         |    ORDER BY freq DESC, tk ASC) AS r
+         |  FROM freq
+         |), xy AS (
+         |  SELECT source,
+         |    CAST(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(28,6)) AS DOUBLE)
+         |      AS x,
+         |    CAST(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(28,6))
+         |      AS DOUBLE) AS y
+         |  FROM ranked WHERE r <= 256
+         |), m AS (
+         |  SELECT source, count(*) AS n,
+         |    CAST(sum(CAST(floor(x * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / 1e6 AS sx,
+         |    CAST(sum(CAST(floor(y * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / 1e6 AS sy,
+         |    CAST(sum(CAST(floor(x * y * 1e6) AS DECIMAL(38,0)))
+         |      AS DOUBLE) / 1e6 AS sxy,
+         |    CAST(sum(CAST(floor(x * x * 1e6) AS DECIMAL(38,0)))
+         |      AS DOUBLE) / 1e6 AS sxx
+         |  FROM xy GROUP BY source
+         |), fit AS (
+         |  SELECT source, n, sx, sy,
+         |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope
+         |  FROM m
+         |)
+         |SELECT source, n, zipf_slope,
+         |  (sy - zipf_slope * sx) / n AS intercept
+         |FROM fit""".stripMargin,
     // tx22's twin: same tf/df tables, same quantized-score ranking.
     "tx22_keywords" ->
       raw"""WITH tok AS (
