@@ -839,6 +839,36 @@ object ExtendedQueries extends QueryPack {
         .select($"event_type", $"n", $"slope", $"intercept")
     }),
 
+    // Q80 — last-touch purchase attribution: each purchase credits the
+    // user's most recent preceding click/view within a 1-hour lookback,
+    // else 'direct'. The running carried-state pattern (last_value
+    // IGNORE NULLS over an unbounded-preceding frame) — one user-keyed
+    // exchange, no self-join of purchases against marketing events, and
+    // the per-user frame never buffers beyond the carried struct.
+    // Revenue folds decimal-exact.
+    "q80_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts_s", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          unix_timestamp($"ts").as("ts_s"))
+      val carried = ev
+        .withColumn("last_mkt", last(
+          when($"event_type".isin("click", "view"),
+            struct($"ts_s".as("mts"), $"event_type".as("mtype"))),
+          ignoreNulls = true).over(w))
+      carried.filter($"event_type" === "purchase")
+        .withColumn("attr",
+          when($"last_mkt".isNull, "direct")
+            .when($"ts_s" - $"last_mkt.mts" > 3600L, "direct")
+            .otherwise($"last_mkt.mtype"))
+        .groupBy($"attr")
+        .agg(count(lit(1)).as("n_purchases"),
+          graft.functions.ExactNum.sumExact($"value").as("revenue"))
+    }),
+
     // Q73 — Benford first-digit screen: the classic forensic-accounting
     // fraud signal (fabricated amounts over-represent mid digits), i.e.
     // the reference's static risk threshold upgraded to a statistical
@@ -1312,6 +1342,35 @@ object ExtendedQueries extends QueryPack {
     // q72's twin: same re-centered x (1704067200 = the 2024-01-01 UTC
     // epoch the Spark side derives under the pinned UTC session), same
     // moment folds, same slope/intercept AST.
+    // q80's twin: the same carried-last-marketing-event window, the
+    // marketing timestamp and type carried as two IGNORE NULLS
+    // last_values over one frame (they always read the same row).
+    "q80_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events
+        |), carried AS (
+        |  SELECT event_type, value, ts_s,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN ts_s END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS mts,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS mtype
+        |  FROM ev
+        |)
+        |SELECT CASE WHEN mts IS NULL THEN 'direct'
+        |            WHEN ts_s - mts > 3600 THEN 'direct'
+        |            ELSE mtype END AS attr,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+        |FROM carried WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "q72_group_regression" ->
       s"""WITH pts AS (
          |  SELECT event_type,
