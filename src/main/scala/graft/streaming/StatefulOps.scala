@@ -265,4 +265,59 @@ object StatefulOps {
       .transformWithState(new AnomalyProcessor(warmup, zThreshold),
         TimeMode.None(), OutputMode.Append())
   }
+
+  case class MktState(mts: Long, mtype: String)
+  case class AttributedPurchase(user_id: Long, event_id: Long,
+                                attr: String, value: Double)
+
+  /** Streaming twin of q80_attribution: purchases are credited ONLINE at
+    * arrival to the user's most recent preceding click/view within the
+    * lookback — the state is ONE carried (ts, type) pair per user, never
+    * an event history. Under in-order ingest the per-purchase attribution
+    * EQUALS the batch query's (same (ts, event_id) order, same lookback
+    * arithmetic; StreamingSpec pins it across a mid-stream micro-batch
+    * split). A late marketing event cannot retroactively re-credit an
+    * already-emitted purchase — that is the online semantic; the batch
+    * query is the retrospective one. */
+  class AttributionProcessor(lookbackSec: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long, String, Double),
+        AttributedPurchase] {
+    @transient private var st: ValueState[MktState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MktState]("lastmkt",
+        Encoders.product[MktState], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+                                 rows: Iterator[(Long, Long, Long, String, Double)],
+                                 timers: TimerValues): Iterator[AttributedPurchase] = {
+      var cur = if (st.exists()) st.get() else null
+      val out = Seq.newBuilder[AttributedPurchase]
+      // batch-order parity within the micro-batch: (ts, event_id)
+      rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+        case (_, eventId, tsS, etype, v) => etype match {
+          case "click" | "view" => cur = MktState(tsS, etype)
+          case "purchase" =>
+            val attr =
+              if (cur == null || tsS - cur.mts > lookbackSec) "direct"
+              else cur.mtype
+            out += AttributedPurchase(user, eventId, attr, v)
+          case _ => ()
+        }
+      }
+      if (cur != null) st.update(cur)
+      out.result().iterator
+    }
+  }
+
+  /** Input: (user_id LONG, event_id LONG, ts TIMESTAMP,
+    * event_type STRING, value DOUBLE). */
+  def attributePurchases(spark: SparkSession, events: DataFrame,
+                         lookbackSec: Long = 3600L): Dataset[AttributedPurchase] = {
+    import spark.implicits._
+    events.select("user_id", "event_id", "ts", "event_type", "value")
+      .as[(Long, Long, java.sql.Timestamp, String, Double)]
+      .map(r => (r._1, r._2, r._3.getTime / 1000L, r._4, r._5))
+      .groupByKey(_._1)
+      .transformWithState(new AttributionProcessor(lookbackSec),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

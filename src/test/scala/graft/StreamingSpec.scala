@@ -864,6 +864,58 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $got must equal batch $want EXACTLY (decimal-quantized state)")
   }
 
+  test("transformWithState: online attribution ≡ q80 batch under in-order ingest") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: click→purchase (attributed), then a view whose credit
+    // EXPIRES (gap 3700 s > 3600); user 2: purchase with no prior
+    // marketing (direct), then view→purchase. Split MID-STREAM so the
+    // decisive click state crosses micro-batches.
+    val rows = Seq(
+      (1L, 100L, ts(100), "click", 10.0),
+      (2L, 201L, ts(150), "purchase", 70.0),
+      (1L, 101L, ts(200), "purchase", 50.0),
+      (1L, 102L, ts(300), "view", 0.0),
+      (2L, 202L, ts(350), "view", 0.0),
+      (2L, 203L, ts(360), "purchase", 30.0),
+      (1L, 103L, ts(4000), "purchase", 20.0))
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val q = graft.streaming.StatefulOps.attributePurchases(spark,
+        mem.toDS().toDF("user_id", "event_id", "ts", "event_type", "value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_q").start()
+    try {
+      val (b1, b2) = rows.splitAt(3)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val got = spark.table("attr_q").collect().map(r =>
+      r.getAs[Long]("event_id") -> r.getAs[String]("attr")).toMap
+    assert(got == Map(101L -> "click", 103L -> "direct",
+      201L -> "direct", 203L -> "view"))
+    // batch twin over the identical rows written as an events fixture:
+    // aggregate counts/revenue must agree with the online credits
+    val dir = java.nio.file.Files.createTempDirectory("graft-attr").toString
+    rows.toDF("user_id", "event_id", "ts", "event_type", "value")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val want = SparkEntry.queries("q80_attribution")(spark, dir)
+      .collect().map(r => r.getAs[String]("attr") ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Double]("revenue")))).toMap
+    assert(want == Map("click" -> ((1L, 50.0)), "view" -> ((1L, 30.0)),
+      "direct" -> ((2L, 90.0))))
+  }
+
   test("Trigger.AvailableNow processes the backlog then terminates on its own") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[String]
