@@ -118,4 +118,32 @@ class FormatsSpec extends AnyFunSuite {
     assert(zRows * 2 <= lRows,
       s"z-order layout did not skip files: z=$zRows linear=$lRows")
   }
+
+  test("sort-on-write layout: range-partitioned sorted files prune a " +
+      "time-range scan that a hash layout must fully read") {
+    // the 1-D complement of z-ordering — the standard time-series
+    // layout: repartitionByRange + sortWithinPartitions on the
+    // timestamp makes per-file min/max ranges DISJOINT, so a narrow
+    // time predicate scans ~1/16 of the data; a hash-shuffled layout
+    // spreads every time range across every file and skips nothing.
+    val n = 1L << 14
+    val data = spark.range(n).select(
+      // decorrelate write order from ts so "unsorted" is genuinely mixed
+      ((col("id") * 2654435761L) % n).as("ts_s"),
+      (col("id") % 97).as("v"))
+    val outH = tmp("graft-hash"); val outS = tmp("graft-sorted")
+    data.repartition(16).write.mode("overwrite").parquet(outH)
+    data.repartitionByRange(16, col("ts_s"))
+      .sortWithinPartitions(col("ts_s"))
+      .write.mode("overwrite").parquet(outS)
+    val pred = col("ts_s") >= 1000 && col("ts_s") < 1500
+    val sq = spark.read.parquet(outS).filter(pred)
+    val hq = spark.read.parquet(outH).filter(pred)
+    assert(sq.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      hq.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    val (sRows, hRows) = (scannedRows(sq), scannedRows(hq))
+    assert(hRows == n, s"hash layout unexpectedly skipped: $hRows")
+    assert(sRows * 4 <= hRows,
+      s"sorted layout did not prune: sorted=$sRows hash=$hRows")
+  }
 }
