@@ -720,7 +720,14 @@ object ExtendedQueries extends QueryPack {
             "CAST(k AS INT)) AS DOUBLE)")).otherwise(lit(0.0)))
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_events"),
-          sumExact($"value" * $"wt").as("ewma"),
+          // +1e-9 pre-quantization nudge (the p4 trick): value·2^-k
+          // products are exact binary fractions whose decimal expansions
+          // can TERMINATE with a 5 at the 7th digit — a true tie that
+          // Spark (HALF_UP) and DuckDB round apart (bit at sf0.1,
+          // row "user 1321"). The nudge turns exact ties into
+          // strictly-above in BOTH engines; the ≤63·1e-9 sum shift is
+          // 10× below the 1e-6 quantum.
+          sumExact($"value" * $"wt" + lit(1e-9)).as("ewma"),
           max(when($"k" === 0L, $"value")).as("last_value"))
     }),
 
@@ -1280,7 +1287,7 @@ object ExtendedQueries extends QueryPack {
          |  FROM ranked
          |)
          |SELECT user_id, count(*) AS n_events,
-         |  ${sumExactSql("value * wt")} AS ewma,
+         |  ${sumExactSql("value * wt + 1e-9")} AS ewma,
          |  max(CASE WHEN k = 0 THEN value END) AS last_value
          |FROM wtd GROUP BY user_id""".stripMargin,
     // q70's twin: same SCD2 history, same validity-range join.
