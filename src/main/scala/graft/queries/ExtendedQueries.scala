@@ -629,6 +629,30 @@ object ExtendedQueries extends QueryPack {
           (max($"lo2") + (max($"hi2") - max($"lo2")) * max($"fr2")).as("p75"))
     }),
 
+    // Q81 — median absolute deviation (the robust dispersion measure —
+    // outlier thresholds that a single corrupt value can't drag, unlike
+    // stddev): two exact lower-median rank extractions (q66's machinery;
+    // the rank-k dev VALUE is tie-order-independent), deviations as one
+    // identical-operand double subtraction. Per-group sorts only — the
+    // keyed-percentile cost class, never a global sort.
+    "q81_mad_robust" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "lineitem")
+        .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
+      val wg = Window.partitionBy($"g")
+      val med = base
+        .withColumn("rn", row_number().over(wg.orderBy($"v")))
+        .withColumn("n", count(lit(1)).over(wg))
+        .filter($"rn" === expr("(n + 1) div 2"))
+        .select($"g", $"v".as("median"), $"n")
+      base.join(med, "g")
+        .withColumn("dev", abs($"v" - $"median"))
+        .withColumn("rn", row_number().over(wg.orderBy($"dev")))
+        .filter($"rn" === expr("(n + 1) div 2"))
+        .select($"g".as("l_returnflag"), $"n", $"median",
+          $"dev".as("mad"))
+    }),
+
     // Q64 — cohort retention matrix: users cohorted by first-active
     // day, activity counted per (cohort, day offset). Two aggregations
     // and one join, all keyed on user_id / the output pair — the
@@ -1349,6 +1373,27 @@ object ExtendedQueries extends QueryPack {
     // q72's twin: same re-centered x (1704067200 = the 2024-01-01 UTC
     // epoch the Spark side derives under the pinned UTC session), same
     // moment folds, same slope/intercept AST.
+    // q81's twin: same two lower-median rank extractions, same
+    // identical-operand deviation subtraction.
+    "q81_mad_robust" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v FROM lineitem
+        |), med AS (
+        |  SELECT g, v AS median, n FROM (
+        |    SELECT g, v,
+        |      row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |      count(*) OVER (PARTITION BY g) AS n
+        |    FROM base) x
+        |  WHERE rn = (n + 1) // 2
+        |), dev AS (
+        |  SELECT b.g, abs(b.v - m.median) AS dev, m.median, m.n
+        |  FROM base b JOIN med m USING (g)
+        |)
+        |SELECT g AS l_returnflag, n, median, dev AS mad FROM (
+        |  SELECT g, n, median, dev,
+        |    row_number() OVER (PARTITION BY g ORDER BY dev) AS rn
+        |  FROM dev) y
+        |WHERE rn = (n + 1) // 2""".stripMargin,
     // q80's twin: the same carried-last-marketing-event window, the
     // marketing timestamp and type carried as two IGNORE NULLS
     // last_values over one frame (they always read the same row).
