@@ -402,6 +402,33 @@ object TextQueries extends QueryPack {
         .select($"doc_id", $"cluster_id", $"quality", ($"rn" === 1).as("kept"))
     }),
 
+    // near-dup-aware train/val split: the WHOLE near-dup cluster is
+    // assigned to one side by the portable hash of its cluster id, so a
+    // document's near-duplicate can never land in the other split — the
+    // leakage mode a per-document split (pl6) cannot prevent and decon
+    // checks only catch after the fact. Singletons split by their own
+    // id through the identical hash, so the op degrades to pl6 exactly
+    // where clustering found nothing.
+    "pl23_leakfree_split" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text", 3,
+            Seq("lang", "source"),
+            preShingles = Some(sharedShingles(s, dir)))
+          .filter(col("jaccard") >= 0.008),
+        "doc_a", "doc_b")
+      d.select($"doc_id")
+        .join(clusters.select(col("doc").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+        .withColumn("split",
+          when(pmod(graft.functions.PortableHash.hash60(
+            $"cluster_id".cast("string")), lit(10L)) < 8L, "train")
+            .otherwise("val"))
+        .select($"doc_id", $"cluster_id", $"split")
+    }),
+
     // corpus-wide segment-level dedup (the CCNet/boilerplate-removal
     // pass): chunk each doc into 8-token segments (the fixture text is an
     // unpunctuated token stream, so fixed-width chunking is the honest
@@ -1487,6 +1514,31 @@ object TextQueries extends QueryPack {
          |FROM pairs
          |WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE)
          |  >= 0.5""".stripMargin
+    },
+    // pl23's twin: dd3's component closure + the identical portable-hash
+    // split arithmetic on the cluster id.
+    "pl23_leakfree_split" -> {
+      val h = graft.functions.PortableHash.hash60Sql(
+        "CAST(cluster_id AS VARCHAR)")
+      s"""WITH RECURSIVE $ngramPairCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= 0.008
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jaccard >= 0.008
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), comp AS (
+         |  SELECT src AS doc, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), wc AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ($h) % 10 < 8 THEN 'train' ELSE 'val' END AS split
+         |FROM wc""".stripMargin
     },
     // pl21's twin: dd3's component closure + tx2's quality expression +
     // the same per-cluster ranking window.
