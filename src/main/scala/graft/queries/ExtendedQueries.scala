@@ -653,6 +653,47 @@ object ExtendedQueries extends QueryPack {
           $"dev".as("mad"))
     }),
 
+    // Q82 — SCD2 history audit: the dimension-side data-quality check
+    // behind q70's PIT join — its correctness rests on the non-overlap
+    // invariant, so AUDIT it: per key, each version's valid_from against
+    // the previous version's valid_to (one keyed lag window). Defects
+    // are PLANTED deterministically (every 130th key's closed version
+    // overlaps the current by 30 days, every 170th leaves a 30-day gap)
+    // so the audit provably detects both classes; emitted rows are the
+    // defects only, with the evidence columns.
+    "q82_scd2_audit" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val closedTo = when($"o_orderkey" % 130 === 0,
+          $"o_orderdate" + expr("INTERVAL 30 DAYS"))
+        .when($"o_orderkey" % 170 === 0,
+          $"o_orderdate" - expr("INTERVAL 30 DAYS"))
+        .otherwise($"o_orderdate")
+      val hist = o.select($"o_orderkey", lit("cur").as("version"),
+          $"o_orderdate".as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+        .unionByName(o.filter($"o_orderkey" % 10 === 0)
+          .select($"o_orderkey", lit("old").as("version"),
+            ($"o_orderdate" - expr("INTERVAL 90 DAYS")).as("valid_from"),
+            closedTo.as("valid_to")))
+      val w = Window.partitionBy($"o_orderkey")
+        .orderBy($"valid_from", $"version")
+      hist
+        .withColumn("prev_to", lag($"valid_to", 1).over(w))
+        .withColumn("issue",
+          when($"prev_to".isNull, "first")
+            .when($"prev_to" > $"valid_from", "overlap")
+            .when($"prev_to" < $"valid_from", "gap")
+            .otherwise("ok"))
+        .filter($"issue" === "overlap" || $"issue" === "gap")
+        // millis, not raw timestamps: cross-engine timestamp rendering
+        // is the one thing the hash compare can't normalize (w2's rule)
+        .select($"o_orderkey", $"version",
+          unix_millis($"valid_from".cast("timestamp")).as("valid_from_ms"),
+          unix_millis($"prev_to".cast("timestamp")).as("prev_to_ms"),
+          $"issue")
+    }),
+
     // Q64 — cohort retention matrix: users cohorted by first-active
     // day, activity counted per (cohort, day offset). Two aggregations
     // and one join, all keyed on user_id / the output pair — the
@@ -1373,6 +1414,33 @@ object ExtendedQueries extends QueryPack {
     // q72's twin: same re-centered x (1704067200 = the 2024-01-01 UTC
     // epoch the Spark side derives under the pinned UTC session), same
     // moment folds, same slope/intercept AST.
+    // q82's twin: same planted history, same keyed lag audit.
+    "q82_scd2_audit" ->
+      """WITH hist AS (
+        |  SELECT o_orderkey, 'cur' AS version,
+        |    o_orderdate AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'old', o_orderdate - INTERVAL 90 DAY,
+        |    CASE WHEN o_orderkey % 130 = 0
+        |           THEN o_orderdate + INTERVAL 30 DAY
+        |         WHEN o_orderkey % 170 = 0
+        |           THEN o_orderdate - INTERVAL 30 DAY
+        |         ELSE o_orderdate END
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |), lagged AS (
+        |  SELECT o_orderkey, version, valid_from,
+        |    lag(valid_to) OVER (PARTITION BY o_orderkey
+        |      ORDER BY valid_from, version) AS prev_to
+        |  FROM hist
+        |)
+        |SELECT o_orderkey, version,
+        |  epoch_ms(valid_from) AS valid_from_ms,
+        |  epoch_ms(prev_to) AS prev_to_ms,
+        |  CASE WHEN prev_to > valid_from THEN 'overlap'
+        |       WHEN prev_to < valid_from THEN 'gap' END AS issue
+        |FROM lagged
+        |WHERE prev_to > valid_from OR prev_to < valid_from""".stripMargin,
     // q81's twin: same two lower-median rank extractions, same
     // identical-operand deviation subtraction.
     "q81_mad_robust" ->
