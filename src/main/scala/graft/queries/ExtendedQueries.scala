@@ -694,6 +694,54 @@ object ExtendedQueries extends QueryPack {
           $"issue")
     }),
 
+    // Q83 — RFM segmentation (recency / frequency / monetary): the
+    // classic customer scoring. Scale-honest scoring: a global
+    // ntile(4) would be ONE single-partition sort over all customers;
+    // instead the three quartile BOUNDARIES are rank-extracted from the
+    // customer-aggregate table (aggregate-sized) and broadcast back, so
+    // scoring is a narrow comparison pass. Boundary rank ⌈q·n⌉ in exact
+    // integer arithmetic; scores 1-4 ascending (recency inverted:
+    // recent = high).
+    "q83_rfm" -> ((s, dir) => {
+      import s.implicits._
+      val byCust = t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(max($"o_orderdate").as("last_ts"),
+          count(lit(1)).as("freq"),
+          sumExact($"o_totalprice").as("money"))
+      val anchor = byCust.agg(max($"last_ts").as("anchor"))
+      val base = byCust.crossJoin(broadcast(anchor))
+        .withColumn("recency_d",
+          datediff($"anchor", $"last_ts").cast("long"))
+        .select($"o_custkey", $"recency_d", $"freq", $"money")
+      def bounds(metric: String): DataFrame = {
+        val w = Window.orderBy(col(metric), col("o_custkey"))
+        base
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over())
+          .select((1 to 3).map(k =>
+            max(when(col("rn") === expr(s"($k * n + 3) div 4"),
+              col(metric))).as(s"b$k")): _*)
+      }
+      def score(metric: String, b: String) =
+        (lit(1L) + when(col(metric) > col(s"${b}_b1"), 1L).otherwise(0L)
+          + when(col(metric) > col(s"${b}_b2"), 1L).otherwise(0L)
+          + when(col(metric) > col(s"${b}_b3"), 1L).otherwise(0L))
+      def named(df: DataFrame, p: String) = df.select(
+        col("b1").as(s"${p}_b1"), col("b2").as(s"${p}_b2"),
+        col("b3").as(s"${p}_b3"))
+      base
+        .crossJoin(broadcast(named(bounds("recency_d"), "r")))
+        .crossJoin(broadcast(named(bounds("freq"), "f")))
+        .crossJoin(broadcast(named(bounds("money"), "m")))
+        .withColumn("r_score", lit(5L) - score("recency_d", "r"))
+        .withColumn("f_score", score("freq", "f"))
+        .withColumn("m_score", score("money", "m"))
+        .select($"o_custkey", $"recency_d", $"freq", $"money",
+          $"r_score", $"f_score", $"m_score",
+          ($"r_score" * 100 + $"f_score" * 10 + $"m_score").as("rfm"))
+    }),
+
     // Q64 — cohort retention matrix: users cohorted by first-active
     // day, activity counted per (cohort, day offset). Two aggregations
     // and one join, all keyed on user_id / the output pair — the
@@ -1414,6 +1462,53 @@ object ExtendedQueries extends QueryPack {
     // q72's twin: same re-centered x (1704067200 = the 2024-01-01 UTC
     // epoch the Spark side derives under the pinned UTC session), same
     // moment folds, same slope/intercept AST.
+    // q83's twin: same boundary rank extraction, same comparison scores.
+    "q83_rfm" -> {
+      def b(metric: String, alias: String) =
+        s"""$alias AS (
+           |  SELECT max(CASE WHEN rn = (1 * n + 3) // 4 THEN $metric END)
+           |      AS b1,
+           |    max(CASE WHEN rn = (2 * n + 3) // 4 THEN $metric END) AS b2,
+           |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN $metric END) AS b3
+           |  FROM (SELECT $metric,
+           |      row_number() OVER (ORDER BY $metric, o_custkey) AS rn,
+           |      count(*) OVER () AS n
+           |    FROM base) z
+           |)""".stripMargin
+      def sc(metric: String, t: String) =
+        s"""(1 + (CASE WHEN $metric > $t.b1 THEN 1 ELSE 0 END)
+           |   + (CASE WHEN $metric > $t.b2 THEN 1 ELSE 0 END)
+           |   + (CASE WHEN $metric > $t.b3 THEN 1 ELSE 0 END))""".stripMargin
+      s"""WITH byc AS (
+         |  SELECT o_custkey, max(o_orderdate) AS last_ts,
+         |    count(*) AS freq,
+         |    ${sumExactSql("o_totalprice")} AS money
+         |  FROM orders GROUP BY o_custkey
+         |), a AS (SELECT max(last_ts) AS anchor FROM byc),
+         |base AS (
+         |  SELECT o_custkey,
+         |    CAST(date_diff('day', CAST(last_ts AS DATE),
+         |      CAST(anchor AS DATE)) AS BIGINT) AS recency_d,
+         |    freq, money
+         |  FROM byc CROSS JOIN a
+         |),
+         |${b("recency_d", "rb")},
+         |${b("freq", "fb")},
+         |${b("money", "mb")},
+         |scored AS (
+         |  SELECT o_custkey, recency_d, freq, money,
+         |    5 - ${sc("recency_d", "rb")} AS r_score,
+         |    ${sc("freq", "fb")} AS f_score,
+         |    ${sc("money", "mb")} AS m_score
+         |  FROM base CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb
+         |)
+         |SELECT o_custkey, recency_d, freq, money,
+         |  CAST(r_score AS BIGINT) AS r_score,
+         |  CAST(f_score AS BIGINT) AS f_score,
+         |  CAST(m_score AS BIGINT) AS m_score,
+         |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+         |FROM scored""".stripMargin
+    },
     // q82's twin: same planted history, same keyed lag audit.
     "q82_scd2_audit" ->
       """WITH hist AS (

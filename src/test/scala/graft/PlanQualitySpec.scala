@@ -58,6 +58,10 @@ class PlanQualitySpec extends AnyFunSuite {
                             // (oracle-checkable baseline; the scale path
                             // swaps in sim11's IVF-PQ ranking — RRF
                             // fusion itself is grid-sized per query)
+    "q83_rfm",              // broadcast of four 1-row frames (anchor +
+                            // three quartile-boundary rows) onto the
+                            // customer aggregate — the scale-honest
+                            // alternative to a global ntile sort
     "q79_fk_audit",         // per-FK combine of two 1-row audit
                             // aggregates (total + orphan counts) — each
                             // side collapses to one row before the join
