@@ -607,26 +607,38 @@ object ExtendedQueries extends QueryPack {
     // extracted, and a 3-wide conditional agg folds them.
     "q66_percentile_interp" -> ((s, dir) => {
       import s.implicits._
-      val ranked = t(s, dir, "lineitem")
+      // histogram-cumulative extraction (q81's shape): the per-group ROW
+      // sort ran on #groups cores (3 here); the histogram aggregates the
+      // corpus once and windows run over DISTINCT values. v_at(rank) =
+      // min v with cum(v) >= rank, read for both interpolation anchors
+      // of each quantile in ONE conditional agg; the fractional weight
+      // derives from cnt post-agg with the oracle-shared AST.
+      val hist = t(s, dir, "lineitem")
         .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"g").orderBy($"v")))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"g")))
+        .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("n", sum($"c").over(Window.partitionBy($"g")))
+        .withColumn("cum", sum($"c").over(
+          Window.partitionBy($"g").orderBy($"v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val qs = Seq(0.25, 0.5, 0.75)
-      val picked = ranked.select(
-        ($"g" +: $"n" +: qs.zipWithIndex.flatMap { case (p, i) =>
-          val pos = ($"n" - 1).cast("double") * lit(p)
-          val lo = floor(pos).cast("long") + 1
-          val hi = least(lo + 1, $"n")
-          Seq(when($"rn" === lo, $"v").as(s"lo$i"),
-            when($"rn" === hi, $"v").as(s"hi$i"),
-            (pos - floor(pos)).as(s"fr$i"))
-        }): _*)
-      picked.groupBy($"g".as("l_returnflag"))
-        .agg(max($"n").as("cnt"),
-          (max($"lo0") + (max($"hi0") - max($"lo0")) * max($"fr0")).as("p25"),
-          (max($"lo1") + (max($"hi1") - max($"lo1")) * max($"fr1")).as("p50"),
-          (max($"lo2") + (max($"hi2") - max($"lo2")) * max($"fr2")).as("p75"))
+      val aggs = qs.zipWithIndex.flatMap { case (p, i) =>
+        val pos = ($"n" - 1).cast("double") * lit(p)
+        val lo = floor(pos).cast("long") + 1
+        val hi = least(lo + 1, $"n")
+        Seq(min(when($"cum" >= lo, $"v")).as(s"lo$i"),
+          min(when($"cum" >= hi, $"v")).as(s"hi$i"))
+      }
+      val allAggs = max($"n").as("cnt") +: aggs
+      val picked = cum.groupBy($"g".as("l_returnflag"))
+        .agg(allAggs.head, allAggs.tail: _*)
+      def interp(i: Int, p: Double) = {
+        val pos = ($"cnt" - 1).cast("double") * lit(p)
+        (col(s"lo$i") + (col(s"hi$i") - col(s"lo$i")) *
+          (pos - floor(pos))).as(s"p${(p * 100).toInt}")
+      }
+      picked.select($"l_returnflag", $"cnt",
+        interp(0, 0.25), interp(1, 0.5), interp(2, 0.75))
     }),
 
     // Q81 — median absolute deviation (the robust dispersion measure —
@@ -1287,31 +1299,36 @@ object ExtendedQueries extends QueryPack {
          |FROM u, rr, ex, per_side""".stripMargin
     },
     "q66_percentile_interp" -> {
-      def block(i: Int, p: String) =
-        s"""CASE WHEN rn = CAST(floor(CAST(n - 1 AS DOUBLE) * $p)
-           |    AS BIGINT) + 1 THEN v END AS lo$i,
-           |  CASE WHEN rn = least(CAST(floor(CAST(n - 1 AS DOUBLE) * $p)
-           |    AS BIGINT) + 2, n) THEN v END AS hi$i,
-           |  CAST(n - 1 AS DOUBLE) * $p
-           |    - floor(CAST(n - 1 AS DOUBLE) * $p) AS fr$i""".stripMargin
-      s"""WITH ranked AS (
-         |  SELECT l_returnflag AS g, l_extendedprice AS v,
-         |    row_number() OVER (PARTITION BY l_returnflag
-         |      ORDER BY l_extendedprice) AS rn,
-         |    count(*) OVER (PARTITION BY l_returnflag) AS n
-         |  FROM lineitem
+      def anchors(i: Int, p: String) =
+        s"""min(CASE WHEN cum >= CAST(floor(CAST(n - 1 AS DOUBLE) * $p)
+           |    AS BIGINT) + 1 THEN v END) AS lo$i,
+           |  min(CASE WHEN cum >= least(CAST(floor(CAST(n - 1 AS DOUBLE)
+           |    * $p) AS BIGINT) + 2, n) THEN v END) AS hi$i""".stripMargin
+      def interp(i: Int, p: String, name: String) =
+        s"""lo$i + (hi$i - lo$i) * (CAST(cnt - 1 AS DOUBLE) * $p
+           |  - floor(CAST(cnt - 1 AS DOUBLE) * $p)) AS $name""".stripMargin
+      s"""WITH hist AS (
+         |  SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS c
+         |  FROM lineitem GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT g, v,
+         |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+         |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM hist
          |), picked AS (
-         |  SELECT g, n,
-         |  ${block(0, "0.25")},
-         |  ${block(1, "0.5")},
-         |  ${block(2, "0.75")}
-         |  FROM ranked
+         |  SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS cnt,
+         |  ${anchors(0, "0.25")},
+         |  ${anchors(1, "0.5")},
+         |  ${anchors(2, "0.75")}
+         |  FROM cum GROUP BY g
          |)
-         |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS cnt,
-         |  max(lo0) + (max(hi0) - max(lo0)) * max(fr0) AS p25,
-         |  max(lo1) + (max(hi1) - max(lo1)) * max(fr1) AS p50,
-         |  max(lo2) + (max(hi2) - max(lo2)) * max(fr2) AS p75
-         |FROM picked GROUP BY g""".stripMargin
+         |SELECT l_returnflag, cnt,
+         |  ${interp(0, "0.25", "p25")},
+         |  ${interp(1, "0.5", "p50")},
+         |  ${interp(2, "0.75", "p75")}
+         |FROM picked""".stripMargin
     },
     "q63_funnel_stages" ->
       """WITH ev AS (SELECT user_id, event_type, ts FROM events),
