@@ -1091,19 +1091,10 @@ object ExtendedQueries extends QueryPack {
     "q75_assoc_rules" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      val baskets = li.groupBy($"ok")
-        .agg(sort_array(collect_set($"pk")).as("parts"))
-      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
-      val pairs = baskets.filter(size($"parts") >= 2)
-        .select(explode(flatten(transform(
-          sequence(lit(0), size($"parts") - 2),
-          i => transform(sequence(i + 1, size($"parts") - 1),
-            j => struct(element_at($"parts", i + 1).as("a"),
-              element_at($"parts", j + 1).as("b")))))).as("p"))
-        .select($"p.a", $"p.b")
-      val nab = pairs.groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
-        .filter($"n_ab" >= 2L)
+        .select($"l_orderkey".as("ok"), $"l_partkey".cast("long").as("pk"))
+      val nOrders = li.select($"ok").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val nab = BasketBase.pairCounts(s, dir).filter($"n_ab" >= 2L)
       val na = li.distinct().groupBy($"pk").agg(count(lit(1)).as("n_item"))
       nab
         .join(na.select($"pk".as("a"), $"n_item".as("n_a")), "a")
