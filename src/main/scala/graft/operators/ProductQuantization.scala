@@ -165,9 +165,17 @@ object ProductQuantization {
              vecCol: String, dims: Int, m: Int, ks: Int, iters: Int,
              k: Int): DataFrame = {
     val model = train(vecs, idCol, vecCol, dims, m, ks, iters)
+    pqTopKWithModel(vecs, queries, idCol, vecCol, model, m, k)
+  }
+
+  /** [[pqTopK]] with a pre-trained model — the deployment shape (train
+    * once, serve many) and the Bench shape (sim10/sim11 share one
+    * codebook per fixture instead of re-running Lloyd's per query). */
+  def pqTopKWithModel(vecs: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, model: PqModel, m: Int,
+                      k: Int): DataFrame =
     adcRank(encode(vecs, idCol, vecCol, model),
       adcLut(queries, idCol, vecCol, model), m, k, None)
-  }
 
   /** IVF-PQ: the composed index. Corpus membership = nearest learned
     * coarse centroid (full-dim, [[Similarity.kmeansCentroids]]); each
@@ -183,6 +191,15 @@ object ProductQuantization {
     val centArr = Similarity.centroidArrays(
       Similarity.kmeansCentroids(vecs, idCol, vecCol, coarseK,
         coarseIters))
+    ivfPqTopKWith(vecs, queries, idCol, vecCol,
+      train(vecs, idCol, vecCol, dims, m, ks, iters), centArr, m,
+      nprobe, k)
+  }
+
+  /** [[ivfPqTopK]] with a pre-trained PQ model + coarse quantizer. */
+  def ivfPqTopKWith(vecs: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, model: PqModel, centArr: DataFrame,
+                    m: Int, nprobe: Int, k: Int): DataFrame = {
     val members = Similarity.assignToCentroidArrays(vecs, idCol, vecCol,
       centArr)
     val probes = Similarity.assignToCentroidArrays(queries, idCol,
@@ -193,7 +210,6 @@ object ProductQuantization {
     // on an 8-value key
     val cand = members.join(broadcast(probes), "label")
       .select(col("query_id"), col("_vid"))
-    val model = train(vecs, idCol, vecCol, dims, m, ks, iters)
     adcRank(encode(vecs, idCol, vecCol, model),
       adcLut(queries, idCol, vecCol, model), m, k, Some(cand))
   }
