@@ -35,12 +35,25 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, queryIdCol: String, queryTextCol: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1)
     val toks = docs.select(col(idCol).as("doc"),
       TextFunctions.tokens(col(textCol)).as("_toks"))
     // inverted index: (doc, term, tf)
     val tf = toks.select(col("doc"), explode(col("_toks")).as("term"))
       .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25TopKIndexed(tf, docs.agg(count(lit(1)).as("n_docs")),
+      queries, queryIdCol, queryTextCol, k, k1, b)
+  }
+
+  /** [[bm25TopK]] served from a PREBUILT inverted index (doc, term, tf)
+    * — the deployment shape: the index is the durable artifact, queries
+    * arrive later. `nDocs` is a 1-row frame counting ALL corpus docs
+    * (zero-token docs carry no index rows but belong in avgdl's
+    * denominator). */
+  def bm25TopKIndexed(tf: DataFrame, nDocs: DataFrame,
+                      queries: DataFrame, queryIdCol: String,
+                      queryTextCol: String, k: Int, k1: Double = 1.2,
+                      b: Double = 0.75): DataFrame = {
+    require(k >= 1)
     // doc length = Σtf — derived from the index instead of a second
     // corpus tokenize pass (Σ over a doc's term frequencies IS its
     // token count; a doc with zero tokens has no terms and no score).
@@ -48,7 +61,6 @@ object Retrieval {
     // zero dl to the oracle's average — the sum is unchanged, the
     // denominator must count them).
     val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val stats = dl.agg(ExactNum.sumExact(col("dl")).as("_s"))
       .crossJoin(broadcast(nDocs))
       .select(col("n_docs"), (col("_s") / col("n_docs")).as("avgdl"))

@@ -40,12 +40,8 @@ object PipelineQueries extends QueryPack {
     // libm-dependent, so the oracle stops at the counts).
     "pl2_tf_df" -> ((s, dir) => {
       import s.implicits._
-      val tok = Tables.load(s, dir, "documents")
-        .repartition($"doc_id")
-        .select($"doc_id",
-          explode(TextFunctions.tokens($"text")).as("token"))
-      val tf = tok.groupBy($"doc_id", $"token")
-        .agg(count(lit(1)).as("tf"))
+      val tf = TermFreqBase.tf(s, dir)
+        .select($"doc_id", $"term".as("token"), $"tf")
       val df_ = tf.groupBy($"token")
         .agg(count(lit(1)).as("df"))
       tf.join(df_, "token")

