@@ -49,6 +49,37 @@ object PipelineQueries extends QueryPack {
         .select($"doc_id", $"token", $"tf", $"df")
     }),
 
+    // WEIGHTED sampling without replacement (Efraimidis–Spirakis 2006):
+    // each doc races an exponential clock key = −ln(u)/w (u from the
+    // portable hash, w = length+1); the k smallest keys are a true
+    // weight-proportional sample — the curation pass that samples "by
+    // importance" instead of pl3's uniform strata, deterministic and
+    // retry-safe like every sampler here (no rand()). −ln(u) takes the
+    // DECIMAL(28,6) round-trip; u's construction (hash+1)/2^60 and the
+    // /w are single correctly-rounded operations on identical operands,
+    // so keys are bit-identical cross-engine. Top-k via orderBy+limit
+    // (TakeOrdered — never a global single-partition sort); the rank
+    // window runs on the k surviving rows only.
+    "pl24_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.PortableHash
+      val k = 100
+      val keyed = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          (length($"text") + 1).cast("double").as("w"),
+          ((PortableHash.hash60($"doc_id".cast("string")) + 1L)
+            .cast("double") / lit(1.152921504606846976e18)).as("u"))
+        .withColumn("k",
+          (-log($"u"))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+            .cast("double") / $"w")
+      keyed.orderBy($"k".asc, $"doc_id".asc).limit(k)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"k".asc, $"doc_id".asc)).cast("long"))
+        .select($"doc_id", $"w", $"k", $"rank")
+    }),
+
     // deterministic stratified sampling: ~20% per lang via an arithmetic
     // hash on the id (engine-portable, retry-safe — no rand()).
     "pl3_stratified_sample" -> ((s, dir) => {
@@ -533,6 +564,24 @@ object PipelineQueries extends QueryPack {
     },
     // pl19's twin: identical epoch-prefixed hash, shard, and in-shard
     // rank.
+    // pl24's twin: same exponential-clock arithmetic, same top-k cut.
+    "pl24_weighted_sample" -> {
+      import graft.functions.PortableHash
+      val h = PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)")
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) + 1 AS DOUBLE) AS w,
+         |    CAST(CAST(-ln(CAST($h + 1 AS DOUBLE) /
+         |        1152921504606846976.0) AS DECIMAL(28,6)) AS DOUBLE)
+         |      / CAST(length(text) + 1 AS DOUBLE) AS k
+         |  FROM documents
+         |)
+         |SELECT doc_id, w, k, rank FROM (
+         |  SELECT doc_id, w, k,
+         |    row_number() OVER (ORDER BY k, doc_id) AS rank
+         |  FROM keyed) r
+         |WHERE rank <= 100""".stripMargin
+    },
     // pl20's twin: same derived snapshots, same full-outer diff.
     "pl20_snapshot_diff" ->
       """WITH a AS (

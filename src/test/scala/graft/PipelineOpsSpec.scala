@@ -241,4 +241,30 @@ class PipelineOpsSpec extends AnyFunSuite {
         r.isNullAt(r.fieldIndex("novelty")))
     }
   }
+
+  test("pl24 weighted sampling: selection is weight-biased and deterministic") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("pl24_weighted_sample")(spark, dir)
+      .collect()
+    assert(out.length == 100)
+    // exponential-race keys are strictly ascending in rank
+    val byRank = out.sortBy(_.getAs[Long]("rank"))
+    assert(byRank.map(_.getAs[Double]("k")).sliding(2)
+      .forall(p => p(0) <= p(1)))
+    // weight-proportional inclusion: the sample's mean weight must
+    // exceed the corpus mean (heavier docs race faster); the fixture's
+    // length spread makes this a >10% gap, asserted at >2%
+    val sampleMean = out.map(_.getAs[Double]("w")).sum / out.length
+    val corpus = graft.core.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")) + 1))
+      .head().getDouble(0)
+    assert(sampleMean > corpus * 1.02,
+      s"sample mean $sampleMean not above corpus mean $corpus")
+    // re-run is bit-identical (retry-safe sampler)
+    val again = SparkEntry.queries("pl24_weighted_sample")(spark, dir)
+      .collect().map(_.toString).toSet
+    assert(again == out.map(_.toString).toSet)
+  }
 }
