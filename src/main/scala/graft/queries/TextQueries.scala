@@ -377,6 +377,27 @@ object TextQueries extends QueryPack {
           .filter(col("jaccard") >= 0.008),
         "doc_a", "doc_b")),
 
+    // cross-source duplication matrix — the provenance report ("who
+    // copies whom") a multi-source corpus build runs before deciding
+    // source precedence: dd9's EXACT global pair set (PPJoin at t=4/5 —
+    // crucially UNblocked: the dedup family's (lang, source) blocking
+    // would hide exactly the cross-boundary pairs this op exists to
+    // find) attributed to its unordered source pair. The two source
+    // lookups are broadcast dimension joins on the pair table.
+    "dd10_source_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = graft.operators.PrefixJoin.jaccardJoinSets(
+        sharedShingles(s, dir).df.select(col("doc"), col("shingle")),
+        "doc", "shingle", tNum = 4, tDen = 5)
+      val src = docs(s, dir).select($"doc_id", $"source")
+      pairs
+        .join(src.select($"doc_id".as("a"), $"source".as("sa")), "a")
+        .join(src.select($"doc_id".as("b"), $"source".as("sb")), "b")
+        .groupBy(least($"sa", $"sb").as("source_x"),
+          greatest($"sa", $"sb").as("source_y"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+    }),
+
     // canonical-document selection: the pipeline step AFTER clustering —
     // each near-dup cluster keeps its highest-quality member (quality
     // DESC, doc_id ASC tie-break); singletons form their own cluster and
@@ -1520,6 +1541,22 @@ object TextQueries extends QueryPack {
          |FROM pairs
          |WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE)
          |  >= 0.5""".stripMargin
+    },
+    // dd10's twin: dd9's exact pair chain + the unordered source
+    // attribution.
+    "dd10_source_overlap" -> {
+      val pairSql = graft.operators.PrefixJoin.jaccardJoinSetsSql(
+        s"""  SELECT id, tk FROM (
+           |    WITH $shingleCtes
+           |    SELECT doc_id AS id, shingle AS tk FROM sh) z""".stripMargin,
+        tNum = 4, tDen = 5)
+      s"""SELECT least(d1.source, d2.source) AS source_x,
+         |  greatest(d1.source, d2.source) AS source_y,
+         |  count(*) AS n_dup_pairs
+         |FROM ($pairSql) p
+         |JOIN documents d1 ON d1.doc_id = p.a
+         |JOIN documents d2 ON d2.doc_id = p.b
+         |GROUP BY 1, 2""".stripMargin
     },
     // pl23's twin: dd3's component closure + the identical portable-hash
     // split arithmetic on the cluster id.
