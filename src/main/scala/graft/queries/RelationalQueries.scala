@@ -277,17 +277,30 @@ object RelationalQueries extends QueryPack {
         unix_timestamp($"o_orderdate").as("epoch_s"))
     }),
 
-    // Q21 — approx_count_distinct (HLL++). Sketch internals are
-    // engine-specific → rows-only check; accuracy vs exact distinct is
-    // asserted in RelationalSpec.
+    // Q21 — approx_count_distinct (HLL++). Sketch REGISTER VALUES are
+    // engine-specific (Spark's HLL++ ≠ DuckDB's HLL), so the raw estimate
+    // can never hash-match an oracle. The DRIVER-CHECKED result therefore
+    // carries (a) the exact distinct counts, hash-compared cell-identical,
+    // and (b) the sketch's 3σ error contract folded into the query itself
+    // as booleans (|est − exact|/exact ≤ 0.15 at the default rsd 0.05) —
+    // the estimate is still computed and timed in-query, and a sketch
+    // drifting out of spec flips a boolean and fails the hash compare.
+    // Raw-estimate accuracy is additionally asserted in RelationalSpec.
     "q21_approx_distinct" -> ((s, dir) => {
       import s.implicits._
+      def estOk(est: Column, exact: Column): Column =
+        abs(est.cast("double") - exact.cast("double")) /
+          exact.cast("double") <= 0.15
       t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_partkey").as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"),
-          approx_count_distinct($"l_orderkey").as("approx_orders"))
+          countDistinct($"l_orderkey").as("exact_orders"),
+          approx_count_distinct($"l_partkey").as("_ap"),
+          approx_count_distinct($"l_orderkey").as("_ao"))
+        .select($"l_returnflag", $"exact_parts", $"exact_orders",
+          estOk($"_ap", $"exact_parts").as("parts_est_ok"),
+          estOk($"_ao", $"exact_orders").as("orders_est_ok"))
     }),
 
     // Q22 — as-of/previous-event analytics per key (lag + gap).
@@ -545,22 +558,17 @@ object RelationalQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"), sumExact($"o_totalprice").as("sum_price"))
     }))
 
-  /** q21 is approximate BY SPEC (HyperLogLog++, default rsd 0.05): the
-    * exact-distinct twin with a 3σ bound — the harness asserts every
-    * estimate lands within 15% of the exact count, while the exact_parts
-    * control column (a countDistinct, not a sketch) must match
-    * cell-identical — a real check where hash-compare is impossible. */
-  override def boundedOracles
-      : Map[String, (String, Double, Seq[String], Seq[String])] = Map(
-    "q21_approx_distinct" -> ((
-      """SELECT l_returnflag,
-        |  count(DISTINCT l_partkey) AS approx_parts,
-        |  count(DISTINCT l_partkey) AS exact_parts,
-        |  count(DISTINCT l_orderkey) AS approx_orders
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin, 0.15,
-      Seq("l_returnflag"), Seq("exact_parts"))))
-
   def oracles: Map[String, String] = Map(
+    // q21's twin recomputes the exact counts; the bound booleans are TRUE
+    // literals — the Spark side computed them FROM the live sketch, so a
+    // spec-violating estimate cannot hash-match.
+    "q21_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_est_ok,
+        |  TRUE AS orders_est_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sumExactSql("l_quantity")} AS sum_qty,

