@@ -134,8 +134,9 @@ object ProductQuantization {
   /** Pivoted ADC scoring + per-query top-k. `candidates` (query_id,
     * _vid) restricts scoring to a pruned pair set (the IVF path);
     * None scores the full corpus per query (the flat-PQ linear scan). */
-  private def adcRank(codes: DataFrame, lut: DataFrame, m: Int, k: Int,
-                      candidates: Option[DataFrame]): DataFrame = {
+  private[operators] def adcRank(codes: DataFrame, lut: DataFrame,
+                                 m: Int, k: Int,
+                                 candidates: Option[DataFrame]): DataFrame = {
     val joined = candidates match {
       case Some(cand) => codes.join(cand, "_vid")
         .join(broadcast(lut), Seq("query_id", "sub", "code"))

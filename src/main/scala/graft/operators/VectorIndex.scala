@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable, incrementally-appendable IVF-PQ index — [[DedupIndex]]'s
+  * persisted-index pattern applied to vectors. The deployment story the
+  * JVM-local model memos cannot give: "train once / serve many" must
+  * survive process exit, and a daily embedding ingest must encode only
+  * the NEW batch against frozen models, never re-reading (or re-scoring)
+  * historical floats.
+  *
+  * Index layout under `root` (all parquet):
+  *  - `meta`       one row (dims, m, ks, iters, coarse_k, coarse_iters):
+  *                 the parameters the models were trained with. Queries
+  *                 and appends read them from the index itself, so a
+  *                 caller cannot mix parameterizations.
+  *  - `centroids`  (label, dim, centroid): the learned coarse quantizer
+  *                 ([[Similarity.kmeansCentroids]]) — k·dims rows.
+  *  - `codebooks`  (sub, code, c_arr): the PQ subspace codewords
+  *                 ([[ProductQuantization.train]]) — m·ks rows.
+  *  - `cells`      (_vid, label): coarse-cell membership of every
+  *                 indexed vector (the IVF inverted lists).
+  *  - `codes`      (_vid, sub, code): the PQ-encoded corpus — m narrow
+  *                 rows per vector, the only per-vector state an ADC
+  *                 query ever touches.
+  *  - `vectors`    (_vid, vec): the raw float arrays — [[DedupIndex]]'s
+  *                 `shingles` analog: the exact-verification payload.
+  *                 ADC queries NEVER scan it (VectorIndexSpec pins
+  *                 that); it serves exact re-rank and the streaming
+  *                 warm-start
+  *                 ([[graft.streaming.StreamingDedup.embeddingNearDupVerifiedWarm]]),
+  *                 which need history's floats without re-reading (or
+  *                 depending on the existence of) the source corpus.
+  *
+  * Scale shape: models are KB-scale (k·dims + m·ks·subDim doubles) —
+  * driver read + broadcast. [[appendBatch]] costs O(B) encode work for a
+  * B-vector batch (two broadcast joins + hash aggs; history untouched).
+  * [[query]] is the sim11 plan with the training stages replaced by
+  * index scans: probes (Q·nprobe rows) broadcast against the `cells`
+  * list, ADC scoring against `codes` through the broadcast LUT — the
+  * only corpus-sized inputs are columnar index scans, prunable and
+  * append-friendly (VectorIndexSpec pins the plan to index-root-only
+  * file scans).
+  *
+  * Freezing contract: `meta`/`centroids`/`codebooks` are immutable after
+  * [[build]] — appended codes must stay comparable to historical codes
+  * forever (same Voronoi cells, same codewords). Re-train ⇒ rebuild.
+  * Batch ids must be disjoint from ids already indexed (enforce
+  * upstream, as in [[DedupIndex]]).
+  *
+  * Determinism: training, encoding and ADC inherit the sim9/sim10
+  * arithmetic (seeded Lloyd's, per-row sequential folds, fixed-order
+  * ADC sums), so query results hash-match a DuckDB twin that unrolls
+  * training over the HISTORICAL slice and encodes old ∪ new — the
+  * honest "index ≡ from-scratch" oracle (sim18 in SimilarityQueries).
+  */
+object VectorIndex {
+
+  /** Parameters the index was built with (persisted at `root/meta`). */
+  case class VMeta(dims: Int, m: Int, ks: Int, iters: Int,
+                   coarseK: Int, coarseIters: Int) {
+    def subDim: Int = dims / m
+  }
+
+  def readMeta(spark: SparkSession, root: String): VMeta = {
+    val r = spark.read.parquet(s"$root/meta").collect().head
+    VMeta(r.getAs[Int]("dims"), r.getAs[Int]("m"), r.getAs[Int]("ks"),
+      r.getAs[Int]("iters"), r.getAs[Int]("coarse_k"),
+      r.getAs[Int]("coarse_iters"))
+  }
+
+  /** Rebuild the driver-side PQ model from the persisted codebooks. */
+  def readPqModel(spark: SparkSession, root: String,
+                  meta: VMeta): ProductQuantization.PqModel = {
+    val cb = spark.read.parquet(s"$root/codebooks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    ProductQuantization.PqModel(meta.m, meta.subDim, cb)
+  }
+
+  /** Coarse-centroid arrays ((label, c_arr, c2), broadcast-sized) from
+    * the persisted quantizer. */
+  def readCentroidArrays(spark: SparkSession, root: String): DataFrame =
+    Similarity.centroidArrays(spark.read.parquet(s"$root/centroids"))
+
+  /** Train both models on `vecs` (the historical corpus), persist them,
+    * and index the corpus itself. Training is the one-off expensive
+    * stage (two seeded Lloyd's runs); everything downstream — appends,
+    * queries, streaming warm-starts — reads the frozen artifacts. */
+  def build(vecs: DataFrame, idCol: String, vecCol: String, root: String,
+            dims: Int, m: Int = 8, ks: Int = 8, iters: Int = 2,
+            coarseK: Int = 8, coarseIters: Int = 2): VMeta = {
+    require(dims % m == 0)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val meta = VMeta(dims, m, ks, iters, coarseK, coarseIters)
+    Seq((dims, m, ks, iters, coarseK, coarseIters))
+      .toDF("dims", "m", "ks", "iters", "coarse_k", "coarse_iters")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    Similarity.kmeansCentroids(vecs, idCol, vecCol, coarseK, coarseIters)
+      .select(col("label"), col("dim"), col("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    val model = ProductQuantization.train(vecs, idCol, vecCol, dims, m,
+      ks, iters)
+    model.cb.toDF("sub", "code", "c_arr")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
+    appendBatch(spark, root, vecs, idCol, vecCol)
+    meta
+  }
+
+  /** Encode a NEW batch against the frozen models and append it to the
+    * inverted lists — the daily-ingest step. O(batch) work: history
+    * contributes nothing to this plan. */
+  def appendBatch(spark: SparkSession, root: String, vecs: DataFrame,
+                  idCol: String, vecCol: String): Unit = {
+    val meta = readMeta(spark, root)
+    val model = readPqModel(spark, root, meta)
+    ProductQuantization.encode(vecs, idCol, vecCol, model)
+      .write.mode("append").parquet(s"$root/codes")
+    Similarity.assignToCentroidArrays(vecs, idCol, vecCol,
+        readCentroidArrays(spark, root))
+      .write.mode("append").parquet(s"$root/cells")
+    vecs.select(col(idCol).as("_vid"), col(vecCol).as("vec"))
+      .write.mode("append").parquet(s"$root/vectors")
+  }
+
+  /** ANN top-k against the persisted index: probe each query's `nprobe`
+    * nearest coarse cells, ADC-score only their members. Identical
+    * result to [[ProductQuantization.ivfPqTopKWith]] over the full
+    * indexed corpus with the frozen models — but the corpus contributes
+    * only `cells`/`codes` index scans (no float reships, no re-encode).
+    * Output: (query_id, neighbor_id, adc_dist, rank ≤ k). */
+  def query(spark: SparkSession, root: String, queries: DataFrame,
+            idCol: String, vecCol: String, nprobe: Int,
+            k: Int): DataFrame = {
+    require(nprobe >= 1 && k >= 1)
+    val meta = readMeta(spark, root)
+    val model = readPqModel(spark, root, meta)
+    val probes = Similarity.assignToCentroidArrays(queries, idCol, vecCol,
+        readCentroidArrays(spark, root), nprobe)
+      .select(col("_vid").as("query_id"), col("label"))
+    // probes (Q·nprobe rows) broadcast against the N-row cell list — the
+    // member side is the one that scales, it must never reshuffle on a
+    // k-value key (the sim11 discipline).
+    val cand = spark.read.parquet(s"$root/cells")
+      .join(broadcast(probes), "label")
+      .select(col("query_id"), col("_vid"))
+    ProductQuantization.adcRank(spark.read.parquet(s"$root/codes"),
+      ProductQuantization.adcLut(queries, idCol, vecCol, model),
+      meta.m, k, Some(cand))
+  }
+}

@@ -50,9 +50,48 @@ object SimilarityQueries extends QueryPack {
       graft.operators.ProductQuantization.train(emb(s, dir), "vec_id",
         "embedding", dims, m, ks, iters))
 
+  /** The sim18 fixture split: vectors with vec_id ≡ 0 (mod 4) are the
+    * "new batch" appended to the durable index; the rest are the
+    * historical corpus both models are trained on (dd4's split shape). */
+  private val NewVecMod = 4
+
+  /** sf-dir → persisted IVF-PQ index root: built over the OLD slice,
+    * then the new slice appended — once per fixture dir (the dd4
+    * pattern; temp dirs share one shutdown cleanup). */
+  private val vindexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private lazy val vindexCleanup: Unit = sys.addShutdownHook {
+    vindexMemo.values.forEach { p =>
+      try {
+        val root = java.nio.file.Paths.get(p).getParent
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      } catch { case _: Exception => () }
+    }
+  }
+
+  private[graft] def vectorIndexDir(s: SparkSession, dir: String): String = {
+    vindexCleanup
+    vindexMemo.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-vidx-").resolve("idx").toString
+      val e = emb(s, dir)
+      graft.operators.VectorIndex.build(
+        e.filter(col("vec_id") % NewVecMod =!= 0), "vec_id", "embedding",
+        p, dims = 64, m = 8, ks = 8, iters = 2, coarseK = 8,
+        coarseIters = 2)
+      graft.operators.VectorIndex.appendBatch(s, p,
+        e.filter(col("vec_id") % NewVecMod === 0), "vec_id", "embedding")
+      p
+    })
+  }
+
   override def prewarm(s: SparkSession, dir: String): Unit = {
     sharedKmeans(s, dir, 8, 2)
     sharedPqModel(s, dir, 64, 8, 8, 2)
+    vectorIndexDir(s, dir)
     ()
   }
 
@@ -181,6 +220,21 @@ object SimilarityQueries extends QueryPack {
         sharedPqModel(s, dir, 64, 8, 8, 2),
         Similarity.centroidArrays(sharedKmeans(s, dir, 8, 2)),
         m = 8, nprobe = 2, k = 5)
+    }),
+
+    // Durable IVF-PQ index, served from parquet (VectorIndex — the dd4
+    // persisted-index pattern for vectors): models trained on the
+    // historical slice (vec_id % 4 ≠ 0) and FROZEN to disk; the new
+    // slice was encoded against them and APPENDED — this query's plan
+    // touches history only through `cells`/`codes` index scans (pinned
+    // in VectorIndexSpec). The honest oracle unrolls training over the
+    // old slice and encodes old ∪ new from scratch: the incremental
+    // index must agree with from-scratch IVF-PQ bit-for-bit.
+    "sim18_ivfpq_index" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.VectorIndex.query(s, vectorIndexDir(s, dir),
+        emb(s, dir).filter($"vec_id" < 40), "vec_id", "embedding",
+        nprobe = 2, k = 5)
     }),
 
     // MMR diversity re-rank (Carbonell & Goldstein 1998): the RAG-stack
@@ -594,6 +648,7 @@ object SimilarityQueries extends QueryPack {
     "sim16_kmeans_inertia" -> sim16Sql(8, 2),
     "sim10_pq_adc" -> sim10Sql(8, 8, 8, 2, 5),
     "sim11_ivfpq" -> sim11Sql(8, 2, 2, 8, 8, 8, 2, 5),
+    "sim18_ivfpq_index" -> sim18Sql(8, 2, 2, 8, 8, 8, 2, 5),
     "dd5_semdedup" -> dd5Sql(4, 2, 0.4))
 
   /** sim10's DuckDB twin: subvector split, shared-seed per-subspace
@@ -608,10 +663,16 @@ object SimilarityQueries extends QueryPack {
     * composable with [[kmeansCtes]] (no CTE-name collisions) so sim11's
     * IVF-PQ twin reuses it verbatim. */
   private def pqCtes(m: Int, subDim: Int, ks: Int, iters: Int,
-                     queryWhere: String): String = {
+                     queryWhere: String,
+                     trainSrc: String = "embeddings"): String = {
     import graft.functions.ExactNum.avgExactSql
     import graft.functions.PortableHash
     val seedHash = PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")
+    // training stages see only trainSrc's vectors; psubq (the encode +
+    // query-LUT base) always covers the full corpus — the sim18 split
+    // where frozen codebooks come from history but encode old ∪ new.
+    val trainJoin = if (trainSrc == "embeddings") ""
+      else s" JOIN $trainSrc _tr ON _tr.vec_id = q._vid"
     val iterCtes = (2 to iters).map { it =>
       val prev = it - 1
       s"""pcc$prev AS (
@@ -623,7 +684,7 @@ object SimilarityQueries extends QueryPack {
          |      row_number() OVER (PARTITION BY q._vid, q.sub
          |        ORDER BY c.c2 - 2.0 * ${dotSql("q.sv", "c.c_arr")} ASC,
          |          c.code ASC) AS rn
-         |    FROM psubq q JOIN pcc$prev c USING (sub)) t
+         |    FROM psubq q JOIN pcc$prev c USING (sub)$trainJoin) t
          |  WHERE rn = 1
          |), pcbe$it AS (
          |  SELECT sub, code, CAST(pos AS BIGINT) AS dim,
@@ -649,7 +710,7 @@ object SimilarityQueries extends QueryPack {
        |  SELECT vec_id AS _vid, CAST(rn - 1 AS BIGINT) AS code
        |  FROM (SELECT vec_id,
        |          row_number() OVER (ORDER BY $seedHash, vec_id) AS rn
-       |        FROM embeddings) t
+       |        FROM $trainSrc) t
        |  WHERE rn <= $ks
        |), pcb1 AS (
        |  SELECT s.sub, sd.code,
@@ -704,7 +765,25 @@ object SimilarityQueries extends QueryPack {
   private def sim11Sql(coarseK: Int, coarseIters: Int, nprobe: Int,
                        m: Int, subDim: Int, ks: Int, iters: Int,
                        k: Int): String =
-    s"""WITH ${kmeansCtes(coarseK.toString, coarseIters)},
+    ivfPqSql(coarseK, coarseIters, nprobe, m, subDim, ks, iters, k)
+
+  /** sim18's twin = the sim11 chain with BOTH trainings restricted to
+    * the historical slice (`oldv`) while membership assignment, encode
+    * and queries run over the full corpus — exactly what the durable
+    * index serves after build(old) + appendBatch(new). */
+  private def sim18Sql(coarseK: Int, coarseIters: Int, nprobe: Int,
+                       m: Int, subDim: Int, ks: Int, iters: Int,
+                       k: Int): String =
+    ivfPqSql(coarseK, coarseIters, nprobe, m, subDim, ks, iters, k,
+      prelude = "oldv AS (SELECT * FROM embeddings " +
+        "WHERE vec_id % 4 <> 0), ",
+      trainSrc = "oldv")
+
+  private def ivfPqSql(coarseK: Int, coarseIters: Int, nprobe: Int,
+                       m: Int, subDim: Int, ks: Int, iters: Int,
+                       k: Int, prelude: String = "",
+                       trainSrc: String = "embeddings"): String =
+    s"""WITH $prelude${kmeansCtes(coarseK.toString, coarseIters, trainSrc)},
        |icarr AS (
        |  SELECT label, list(centroid ORDER BY dim) AS c_arr
        |  FROM cent$coarseIters GROUP BY label
@@ -724,7 +803,8 @@ object SimilarityQueries extends QueryPack {
        |  SELECT p._vid AS query_id, mm._vid
        |  FROM iasg p JOIN iasg mm ON mm.rn = 1 AND mm.label = p.label
        |  WHERE p._vid < 40 AND p.rn <= $nprobe
-       |), ${pqCtes(m, subDim, ks, iters, "q._vid < 40")}, scored AS (
+       |), ${pqCtes(m, subDim, ks, iters, "q._vid < 40", trainSrc)},
+       |scored AS (
        |  SELECT c.query_id, e._vid, ${pivotCols(m)}
        |  FROM penc e
        |  JOIN icand c ON c._vid = e._vid
@@ -781,7 +861,8 @@ object SimilarityQueries extends QueryPack {
     * scalar for k — a literal for sim9, a corpus-count-derived
     * subquery for dd5 (so the oracle tracks the derived-k discipline
     * across scale factors, like sim5's band width). */
-  private def kmeansCtes(kExpr: String, iters: Int): String = {
+  private def kmeansCtes(kExpr: String, iters: Int,
+                         src: String = "embeddings"): String = {
     import graft.functions.PortableHash
     val seedHash = PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")
     val iterCtes = (1 to iters).map { it =>
@@ -809,7 +890,7 @@ object SimilarityQueries extends QueryPack {
          |), scored$it AS (
          |  SELECT e.vec_id AS _vid, c.label,
          |    c.c2 - 2.0 * ${dotSql("e.embedding", "c.c_arr")} AS score
-         |  FROM embeddings e CROSS JOIN cc$it c
+         |  FROM $src e CROSS JOIN cc$it c
          |), asg$it AS (
          |  SELECT _vid, label FROM (
          |    SELECT _vid, label,
@@ -824,12 +905,12 @@ object SimilarityQueries extends QueryPack {
        |    CAST(embedding[i] AS DOUBLE) AS x
        |  FROM (SELECT vec_id, embedding,
        |          unnest(generate_series(1, len(embedding))) AS i
-       |        FROM embeddings) p
+       |        FROM $src) p
        |), seeds AS (
        |  SELECT vec_id AS _vid, CAST(rn - 1 AS BIGINT) AS label
        |  FROM (SELECT vec_id,
        |          row_number() OVER (ORDER BY $seedHash, vec_id) AS rn
-       |        FROM embeddings) s
+       |        FROM $src) s
        |  WHERE rn <= $kExpr
        |), cent0 AS (
        |  SELECT label, dim, x AS centroid FROM seeds JOIN ex USING (_vid)

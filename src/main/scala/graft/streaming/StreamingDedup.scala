@@ -403,4 +403,61 @@ object StreamingDedup {
       embeddingBands(spark, vecs, idCol, vecCol, dims, planes, bands,
         keepVec = true),
       maxPerBucket, ttl, cosineThreshold)
+
+  /** Rebuild the EMBEDDING bucket state from a persisted
+    * [[graft.operators.VectorIndex]] — [[warmStartTextState]]'s vector
+    * twin: the index's `vectors` table holds every historical float
+    * array, so bucket keys + signatures are recomputed from one index
+    * SCAN (the hyperplane sign table is derived from (planes, dims)
+    * alone, so recomputation is deterministic and parameter-free — no
+    * signature table needs persisting). `dims` comes from the index
+    * meta; one shuffle (groupBy bucket_key) over B·bands rows. */
+  def warmStartVecState(spark: SparkSession, indexRoot: String,
+                        planes: Int, bands: Int)
+      : KeyValueGroupedDataset[String, BucketInit[Seq[Float]]] = {
+    import spark.implicits._
+    val meta = graft.operators.VectorIndex.readMeta(spark, indexRoot)
+    embeddingBands(spark, spark.read.parquet(s"$indexRoot/vectors"),
+        "_vid", "vec", meta.dims, planes, bands, keepVec = true)
+      .groupBy(col("bucket_key"))
+      .agg(collect_list(struct(col("doc"), col("sig"),
+        col("vec").as("payload"))).as("members"))
+      .as[(String, Seq[VMember[Seq[Float]]])]
+      .map { case (k, ms) => (k, BucketInit(ms)) }
+      .groupByKey(_._1).mapValues(_._2)
+  }
+
+  /** [[embeddingNearDupVerified]] warm-started from a persisted vector
+    * index: the first micro-batch already dedups against the full
+    * indexed corpus (StreamingSpec plants a vector duplicating an
+    * indexed one and asserts it is caught in micro-batch 1) — the
+    * ingest-loop bridge [[nearDupVerifiedWarm]] gives text, for
+    * vectors. `dims` is read from the index; `planes`/`bands` must be
+    * held constant by the caller across the stream's lifetime (they
+    * parameterize the bucket keys, like the text index's frozen meta).
+    * Requires the RocksDB state-store provider (initial-state column
+    * family). */
+  def embeddingNearDupVerifiedWarm(spark: SparkSession, vecs: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   indexRoot: String,
+                                   planes: Int = 24, bands: Int = 4,
+                                   maxPerBucket: Int = 64,
+                                   ttl: TTLConfig = TTLConfig.NONE,
+                                   cosineThreshold: Double = 0.8)
+      : Dataset[VerifiedPair] = {
+    import spark.implicits._
+    val meta = graft.operators.VectorIndex.readMeta(spark, indexRoot)
+    val banded = embeddingBands(spark, vecs, idCol, vecCol, meta.dims,
+      planes, bands, keepVec = true)
+    val mode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    banded.as[(String, Long, Seq[Long], Seq[Float])]
+      .groupByKey(_._1)
+      .transformWithState(
+        new VerifyingBucketProcessor[Seq[Float]](maxPerBucket, ttl,
+          cosineThreshold, Encoders.product[VMember[Seq[Float]]],
+          cosineSeq _),
+        mode, OutputMode.Append(),
+        warmStartVecState(spark, indexRoot, planes, bands))
+  }
 }

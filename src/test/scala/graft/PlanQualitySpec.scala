@@ -32,6 +32,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "dd5_semdedup",         // same assignment engine as sim9
     "sim11_ivfpq",          // same: coarse-cell assignment vs the
                             // broadcast coarseK-row centroid table
+    "sim18_ivfpq_index",    // same probe assignment against the
+                            // broadcast centroid arrays read from the
+                            // durable index (corpus side is index scans
+                            // only — pinned in VectorIndexSpec)
     "pl11_dsir_select",     // broadcast 1-row model totals (nt, nr)
     "tx13_bm25_topk",       // broadcast 1-row corpus stats (N, avgdl)
     "tx22_keywords",        // broadcast 1-row doc count into the idf

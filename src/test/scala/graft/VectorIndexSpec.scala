@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ProductQuantization, Similarity, VectorIndex}
+
+/** The durable IVF-PQ index: equivalence to from-scratch IVF-PQ with the
+  * same frozen models, the index-scan-only plan contract, the daily
+  * append loop, and the streaming warm-start bridge. */
+class VectorIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val Dims = 8
+  /** Deterministic, pairwise-distinct, nonzero vectors (997 is prime and
+    * exceeds every id·31 + d·17 residue class used here). */
+  private def vec(id: Long): Seq[Float] =
+    (0 until Dims).map(d => (((id * 31 + d * 17) % 997) % 13 - 6).toFloat + 0.5f)
+
+  private val oldIds = (1L to 24L)
+  private def oldVecs = oldIds.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+  // 101 exactly duplicates OLD vector 16: the cross-batch near-dup the
+  // find-ability asserts rely on
+  private val newIds = Seq(101L, 102L, 103L)
+  private def newVecs = Seq((101L, vec(16L)), (102L, vec(102L)),
+    (103L, vec(103L))).toDF("vec_id", "embedding")
+
+  private def withIndex[T](f: String => T): T = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vidx-spec-").resolve("idx").toString
+    VectorIndex.build(oldVecs, "vec_id", "embedding", root, dims = Dims,
+      m = 4, ks = 4, iters = 2, coarseK = 2, coarseIters = 2)
+    f(root)
+  }
+
+  test("index query ≡ from-scratch IVF-PQ with the frozen models") {
+    withIndex { root =>
+      VectorIndex.appendBatch(spark, root, newVecs, "vec_id", "embedding")
+      val all = oldVecs.union(newVecs)
+      val queries = all.filter($"vec_id" % 5 === 1)
+      val fromIndex = VectorIndex.query(spark, root, queries, "vec_id",
+          "embedding", nprobe = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      // from scratch, with models trained on the SAME historical slice
+      // the index froze — the incremental path must agree bit-for-bit
+      val model = ProductQuantization.train(oldVecs, "vec_id", "embedding",
+        Dims, m = 4, ks = 4, iters = 2)
+      val centArr = Similarity.centroidArrays(
+        Similarity.kmeansCentroids(oldVecs, "vec_id", "embedding", 2, 2))
+      val scratch = ProductQuantization.ivfPqTopKWith(all, queries,
+          "vec_id", "embedding", model, centArr, m = 4, nprobe = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSet
+      assert(fromIndex == scratch)
+      assert(fromIndex.nonEmpty)
+      // appended vectors are both query-able (101 is in the query set)
+      // and find-able (old query 16's exact duplicate IS appended 101)
+      assert(fromIndex.exists(_._1 == 101L), s"$fromIndex")
+      assert(fromIndex.exists(t => t._1 == 16L && t._2 == 101L),
+        s"$fromIndex")
+    }
+  }
+
+  test("plan contract: the corpus contributes ONLY cells/codes index scans") {
+    withIndex { root =>
+      // queries are an in-memory DataFrame, so EVERY file scan must read
+      // from under the index root — and never the `vectors` float table,
+      // which exists for verification/warm-start, not the ADC path.
+      val queries = Seq((1L, vec(1L))).toDF("vec_id", "embedding")
+      val plan = VectorIndex.query(spark, root, queries, "vec_id",
+        "embedding", nprobe = 2, k = 3).queryExecution.executedPlan.toString
+      val scanned = "file:[^\\s\\],]+".r.findAllIn(plan).toList
+      assert(scanned.nonEmpty, "expected index file scans in the plan")
+      val rootNorm = root.stripPrefix("file:")
+      scanned.foreach(p => assert(p.contains(rootNorm),
+        s"non-index file scan in query plan: $p"))
+      Seq("cells", "codes").foreach(t =>
+        assert(scanned.exists(_.contains(s"$rootNorm/$t")),
+          s"expected an index scan of $t"))
+      assert(!scanned.exists(_.contains(s"$rootNorm/vectors")),
+        s"ADC query must not scan the raw float table: $scanned")
+    }
+  }
+
+  test("append loop: batch-2 queries find batch-1 neighbors") {
+    withIndex { root =>
+      VectorIndex.appendBatch(spark, root, newVecs, "vec_id", "embedding")
+      // batch 2 duplicates batch-1 vector 101's position exactly
+      val batch2 = Seq((201L, vec(16L))).toDF("vec_id", "embedding")
+      VectorIndex.appendBatch(spark, root, batch2, "vec_id", "embedding")
+      val hits = VectorIndex.query(spark, root, batch2, "vec_id",
+          "embedding", nprobe = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      // identical vector ⇒ ADC distance ties at the minimum; 101 must be
+      // among the top-k neighbors of 201
+      assert(hits.exists(t => t._1 == 201L && t._2 == 101L), s"${hits.toSeq}")
+    }
+  }
+
+  test("warm-started streaming embedding dedup: duplicate of an INDEXED " +
+      "vector caught in micro-batch 1") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-vwarm-")
+      .resolve("idx").toString
+    // historical corpus: vectors 1 and 2 duplicate each other (their pair
+    // was decided at batch time and must NOT re-emit), 3..10 distinct
+    val hist = (Seq((1L, vec(1L)), (2L, vec(1L))) ++
+      (3L to 10L).map(i => (i, vec(i)))).toDF("vec_id", "embedding")
+    VectorIndex.build(hist, "vec_id", "embedding", root, dims = Dims,
+      m = 4, ks = 4, iters = 2, coarseK = 2, coarseIters = 2)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingDedup.embeddingNearDupVerifiedWarm(
+        spark, mem.toDF().toDF("vec_id", "embedding"), "vec_id",
+        "embedding", root, cosineThreshold = 0.99)
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vec_warm").start()
+    try {
+      // the VERY FIRST micro-batch: vec 100 duplicates indexed vec 1,
+      // vec 101 is fresh content
+      mem.addData(Seq((100L, vec(1L)), (101L, vec(20L))))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf
+          .set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf
+          .unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val rows = spark.table("vec_warm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    // caught against BOTH historical copies without re-reading the source
+    // corpus, with exact cosine 1.0 and the keep-first drop decision on
+    // the NEW arrival
+    assert(rows.exists(t => t._1 == 1L && t._2 == 100L && t._3 > 0.999 &&
+      t._4 == 100L), s"${rows.toSeq}")
+    assert(rows.exists(t => t._1 == 2L && t._2 == 100L && t._4 == 100L),
+      s"${rows.toSeq}")
+    // history-vs-history pairs are not re-emitted
+    assert(!rows.exists(t => t._1 == 1L && t._2 == 2L), s"${rows.toSeq}")
+  }
+}
