@@ -598,6 +598,22 @@ object TextQueries extends QueryPack {
       Dedup.repeatedSpanProfile(graft.core.Tables.spread(docs(s, dir)),
         "doc_id", "text", spanLen = 8)),
 
+    // HTML → text extraction with block-level boilerplate removal
+    // (jusText/trafilatura lineage): synthetic pages rendered from
+    // `documents` (the mm2 render→decode discipline — title, nav,
+    // content, per-doc-varying related/stub/ad blocks, footer), then
+    // tag strip + link-density/text-length keep rules as one narrow
+    // zero-shuffle array-HOF projection. Regexes shared verbatim with
+    // the DuckDB twin; the keep rule is integer arithmetic.
+    "tx24_html_extract" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.HtmlExtract.extract(
+        docs(s, dir).select($"doc_id",
+          graft.operators.HtmlExtract.renderHtml($"doc_id", $"text")
+            .as("html")),
+        "doc_id", "html")
+    }),
+
     // REAL PCM sample decode: square-wave WAVs rendered from fixture
     // columns (amp/length derived from doc_id), decoded back through the
     // RIFF walk + int16 LE sample fold — peak/Σ/rms have closed-form
@@ -1048,6 +1064,11 @@ object TextQueries extends QueryPack {
       "CAST((doc_id * 7) % 256 AS VARCHAR) || '.0.1'"
 
   def oracles: Map[String, String] = Map(
+    "tx24_html_extract" -> graft.operators.HtmlExtract.extractSql(
+      "doc_id",
+      "(SELECT doc_id, " +
+        graft.operators.HtmlExtract.renderHtmlSql("doc_id", "text") +
+        " AS html FROM documents) r"),
     "tx9_gopher_filter" ->
       """WITH tok AS (
         |  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS ts
