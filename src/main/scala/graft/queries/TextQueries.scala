@@ -614,6 +614,20 @@ object TextQueries extends QueryPack {
         "doc_id", "html")
     }),
 
+    // URL canonicalization + URL-level dedup — the first dedup a crawl
+    // runs, before any content hash (pairs with tx5 for the standard
+    // URL+content two-stage). Synthetic fetch URLs rendered per doc
+    // (page = doc_id mod 50; doc_id mod 4 picks the messiness variant),
+    // canonicalized by case-fold / default-port / fragment / tracking-
+    // param / path rules, then ONE keyed window decides keep-first.
+    "tx25_url_canon" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.UrlCanon.dedupByUrl(
+        docs(s, dir).select($"doc_id",
+          graft.operators.UrlCanon.renderUrl($"doc_id").as("url")),
+        "doc_id", "url")
+    }),
+
     // REAL PCM sample decode: square-wave WAVs rendered from fixture
     // columns (amp/length derived from doc_id), decoded back through the
     // RIFF walk + int16 LE sample fold — peak/Σ/rms have closed-form
@@ -1069,6 +1083,22 @@ object TextQueries extends QueryPack {
       "(SELECT doc_id, " +
         graft.operators.HtmlExtract.renderHtmlSql("doc_id", "text") +
         " AS html FROM documents) r"),
+    "tx25_url_canon" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, ${graft.operators.UrlCanon.renderUrlSql("doc_id")}
+         |    AS url FROM documents
+         |), c AS (
+         |  SELECT doc_id, url,
+         |    ${graft.operators.UrlCanon.canonicalizeSql("url")}
+         |      AS canonical_url
+         |  FROM u
+         |)
+         |SELECT doc_id, url, canonical_url,
+         |  min(doc_id) OVER (PARTITION BY canonical_url) AS keeper_doc,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY canonical_url)
+         |    AS is_dup,
+         |  count(*) OVER (PARTITION BY canonical_url) AS n_same_url
+         |FROM c""".stripMargin,
     "tx9_gopher_filter" ->
       """WITH tok AS (
         |  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS ts
