@@ -116,7 +116,20 @@ object GraphQueries extends QueryPack {
           (col("common").cast("double") /
             (col("deg_u") + col("deg_v") - col("common")).cast("double"))
             .as("jaccard"))
-    }))
+    }),
+
+    // GR5 — the CAPPED co-purchase edge build (Graph.cappedBasketPairs):
+    // the scale-safe degrade the gr2 wedge guard's error message names.
+    // cap=4 genuinely bites TPC-H-shaped baskets (sizes reach 7): capped
+    // orders keep the 4 parts with smallest (hash60(ok:pk), pk) — a
+    // uniform, replay-stable, engine-portable sample — so hub groups
+    // contribute O(cap²) pair rows instead of O(n²), and every pair row
+    // carries `from_capped` marking its count a lower bound. Fully
+    // hash-oracled: the twin re-derives the identical keep set via the
+    // shared hash arithmetic.
+    "gr5_capped_edges" -> ((s, dir) =>
+      graft.operators.Graph.cappedBasketPairs(
+        t(s, dir, "lineitem"), "l_orderkey", "l_partkey", cap = 4)))
 
   /** Materialize the shared basket pair base outside any timed region
     * (Bench warmup) — per-query timings must not depend on which of
@@ -127,6 +140,31 @@ object GraphQueries extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // gr5's twin: identical hash-sample keep set (shared hash60
+    // arithmetic) via a rank window, then the same pair expansion.
+    "gr5_capped_edges" -> {
+      val h = graft.functions.PortableHash.hash60Sql(
+        "CAST(b0.ok AS VARCHAR) || ':' || CAST(pk AS VARCHAR)")
+      s"""WITH b0 AS (
+         |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT)
+         |    AS pk FROM lineitem
+         |), sz AS (
+         |  SELECT ok, count(*) AS n FROM b0 GROUP BY ok
+         |  HAVING count(*) >= 2
+         |), r AS (
+         |  SELECT b0.ok, pk, n > 4 AS was_capped,
+         |    row_number() OVER (PARTITION BY b0.ok ORDER BY $h, pk) AS rn
+         |  FROM b0 JOIN sz USING (ok)
+         |), kept AS (
+         |  SELECT ok, pk, was_capped FROM r WHERE rn <= 4
+         |), pairs AS (
+         |  SELECT x.ok, x.pk AS a, y.pk AS b, x.was_capped
+         |  FROM kept x JOIN kept y ON x.ok = y.ok AND x.pk < y.pk
+         |)
+         |SELECT a, b, count(*) AS n_ab,
+         |  bool_or(was_capped) AS from_capped
+         |FROM pairs GROUP BY a, b""".stripMargin
+    },
     "gr1_pagerank" -> {
       val ranks = Graph.pagerankSql(
         """SELECT DISTINCT CAST(l_orderkey AS BIGINT) * 2 AS src,

@@ -64,6 +64,52 @@ class GraphSpec extends AnyFunSuite {
     assert(ok.getAs[Double]("clustering") === 1.0)
   }
 
+  test("cappedBasketPairs: a hub order that trips the wedge guard " +
+      "uncapped runs green under the cap, flagged") {
+    // one pathological 60-item basket (a K60 projection: 1770 edges,
+    // oriented wedge work ~34k) + two small clean baskets
+    val hub = (1L to 60L).map(p => (9999L, p))
+    val small = Seq((1L, 101L), (1L, 102L), (2L, 102L), (2L, 103L))
+    val df = (hub ++ small).toDF("ok", "pk")
+    // with a cap so large nothing is capped, the build matches the
+    // uncapped projection — and the guard refuses it at this budget
+    val uncapped = Graph.cappedBasketPairs(df, "ok", "pk", cap = 1000)
+    assert(uncapped.filter(col("from_capped")).count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      Graph.triangleStats(
+        uncapped.select(col("a").as("s1"), col("b").as("s2")),
+        maxOrientedWedges = 5000L).collect()
+    }
+    assert(e.getMessage.contains("cap per-key set size"))
+    // capped at 8: the hub contributes a K8 (28 edges, flagged), the
+    // clean baskets pass through EXACTLY (not flagged), and the same
+    // budget now succeeds with the K8's 56 triangles
+    val capped = Graph.cappedBasketPairs(df, "ok", "pk", cap = 8)
+    val hubRows = capped.filter(col("a") <= 60L).collect()
+    assert(hubRows.length == 28 &&
+      hubRows.forall(_.getAs[Boolean]("from_capped")))
+    val cleanRows = capped.filter(col("a") >= 101L)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("n_ab"), r.getAs[Boolean]("from_capped"))).toSet
+    assert(cleanRows == Set((101L, 102L, 1L, false),
+      (102L, 103L, 1L, false)))
+    val ok = Graph.triangleStats(
+      capped.select(col("a").as("s1"), col("b").as("s2")),
+      maxOrientedWedges = 5000L).collect().head
+    assert(ok.getAs[Long]("n_triangles") === 56L)
+  }
+
+  test("cappedBasketPairs: cap larger than every basket is the " +
+      "identity on pair counts") {
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L),
+      (3L, 9L)).toDF("ok", "pk")
+    val rows = Graph.cappedBasketPairs(df, "ok", "pk", cap = 16)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("n_ab"), r.getAs[Boolean]("from_capped"))).toSet
+    assert(rows == Set((1L, 2L, 1L, false), (1L, 3L, 1L, false),
+      (2L, 3L, 2L, false)))
+  }
+
   test("pagerank: star graph — hub dominates, leaves symmetric, " +
        "single round matches the closed form bit-for-bit") {
     val edges = edgeDf((1L, 2L), (1L, 3L), (1L, 4L))
