@@ -308,47 +308,65 @@ object ExtendedQueries extends QueryPack {
 
     // Q79 — referential-integrity audit: every FK edge of the schema
     // checked in one result (child rows, distinct FK values, orphan rows
-    // / keys). Each edge aggregates the child to its DISTINCT key set
-    // first (one hash shuffle of the fact, carrying only the key and a
-    // count) and LEFT ANTI joins the key-pruned parent — the parent scan
-    // reads a single column and broadcasts when small. The
-    // `[degraded]` twin re-runs the orders→customer edge against a
-    // parent with every 10th key dropped (a simulated lost partition):
-    // the audit must DETECT breakage, not just confirm intact fixtures.
+    // / keys), with each table scanned ONCE: a table's FK columns
+    // unpivot in-row to (fk-edge, key) rows (lineitem's three edges ride
+    // one scan; the fact is never re-read per edge), one hash agg
+    // produces the per-edge distinct key sets, and ONE composite-key
+    // LEFT ANTI join against the union of parent key sets finds every
+    // orphan — at 100 TB the fact scan is the cost, and it is paid once
+    // instead of once per edge. The key frame is persisted (edge-tagged
+    // distinct keys ≪ fact rows) because totals and orphans both
+    // consume it. The `[degraded]` twin re-runs the orders→customer
+    // edge against a parent with every 10th key dropped (a simulated
+    // lost partition): the audit must DETECT breakage, not just confirm
+    // intact fixtures.
     "q79_fk_audit" -> ((s, dir) => {
       import s.implicits._
-      def edge(name: String, child: DataFrame, key: String,
-               parent: DataFrame, pkey: String): DataFrame = {
-        val keys = child.groupBy(col(key).as("k"))
-          .agg(count(lit(1)).as("rows_per_key"))
-        val orphans = keys.join(parent.select(col(pkey).as("k")),
-          Seq("k"), "left_anti")
-        keys.agg(
-            count(lit(1)).as("n_keys"),
-            sum($"rows_per_key").as("n_child_rows"))
-          .crossJoin(orphans.agg(
-            count(lit(1)).as("n_orphan_keys"),
-            coalesce(sum($"rows_per_key"), lit(0L)).as("n_orphan_rows")))
-          .select(lit(name).as("fk"), $"n_child_rows", $"n_keys",
-            $"n_orphan_keys", $"n_orphan_rows")
-      }
+      def keyed(df: DataFrame, edges: (String, String)*): DataFrame =
+        df.select(explode(array(edges.map { case (n, c) =>
+            struct(lit(n).as("fk"), col(c).cast("long").as("k")) }: _*))
+          .as("e"))
+          .select($"e.fk".as("fk"), $"e.k".as("k"))
       val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      edge("customer.nationkey->nation", cust, "c_nationkey",
-          t(s, dir, "nation"), "n_nationkey")
-        .unionAll(edge("lineitem.orderkey->orders", li, "l_orderkey",
-          ord, "o_orderkey"))
-        .unionAll(edge("lineitem.partkey->part", li, "l_partkey",
-          t(s, dir, "part"), "p_partkey"))
-        .unionAll(edge("lineitem.suppkey->supplier", li, "l_suppkey",
-          t(s, dir, "supplier"), "s_suppkey"))
-        .unionAll(edge("orders.custkey->customer", ord, "o_custkey",
-          cust, "c_custkey"))
-        .unionAll(edge("orders.custkey->customer[degraded]", ord,
-          "o_custkey", cust.filter($"c_custkey" % 10 =!= 0), "c_custkey"))
-        .unionAll(edge("supplier.nationkey->nation", t(s, dir, "supplier"),
-          "s_nationkey", t(s, dir, "nation"), "n_nationkey"))
+      val childKeys = keyed(t(s, dir, "lineitem"),
+          ("lineitem.orderkey->orders", "l_orderkey"),
+          ("lineitem.partkey->part", "l_partkey"),
+          ("lineitem.suppkey->supplier", "l_suppkey"))
+        .unionAll(keyed(t(s, dir, "orders"),
+          ("orders.custkey->customer", "o_custkey"),
+          ("orders.custkey->customer[degraded]", "o_custkey")))
+        .unionAll(keyed(cust,
+          ("customer.nationkey->nation", "c_nationkey")))
+        .unionAll(keyed(t(s, dir, "supplier"),
+          ("supplier.nationkey->nation", "s_nationkey")))
+        .groupBy($"fk", $"k")
+        .agg(count(lit(1)).as("rows_per_key"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val parents = keyed(t(s, dir, "nation"),
+          ("customer.nationkey->nation", "n_nationkey"),
+          ("supplier.nationkey->nation", "n_nationkey"))
+        .unionAll(keyed(t(s, dir, "orders"),
+          ("lineitem.orderkey->orders", "o_orderkey")))
+        .unionAll(keyed(t(s, dir, "part"),
+          ("lineitem.partkey->part", "p_partkey")))
+        .unionAll(keyed(t(s, dir, "supplier"),
+          ("lineitem.suppkey->supplier", "s_suppkey")))
+        .unionAll(keyed(cust,
+          ("orders.custkey->customer", "c_custkey")))
+        .unionAll(keyed(cust.filter($"c_custkey" % 10 =!= 0),
+          ("orders.custkey->customer[degraded]", "c_custkey")))
+      val totals = childKeys.groupBy($"fk")
+        .agg(sum($"rows_per_key").as("n_child_rows"),
+          count(lit(1)).as("n_keys"))
+      val orphans = childKeys
+        .join(parents, Seq("fk", "k"), "left_anti")
+        .groupBy($"fk")
+        .agg(count(lit(1)).as("n_orphan_keys"),
+          sum($"rows_per_key").as("n_orphan_rows"))
+      totals.join(orphans, Seq("fk"), "left")
+        .select($"fk", $"n_child_rows", $"n_keys",
+          coalesce($"n_orphan_keys", lit(0L)).as("n_orphan_keys"),
+          coalesce($"n_orphan_rows", lit(0L)).as("n_orphan_rows"))
     }),
 
     // Q55 — deterministic mode (most frequent value) per group: count +

@@ -66,9 +66,6 @@ class PlanQualitySpec extends AnyFunSuite {
                             // three quartile-boundary rows) onto the
                             // customer aggregate — the scale-honest
                             // alternative to a global ntile sort
-    "q79_fk_audit",         // per-FK combine of two 1-row audit
-                            // aggregates (total + orphan counts) — each
-                            // side collapses to one row before the join
     "pl18_source_drift")    // sources×buckets grid completion: both sides
                             // are aggregate frames (distinct sources /
                             // distinct buckets), so the product is
