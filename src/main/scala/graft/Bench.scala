@@ -18,11 +18,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // sample load BEFORE any Spark work: the 1-min average taken at the
-    // end of a 32-thread run mostly measures the bench itself; taken here
-    // it measures the co-tenant load that historically skewed captures.
-    val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .getSystemLoadAverage
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // Capture discipline (r7: the committed sf0.1 capture ran at load
+    // 3.7 and its apparent regressions were all noise): when the box is
+    // busy with co-tenant work, WAIT — bounded — for it to drain before
+    // timing anything. The wait is capped so a persistently-loaded box
+    // still produces a capture (stamped degraded below) rather than
+    // hanging the driver; SPARK_GRAFT_LOADWAIT=0 skips it for local
+    // iteration.
+    val waitBudget =
+      sys.env.getOrElse("SPARK_GRAFT_LOADWAIT", "240").toLong
+    val waitDeadline = System.nanoTime() + waitBudget * 1000000000L
+    while (loadAvg > 1.2 && System.nanoTime() < waitDeadline)
+      Thread.sleep(10000L)
+    // sample load AFTER the drain wait, BEFORE any Spark work: the 1-min
+    // average taken at the end of a 32-thread run mostly measures the
+    // bench itself; taken here it measures the co-tenant load that
+    // historically skewed captures.
+    val la = loadAvg
     val spark = graft.core.Sessions.local(cpus)
     // Warmup: pay one-time session/codegen/parquet-footer costs outside the
     // per-query timings.
@@ -30,11 +44,18 @@ object Bench {
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
-    // shared on-disk bases (shingle table, dd4 index) build here, not
-    // inside whichever dedup query happens to run first — per-query
-    // timings must not be order-dependent (ADVICE r5).
+    // shared on-disk bases (shingle table, dd4 index, basket pairs,
+    // inverted index, quantizer/PQ/vector-index artifacts) build here,
+    // not inside whichever query happens to run first — per-query
+    // timings must not be order-dependent (ADVICE r5). The build cost is
+    // REAL work a deployment pays once (train-once/serve-many), so it is
+    // timed and reported as its own line item (prewarm_sec in both
+    // artifacts) rather than hidden: per-query numbers measure serving,
+    // prewarm_sec measures artifact construction (ADVICE r7).
+    val tPre = System.nanoTime()
     try SparkEntry.prewarm(spark, sfDir)
     catch { case _: Throwable => () }
+    val prewarmSec = (System.nanoTime() - tPre) / 1e9
     // noop write (not count()) so column pruning can't skip the projected
     // work of map-only queries — every result column is fully computed.
     // Best of 2 runs: the first pays codegen/JIT/GC noise that is
@@ -83,7 +104,8 @@ object Bench {
     // regressions were all noise — a number stamped degraded must never
     // be read as a regression (or an improvement).
     val degraded = if (la > 4.0) ""","degraded_capture":true""" else ""
-    val cond = s""""load_avg":${f(la)},"commit":"$commit"$degraded"""
+    val cond = s""""load_avg":${f(la)},"commit":"$commit"""" +
+      s""","prewarm_sec":${f(prewarmSec)}$degraded"""
     // Full-name record for humans/the repo (committed per round).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -114,13 +136,16 @@ object Bench {
     // errors are always complete; full precision + full names live in
     // bench/BENCH_FULL-<sf>.json (committed) either way.
     def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val errsShort = failed.sorted.map("\"" + shortKey(_) + "\"")
-      .mkString("[", ",", "]")
+    // errors ride stdout as a COUNT only (headroom at ~200 keys —
+    // round-6's parsed:null failure mode); the full failed-name list is
+    // always in BENCH_FULL's "errors". Consumers MUST treat errn>0 or
+    // omitted>0 as "read bench/BENCH_FULL-<sf>.json", not as a complete
+    // stdout record.
     val ok = results.filter(_._2 >= 0).sortBy(-_._2)
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","errors":$errsShort,"qn":${results.size},"omitted":$omitted,$cond}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel","errn":${failed.size},"qn":${results.size},"omitted":$omitted,$cond}"""
     }
     val MaxLine = 1850
     var keep = ok.size

