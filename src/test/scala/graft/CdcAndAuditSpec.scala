@@ -61,7 +61,7 @@ class CdcAndAuditSpec extends AnyFunSuite {
     val byChange = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(byChange("deleted") == Set(97L, 194L))
     assert(byChange("changed") == Set(89L, 178L))
-    assert(byChange("added") == Set(10000101L))
+    assert(byChange("added") == Set(100000101L))
     assert(out.length == 5) // nothing else leaks into the delta
   }
 
