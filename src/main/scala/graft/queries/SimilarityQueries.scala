@@ -254,6 +254,16 @@ object SimilarityQueries extends QueryPack {
         nprobe = 2, k = 5)
     }),
 
+    // int8 scalar quantization error profile (the SQ8 vector-memory
+    // path next to PQ): per-dim affine grid from corpus min/max,
+    // floor(+0.5) nearest-code rounding, saturation counts and
+    // decimal-exact mean / exact max reconstruction error — the
+    // diagnostic that decides whether 4× compression is safe. Corpus
+    // never shuffles; both aggregate frames are dimension-sized.
+    "sim19_scalar_quantize" -> ((s, dir) =>
+      graft.operators.ScalarQuantization.int8Stats(emb(s, dir), "vec_id",
+        "embedding")),
+
     // MMR diversity re-rank (Carbonell & Goldstein 1998): the RAG-stack
     // step after retrieval — from each query's top-12 cosine candidates,
     // greedily pick 5 maximizing 0.7·rel − 0.3·max-sim-to-selected. The
@@ -668,6 +678,8 @@ object SimilarityQueries extends QueryPack {
     "sim10_pq_adc" -> sim10Sql(8, 8, 8, 2, 5),
     "sim11_ivfpq" -> sim11Sql(8, 2, 2, 8, 8, 8, 2, 5),
     "sim18_ivfpq_index" -> sim18Sql(8, 2, 2, 8, 8, 8, 2, 5),
+    "sim19_scalar_quantize" ->
+      graft.operators.ScalarQuantization.int8StatsSql,
     "dd5_semdedup" -> dd5Sql(4, 2, 0.4))
 
   /** sim10's DuckDB twin: subvector split, shared-seed per-subspace

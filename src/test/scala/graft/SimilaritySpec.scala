@@ -352,4 +352,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ratios.forall(r => r > 0.02 && r < 20.0),
       s"pathological pair distortion: min=${ratios.min} max=${ratios.max}")
   }
+
+  test("int8 scalar quantization: error bounded by half a grid step, " +
+      "extremes saturate, degenerate dims reconstruct exactly") {
+    import org.apache.spark.sql.functions.col
+    // dim 1 spans [0, 10]; dim 2 is constant (degenerate grid); dim 3
+    // spans [-4, 4]
+    val vecs = Seq(
+      (1L, Seq(0.0f, 7.5f, -4.0f)),
+      (2L, Seq(10.0f, 7.5f, 4.0f)),
+      (3L, Seq(3.3f, 7.5f, 0.1f)),
+      (4L, Seq(6.7f, 7.5f, -1.7f)))
+      .toDF("vec_id", "embedding")
+    val rows = graft.operators.ScalarQuantization
+      .int8Stats(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("dim") -> r).toMap
+    rows.values.foreach { r =>
+      val range = r.getAs[Double]("vmax") - r.getAs[Double]("vmin")
+      assert(r.getAs[Double]("max_abs_err") <= range / 510.0 + 1e-12,
+        s"dim ${r.getAs[Long]("dim")}: err ${r.getAs[Double]("max_abs_err")}")
+      assert(r.getAs[Double]("mean_abs_err") <=
+        r.getAs[Double]("max_abs_err") + 1e-12)
+    }
+    // the min and max samples of every non-degenerate dim sit at codes
+    // 0/255 → exactly 2 saturated; the constant dim codes everything 0
+    // (all saturated) and reconstructs with zero error
+    assert(rows(1L).getAs[Long]("n_saturated") == 2L)
+    assert(rows(3L).getAs[Long]("n_saturated") == 2L)
+    assert(rows(2L).getAs[Long]("n_saturated") == 4L)
+    assert(rows(2L).getAs[Double]("max_abs_err") == 0.0)
+  }
 }
