@@ -88,13 +88,21 @@ object UrlCanon {
   }
 
   /** Deterministic synthetic fetch URLs from an id column — the tx24
-    * render discipline: page identity is id mod 50, and id mod 4 picks
-    * the messiness variant (0: slash-run + trailing slash; 1: upper-case
-    * scheme/host; 2: explicit default port; 3: tracking params +
-    * fragment). All four variants of one page canonicalize identically,
-    * so the dedup groups have closed-form structure. */
-  def renderUrl(id: Column): Column = {
-    val p = id % 50
+    * render discipline: page identity is id mod `pages`, and id mod 4
+    * picks the messiness variant (0: slash-run + trailing slash;
+    * 1: upper-case scheme/host; 2: explicit default port; 3: tracking
+    * params + fragment). All variants of one page canonicalize
+    * identically, so the dedup groups have closed-form structure.
+    *
+    * `pages` should be DERIVED from the corpus count (the sim5
+    * band-width discipline — tx25 uses greatest(50, n div 10)): a fixed
+    * page universe makes dedup groups grow linearly with the corpus, so
+    * the canonical-key window degenerates to a handful of giant
+    * partitions (measured slope 4.9 at the 10× probe before the
+    * derivation); a derived universe holds fetches-per-page ~constant
+    * at every scale, which is also what a real crawl looks like. */
+  def renderUrl(id: Column, pages: Column = lit(50L)): Column = {
+    val p = id % pages
     val schemeBase = when(p % 2 === 0, "https").otherwise("http")
     val host = concat(lit("www.example-"), (p % 5).cast("string"),
       lit(".com"))
@@ -116,8 +124,8 @@ object UrlCanon {
   }
 
   /** The DuckDB twin of [[renderUrl]]. */
-  def renderUrlSql(id: String): String = {
-    val p = s"($id % 50)"
+  def renderUrlSql(id: String, pages: String = "50"): String = {
+    val p = s"($id % $pages)"
     val schemeBase = s"CASE WHEN $p % 2 = 0 THEN 'https' ELSE 'http' END"
     val host = s"'www.example-' || CAST($p % 5 AS VARCHAR) || '.com'"
     val schemeHost = s"CASE WHEN $id % 4 = 1 " +

@@ -617,14 +617,21 @@ object TextQueries extends QueryPack {
     // URL canonicalization + URL-level dedup — the first dedup a crawl
     // runs, before any content hash (pairs with tx5 for the standard
     // URL+content two-stage). Synthetic fetch URLs rendered per doc
-    // (page = doc_id mod 50; doc_id mod 4 picks the messiness variant),
-    // canonicalized by case-fold / default-port / fragment / tracking-
-    // param / path rules, then ONE keyed window decides keep-first.
+    // (page = doc_id mod a CORPUS-DERIVED page count, greatest(50,
+    // n div 10) — fetches-per-page stays ~constant at every SF, so the
+    // canonical-key window's groups don't grow with the corpus; doc_id
+    // mod 4 picks the messiness variant), canonicalized by case-fold /
+    // default-port / fragment / tracking-param / path rules, then ONE
+    // keyed window decides keep-first.
     "tx25_url_canon" -> ((s, dir) => {
       import s.implicits._
+      val d = docs(s, dir)
+      val pages = d.agg(greatest(lit(50L),
+        expr("count(1) div 10")).as("npages"))
       graft.operators.UrlCanon.dedupByUrl(
-        docs(s, dir).select($"doc_id",
-          graft.operators.UrlCanon.renderUrl($"doc_id").as("url")),
+        d.crossJoin(broadcast(pages)).select($"doc_id",
+          graft.operators.UrlCanon.renderUrl($"doc_id", $"npages")
+            .as("url")),
         "doc_id", "url")
     }),
 
@@ -1084,9 +1091,12 @@ object TextQueries extends QueryPack {
         graft.operators.HtmlExtract.renderHtmlSql("doc_id", "text") +
         " AS html FROM documents) r"),
     "tx25_url_canon" ->
-      s"""WITH u AS (
-         |  SELECT doc_id, ${graft.operators.UrlCanon.renderUrlSql("doc_id")}
-         |    AS url FROM documents
+      s"""WITH par AS (
+         |  SELECT greatest(50, count(*) // 10) AS npages FROM documents
+         |), u AS (
+         |  SELECT doc_id,
+         |    ${graft.operators.UrlCanon.renderUrlSql("doc_id", "npages")}
+         |    AS url FROM documents CROSS JOIN par
          |), c AS (
          |  SELECT doc_id, url,
          |    ${graft.operators.UrlCanon.canonicalizeSql("url")}

@@ -39,6 +39,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "pl11_dsir_select",     // broadcast 1-row model totals (nt, nr)
     "tx13_bm25_topk",       // broadcast 1-row corpus stats (N, avgdl)
     "tx22_keywords",        // broadcast 1-row doc count into the idf
+    "tx25_url_canon",       // broadcast 1-row corpus count deriving the
+                            // synthetic page universe (render side only)
     "tx14_lm_perplexity",   // broadcast 1-row vocab size
     "gr2_triangles",        // final combine of three 1-row stat frames
     "sim12_mmr_rerank",     // candidate gen = sim1's brute product
