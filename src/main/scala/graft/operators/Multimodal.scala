@@ -944,4 +944,134 @@ object Multimodal {
         }
       }
   }
+
+  /** Typed metadata of a TIFF/EXIF payload. */
+  case class TiffMeta(doc_id: Long, format: String, byte_order: String,
+                      width: Long, height: Long, bits_per_sample: Int,
+                      orientation: Int, iso: Int)
+
+  /** REAL TIFF/EXIF metadata decode — the third byte-walk family next to
+    * the RIFF walkers and the ISO-BMFF box walk, and the only one with
+    * RUNTIME-SELECTED endianness: the header's `II`/`MM` mark picks
+    * little- vs big-endian for every later read (EXIF is the TIFF
+    * structure embedded in JPEG APP1, so this walker is the camera-
+    * metadata path). IFD0's 12-byte entries supply width (tag 256),
+    * height (257), bits-per-sample (258), orientation (274); the Exif
+    * sub-IFD pointer (tag 0x8769) is followed — bounds-guarded — for
+    * ISO (tag 0x8827). SHORT (type 3) values read 2 bytes of the value
+    * field, LONG (type 4) all 4, both in the header's byte order — a
+    * wrong-endian read or a miscounted entry offset cannot hash-match
+    * the oracle. O(entries), loop-guarded, None for malformed. */
+  def decodeTiffMeta(id: Long, bytes: Array[Byte]): Option[TiffMeta] = {
+    try {
+      if (bytes == null || bytes.length < 8) return None
+      val le = (bytes(0) & 0xff, bytes(1) & 0xff) match {
+        case (0x49, 0x49) => true
+        case (0x4d, 0x4d) => false
+        case _ => return None
+      }
+      def u16(o: Int): Int =
+        if (le) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+        else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+      def u32(o: Int): Long =
+        if (le) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+        else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      if (u16(2) != 42) return None
+      // inline value of one IFD entry at `o`: SHORT reads 2 bytes, LONG 4
+      def entryValue(o: Int): Long = u16(o + 2) match {
+        case 3 => u16(o + 8).toLong
+        case 4 => u32(o + 8)
+        case _ => -1L
+      }
+      var width = -1L; var height = -1L; var bps = -1; var orient = 1
+      var exifOff = -1L; var iso = -1
+      def walkIfd(ifd: Long, exifLevel: Boolean): Boolean = {
+        if (ifd < 0 || ifd + 2 > bytes.length) return false
+        val n = u16(ifd.toInt)
+        if (ifd + 2 + n * 12 > bytes.length) return false
+        var i = 0
+        while (i < n) {
+          val o = (ifd + 2 + i * 12).toInt
+          u16(o) match {
+            case 256 if !exifLevel => width = entryValue(o)
+            case 257 if !exifLevel => height = entryValue(o)
+            case 258 if !exifLevel => bps = entryValue(o).toInt
+            case 274 if !exifLevel => orient = entryValue(o).toInt
+            case 0x8769 if !exifLevel => exifOff = u32(o + 8)
+            case 0x8827 if exifLevel => iso = entryValue(o).toInt
+            case _ => ()
+          }
+          i += 1
+        }
+        true
+      }
+      if (!walkIfd(u32(4), exifLevel = false)) return None
+      if (exifOff >= 0 && !walkIfd(exifOff, exifLevel = true)) return None
+      if (width < 0 || height < 0) None
+      else Some(TiffMeta(id, "tiff", if (le) "II" else "MM",
+        width, height, bps, orient, iso))
+    } catch { case _: Exception => None }
+  }
+
+  /** TIFF decode operator — total over a mixed corpus via the stub-row
+    * fallback (the [[decodeVideoMeta]] contract). */
+  def decodeTiffMetaOp(spark: SparkSession, df: DataFrame, idCol: String,
+                       binCol: String): Dataset[TiffMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          decodeTiffMeta(id, bytes).getOrElse {
+            val n = if (bytes == null) 0 else bytes.length
+            TiffMeta(id, "unknown", "", n, 0L, 0, 0, 0)
+          }
+        }
+      }
+  }
+
+  /** Deterministic minimal-TIFF rendering: (id, byte-order flag, width,
+    * height, bits-per-sample, orientation, iso) → a real TIFF header +
+    * IFD0 (7 entries incl. the Exif sub-IFD pointer) + Exif IFD (ISO) —
+    * the fixture generator for [[decodeTiffMeta]], emitting BOTH byte
+    * orders so the endian-switched read path is exercised end to end. */
+  def renderTiff(spark: SparkSession, df: DataFrame, idCol: String,
+                 leCol: String, wCol: String, hCol: String, bpsCol: String,
+                 orientCol: String, isoCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(leCol).cast("boolean"),
+        col(wCol).cast("long"), col(hCol).cast("long"),
+        col(bpsCol).cast("int"), col(orientCol).cast("int"),
+        col(isoCol).cast("int"))
+      .as[(Long, Boolean, Long, Long, Int, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, le, w, h, bps, orient, iso) =>
+          val order = if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+            else java.nio.ByteOrder.BIG_ENDIAN
+          val bb = java.nio.ByteBuffer.allocate(116).order(order)
+          bb.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+          bb.putShort(42).putInt(8)
+          def entry(tag: Int, typ: Int, value: Long): Unit = {
+            bb.putShort(tag.toShort).putShort(typ.toShort).putInt(1)
+            if (typ == 3) { bb.putShort(value.toInt.toShort); bb.putShort(0) }
+            else bb.putInt(value.toInt)
+          }
+          bb.putShort(7)                    // IFD0: 7 entries
+          entry(256, 4, w)                  // ImageWidth  (LONG)
+          entry(257, 4, h)                  // ImageLength (LONG)
+          entry(258, 3, bps)                // BitsPerSample
+          entry(259, 3, 1)                  // Compression: none
+          entry(262, 3, 1)                  // Photometric: BlackIsZero
+          entry(274, 3, orient)             // Orientation
+          entry(0x8769, 4, 98)              // Exif IFD pointer
+          bb.putInt(0)                      // next IFD: none
+          bb.putShort(1)                    // Exif IFD at 98: 1 entry
+          entry(0x8827, 3, iso)             // ISOSpeedRatings
+          bb.putInt(0)
+          (id, bb.array())
+        }
+      }.toDF(idCol, "payload")
+  }
 }

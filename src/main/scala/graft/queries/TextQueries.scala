@@ -335,6 +335,29 @@ object TextQueries extends QueryPack {
           $"n_streams", $"width", $"height", $"duration_ms")
     }),
 
+    // REAL TIFF/EXIF decode round trip: the third byte-walk family and
+    // the only RUNTIME-ENDIAN one — the fixture renders BOTH II and MM
+    // payloads (doc_id parity picks the order), and every field is read
+    // in the header-selected endianness; the Exif sub-IFD pointer is
+    // followed for ISO. Oracle computes all fields arithmetically — a
+    // wrong-endian read or off-by-one entry offset cannot hash-match.
+    "mm10_tiff_meta" -> ((s, dir) => {
+      import s.implicits._
+      val withTiff = docs(s, dir).select($"doc_id",
+        ($"doc_id" % 2 === 0).as("le"),
+        (lit(100) + ($"doc_id" % 16) * 20).cast("long").as("w"),
+        (lit(80) + ($"doc_id" % 9) * 20).cast("long").as("h"),
+        when($"doc_id" % 2 === 0, 8).otherwise(16).cast("int").as("bps"),
+        (lit(1) + $"doc_id" % 8).cast("int").as("orient"),
+        ((lit(1) + $"doc_id" % 32) * 100).cast("int").as("iso"))
+      val tiffs = Multimodal.renderTiff(s,
+        graft.core.Tables.spread(withTiff),
+        "doc_id", "le", "w", "h", "bps", "orient", "iso")
+      Multimodal.decodeTiffMetaOp(s, tiffs, "doc_id", "payload")
+        .select($"doc_id", $"format", $"byte_order", $"width", $"height",
+          $"bits_per_sample", $"orientation", $"iso")
+    }),
+
     // image perceptual near-dup — the multimodal operation LLM pipelines
     // actually run: REAL decode → 8×8 average-hash → banded hamming join
     // (4×16-bit bands over the two hash halves; bands > maxHamming ⇒ the
@@ -1302,6 +1325,16 @@ object TextQueries extends QueryPack {
          |FROM pat a JOIN pat b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.w60, b.w60)) <= 3""".stripMargin
     },
+    "mm10_tiff_meta" ->
+      """SELECT doc_id, 'tiff' AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(100 + (doc_id % 16) * 20 AS BIGINT) AS width,
+        |  CAST(80 + (doc_id % 9) * 20 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INTEGER)
+        |    AS bits_per_sample,
+        |  CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+        |  CAST((1 + doc_id % 32) * 100 AS INTEGER) AS iso
+        |FROM documents""".stripMargin,
     "mm6_mp4_meta" ->
       """SELECT doc_id, 'mp4' AS format,
         |  CAST(600 + (doc_id % 5) * 100 AS INTEGER) AS timescale,

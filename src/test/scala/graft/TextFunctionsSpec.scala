@@ -194,6 +194,40 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(cb.format == "unknown")
   }
 
+  test("multimodal: TIFF render → IFD/EXIF decode round trip in BOTH " +
+      "byte orders; malformed falls back") {
+    val df = Seq((1L, true, 640L, 480L, 8, 6, 400),
+        (2L, false, 1920L, 1080L, 16, 1, 3200))
+      .toDF("doc_id", "le", "w", "h", "bps", "orient", "iso")
+    val tiffs = Multimodal.renderTiff(spark, df, "doc_id", "le", "w", "h",
+      "bps", "orient", "iso")
+    val meta = Multimodal.decodeTiffMetaOp(spark, tiffs, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).format == "tiff" && meta(1L).byte_order == "II" &&
+      meta(1L).width == 640L && meta(1L).height == 480L &&
+      meta(1L).bits_per_sample == 8 && meta(1L).orientation == 6 &&
+      meta(1L).iso == 400)
+    assert(meta(2L).byte_order == "MM" && meta(2L).width == 1920L &&
+      meta(2L).bits_per_sample == 16 && meta(2L).iso == 3200)
+    val bytes = tiffs.filter(col("doc_id") === 2L).collect().head
+      .getAs[Array[Byte]]("payload")
+    // big-endian header: 'MM', magic 42 as 0x00 0x2a
+    assert(bytes(0) == 'M' && bytes(2) == 0 && bytes(3) == 42)
+    // wrong byte-order mark → fallback
+    val badMark = bytes.clone(); badMark(0) = 'X'
+    // truncated mid-IFD → fallback (bounds guard, no exception)
+    val truncated = bytes.take(40)
+    // Exif pointer past the buffer → fallback
+    val badExif = bytes.clone()
+    // IFD0 at 8, entry 7 (0x8769) at 8 + 2 + 6*12 = 82; value at 90
+    badExif(90) = 0x7f; badExif(91) = -1; badExif(92) = -1; badExif(93) = -1
+    val fb = Multimodal.decodeTiffMetaOp(spark,
+        Seq((8L, badMark), (9L, truncated), (10L, badExif))
+          .toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m.format).toMap
+    assert(fb == Map(8L -> "unknown", 9L -> "unknown", 10L -> "unknown"))
+  }
+
   test("multimodal: frameSample keeps every Nth frame with indices") {
     val frames = (0 until 10).map(i => Array[Byte](i.toByte)).toSeq
     val df = Seq((7L, frames)).toDF("vid_id", "frames")
