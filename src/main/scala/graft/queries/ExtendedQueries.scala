@@ -774,6 +774,39 @@ object ExtendedQueries extends QueryPack {
           $"issue")
     }),
 
+    // Q84 — join-key SKEW PROFILE: the ANALYZE-for-salting diagnostic
+    // that decides whether a key needs q26's salted join (or AQE skew
+    // handling) BEFORE the job runs. Every candidate join key of the
+    // fact unpivots in-row to (key_col, k) — the q79 one-scan
+    // discipline — one hash agg counts per-key rows, and a per-column
+    // rank window (top-5, key-ordered tiebreak) surfaces the hottest
+    // keys with their row share and the partition fan-out the hottest
+    // key needs at 32 reducers: salt_factor = ⌈cnt·32/n⌉ — 1 means "no
+    // skew handling needed", k means "this key alone fills k
+    // partitions". Everything downstream of the one agg is
+    // aggregate-sized.
+    "q84_skew_profile" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val keyed = li.select(explode(array(Seq(
+          ("l_orderkey", $"l_orderkey"), ("l_partkey", $"l_partkey"),
+          ("l_suppkey", $"l_suppkey")).map { case (n, c) =>
+          struct(lit(n).as("key_col"), c.cast("long").as("k")) }: _*))
+        .as("e"))
+        .select($"e.key_col".as("key_col"), $"e.k".as("k"))
+        .groupBy($"key_col", $"k").agg(count(lit(1)).as("cnt"))
+      val n = li.agg(count(lit(1)).as("n_rows"))
+      val w = Window.partitionBy($"key_col")
+        .orderBy($"cnt".desc, $"k".asc)
+      keyed.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .crossJoin(broadcast(n))
+        .select($"key_col", $"rank", $"k", $"cnt", $"n_rows",
+          ($"cnt".cast("double") / $"n_rows".cast("double")).as("share"),
+          ceil(($"cnt" * lit(32L)).cast("double") /
+            $"n_rows".cast("double")).cast("long").as("salt_factor"))
+    }),
+
     // Q83 — RFM segmentation (recency / frequency / monetary): the
     // classic customer scoring. Scale-honest scoring: a global
     // ntile(4) would be ONE single-partition sort over all customers;
@@ -1539,6 +1572,29 @@ object ExtendedQueries extends QueryPack {
     // epoch the Spark side derives under the pinned UTC session), same
     // moment folds, same slope/intercept AST.
     // q83's twin: same boundary rank extraction, same comparison scores.
+    "q84_skew_profile" ->
+      """WITH keyed AS (
+        |  SELECT 'l_orderkey' AS key_col, CAST(l_orderkey AS BIGINT) AS k
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem
+        |), c AS (
+        |  SELECT key_col, k, count(*) AS cnt FROM keyed GROUP BY 1, 2
+        |), n AS (
+        |  SELECT count(*) AS n_rows FROM lineitem
+        |), r AS (
+        |  SELECT key_col, k, cnt,
+        |    row_number() OVER (PARTITION BY key_col
+        |      ORDER BY cnt DESC, k ASC) AS rank
+        |  FROM c
+        |)
+        |SELECT key_col, CAST(rank AS BIGINT) AS rank, k, cnt, n_rows,
+        |  CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share,
+        |  CAST(ceil(CAST(cnt * 32 AS DOUBLE) / CAST(n_rows AS DOUBLE))
+        |    AS BIGINT) AS salt_factor
+        |FROM r CROSS JOIN n WHERE rank <= 5""".stripMargin,
     "q83_rfm" -> {
       def b(metric: String, alias: String) =
         s"""$alias AS (

@@ -65,6 +65,28 @@ class CdcAndAuditSpec extends AnyFunSuite {
     assert(out.length == 5) // nothing else leaks into the delta
   }
 
+  test("q84 skew profile: per-column top-5, consistent shares and salt") {
+    val rows = SparkEntry.queries("q84_skew_profile")(spark,
+      "/root/testdata/sf0.001").collect()
+    val byCol = rows.groupBy(_.getAs[String]("key_col"))
+    assert(byCol.keySet ==
+      Set("l_orderkey", "l_partkey", "l_suppkey"))
+    byCol.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L))
+      // counts non-increasing in rank; share and salt consistent
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.sliding(2).forall(p =>
+        p(0).getAs[Long]("cnt") >= p(1).getAs[Long]("cnt")))
+      sorted.foreach { r =>
+        val (cnt, n) = (r.getAs[Long]("cnt"), r.getAs[Long]("n_rows"))
+        assert(r.getAs[Double]("share") == cnt.toDouble / n)
+        assert(r.getAs[Long]("salt_factor") ==
+          math.ceil(cnt * 32.0 / n).toLong)
+        assert(r.getAs[Long]("salt_factor") >= 1L)
+      }
+    }
+  }
+
   test("gr4: predicts exactly the un-linked pair with a shared neighborhood") {
     val dir = tmp("graft-gr4")
     // baskets {1,2,3} ×2 and {2,3,4} ×2 → support-2 edges

@@ -64,6 +64,8 @@ class PlanQualitySpec extends AnyFunSuite {
                             // (oracle-checkable baseline; the scale path
                             // swaps in sim11's IVF-PQ ranking — RRF
                             // fusion itself is grid-sized per query)
+    "q84_skew_profile",     // broadcast 1-row fact count into the share/
+                            // salt arithmetic (top-5-per-column frame)
     "q83_rfm",              // broadcast of four 1-row frames (anchor +
                             // three quartile-boundary rows) onto the
                             // customer aggregate — the scale-honest
