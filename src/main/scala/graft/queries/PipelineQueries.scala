@@ -155,6 +155,42 @@ object PipelineQueries extends QueryPack {
     // (pl7). What a real training-data ingest run looks like; every stage
     // is the already-oracled operator, and the composition is oracled as
     // a whole (stage chaining is where column/alias bugs hide).
+    // PL25 — the composed CRAWL-ingest chain, one oracled query: URL
+    // canonicalization + keep-first (tx25's operator) → HTML render +
+    // block-level boilerplate extraction (tx24's) on the URL survivors
+    // → content-length/quality gate → exact content dedup on the
+    // EXTRACTED text (tx5's md5 keep-first). pl8's composed-chain
+    // discipline applied to the crawl path: every stage is the
+    // production operator, the oracle replays the identical chain, and
+    // a drift in ANY stage breaks the end-to-end hash. Shuffle budget:
+    // two keyed windows (canonical key, content hash) + the narrow
+    // render/extract projections.
+    "pl25_crawl_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{HtmlExtract, UrlCanon}
+      val d = Tables.spread(Tables.load(s, dir, "documents"))
+      val pages = d.agg(greatest(lit(50L),
+        expr("count(1) div 10")).as("npages"))
+      val withUrl = d.crossJoin(broadcast(pages))
+        .select($"doc_id", $"text",
+          UrlCanon.renderUrl($"doc_id", $"npages").as("url"))
+      val urlKept = UrlCanon.dedupByUrl(withUrl, "doc_id", "url")
+        .filter(!$"is_dup")
+        .select($"doc_id", $"canonical_url")
+      val surv = urlKept.join(d.select($"doc_id", $"text"), "doc_id")
+      val ex = HtmlExtract.extract(
+        surv.select($"doc_id",
+          HtmlExtract.renderHtml($"doc_id", $"text").as("html")),
+        "doc_id", "html")
+      val q = ex.filter($"content_chars" >= 40 && $"n_kept" >= 1)
+      q.join(urlKept, "doc_id")
+        .withColumn("keeper", min($"doc_id").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5($"extracted_text"))))
+        .select($"doc_id", $"canonical_url", $"n_blocks", $"n_kept",
+          $"content_chars", ($"doc_id" =!= $"keeper").as("is_content_dup"))
+    }),
+
     "pl8_ingest_pipeline" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.spread(Tables.load(s, dir, "documents"))
@@ -838,6 +874,38 @@ object PipelineQueries extends QueryPack {
         |    AS BIGINT) AS n_kept
         |FROM mixed GROUP BY source""".stripMargin,
     "pl8_ingest_pipeline" -> pl8Sql,
+    "pl25_crawl_pipeline" -> {
+      import graft.operators.{HtmlExtract, UrlCanon}
+      s"""WITH par AS (
+         |  SELECT greatest(50, count(*) // 10) AS npages FROM documents
+         |), u AS (
+         |  SELECT doc_id, text,
+         |    ${UrlCanon.renderUrlSql("doc_id", "npages")} AS url
+         |  FROM documents CROSS JOIN par
+         |), c AS (
+         |  SELECT doc_id, text,
+         |    ${UrlCanon.canonicalizeSql("url")} AS canonical_url
+         |  FROM u
+         |), keep AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY canonical_url)
+         |    AS keeper FROM c
+         |), surv AS (
+         |  SELECT doc_id, text, canonical_url FROM keep
+         |  WHERE doc_id = keeper
+         |), ex0 AS (
+         |${HtmlExtract.extractSql("doc_id",
+            "(SELECT doc_id, " + HtmlExtract.renderHtmlSql("doc_id", "text") +
+              " AS html FROM surv) rr")}
+         |), q AS (
+         |  SELECT ex0.*, surv.canonical_url FROM ex0
+         |  JOIN surv USING (doc_id)
+         |  WHERE content_chars >= 40 AND n_kept >= 1
+         |)
+         |SELECT doc_id, canonical_url, n_blocks, n_kept, content_chars,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(extracted_text))
+         |    AS is_content_dup
+         |FROM q""".stripMargin
+    },
     "pl1_quantize_int8" ->
       """SELECT vec_id,
         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),

@@ -41,6 +41,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "tx22_keywords",        // broadcast 1-row doc count into the idf
     "tx25_url_canon",       // broadcast 1-row corpus count deriving the
                             // synthetic page universe (render side only)
+    "pl25_crawl_pipeline",  // same 1-row page-universe broadcast at the
+                            // chain's render stage
     "tx14_lm_perplexity",   // broadcast 1-row vocab size
     "gr2_triangles",        // final combine of three 1-row stat frames
     "sim12_mmr_rerank",     // candidate gen = sim1's brute product
