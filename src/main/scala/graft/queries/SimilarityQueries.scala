@@ -302,11 +302,18 @@ object SimilarityQueries extends QueryPack {
     // catches paraphrased leakage token overlap misses. Corpus ×
     // broadcast(benchmark) is linear in the corpus (see
     // Similarity.semanticContamination's scale note).
+    // benchmark slice is FIXED-SIZE (label 0 AND vec_id < 500): a real
+    // eval benchmark does not grow with the training corpus, and a
+    // %-of-corpus benchmark made the linear scan O(N²/L) in the fixture
+    // (measured slope 10.4 at the 10× probe). At the sf0.01 gate the
+    // bound is vacuous (all vec_ids < 500), so the oracle rows are
+    // unchanged there.
     "dd8_semantic_contamination" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
       Similarity.semanticContamination(e.filter($"label" =!= 0),
-        e.filter($"label" === 0), "vec_id", "embedding", 0.35)
+        e.filter($"label" === 0 && $"vec_id" < 500), "vec_id",
+        "embedding", 0.35)
     }),
 
     // dimension covariance + correlation matrix (the PCA-whitening /
@@ -659,7 +666,7 @@ object SimilarityQueries extends QueryPack {
       s"""WITH b AS (
          |  SELECT vec_id AS bench_id, embedding AS b_vec,
          |    sqrt(${dotSql("embedding", "embedding")}) AS b_norm
-         |  FROM embeddings WHERE label = 0
+         |  FROM embeddings WHERE label = 0 AND vec_id < 500
          |), c AS (
          |  SELECT vec_id, embedding AS c_vec,
          |    sqrt(${dotSql("embedding", "embedding")}) AS c_norm
