@@ -335,6 +335,63 @@ object TextQueries extends QueryPack {
           $"n_streams", $"width", $"height", $"duration_ms")
     }),
 
+    // BLEU-style clipped n-gram precision over the blocked candidate
+    // pairs (Papineni et al. 2002's modified precision, the
+    // decontamination-literature overlap metric): for each tx6 pair,
+    // p_n = Σ_g min(c_b(g), c_a(g)) / Σ_g c_b(g) over unigram and
+    // bigram MULTISETS (order- and multiplicity-aware, which set-based
+    // Jaccard/containment are not — a doc that repeats a quote scores
+    // differently), bleu2 = √(p1·p2) (brevity penalty omitted: the
+    // length signal is already explicit in the n_uni columns). Unigram
+    // counts ride the shared TermFreqBase; candidate pairs ride the
+    // shared shingle base — only pair-sized frames join the count
+    // tables (hash equi-joins on (doc, gram)).
+    "tx26_bleu_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+          3, Seq("lang", "source"),
+          preShingles = Some(sharedShingles(s, dir)))
+        .select($"doc_a", $"doc_b")
+      val uni = TermFreqBase.tf(s, dir)
+        .select($"doc_id", $"term", $"tf")
+      val toks = docs(s, dir).select($"doc_id",
+        graft.functions.TextFunctions.tokens($"text").as("t"))
+      val bi = toks
+        .select($"doc_id", explode(when(size($"t") >= 2,
+          transform(sequence(lit(1), size($"t") - 1), i =>
+            concat(element_at($"t", i), lit(" "),
+              element_at($"t", i + 1))))
+          .otherwise(array())).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("bf"))
+      def tot(c: DataFrame, vCol: String, as: String) =
+        c.groupBy($"doc_id").agg(sum(col(vCol)).as(as))
+      def clipped(c: DataFrame, gram: String, vCol: String, as: String) =
+        pairs
+          .join(c.select($"doc_id".as("doc_a"), col(gram),
+            col(vCol).as("_ca")), Seq("doc_a"))
+          .join(c.select($"doc_id".as("doc_b"), col(gram),
+            col(vCol).as("_cb")), Seq("doc_b", gram))
+          .groupBy($"doc_a", $"doc_b")
+          .agg(sum(least($"_ca", $"_cb")).as(as))
+      val out = pairs
+        .join(clipped(uni, "term", "tf", "clip1"), Seq("doc_a", "doc_b"),
+          "left")
+        .join(clipped(bi, "bg", "bf", "clip2"), Seq("doc_a", "doc_b"),
+          "left")
+        .join(tot(uni, "tf", "n_uni_b")
+          .select($"doc_id".as("doc_b"), $"n_uni_b"), "doc_b")
+        .join(tot(bi, "bf", "n_bi_b")
+          .select($"doc_id".as("doc_b"), $"n_bi_b"), "doc_b")
+      out.select($"doc_a", $"doc_b",
+          coalesce($"clip1", lit(0L)).as("clip1"), $"n_uni_b",
+          coalesce($"clip2", lit(0L)).as("clip2"), $"n_bi_b",
+          (coalesce($"clip1", lit(0L)).cast("double") /
+            $"n_uni_b".cast("double")).as("p1"),
+          (coalesce($"clip2", lit(0L)).cast("double") /
+            $"n_bi_b".cast("double")).as("p2"))
+        .withColumn("bleu2", sqrt($"p1" * $"p2"))
+    }),
+
     // REAL TIFF/EXIF decode round trip: the third byte-walk family and
     // the only RUNTIME-ENDIAN one — the fixture renders BOTH II and MM
     // payloads (doc_id parity picks the order), and every field is read
@@ -1416,6 +1473,61 @@ object TextQueries extends QueryPack {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "tx6_ngram_jaccard" ->
       s"WITH $ngramPairCtes\nSELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM pairs",
+    // tx26's twin: the same blocked pair set, unigram/bigram MULTISET
+    // counts, clipped least() sums, single IEEE divisions + sqrt.
+    "tx26_bleu_overlap" ->
+      raw"""WITH $ngramPairCtes,
+         |toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+         |  FROM documents
+         |), uni AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(t) AS term FROM toks) u
+         |  GROUP BY doc_id, term
+         |), bi AS (
+         |  SELECT doc_id, bg, count(*) AS bf FROM (
+         |    SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg
+         |    FROM (SELECT doc_id, t,
+         |            unnest(generate_series(1, len(t) - 1)) AS i
+         |          FROM toks WHERE len(t) >= 2) z) w
+         |  GROUP BY doc_id, bg
+         |), ut AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_uni
+         |  FROM uni GROUP BY doc_id
+         |), bt AS (
+         |  SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bi
+         |  FROM bi GROUP BY doc_id
+         |), m1 AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(sum(least(ua.tf, ub.tf)) AS BIGINT) AS clip1
+         |  FROM pairs p
+         |  JOIN uni ua ON ua.doc_id = p.doc_a
+         |  JOIN uni ub ON ub.doc_id = p.doc_b AND ub.term = ua.term
+         |  GROUP BY 1, 2
+         |), m2 AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(sum(least(ba.bf, bb.bf)) AS BIGINT) AS clip2
+         |  FROM pairs p
+         |  JOIN bi ba ON ba.doc_id = p.doc_a
+         |  JOIN bi bb ON bb.doc_id = p.doc_b AND bb.bg = ba.bg
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.doc_a, p.doc_b,
+         |  coalesce(m1.clip1, 0) AS clip1, ut.n_uni AS n_uni_b,
+         |  coalesce(m2.clip2, 0) AS clip2, bt.n_bi AS n_bi_b,
+         |  CAST(coalesce(m1.clip1, 0) AS DOUBLE)
+         |    / CAST(ut.n_uni AS DOUBLE) AS p1,
+         |  CAST(coalesce(m2.clip2, 0) AS DOUBLE)
+         |    / CAST(bt.n_bi AS DOUBLE) AS p2,
+         |  sqrt((CAST(coalesce(m1.clip1, 0) AS DOUBLE)
+         |      / CAST(ut.n_uni AS DOUBLE))
+         |    * (CAST(coalesce(m2.clip2, 0) AS DOUBLE)
+         |      / CAST(bt.n_bi AS DOUBLE))) AS bleu2
+         |FROM pairs p
+         |LEFT JOIN m1 ON m1.doc_a = p.doc_a AND m1.doc_b = p.doc_b
+         |LEFT JOIN m2 ON m2.doc_a = p.doc_a AND m2.doc_b = p.doc_b
+         |JOIN ut ON ut.doc_id = p.doc_b
+         |JOIN bt ON bt.doc_id = p.doc_b""".stripMargin,
     "tx16_ngram_novelty" ->
       s"""WITH $shingleCtes,
          |fo AS (SELECT shingle, min(doc_id) AS first_doc
