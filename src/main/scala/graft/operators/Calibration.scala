@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DecimalType => DT}
+
+/** Platt scaling (Platt 1999): calibrate a raw classifier SCORE into a
+  * probability by fitting p = σ(a·m + b) with Newton/IRLS — the step
+  * that turns tx19-style margins into usable keep-probabilities and
+  * decision thresholds. The in-engine training loop that closes the
+  * quality-classifier story: apply (tx19) AND fit (here) both run as
+  * queries.
+  *
+  * Scale shape — the fit NEVER iterates over the corpus: scores are
+  * integers (hashed-weight margins), so ONE corpus pass builds the
+  * (margin, n, k) histogram (aggregate-sized: bounded score domain) and
+  * every Newton iteration is a 5-scalar aggregate over that histogram
+  * (weighted moments S1..S3, gradient G1..G2) + a driver-side 2×2
+  * solve. Fixed iteration count; the histogram is persisted once.
+  *
+  * Determinism / oracle-portability:
+  *  - per-row p = q6(1/(1 + q6(exp(clamp(−(a·m+b), ±30))))) — the
+  *    ln/exp DECIMAL(28,6) round-trip discipline (tx13/tx14), clamp
+  *    keeps exp finite at any margin;
+  *  - moment sums are floor·1e6 decimal folds (order-insensitive);
+  *  - the Newton update `a − (S3·G1 − S2·G2)/det` is the IDENTICAL
+  *    double expression on the driver and in the SQL twin, evaluated on
+  *    identical operands — bit-equal results with no quantization of
+  *    the parameters themselves.
+  */
+object Calibration {
+
+  private def q6(c: Column): Column =
+    c.cast(DecimalType(28, 6)).cast("double")
+
+  /** Order-insensitive quantized fold (the tx23 sumF6). */
+  private def f6(c: Column): Column =
+    sum(floor(c * 1e6).cast(DT(38, 0))).cast("double") / 1e6
+
+  /** σ(a·m + b) through the portable exp round-trip. */
+  private def pCal(m: Column, a: Double, b: Double): Column = {
+    val z = greatest(least(-(lit(a) * m + lit(b)), lit(30.0)), lit(-30.0))
+    q6(lit(1.0) / (lit(1.0) + q6(exp(z))))
+  }
+
+  /** Fit on a (mCol, nCol, kCol) histogram — n rows, k positives per
+    * score value — and return the calibrated table:
+    * (mCol, nCol, kCol, p_cal, a, b). */
+  def plattCalibrate(hist: DataFrame, mCol: String, nCol: String,
+                     kCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1)
+    val h = hist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = col(mCol).cast("double")
+    val n = col(nCol).cast("double")
+    val k = col(kCol).cast("double")
+    var a = 0.0; var b = 0.0
+    for (_ <- 1 to iters) {
+      val p = pCal(m, a, b)
+      val w = n * p * (lit(1.0) - p)
+      val r = n * p - k
+      val row = h.agg(f6(w * m * m).as("s1"), f6(w * m).as("s2"),
+        f6(w).as("s3"), f6(r * m).as("g1"), f6(r).as("g2")).head()
+      val (s1, s2, s3) = (row.getDouble(0), row.getDouble(1),
+        row.getDouble(2))
+      val (g1, g2) = (row.getDouble(3), row.getDouble(4))
+      val det = s1 * s3 - s2 * s2
+      // identical expressions in the SQL twin — keep the operand order
+      a = a - (s3 * g1 - s2 * g2) / det
+      b = b - (s1 * g2 - s2 * g1) / det
+    }
+    h.select(col(mCol), col(nCol), col(kCol),
+      pCal(m, a, b).as("p_cal"), lit(a).as("a"), lit(b).as("b"))
+  }
+
+  /** The DuckDB twin: the identical Newton unroll as CTEs over a
+    * histogram CTE named `hist(m, n, k)` supplied by `histSql`. */
+  def plattSql(histSql: String, iters: Int = 3): String = {
+    def q6s(e: String) = s"CAST(CAST(($e) AS DECIMAL(28,6)) AS DOUBLE)"
+    def f6s(e: String) =
+      s"CAST(sum(CAST(floor(($e) * 1e6) AS DECIMAL(38,0))) AS DOUBLE) / 1e6"
+    def pSql(aE: String, bE: String) = {
+      val z = s"greatest(least(-(($aE) * CAST(m AS DOUBLE) + ($bE)), " +
+        "CAST(30.0 AS DOUBLE)), CAST(-30.0 AS DOUBLE))"
+      q6s(s"1.0 / (1.0 + ${q6s(s"exp($z)")})")
+    }
+    val iterCtes = (1 to iters).map { it =>
+      val prev = s"pr${it - 1}"
+      val p = pSql(s"$prev.a", s"$prev.b")
+      s"""mo$it AS (
+         |  SELECT
+         |    ${f6s(s"CAST(n AS DOUBLE) * $p * (1.0 - $p) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)")} AS s1,
+         |    ${f6s(s"CAST(n AS DOUBLE) * $p * (1.0 - $p) * CAST(m AS DOUBLE)")} AS s2,
+         |    ${f6s(s"CAST(n AS DOUBLE) * $p * (1.0 - $p)")} AS s3,
+         |    ${f6s(s"(CAST(n AS DOUBLE) * $p - CAST(k AS DOUBLE)) * CAST(m AS DOUBLE)")} AS g1,
+         |    ${f6s(s"CAST(n AS DOUBLE) * $p - CAST(k AS DOUBLE)")} AS g2
+         |  FROM hist CROSS JOIN $prev
+         |), pr$it AS (
+         |  SELECT
+         |    $prev.a - (mo$it.s3 * mo$it.g1 - mo$it.s2 * mo$it.g2)
+         |      / (mo$it.s1 * mo$it.s3 - mo$it.s2 * mo$it.s2) AS a,
+         |    $prev.b - (mo$it.s1 * mo$it.g2 - mo$it.s2 * mo$it.g1)
+         |      / (mo$it.s1 * mo$it.s3 - mo$it.s2 * mo$it.s2) AS b
+         |  FROM mo$it CROSS JOIN $prev
+         |)""".stripMargin
+    }.mkString(",\n")
+    val pFinal = pSql(s"pr$iters.a", s"pr$iters.b")
+    s"""WITH hist AS (
+       |$histSql
+       |), pr0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b),
+       |$iterCtes
+       |SELECT hist.m, hist.n, hist.k, $pFinal AS p_cal,
+       |  pr$iters.a AS a, pr$iters.b AS b
+       |FROM hist CROSS JOIN pr$iters""".stripMargin
+  }
+}

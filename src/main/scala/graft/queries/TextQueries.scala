@@ -335,6 +335,29 @@ object TextQueries extends QueryPack {
           $"n_streams", $"width", $"height", $"duration_ms")
     }),
 
+    // Platt calibration of the hashed-classifier margin (Platt 1999):
+    // the in-engine TRAINING loop that closes the quality-classifier
+    // story — tx19 applies the model, this fits p = σ(a·margin + b)
+    // against the lang="en" label with 3 Newton iterations. The fit
+    // never iterates over the corpus: one pass builds the integer
+    // (margin, n, k) histogram; each iteration is a 5-scalar quantized
+    // moment aggregate over it + a driver-side 2×2 solve (the Lloyd's
+    // collect discipline). Fully hash-oracled: exp through the
+    // DECIMAL(28,6) round-trip, moment folds order-insensitive, the
+    // Newton update an identical double expression on both engines.
+    "tx27_platt_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val hist = docs(s, dir)
+        .select($"doc_id", $"lang",
+          aggregate(tokens($"text"), lit(0L),
+            (acc, t) => acc + tokenWeight(t)).as("m"))
+        .groupBy($"m")
+        .agg(count(lit(1)).as("n"),
+          sum(($"lang" === "en").cast("long")).as("k"))
+      graft.operators.Calibration.plattCalibrate(hist, "m", "n", "k",
+        iters = 3)
+    }),
+
     // BLEU-style clipped n-gram precision over the blocked candidate
     // pairs (Papineni et al. 2002's modified precision, the
     // decontamination-literature overlap metric): for each tx6 pair,
@@ -1473,6 +1496,22 @@ object TextQueries extends QueryPack {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "tx6_ngram_jaccard" ->
       s"WITH $ngramPairCtes\nSELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM pairs",
+    // tx27's twin: the tx19 margin SQL aggregated to the histogram, the
+    // identical 3-round Newton unroll as CTEs.
+    "tx27_platt_calibration" -> graft.operators.Calibration.plattSql(
+      raw"""  SELECT m, count(*) AS n,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS k
+         |  FROM (
+         |    SELECT d.doc_id, d.lang, COALESCE(tw.margin, 0) AS m
+         |    FROM documents d LEFT JOIN (
+         |      SELECT doc_id, CAST(sum(${tokenWeightSql("t")}) AS BIGINT)
+         |        AS margin
+         |      FROM (SELECT doc_id,
+         |              unnest(regexp_extract_all(text, '\S+')) AS t
+         |            FROM documents) tok
+         |      GROUP BY doc_id) tw ON d.doc_id = tw.doc_id) pm
+         |  GROUP BY m""".stripMargin, iters = 3),
     // tx26's twin: the same blocked pair set, unigram/bigram MULTISET
     // counts, clipped least() sums, single IEEE divisions + sqrt.
     "tx26_bleu_overlap" ->
