@@ -358,6 +358,43 @@ object TextQueries extends QueryPack {
         iters = 3)
     }),
 
+    // Operating-point selection for the calibrated classifier: sweep
+    // every distinct margin as the keep threshold and emit the full
+    // PR curve (tp/fp/fn, precision, recall, F1) plus the F1-argmax
+    // row — tx19 applies, tx27 calibrates, tx28 picks the threshold
+    // (σ is monotone, so a margin threshold IS a calibrated-probability
+    // threshold). One corpus pass builds the same (margin, n, k)
+    // histogram; the sweep is cumulative windows over the
+    // aggregate-sized frame — every ratio a single division of exact
+    // integers, fully hash-oracled.
+    "tx28_threshold_select" -> ((s, dir) => {
+      import s.implicits._
+      val hist = docs(s, dir)
+        .select($"doc_id", $"lang",
+          aggregate(tokens($"text"), lit(0L),
+            (acc, t) => acc + tokenWeight(t)).as("m"))
+        .groupBy($"m")
+        .agg(count(lit(1)).as("n"),
+          sum(($"lang" === "en").cast("long")).as("k"))
+      val wCum = Window.orderBy($"m".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+      val curve = hist
+        .withColumn("tp", sum($"k").over(wCum))
+        .withColumn("fp", sum($"n" - $"k").over(wCum))
+        .withColumn("pos", sum($"k").over(wAll))
+        .withColumn("fn", $"pos" - $"tp")
+        .withColumn("precision",
+          $"tp".cast("double") / ($"tp" + $"fp").cast("double"))
+        .withColumn("recall", $"tp".cast("double") / $"pos".cast("double"))
+        .withColumn("f1", (lit(2.0) * $"tp".cast("double")) /
+          (lit(2L) * $"tp" + $"fp" + $"fn").cast("double"))
+      val wBest = Window.orderBy($"f1".desc, $"m".desc)
+      curve.withColumn("is_best", (row_number().over(wBest) === 1))
+        .select($"m".as("threshold"), $"n", $"k", $"tp", $"fp", $"fn",
+          $"precision", $"recall", $"f1", $"is_best")
+    }),
+
     // BLEU-style clipped n-gram precision over the blocked candidate
     // pairs (Papineni et al. 2002's modified precision, the
     // decontamination-literature overlap metric): for each tx6 pair,
@@ -1512,6 +1549,45 @@ object TextQueries extends QueryPack {
          |            FROM documents) tok
          |      GROUP BY doc_id) tw ON d.doc_id = tw.doc_id) pm
          |  GROUP BY m""".stripMargin, iters = 3),
+    // tx28's twin: same histogram, same cumulative sweep, same integer
+    // ratio ASTs, same (f1 DESC, m DESC) argmax rule.
+    "tx28_threshold_select" ->
+      raw"""WITH tw AS (
+         |  SELECT doc_id, CAST(sum(${tokenWeightSql("t")}) AS BIGINT)
+         |    AS margin
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '\S+')) AS t
+         |        FROM documents) tok
+         |  GROUP BY doc_id
+         |), pm AS (
+         |  SELECT d.doc_id, d.lang, COALESCE(tw.margin, 0) AS m
+         |  FROM documents d LEFT JOIN tw ON d.doc_id = tw.doc_id
+         |), hist AS (
+         |  SELECT m, count(*) AS n,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS k
+         |  FROM pm GROUP BY m
+         |), curve AS (
+         |  SELECT m, n, k,
+         |    sum(k) OVER (ORDER BY m DESC
+         |      ROWS UNBOUNDED PRECEDING) AS tp,
+         |    sum(n - k) OVER (ORDER BY m DESC
+         |      ROWS UNBOUNDED PRECEDING) AS fp,
+         |    sum(k) OVER () AS pos
+         |  FROM hist
+         |), scored AS (
+         |  SELECT m, n, k, tp, fp, pos - tp AS fn,
+         |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+         |    CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) AS recall,
+         |    (2.0 * CAST(tp AS DOUBLE))
+         |      / CAST(2 * tp + fp + (pos - tp) AS DOUBLE) AS f1
+         |  FROM curve
+         |)
+         |SELECT m AS threshold, n, k, CAST(tp AS BIGINT) AS tp,
+         |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+         |  precision, recall, f1,
+         |  row_number() OVER (ORDER BY f1 DESC, m DESC) = 1 AS is_best
+         |FROM scored""".stripMargin,
     // tx26's twin: the same blocked pair set, unigram/bigram MULTISET
     // counts, clipped least() sums, single IEEE divisions + sqrt.
     "tx26_bleu_overlap" ->
