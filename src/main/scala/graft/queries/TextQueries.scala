@@ -412,10 +412,21 @@ object TextQueries extends QueryPack {
           3, Seq("lang", "source"),
           preShingles = Some(sharedShingles(s, dir)))
         .select($"doc_a", $"doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // n-gram count tables restricted to PAIR-PARTICIPATING docs (a
+      // pair-sized semi-join probe) before any explode: the corpus-wide
+      // bigram build was the dominant cost and only pair docs ever reach
+      // the output — restriction is output-invariant, so the oracle
+      // computes over all docs and still matches row-for-row
+      val pairDocs = pairs.select($"doc_a".as("doc_id"))
+        .union(pairs.select($"doc_b".as("doc_id"))).distinct()
       val uni = TermFreqBase.tf(s, dir)
+        .join(pairDocs, Seq("doc_id"), "left_semi")
         .select($"doc_id", $"term", $"tf")
-      val toks = docs(s, dir).select($"doc_id",
-        graft.functions.TextFunctions.tokens($"text").as("t"))
+      val toks = docs(s, dir)
+        .join(pairDocs, Seq("doc_id"), "left_semi")
+        .select($"doc_id",
+          graft.functions.TextFunctions.tokens($"text").as("t"))
       val bi = toks
         .select($"doc_id", explode(when(size($"t") >= 2,
           transform(sequence(lit(1), size($"t") - 1), i =>
