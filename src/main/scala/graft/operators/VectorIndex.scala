@@ -128,8 +128,10 @@ object VectorIndex {
   /** ANN top-k against the persisted index: probe each query's `nprobe`
     * nearest coarse cells, ADC-score only their members. Identical
     * result to [[ProductQuantization.ivfPqTopKWith]] over the full
-    * indexed corpus with the frozen models — but the corpus contributes
-    * only `cells`/`codes` index scans (no float reships, no re-encode).
+    * LIVE (non-deleted) corpus with the frozen models — but the corpus
+    * contributes only `cells`/`codes` index scans (no float reships, no
+    * re-encode); deleted ids are masked by an anti-join against the
+    * tombstone set (see [[deleteIds]]).
     * Output: (query_id, neighbor_id, adc_dist, rank ≤ k). */
   def query(spark: SparkSession, root: String, queries: DataFrame,
             idCol: String, vecCol: String, nprobe: Int,
@@ -143,11 +145,53 @@ object VectorIndex {
     // probes (Q·nprobe rows) broadcast against the N-row cell list — the
     // member side is the one that scales, it must never reshuffle on a
     // k-value key (the sim11 discipline).
-    val cand = spark.read.parquet(s"$root/cells")
+    val cand = masked(spark, root, spark.read.parquet(s"$root/cells"))
       .join(broadcast(probes), "label")
       .select(col("query_id"), col("_vid"))
     ProductQuantization.adcRank(spark.read.parquet(s"$root/codes"),
       ProductQuantization.adcLut(queries, idCol, vecCol, model),
       meta.m, k, Some(cand))
+  }
+
+  private def tombstonePath(root: String) = s"$root/tombstones"
+
+  private def masked(spark: SparkSession, root: String,
+                     df: DataFrame): DataFrame = {
+    val p = new java.io.File(tombstonePath(root))
+    if (!p.exists()) df
+    else df.join(spark.read.parquet(tombstonePath(root)),
+      Seq("_vid"), "left_anti")
+  }
+
+  /** DELETE by id: append the ids to a tombstone set — O(batch) like
+    * [[appendBatch]], no index rewrite. Queries anti-join the tombstones
+    * at the candidate stage (deleted vectors stop being returned
+    * immediately); the dead rows in `cells`/`codes`/`vectors` are
+    * reclaimed by [[compact]]. The GDPR-delete / retraction shape: a
+    * daily ingest appends AND deletes without ever touching the frozen
+    * models. */
+  def deleteIds(spark: SparkSession, root: String, ids: DataFrame,
+                idCol: String): Unit =
+    ids.select(col(idCol).as("_vid")).distinct()
+      .write.mode("append").parquet(tombstonePath(root))
+
+  /** Rewrite `cells`/`codes`/`vectors` without tombstoned rows and drop
+    * the tombstone set — the periodic space-reclaim pass. The frozen
+    * models are untouched, so surviving codes stay valid verbatim. */
+  def compact(spark: SparkSession, root: String): Unit = {
+    if (!new java.io.File(tombstonePath(root)).exists()) return
+    Seq("cells", "codes", "vectors").foreach { t =>
+      val live = masked(spark, root, spark.read.parquet(s"$root/$t"))
+      val tmp = s"$root/_compact_$t"
+      live.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$root/$t")
+      val d = new java.io.File(tmp)
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    }
+    java.nio.file.Files.walk(new java.io.File(tombstonePath(root)).toPath)
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
   }
 }

@@ -98,6 +98,41 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("delete masks immediately; compact reclaims and drops tombstones") {
+    withIndex { root =>
+      VectorIndex.appendBatch(spark, root, newVecs, "vec_id", "embedding")
+      val probe = Seq((999L, vec(16L))).toDF("vec_id", "embedding")
+      def hits() = VectorIndex.query(spark, root, probe, "vec_id",
+          "embedding", nprobe = 2, k = 5)
+        .collect().map(_.getLong(1)).toSet
+      // 16's exact duplicate 101 is in the index pre-delete
+      assert(hits().contains(101L) && hits().contains(16L))
+      VectorIndex.deleteIds(spark, root,
+        Seq(Tuple1(101L)).toDF("vec_id"), "vec_id")
+      val afterDelete = hits()
+      assert(!afterDelete.contains(101L), s"$afterDelete")
+      assert(afterDelete.contains(16L), s"$afterDelete")
+      // equivalence still holds vs from-scratch over the LIVE corpus
+      val live = oldVecs.union(newVecs).filter($"vec_id" =!= 101L)
+      val model = ProductQuantization.train(oldVecs, "vec_id", "embedding",
+        Dims, m = 4, ks = 4, iters = 2)
+      val centArr = Similarity.centroidArrays(
+        Similarity.kmeansCentroids(oldVecs, "vec_id", "embedding", 2, 2))
+      val scratch = ProductQuantization.ivfPqTopKWith(live, probe,
+          "vec_id", "embedding", model, centArr, m = 4, nprobe = 2, k = 5)
+        .collect().map(_.getLong(1)).toSet
+      assert(afterDelete == scratch, s"index=$afterDelete scratch=$scratch")
+      // compact: tombstones gone, dead rows reclaimed, results unchanged
+      VectorIndex.compact(spark, root)
+      assert(!new java.io.File(s"$root/tombstones").exists())
+      assert(spark.read.parquet(s"$root/vectors")
+        .filter(col("_vid") === 101L).count() == 0)
+      assert(spark.read.parquet(s"$root/codes")
+        .filter(col("_vid") === 101L).count() == 0)
+      assert(hits() == afterDelete)
+    }
+  }
+
   test("warm-started streaming embedding dedup: duplicate of an INDEXED " +
       "vector caught in micro-batch 1") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
