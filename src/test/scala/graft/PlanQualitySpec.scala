@@ -36,6 +36,10 @@ class PlanQualitySpec extends AnyFunSuite {
                             // broadcast centroid arrays read from the
                             // durable index (corpus side is index scans
                             // only — pinned in VectorIndexSpec)
+    "sim20_ann_recall",     // sim18's probe product + the sim1-style
+                            // bounded-query brute truth (broadcast
+                            // 40-row query set; the truth IS a linear
+                            // scan by design)
     "pl11_dsir_select",     // broadcast 1-row model totals (nt, nr)
     "tx13_bm25_topk",       // broadcast 1-row corpus stats (N, avgdl)
     "tx22_keywords",        // broadcast 1-row doc count into the idf
