@@ -27,8 +27,8 @@ object Bench {
     // still produces a capture (stamped degraded below) rather than
     // hanging the driver; SPARK_GRAFT_LOADWAIT=0 skips it for local
     // iteration.
-    val waitBudget =
-      sys.env.getOrElse("SPARK_GRAFT_LOADWAIT", "240").toLong
+    val waitBudget = sys.env.get("SPARK_GRAFT_LOADWAIT")
+      .flatMap(_.toLongOption).getOrElse(240L)
     val waitDeadline = System.nanoTime() + waitBudget * 1000000000L
     while (loadAvg > 1.2 && System.nanoTime() < waitDeadline)
       Thread.sleep(10000L)

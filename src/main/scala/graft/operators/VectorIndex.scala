@@ -155,13 +155,19 @@ object VectorIndex {
 
   private def tombstonePath(root: String) = s"$root/tombstones"
 
+  /** Filesystem-agnostic existence check (a java.io.File test would
+    * silently skip tombstones on HDFS/S3 roots — the 100 TB deployment
+    * target — and return deleted vectors). */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def masked(spark: SparkSession, root: String,
-                     df: DataFrame): DataFrame = {
-    val p = new java.io.File(tombstonePath(root))
-    if (!p.exists()) df
+                     df: DataFrame): DataFrame =
+    if (!pathExists(spark, tombstonePath(root))) df
     else df.join(spark.read.parquet(tombstonePath(root)),
       Seq("_vid"), "left_anti")
-  }
 
   /** DELETE by id: append the ids to a tombstone set — O(batch) like
     * [[appendBatch]], no index rewrite. Queries anti-join the tombstones
@@ -179,19 +185,16 @@ object VectorIndex {
     * the tombstone set — the periodic space-reclaim pass. The frozen
     * models are untouched, so surviving codes stay valid verbatim. */
   def compact(spark: SparkSession, root: String): Unit = {
-    if (!new java.io.File(tombstonePath(root)).exists()) return
+    if (!pathExists(spark, tombstonePath(root))) return
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("cells", "codes", "vectors").foreach { t =>
       val live = masked(spark, root, spark.read.parquet(s"$root/$t"))
       val tmp = s"$root/_compact_$t"
       live.write.mode("overwrite").parquet(tmp)
       spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$root/$t")
-      val d = new java.io.File(tmp)
-      java.nio.file.Files.walk(d.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
-    java.nio.file.Files.walk(new java.io.File(tombstonePath(root)).toPath)
-      .sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    fs.delete(new org.apache.hadoop.fs.Path(tombstonePath(root)), true)
   }
 }
