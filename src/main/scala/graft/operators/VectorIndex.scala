@@ -181,6 +181,35 @@ object VectorIndex {
     ids.select(col(idCol).as("_vid")).distinct()
       .write.mode("append").parquet(tombstonePath(root))
 
+  /** Index HEALTH / drift profile — the retrain trigger for the frozen
+    * models: per coarse cell, the live member count and the mean/max
+    * squared distance to the cell centroid (x·x + (c·c − 2x·c), the
+    * assignment scores re-derived from one `vectors` index scan +
+    * broadcast centroids — history text/floats are already IN the
+    * index, nothing external is read). A drifting ingest shows up as
+    * growing mean distance and lopsided cell counts: quantization error
+    * rises because the Voronoi partition no longer fits the data, and
+    * that is the signal to re-train + rebuild. Decimal-exact distance
+    * folds, so the frame is deterministic.
+    * Output: (label, n_members, mean_sq_dist, max_sq_dist). */
+  def health(spark: SparkSession, root: String): DataFrame = {
+    val centArr = readCentroidArrays(spark, root)
+    val vecs = masked(spark, root, spark.read.parquet(s"$root/vectors"))
+    // membership comes from the STORED cells (what queries actually
+    // serve), not a re-assignment — one distance fold per vector
+    vecs.join(spark.read.parquet(s"$root/cells"), "_vid")
+      .join(broadcast(centArr), "label")
+      .select(col("label"),
+        (Similarity.dotSeqHof(col("vec"), col("vec")) + col("c2") -
+          lit(2.0) * Similarity.dotSeqHof(col("vec"), col("c_arr")))
+          .as("sq_dist"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        graft.functions.ExactNum.avgExact(col("sq_dist"))
+          .as("mean_sq_dist"),
+        max(col("sq_dist")).as("max_sq_dist"))
+  }
+
   /** Rewrite `cells`/`codes`/`vectors` without tombstoned rows and drop
     * the tombstone set — the periodic space-reclaim pass. The frozen
     * models are untouched, so surviving codes stay valid verbatim. */

@@ -133,6 +133,34 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("health: drifted appends raise their cells' mean distance") {
+    withIndex { root =>
+      val before = VectorIndex.health(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(before.nonEmpty)
+      // append a batch far outside the trained distribution (all
+      // coordinates shifted by +50): quantization error must surface
+      val drifted = (301L to 310L)
+        .map(i => (i, vec(i).map(_ + 50.0f)))
+        .toDF("vec_id", "embedding")
+      VectorIndex.appendBatch(spark, root, drifted, "vec_id", "embedding")
+      val after = VectorIndex.health(spark, root).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3)))
+      // total members grew by the batch; some cell's mean distance
+      // strictly exceeds every pre-drift mean (the retrain signal)
+      assert(after.map(_._2).sum == oldIds.size + 10)
+      assert(after.exists(_._3 > before.values.max * 5),
+        s"before=$before after=${after.toSeq}")
+      // deleting the drifted batch restores the profile
+      VectorIndex.deleteIds(spark, root,
+        (301L to 310L).map(Tuple1(_)).toDF("vec_id"), "vec_id")
+      val healed = VectorIndex.health(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(healed == before, s"$healed vs $before")
+    }
+  }
+
   test("warm-started streaming embedding dedup: duplicate of an INDEXED " +
       "vector caught in micro-batch 1") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
