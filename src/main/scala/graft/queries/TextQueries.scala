@@ -335,6 +335,62 @@ object TextQueries extends QueryPack {
           $"n_streams", $"width", $"height", $"duration_ms")
     }),
 
+    // The dedup FUNNEL report — the per-stage doc/token accounting
+    // table every pipeline publishes with a release: raw → URL
+    // keep-first (tx25's rule) → exact content dedup (tx5's md5 rule)
+    // → near-dup keep-first (drop any survivor with a SMALLER surviving
+    // dd1 MinHash partner at jaccard ≥ 0.3). Each stage is the
+    // production operator's decision rule; the oracle replays the whole
+    // cascade (including the dd1 twin's derived band width), so a
+    // drift in any stage's kept-set breaks the 4-row hash. Fixture
+    // note: the documents corpus has NO byte-identical texts (500
+    // distinct md5s), so stage 2 is the identity here — the rule still
+    // replays in both engines; stages 1 and 3 genuinely cut
+    // (500→250→246 @ sf0.01).
+    "tx29_dedup_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"text",
+        tokenCount($"text").as("ntok"))
+      // ~2 fetches per page (n div 2 pages), unlike tx25's denser
+      // universe: the funnel must let content dups SURVIVE the URL
+      // stage so the later stages demonstrably fire
+      val pages = d.agg(greatest(lit(50L),
+        expr("count(1) div 2")).as("npages"))
+      val wUrl = Window.partitionBy($"curl")
+      val urlKeep = d.crossJoin(broadcast(pages))
+        .withColumn("curl", graft.operators.UrlCanon.canonicalize(
+          graft.operators.UrlCanon.renderUrl($"doc_id", $"npages")))
+        .withColumn("ku", min($"doc_id").over(wUrl))
+        .filter($"doc_id" === $"ku")
+        .select($"doc_id", $"text", $"ntok")
+      val exactKeep = urlKeep
+        .withColumn("kx", min($"doc_id").over(
+          Window.partitionBy(md5($"text"))))
+        .filter($"doc_id" === $"kx")
+        .select($"doc_id", $"ntok")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = Dedup.minhashLshDerived(docs(s, dir), "doc_id", "text",
+          shingleK = 3, bands = 4, jaccardThreshold = 0.3,
+          targetCollisions = 8, minRows = 2, maxRows = 8,
+          preShingles = Some(sharedShingles(s, dir)))
+        .select($"doc_a", $"doc_b")
+      val dropped = nd
+        .join(exactKeep.select($"doc_id".as("doc_a")), Seq("doc_a"),
+          "left_semi")
+        .join(exactKeep.select($"doc_id".as("doc_b")), Seq("doc_b"),
+          "left_semi")
+        .select($"doc_b".as("doc_id")).distinct()
+      val nearKeep = exactKeep.join(dropped, Seq("doc_id"), "left_anti")
+      def stage(i: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      stage(0, "raw", d)
+        .unionAll(stage(1, "url_dedup", urlKeep))
+        .unionAll(stage(2, "exact_dedup", exactKeep))
+        .unionAll(stage(3, "near_dedup", nearKeep))
+    }),
+
     // Platt calibration of the hashed-classifier margin (Platt 1999):
     // the in-engine TRAINING loop that closes the quality-classifier
     // story — tx19 applies the model, this fits p = σ(a·margin + b)
@@ -1550,6 +1606,59 @@ object TextQueries extends QueryPack {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "tx6_ngram_jaccard" ->
       s"WITH $ngramPairCtes\nSELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM pairs",
+    // tx29's twin: the identical cascade — URL keeper window, md5
+    // keeper window, the dd1 pair twin (derived band width) feeding the
+    // smaller-surviving-partner drop — four stage aggregates.
+    "tx29_dedup_funnel" -> {
+      import graft.operators.UrlCanon
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    ${graft.functions.TextFunctions.tokenCountSql("text")} AS ntok
+         |  FROM documents
+         |), par AS (
+         |  SELECT greatest(50, count(*) // 2) AS npages FROM documents
+         |), u0 AS (
+         |  SELECT doc_id, text, ntok,
+         |    ${UrlCanon.renderUrlSql("doc_id", "npages")} AS url
+         |  FROM d CROSS JOIN par
+         |), u AS (
+         |  SELECT doc_id, text, ntok,
+         |    ${UrlCanon.canonicalizeSql("url")} AS curl
+         |  FROM u0
+         |), uk AS (
+         |  SELECT doc_id, text, ntok FROM (
+         |    SELECT u.*, min(doc_id) OVER (PARTITION BY curl) AS ku
+         |    FROM u) z
+         |  WHERE doc_id = ku
+         |), xk AS (
+         |  SELECT doc_id, ntok FROM (
+         |    SELECT uk.*, min(doc_id) OVER (PARTITION BY md5(text)) AS kx
+         |    FROM uk) z2
+         |  WHERE doc_id = kx
+         |), prs AS (
+         |  SELECT doc_a, doc_b FROM ($dd1Sql) pp
+         |), nds AS (
+         |  SELECT DISTINCT p.doc_b AS doc_id
+         |  FROM prs p
+         |  JOIN xk a ON a.doc_id = p.doc_a
+         |  JOIN xk b ON b.doc_id = p.doc_b
+         |), nk AS (
+         |  SELECT * FROM xk
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM nds)
+         |)
+         |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+         |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |FROM d
+         |UNION ALL
+         |SELECT 1, 'url_dedup', count(*), CAST(sum(ntok) AS BIGINT)
+         |FROM uk
+         |UNION ALL
+         |SELECT 2, 'exact_dedup', count(*), CAST(sum(ntok) AS BIGINT)
+         |FROM xk
+         |UNION ALL
+         |SELECT 3, 'near_dedup', count(*), CAST(sum(ntok) AS BIGINT)
+         |FROM nk""".stripMargin
+    },
     // tx27's twin: the tx19 margin SQL aggregated to the histogram, the
     // identical 3-round Newton unroll as CTEs.
     "tx27_platt_calibration" -> graft.operators.Calibration.plattSql(
