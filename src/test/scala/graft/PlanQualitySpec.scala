@@ -47,6 +47,8 @@ class PlanQualitySpec extends AnyFunSuite {
                             // synthetic page universe (render side only)
     "pl25_crawl_pipeline",  // same 1-row page-universe broadcast at the
                             // chain's render stage
+    "tx29_dedup_funnel",    // same 1-row page-universe broadcast + the
+                            // four 1-row stage aggregates unioned
     "tx14_lm_perplexity",   // broadcast 1-row vocab size
     "gr2_triangles",        // final combine of three 1-row stat frames
     "sim12_mmr_rerank",     // candidate gen = sim1's brute product
