@@ -64,11 +64,24 @@ object Calibration {
         row.getDouble(2))
       val (g1, g2) = (row.getDouble(3), row.getDouble(4))
       val det = s1 * s3 - s2 * s2
-      // identical expressions in the SQL twin — keep the operand order
-      a = a - (s3 * g1 - s2 * g2) / det
-      b = b - (s1 * g2 - s2 * g1) / det
+      // A degenerate histogram (e.g. one distinct margin) has det == 0;
+      // the update would silently turn a/b (and every p_cal) into
+      // NaN/Infinity. Freeze the parameters at their last finite value
+      // instead — σ(a·m+b) stays a valid calibration, just unrefined.
+      if (det != 0.0) {
+        val aN = a - (s3 * g1 - s2 * g2) / det
+        val bN = b - (s1 * g2 - s2 * g1) / det
+        // identical expressions in the SQL twin — keep the operand order
+        if (java.lang.Double.isFinite(aN) && java.lang.Double.isFinite(bN)) {
+          a = aN; b = bN
+        }
+      }
     }
-    h.select(col(mCol), col(nCol), col(kCol),
+    h.unpersist()
+    // project from the ORIGINAL frame: the persisted copy is released
+    // above, and the histogram is aggregate-sized — one recompute for
+    // the final projection is cheaper than leaking executor memory.
+    hist.select(col(mCol), col(nCol), col(kCol),
       pCal(m, a, b).as("p_cal"), lit(a).as("a"), lit(b).as("b"))
   }
 

@@ -234,6 +234,72 @@ object Graph {
           .as("clustering"))
   }
 
+  /** Exact Σ out(v)·in(v) under degree orientation — the number of
+    * wedge-join candidate rows [[triangleStats]] will materialize for
+    * `edges` (its guard computes the same number internally). Two
+    * node-sized aggregates + a driver scalar; used by
+    * [[triangleStatsAuto]] to DECIDE before committing to the join. */
+  def orientedWedgeWork(edges: DataFrame): Long = {
+    val e = edges.select(col("s1"), col("s2"))
+    val deg = e.select(col("s1").as("node"))
+      .union(e.select(col("s2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(broadcast(deg.select(col("node").as("s1"), col("d").as("d1"))),
+        "s1")
+      .join(broadcast(deg.select(col("node").as("s2"), col("d").as("d2"))),
+        "s2")
+    val lowerFirst = (col("d1") < col("d2")) ||
+      ((col("d1") === col("d2")) && (col("s1") < col("s2")))
+    val oriented = ed.select(
+      when(lowerFirst, col("s1")).otherwise(col("s2")).as("u"),
+      when(lowerFirst, col("s2")).otherwise(col("s1")).as("v"))
+    oriented.groupBy(col("u")).agg(count(lit(1)).as("o"))
+      .join(oriented.groupBy(col("v")).agg(count(lit(1)).as("i")),
+        col("u") === col("v"))
+      .agg(coalesce(sum(col("o") * col("i")), lit(0L))).head.getLong(0)
+  }
+
+  /** [[triangleStats]] with the refusal replaced by the DEGRADE its
+    * error message names: when the exact co-occurrence graph's oriented
+    * wedge work exceeds `maxOrientedWedges`, the edge list is REBUILT
+    * from the raw baskets through [[cappedBasketPairs]] (per-group item
+    * sets hash-sampled to `cap`) and the stats are computed on that
+    * bounded projection instead — a lower-bound estimate with the bias
+    * stated, not an hours-long stage or an exception. The output carries
+    * `degraded`: false ⇒ the numbers are exact; true ⇒ triangle/wedge
+    * counts are lower bounds over the capped graph (each pair in a
+    * capped group survives w.p. ≈ (cap/n)², uniformly).
+    *
+    * The decision costs the same two node-sized aggregates the guard in
+    * [[triangleStats]] pays (skipped entirely while E^{3/2} is inside
+    * the budget), so the healthy path adds no measurable overhead. The
+    * capped rebuild keeps the SAME budget: if even the capped graph
+    * blows it (cap set too high), the guard still fails with the knob
+    * named — degrade once, then guard, never silently explode twice. */
+  def triangleStatsAuto(exactEdges: DataFrame, baskets: DataFrame,
+                        groupCol: String, itemCol: String, cap: Int,
+                        maxOrientedWedges: Long = 50000000000L): DataFrame = {
+    val e = exactEdges.select(col("s1"), col("s2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val over =
+      nEdges.toDouble * math.sqrt(nEdges.toDouble) > maxOrientedWedges &&
+        orientedWedgeWork(e) > maxOrientedWedges
+    if (!over)
+      // exact wedge work is verified within budget — Long.MaxValue only
+      // skips re-deriving the number triangleStats would recompute
+      triangleStats(e, maxOrientedWedges = Long.MaxValue)
+        .withColumn("degraded", lit(false))
+    else {
+      e.unpersist()
+      val capped = cappedBasketPairs(baskets, groupCol, itemCol, cap)
+        .select(col("a").as("s1"), col("b").as("s2"))
+      triangleStats(capped, maxOrientedWedges = maxOrientedWedges)
+        .withColumn("degraded", lit(true))
+    }
+  }
+
   /** CAPPED co-occurrence pair build — the scale-safe degrade the
     * [[triangleStats]] wedge guard's error message names: a group
     * (order/basket/session) with more than `cap` distinct items keeps

@@ -979,11 +979,24 @@ object Multimodal {
         else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
           ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
       if (u16(2) != 42) return None
-      // inline value of one IFD entry at `o`: SHORT reads 2 bytes, LONG 4
-      def entryValue(o: Int): Long = u16(o + 2) match {
-        case 3 => u16(o + 8).toLong
-        case 4 => u32(o + 8)
-        case _ => -1L
+      // value of one IFD entry at `o`: SHORT reads 2 bytes, LONG 4. The
+      // count field (o+4) decides inline vs offset: count·typeSize > 4
+      // means the value field holds an OFFSET to the array (e.g.
+      // BitsPerSample count=3 on RGB TIFFs) — follow it bounds-guarded
+      // and read the first element, never misread the offset as data.
+      def entryValue(o: Int): Long = {
+        val typ = u16(o + 2)
+        val size = typ match { case 3 => 2; case 4 => 4; case _ => 0 }
+        if (size == 0) return -1L
+        val count = u32(o + 4)
+        val at =
+          if (count * size <= 4) o + 8
+          else {
+            val off = u32(o + 8)
+            if (off < 0 || off + size > bytes.length) return -1L
+            off.toInt
+          }
+        if (size == 2) u16(at).toLong else u32(at)
       }
       var width = -1L; var height = -1L; var bps = -1; var orient = 1
       var exifOff = -1L; var iso = -1

@@ -95,6 +95,15 @@ object VectorIndex {
     val spark = vecs.sparkSession
     import spark.implicits._
     val meta = VMeta(dims, m, ks, iters, coarseK, coarseIters)
+    // Rebuild into a previously-used root must not keep the old corpus:
+    // appendBatch uses mode("append"), so stale cells/codes/vectors (and
+    // tombstones for ids about to be re-indexed) would duplicate every
+    // row and mask live ones. Clear the append-mode tables first.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("cells", "codes", "vectors", "tombstones").foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true)
+    }
     Seq((dims, m, ks, iters, coarseK, coarseIters))
       .toDF("dims", "m", "ks", "iters", "coarse_k", "coarse_iters")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
@@ -191,13 +200,28 @@ object VectorIndex {
     * rises because the Voronoi partition no longer fits the data, and
     * that is the signal to re-train + rebuild. Decimal-exact distance
     * folds, so the frame is deterministic.
-    * Output: (label, n_members, mean_sq_dist, max_sq_dist). */
-  def health(spark: SparkSession, root: String): DataFrame = {
+    *
+    * `recallSample > 0` adds the SERVING-QUALITY gate (VERDICT r8 #7):
+    * geometry alone can miss a drift that hurts answers, so health also
+    * measures what users get — a deterministic sample of indexed
+    * vectors (smallest (hash60(id), id), via TakeOrdered — no global
+    * sort shuffle) is queried through the real ADC path and compared to
+    * the exact top-`recallK` re-rank over `vectors` (sim20's plan:
+    * corpus × broadcast(sample), bounded by the sample size). Each
+    * query's recall is attributed to its HOME cell, so a drifted ingest
+    * shows up as low `recall_at_k` in exactly the cells it polluted —
+    * the retrain trigger becomes quality-based, not only geometric.
+    *
+    * Output: (label, n_members, mean_sq_dist, max_sq_dist) plus, when
+    * sampled, (recall_at_k, n_recall_queries) — null for cells that drew
+    * no sampled query. */
+  def health(spark: SparkSession, root: String, recallSample: Int = 0,
+             recallK: Int = 10, nprobe: Int = 2): DataFrame = {
     val centArr = readCentroidArrays(spark, root)
     val vecs = masked(spark, root, spark.read.parquet(s"$root/vectors"))
     // membership comes from the STORED cells (what queries actually
     // serve), not a re-assignment — one distance fold per vector
-    vecs.join(spark.read.parquet(s"$root/cells"), "_vid")
+    val base = vecs.join(spark.read.parquet(s"$root/cells"), "_vid")
       .join(broadcast(centArr), "label")
       .select(col("label"),
         (Similarity.dotSeqHof(col("vec"), col("vec")) + col("c2") -
@@ -208,21 +232,70 @@ object VectorIndex {
         graft.functions.ExactNum.avgExact(col("sq_dist"))
           .as("mean_sq_dist"),
         max(col("sq_dist")).as("max_sq_dist"))
+    if (recallSample <= 0) return base
+    import org.apache.spark.sql.expressions.Window
+    val sample = vecs.join(spark.read.parquet(s"$root/cells"), "_vid")
+      .orderBy(graft.functions.PortableHash
+        .hash60(col("_vid").cast("string")), col("_vid"))
+      .limit(recallSample)
+      .select(col("_vid").as("query_id"), col("vec").as("qv"),
+        col("label").as("home"))
+    val probe = sample.select(col("query_id"), col("qv"))
+    val ann = query(spark, root, probe, "query_id", "qv",
+        nprobe = nprobe, k = recallK)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = vecs.select(col("_vid").as("neighbor_id"),
+      col("vec").as("cv"),
+      Similarity.dotSeqHof(col("vec"), col("vec")).as("c2x"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    val truth = c.crossJoin(broadcast(probe))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2", col("c2x") -
+        lit(2.0) * Similarity.dotSeqHof(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= recallK)
+      .select(col("query_id"), col("neighbor_id"))
+    val perQuery = truth
+      .join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      .join(sample.select(col("query_id"), col("home")),
+        Seq("query_id"), "right")
+      .select(col("home").as("label"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(recallK.toDouble)).as("q_recall"))
+    base.join(
+      perQuery.groupBy(col("label"))
+        .agg(graft.functions.ExactNum.avgExact(col("q_recall"))
+            .as("recall_at_k"),
+          count(lit(1)).as("n_recall_queries")),
+      Seq("label"), "left")
   }
 
   /** Rewrite `cells`/`codes`/`vectors` without tombstoned rows and drop
     * the tombstone set — the periodic space-reclaim pass. The frozen
-    * models are untouched, so surviving codes stay valid verbatim. */
+    * models are untouched, so surviving codes stay valid verbatim.
+    *
+    * Crash-safety: all three compacted copies are fully written to
+    * `_compact_*` temp dirs BEFORE any live table is touched, then each
+    * swap is delete + filesystem rename (no second distributed write
+    * with the live copy already gone). A crash during the write phase
+    * leaves the live index untouched; a crash mid-swap leaves the full
+    * new copy at the temp path, ready to be renamed into place by a
+    * re-run. Tombstones are dropped only after all three swaps land. */
   def compact(spark: SparkSession, root: String): Unit = {
     if (!pathExists(spark, tombstonePath(root))) return
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("cells", "codes", "vectors").foreach { t =>
-      val live = masked(spark, root, spark.read.parquet(s"$root/$t"))
-      val tmp = s"$root/_compact_$t"
-      live.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$root/$t")
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val tables = Seq("cells", "codes", "vectors")
+    tables.foreach { t =>
+      masked(spark, root, spark.read.parquet(s"$root/$t"))
+        .write.mode("overwrite").parquet(s"$root/_compact_$t")
+    }
+    tables.foreach { t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$root/_compact_$t"),
+        new org.apache.hadoop.fs.Path(s"$root/$t"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(tombstonePath(root)), true)
   }

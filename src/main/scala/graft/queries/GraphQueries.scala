@@ -62,10 +62,15 @@ object GraphQueries extends QueryPack {
       // here and by gr3/gr4/q75) — the pair-count rows ARE the distinct
       // edge set. The in-row expansion is quadratic in order size —
       // exactly as a self-join would be — and stays safe wherever group
-      // size is bounded (≤7 in TPC-H-shaped data).
+      // size is bounded (≤7 in TPC-H-shaped data). At pathological
+      // density (one giant order ⇒ a clique) the AUTO wrapper degrades
+      // to the gr5 capped edge build instead of refusing: `degraded`
+      // marks whether the counts are exact (false here — TPC-H-shaped
+      // baskets never trip the wedge budget) or capped lower bounds.
       val edges = BasketBase.pairCounts(s, dir)
         .select(col("a").as("s1"), col("b").as("s2"))
-      Graph.triangleStats(edges)
+      Graph.triangleStatsAuto(edges, t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", cap = 64)
     }),
 
     // GR3 — connected components of the REPEATED-co-purchase graph
@@ -242,6 +247,7 @@ object GraphQueries extends QueryPack {
         |  n_wedges, n_triangles,
         |  CASE WHEN n_wedges > 0
         |    THEN CAST(3.0 * n_triangles / n_wedges AS DOUBLE) END
-        |    AS clustering
+        |    AS clustering,
+        |  FALSE AS degraded
         |FROM tri, wedges""".stripMargin)
 }

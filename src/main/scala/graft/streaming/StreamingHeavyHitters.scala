@@ -58,7 +58,14 @@ object StreamingHeavyHitters {
       // work on a local map (state round-trips per op are RocksDB reads)
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       counts.iterator().foreach { case (t, c) => m.put(t, c) }
-      var d = if (decs.exists()) decs.get() else 0L
+      // With a TTL, counts and decs expire INDEPENDENTLY; a surviving
+      // decrement total over an evicted (empty) counter map would
+      // overstate err forever. An empty map means the summary restarted
+      // (fresh shard or TTL eviction) — restart the error bound with it.
+      // The strict interval contract est ≤ true ≤ est + err holds
+      // exactly under TTLConfig.NONE; with a TTL it holds relative to
+      // the post-eviction window, which is the intended recency scope.
+      var d = if (m.isEmpty || !decs.exists()) 0L else decs.get()
       rows.foreach { case (_, tok) =>
         m.get(tok) match {
           case Some(c) => m.update(tok, c + 1)

@@ -99,6 +99,46 @@ class GraphSpec extends AnyFunSuite {
     assert(ok.getAs[Long]("n_triangles") === 56L)
   }
 
+  test("triangleStatsAuto: healthy graph is exact with degraded=false; " +
+      "over-budget graph degrades to the capped build instead of refusing") {
+    // same fixture as the guard test: one 60-item hub basket + two small
+    val hub = (1L to 60L).map(p => (9999L, p))
+    val small = Seq((1L, 101L), (1L, 102L), (2L, 102L), (2L, 103L))
+    val df = (hub ++ small).toDF("ok", "pk")
+    val exact = Graph.cappedBasketPairs(df, "ok", "pk", cap = 1000)
+      .select(col("a").as("s1"), col("b").as("s2"))
+    // budget generous → identical numbers to triangleStats + degraded=false
+    val want = Graph.triangleStats(exact).collect().head
+    val got = Graph.triangleStatsAuto(exact, df, "ok", "pk", cap = 8)
+      .collect().head
+    assert(!got.getAs[Boolean]("degraded"))
+    Seq("n_nodes", "n_edges", "n_wedges", "n_triangles").foreach(c =>
+      assert(got.getAs[Long](c) === want.getAs[Long](c), c))
+    // budget 5000 refuses in triangleStats (pinned above) — Auto instead
+    // returns the capped graph's stats, flagged: hub → K8 (28 edges, 56
+    // triangles) + the two clean pairs (2 edges, still wedge at 102)
+    val deg = Graph.triangleStatsAuto(exact, df, "ok", "pk", cap = 8,
+      maxOrientedWedges = 5000L).collect().head
+    assert(deg.getAs[Boolean]("degraded"))
+    val capWant = Graph.triangleStats(
+      Graph.cappedBasketPairs(df, "ok", "pk", cap = 8)
+        .select(col("a").as("s1"), col("b").as("s2"))).collect().head
+    Seq("n_nodes", "n_edges", "n_wedges", "n_triangles").foreach(c =>
+      assert(deg.getAs[Long](c) === capWant.getAs[Long](c), c))
+    assert(deg.getAs[Long]("n_triangles") === 56L)
+  }
+
+  test("orientedWedgeWork: hand-counted on the triangle + pendant") {
+    // K3 {1,2,3} + pendant 1-4; degrees 1:3, 2:2, 3:2, 4:1. (degree,id)
+    // orientation: 2→1, 3→1, 2→3, 4→1. Only node 3 has both an incoming
+    // (2→3) and an outgoing (3→1) edge, so the wedge join materializes
+    // exactly ONE candidate path (2→3→1 — the triangle's single
+    // oriented wedge): Σ out(v)·in(v) = 1.
+    val w = Graph.orientedWedgeWork(
+      edgeDf((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)))
+    assert(w === 1L)
+  }
+
   test("cappedBasketPairs: cap larger than every basket is the " +
       "identity on pair counts") {
     val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L),
