@@ -286,6 +286,55 @@ object SimilarityQueries extends QueryPack {
             .as("recall"))
     }),
 
+    // Matryoshka truncation profile (Kusupati et al. 2022, "Matryoshka
+    // Representation Learning"): the dimension-adaptive retrieval story —
+    // serve the FIRST d coordinates of each embedding and measure what
+    // ranking quality survives. For each truncation d ∈ {8, 16, 32},
+    // per-query recall@5 of truncated-inner-product top-5 vs the
+    // full-dim (64) top-5 over the fixed sim20 query set. One scored
+    // frame computes all four dots (sequential per-row folds over
+    // sliced arrays — bit-identical in DuckDB), then four
+    // WindowGroupLimit rank passes; corpus × broadcast(40 queries), the
+    // sim1/sim20 brute-force shape. The operational knob this grades:
+    // how small can the serving index's dim be before recall pays.
+    "sim21_matryoshka" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val qs = e.filter($"vec_id" < 40)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val scored = e.select($"vec_id".as("neighbor_id"),
+          $"embedding".as("cv"))
+        .crossJoin(broadcast(qs))
+        .filter($"neighbor_id" =!= $"query_id")
+        .select($"query_id", $"neighbor_id",
+          Similarity.dotSeqHof($"qv", $"cv").as("d64"),
+          Similarity.dotSeqHof(slice($"qv", 1, 32), slice($"cv", 1, 32))
+            .as("d32"),
+          Similarity.dotSeqHof(slice($"qv", 1, 16), slice($"cv", 1, 16))
+            .as("d16"),
+          Similarity.dotSeqHof(slice($"qv", 1, 8), slice($"cv", 1, 8))
+            .as("d8"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def top(dcol: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id")
+          .orderBy(col(dcol).desc, $"neighbor_id".asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5).select($"query_id", $"neighbor_id")
+      }
+      val truth = top("d64")
+      Seq(8, 16, 32).map { d =>
+        top(s"d$d")
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+          .join(qs.select($"query_id"), Seq("query_id"), "right")
+          .select(lit(d).as("trunc_dim"), $"query_id",
+            coalesce($"n_hits", lit(0L)).as("n_hits"),
+            (coalesce($"n_hits", lit(0L)).cast("double") / lit(5.0))
+              .as("recall"))
+      }.reduce(_ unionAll _)
+    }),
+
     // MMR diversity re-rank (Carbonell & Goldstein 1998): the RAG-stack
     // step after retrieval — from each query's top-12 cosine candidates,
     // greedily pick 5 maximizing 0.7·rel − 0.3·max-sim-to-selected. The
@@ -741,6 +790,54 @@ object SimilarityQueries extends QueryPack {
          |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
          |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
          |FROM qv q LEFT JOIN hits h USING (query_id)""".stripMargin,
+    // sim21's twin: one scored CTE carrying all four fold dots (DuckDB
+    // a[1:d] slices feed the same sequential fold), one ranked CTE per
+    // truncation, hits vs the d=64 truth, unioned per dim.
+    "sim21_matryoshka" -> {
+      def hitsFor(d: Int): String =
+        s"""t$d AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY d$d DESC, neighbor_id ASC) AS r
+           |    FROM sc) z$d
+           |  WHERE r <= 5
+           |), h$d AS (
+           |  SELECT t.query_id, count(*) AS n_hits
+           |  FROM t$d t JOIN t64 u
+           |    ON u.query_id = t.query_id AND u.neighbor_id = t.neighbor_id
+           |  GROUP BY 1
+           |)""".stripMargin
+      def selFor(d: Int): String =
+        s"""SELECT $d AS trunc_dim, q.query_id,
+           |  coalesce(h.n_hits, 0) AS n_hits,
+           |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+           |FROM qv q LEFT JOIN h$d h USING (query_id)""".stripMargin
+      s"""WITH qv AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec
+         |  FROM embeddings WHERE vec_id < 40
+         |), sc AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("q.qvec", "c.embedding")} AS d64,
+         |    ${dotSql("q.qvec[1:32]", "c.embedding[1:32]")} AS d32,
+         |    ${dotSql("q.qvec[1:16]", "c.embedding[1:16]")} AS d16,
+         |    ${dotSql("q.qvec[1:8]", "c.embedding[1:8]")} AS d8
+         |  FROM embeddings c CROSS JOIN qv q
+         |  WHERE c.vec_id <> q.query_id
+         |), t64 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY d64 DESC, neighbor_id ASC) AS r
+         |    FROM sc) z64
+         |  WHERE r <= 5
+         |), ${hitsFor(8)}, ${hitsFor(16)}, ${hitsFor(32)}
+         |${selFor(8)}
+         |UNION ALL
+         |${selFor(16)}
+         |UNION ALL
+         |${selFor(32)}""".stripMargin
+    },
     "dd5_semdedup" -> dd5Sql(4, 2, 0.4))
 
   /** sim10's DuckDB twin: subvector split, shared-seed per-subspace

@@ -436,6 +436,37 @@ object TextQueries extends QueryPack {
         .unionAll(stage(3, "near_dedup", nearKeep))
     }),
 
+    // Template/boilerplate shingle profile — the C4-style repeated-text
+    // cleanup signal (Raffel et al. 2020 strip lines repeated across
+    // pages; Penedo et al. 2023 RefinedWeb's boilerplate heuristics):
+    // a shingle appearing in ≥ 3 distinct documents is template text
+    // (nav bars, footers, license blurbs), and a doc whose shingle mass
+    // is mostly template is itself boilerplate. Rides the shared shingle
+    // base: one vocab-sized doc-frequency aggregate, one equi-join back
+    // on the shingle string, one per-doc aggregate — no self-join, no
+    // pair frame, linear at any corpus size (the df table is the only
+    // broadcast-or-shuffle decision, left to AQE).
+    "tx30_template_shingles" -> ((s, dir) => {
+      import s.implicits._
+      val sh = sharedShingles(s, dir).df.select($"doc", $"shingle")
+      val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val per = sh.join(dfreq, "shingle")
+        .groupBy($"doc")
+        .agg(count(lit(1)).as("n_sh"),
+          count(when($"df" >= 3, 1)).as("n_template"))
+      docs(s, dir).select($"doc_id")
+        .join(per.select($"doc".as("doc_id"), $"n_sh", $"n_template"),
+          Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_sh", lit(0L)).as("n_sh"),
+          coalesce($"n_template", lit(0L)).as("n_template"),
+          when($"n_sh" > 0,
+            $"n_template".cast("double") / $"n_sh".cast("double"))
+            .as("template_ratio"),
+          coalesce($"n_template".cast("double") / $"n_sh".cast("double")
+            >= 0.5, lit(false)).as("is_template"))
+    }),
+
     // Platt calibration of the hashed-classifier margin (Platt 1999):
     // the in-engine TRAINING loop that closes the quality-classifier
     // story — tx19 applies the model, this fits p = σ(a·margin + b)
@@ -1582,6 +1613,26 @@ object TextQueries extends QueryPack {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "tx6_ngram_jaccard" ->
       s"WITH $ngramPairCtes\nSELECT doc_a, doc_b, common, n_a, n_b, jaccard FROM pairs",
+    // tx30's twin: same shingle CTEs, df per shingle string, per-doc
+    // template mass, LEFT JOIN keeps shingle-less docs at zero.
+    "tx30_template_shingles" ->
+      s"""WITH $shingleCtes, dfq AS (
+         |  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+         |), per AS (
+         |  SELECT s.doc_id, count(*) AS n_sh,
+         |    count(CASE WHEN f.df >= 3 THEN 1 END) AS n_template
+         |  FROM sh s JOIN dfq f ON f.shingle = s.shingle
+         |  GROUP BY s.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_sh, 0) AS n_sh,
+         |  coalesce(p.n_template, 0) AS n_template,
+         |  CASE WHEN p.n_sh > 0 THEN
+         |    CAST(p.n_template AS DOUBLE) / CAST(p.n_sh AS DOUBLE) END
+         |    AS template_ratio,
+         |  coalesce(CAST(p.n_template AS DOUBLE) / CAST(p.n_sh AS DOUBLE)
+         |    >= 0.5, FALSE) AS is_template
+         |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id""".stripMargin,
     // tx29's twin: the identical cascade — URL keeper window, md5
     // keeper window, the dd1 pair twin (derived band width) feeding the
     // smaller-surviving-partner drop — four stage aggregates.

@@ -40,6 +40,9 @@ class PlanQualitySpec extends AnyFunSuite {
                             // bounded-query brute truth (broadcast
                             // 40-row query set; the truth IS a linear
                             // scan by design)
+    "sim21_matryoshka",     // the same sim1/sim20 bounded brute shape:
+                            // corpus × broadcast(40 queries), scored
+                            // once for all four truncation dots
     "pl11_dsir_select",     // broadcast 1-row model totals (nt, nr)
     "tx13_bm25_topk",       // broadcast 1-row corpus stats (N, avgdl)
     "tx22_keywords",        // broadcast 1-row doc count into the idf
