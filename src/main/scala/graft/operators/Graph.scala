@@ -271,34 +271,29 @@ object Graph {
     * counts are lower bounds over the capped graph (each pair in a
     * capped group survives w.p. ≈ (cap/n)², uniformly).
     *
-    * The decision costs the same two node-sized aggregates the guard in
-    * [[triangleStats]] pays (skipped entirely while E^{3/2} is inside
-    * the budget), so the healthy path adds no measurable overhead. The
-    * capped rebuild keeps the SAME budget: if even the capped graph
-    * blows it (cap set too high), the guard still fails with the knob
-    * named — degrade once, then guard, never silently explode twice. */
+    * The decision reuses [[triangleStats]]'s OWN guard (its eager counts
+    * run at call time, so the refusal surfaces here synchronously): the
+    * healthy path is byte-for-byte the r8 exact path — no extra persist,
+    * count, or wedge probe (the guard itself skips the probe while
+    * E^{3/2} is inside the budget). The capped rebuild keeps the SAME
+    * budget: if even the capped graph blows it (cap set too high), the
+    * require still fails with the knob named — degrade once, then
+    * guard, never silently explode twice. */
   def triangleStatsAuto(exactEdges: DataFrame, baskets: DataFrame,
                         groupCol: String, itemCol: String, cap: Int,
-                        maxOrientedWedges: Long = 50000000000L): DataFrame = {
-    val e = exactEdges.select(col("s1"), col("s2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEdges = e.count()
-    val over =
-      nEdges.toDouble * math.sqrt(nEdges.toDouble) > maxOrientedWedges &&
-        orientedWedgeWork(e) > maxOrientedWedges
-    if (!over)
-      // exact wedge work is verified within budget — Long.MaxValue only
-      // skips re-deriving the number triangleStats would recompute
-      triangleStats(e, maxOrientedWedges = Long.MaxValue)
+                        maxOrientedWedges: Long = 50000000000L): DataFrame =
+    try
+      triangleStats(exactEdges, maxOrientedWedges = maxOrientedWedges)
         .withColumn("degraded", lit(false))
-    else {
-      e.unpersist()
-      val capped = cappedBasketPairs(baskets, groupCol, itemCol, cap)
-        .select(col("a").as("s1"), col("b").as("s2"))
-      triangleStats(capped, maxOrientedWedges = maxOrientedWedges)
-        .withColumn("degraded", lit(true))
+    catch {
+      case ex: IllegalArgumentException
+          if ex.getMessage != null &&
+            ex.getMessage.contains("oriented wedge count") =>
+        val capped = cappedBasketPairs(baskets, groupCol, itemCol, cap)
+          .select(col("a").as("s1"), col("b").as("s2"))
+        triangleStats(capped, maxOrientedWedges = maxOrientedWedges)
+          .withColumn("degraded", lit(true))
     }
-  }
 
   /** CAPPED co-occurrence pair build — the scale-safe degrade the
     * [[triangleStats]] wedge guard's error message names: a group
