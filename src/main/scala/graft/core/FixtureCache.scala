@@ -80,6 +80,25 @@ object FixtureCache {
     java.lang.Long.toHexString(h)
   }
 
+  /** Stable per-fixture namespace: generations of DIFFERENT fixtures
+    * must not prune each other (sf0.01 and sf0.1 share every artifact
+    * name — without this, alternating between them evicts and rebuilds
+    * on every switch). Basename for readability + a path-hash suffix so
+    * two dirs with the same basename stay distinct. */
+  private def dirToken(fixtureDir: String): String = {
+    var h = 0xcbf29ce484222325L
+    fixtureDir.getBytes("UTF-8").foreach { b =>
+      h ^= (b & 0xffL); h *= 0x100000001b3L
+    }
+    s"${new Path(fixtureDir).getName}-${java.lang.Long.toHexString(h).take(8)}"
+  }
+
+  /** The directory holding artifact `name`'s generations for this
+    * fixture (exposed for FixtureCacheSpec's pruning assertions). */
+  private[graft] def generationParent(fixtureDir: String,
+                                      name: String): String =
+    s"$cacheRoot/$name/${dirToken(fixtureDir)}"
+
   /** Resolve (building at most once per fixture generation) the durable
     * directory for artifact `name` derived from `fixtureDir`. `build`
     * receives a temp path and must write the COMPLETE artifact under it;
@@ -88,7 +107,7 @@ object FixtureCache {
   def dirFor(spark: SparkSession, fixtureDir: String, name: String)
             (build: String => Unit): String = {
     val fp = fingerprint(spark, fixtureDir)
-    val parent = new Path(s"$cacheRoot/$name")
+    val parent = new Path(generationParent(fixtureDir, name))
     val fin = new Path(parent, fp)
     val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = buildLocks.computeIfAbsent(s"$name/$fp", _ => new Object)

@@ -69,7 +69,7 @@ class FixtureCacheSpec extends AnyFunSuite {
         "regenerated fixture must rebuild, not serve stale rows")
       assert(get().count() == 4 && builds == 2)
       // the superseded generation is pruned: exactly one completed dir
-      val parent = new java.io.File(s"${FixtureCache.cacheRoot}/$name")
+      val parent = new java.io.File(FixtureCache.generationParent(fx, name))
       val gens = parent.listFiles().filter(_.getName == fp1)
       assert(gens.isEmpty, "stale generation must be pruned")
       assert(new java.io.File(parent, fp2).exists())
@@ -83,7 +83,7 @@ class FixtureCacheSpec extends AnyFunSuite {
       val fp = FixtureCache.fingerprint(spark, fx)
       // simulate a builder that died mid-write: orphan temp, no marker
       val orphan = new java.io.File(
-        s"${FixtureCache.cacheRoot}/$name/_build_${fp}_deadbeef")
+        s"${FixtureCache.generationParent(fx, name)}/_build_${fp}_deadbeef")
       orphan.mkdirs()
       new java.io.File(orphan, "partial.parquet").createNewFile()
       var builds = 0
@@ -99,6 +99,34 @@ class FixtureCacheSpec extends AnyFunSuite {
       val p2 = FixtureCache.dirFor(spark, fx, name)(_ =>
         fail("complete generation must not rebuild"))
       assert(p2 == p)
+    }
+  }
+
+  test("generations of DIFFERENT fixtures never prune each other — " +
+      "alternating sf dirs must not thrash the cache") {
+    withFixture { (fx1, _) =>
+      val fx2 = java.nio.file.Files.createTempDirectory("graft-fxc-fx2-")
+        .toString
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$fx2/t.parquet")
+      val name = uniqueName("multi")
+      var b1 = 0; var b2 = 0
+      def g1() = FixtureCache.tableFor(spark, fx1, name) {
+        b1 += 1; spark.read.parquet(s"$fx1/t.parquet")
+      }
+      def g2() = FixtureCache.tableFor(spark, fx2, name) {
+        b2 += 1; spark.read.parquet(s"$fx2/t.parquet")
+      }
+      assert(g1().count() == 2 && g2().count() == 3)
+      assert(g1().count() == 2 && g2().count() == 3)
+      assert(b1 == 1 && b2 == 1,
+        s"alternating fixtures rebuilt: b1=$b1 b2=$b2")
+      // clean the second fixture's namespace too
+      val d = java.nio.file.Paths.get(
+        FixtureCache.generationParent(fx2, name))
+      java.nio.file.Files.walk(d.getParent)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
     }
   }
 
