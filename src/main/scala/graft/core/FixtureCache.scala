@@ -56,20 +56,48 @@ object FixtureCache {
   /** 64-bit FNV-1a over the sorted (relative path, length, mtime) of
     * every data file beneath `dir` — hidden files (`_`/`.`-prefixed
     * names, .crc sidecars) excluded so a marker or checksum refresh
-    * can't churn the key. */
+    * can't churn the key.
+    *
+    * `file:` dirs walk via java.nio: Hadoop's LocalFileSystem pays a
+    * per-file permission stat on listing, which at a multi-file 10×
+    * replica (500+ files) turns "one trivial listing" into ~0.5-1 s —
+    * and since the fingerprint recomputes on EVERY lookup, that tax
+    * landed on every cache-fronted query in the r9 sf1.0 capture
+    * (gr3 0.8→1.7 s, q75 1.7→3.6 s). The NIO entry strings are
+    * byte-identical to the Hadoop path's, so existing generations stay
+    * valid across the switch. */
   def fingerprint(spark: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qual = fs.makeQualified(p)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(p, true)
-    val prefix = fs.makeQualified(p).toString
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toString.stripPrefix(prefix)
-      val base = st.getPath.getName
-      if (!base.startsWith("_") && !base.startsWith(".") &&
-          !base.endsWith(".crc"))
-        entries += s"$rel|${st.getLen}|${st.getModificationTime}"
+    def keep(base: String): Boolean =
+      !base.startsWith("_") && !base.startsWith(".") &&
+        !base.endsWith(".crc")
+    val nioOk = qual.toUri.getScheme == "file" && (try {
+      val root = java.nio.file.Paths.get(qual.toUri.getPath).normalize()
+      val it = java.nio.file.Files.walk(root).iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (java.nio.file.Files.isRegularFile(f) &&
+            keep(f.getFileName.toString)) {
+          val rel = "/" + root.relativize(f).toString
+            .replace(java.io.File.separatorChar, '/')
+          entries += s"$rel|${java.nio.file.Files.size(f)}|" +
+            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+        }
+      }
+      true
+    } catch { case _: Exception => entries.clear(); false })
+    if (!nioOk) {
+      val it = fs.listFiles(p, true)
+      val prefix = qual.toString
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(prefix)
+        if (keep(st.getPath.getName))
+          entries += s"$rel|${st.getLen}|${st.getModificationTime}"
+      }
     }
     var h = 0xcbf29ce484222325L
     entries.sorted.foreach { e =>
@@ -105,8 +133,15 @@ object FixtureCache {
     * the rename into place happens only after it returns. Returns the
     * final generation dir. */
   def dirFor(spark: SparkSession, fixtureDir: String, name: String)
-            (build: String => Unit): String = {
-    val fp = fingerprint(spark, fixtureDir)
+            (build: String => Unit): String =
+    resolve(spark, fixtureDir, name, fingerprint(spark, fixtureDir))(build)
+
+  /** [[dirFor]] with the fingerprint already in hand. Pruning runs only
+    * when this call actually built (a hit is a single existence probe —
+    * the common per-query path must not pay a directory listing). */
+  private def resolve(spark: SparkSession, fixtureDir: String,
+                      name: String, fp: String)
+                     (build: String => Unit): String = {
     val parent = new Path(generationParent(fixtureDir, name))
     val fin = new Path(parent, fp)
     val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -126,11 +161,40 @@ object FixtureCache {
           require(fs.exists(new Path(fin, Complete)),
             s"rename to $fin failed and no complete generation exists")
         }
+        prune(spark, parent, keep = fp)
       }
     }
-    prune(spark, parent, keep = fp)
     fin.toString
   }
+
+  /** Per-(artifact, fixture generation) JVM memo for DRIVER-SIDE values
+    * derived from a durable generation (collected centroid rows, a PQ
+    * codebook model): `build` writes the artifact on a cache miss
+    * exactly like [[dirFor]]; `load` materializes the in-memory form
+    * once per generation per JVM. Serving these from a memo instead of
+    * a per-call parquet read keeps model-consuming queries on
+    * LocalRelation/broadcast plans (no scan job per call) while the
+    * durable copy still carries warm starts and structural staleness —
+    * a regenerated fixture changes the fingerprint, which changes the
+    * memo key; superseded entries are dropped to keep the map bounded. */
+  def localFor[A <: AnyRef](spark: SparkSession, fixtureDir: String,
+                            name: String)
+                           (build: String => Unit)(load: String => A): A = {
+    val fp = fingerprint(spark, fixtureDir)
+    val prefix = s"$name/${dirToken(fixtureDir)}/"
+    val key = prefix + fp
+    val hit = valueMemo.get(key)
+    if (hit != null) hit.asInstanceOf[A]
+    else {
+      val v = load(resolve(spark, fixtureDir, name, fp)(build))
+      valueMemo.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+      val prev = valueMemo.putIfAbsent(key, v.asInstanceOf[AnyRef])
+      (if (prev != null) prev else v).asInstanceOf[A]
+    }
+  }
+
+  private val valueMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** [[dirFor]] specialized to a single parquet table: `build` is
     * evaluated only on a cache miss; the result is always served from
