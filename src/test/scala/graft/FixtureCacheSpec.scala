@@ -138,4 +138,40 @@ class FixtureCacheSpec extends AnyFunSuite {
       assert(FixtureCache.fingerprint(spark, fx) == fp1)
     }
   }
+
+  test("NIO fast-path fingerprint is byte-compatible with the Hadoop " +
+      "FileSystem listing it replaced — generations written before the " +
+      "switch must stay valid") {
+    withFixture { (fx, _) =>
+      // nest a subdir + a hidden sibling to exercise recursion + filters
+      val sub = java.nio.file.Paths.get(fx, "nested")
+      java.nio.file.Files.createDirectories(sub)
+      java.nio.file.Files.write(sub.resolve("data.bin"),
+        Array[Byte](1, 2, 3))
+      new java.io.File(fx, "_marker").createNewFile()
+      // replicate the pre-r9 Hadoop-API computation verbatim
+      val p = new org.apache.hadoop.fs.Path(fx)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true)
+      val prefix = fs.makeQualified(p).toString
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(prefix)
+        val base = st.getPath.getName
+        if (!base.startsWith("_") && !base.startsWith(".") &&
+            !base.endsWith(".crc"))
+          entries += s"$rel|${st.getLen}|${st.getModificationTime}"
+      }
+      var h = 0xcbf29ce484222325L
+      entries.sorted.foreach { e =>
+        e.getBytes("UTF-8").foreach { b =>
+          h ^= (b & 0xffL); h *= 0x100000001b3L
+        }
+      }
+      assert(FixtureCache.fingerprint(spark, fx) ==
+        java.lang.Long.toHexString(h),
+        "NIO and Hadoop listings must fold to the same key")
+    }
+  }
 }
