@@ -192,6 +192,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((0L, 0.0, None)))
   }
 
+  test("knBigramPerplexity: hand-computed micro model; KN orders docs " +
+      "like Laplace on predictability") {
+    import graft.operators.LanguageModel
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // micro corpus: model {(a,b):1, (a,c):1}; prefix a: c1=2, N1+(a·)=2;
+    // continuation N1+(·b)=N1+(·c)=1; N1+(··)=2
+    //   p(b|a) = (1−0.75)/2 + (0.75·2/2)·(1/2) = 0.125 + 0.375 = 0.5
+    // so each doc's logprob = ln(0.5) quantized at 1e-6 = −0.693147
+    val micro = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val mbg = micro.select($"doc_id".as("doc"),
+        explode(transform(sequence(lit(1),
+            size(split($"text", " ")) - 1),
+          i => struct(element_at(split($"text", " "), i).as("w1"),
+            element_at(split($"text", " "), i + 1).as("w2")))).as("bg"))
+      .select($"doc", $"bg.w1", $"bg.w2")
+      .groupBy($"doc", $"w1", $"w2").agg(count(lit(1)).as("n_occ"))
+    val mout = LanguageModel.knBigramPerplexity(micro, "doc_id", "text",
+        mbg).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logprob"))
+      .toMap
+    assert(mout(1L) == -0.693147 && mout(2L) == -0.693147,
+      s"hand-computed KN logprob mismatch: $mout")
+    // ordering + degenerate-doc contracts on the Laplace test's corpus
+    val common = (1 to 10).map(_ => "to be or not").mkString(" ")
+    val docs = Seq(
+      (1L, common), (2L, common), (3L, common),
+      (4L, "one two three four five six seven eight"),
+      (5L, "solo")).toDF("doc_id", "text")
+    val dbg = docs.select($"doc_id".as("doc"),
+        explode(when(size(split($"text", " ")) >= 2,
+          transform(sequence(lit(1), size(split($"text", " ")) - 1),
+            i => struct(element_at(split($"text", " "), i).as("w1"),
+              element_at(split($"text", " "), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .select($"doc", $"bg.w1", $"bg.w2")
+      .groupBy($"doc", $"w1", $"w2").agg(count(lit(1)).as("n_occ"))
+    val out = LanguageModel.knBigramPerplexity(docs, "doc_id", "text", dbg)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("logprob"),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out.size == 5)
+    assert(out(1L)._3.get < out(4L)._3.get,
+      s"repeated transitions must be less perplexing: ${out(1L)} ${out(4L)}")
+    assert(out(1L) == out(2L) && out(2L) == out(3L),
+      "identical docs score identically (decimal-exact sums)")
+    // KN probabilities are ≤ 1, so ppl = exp(−logprob/n) ≥ 1
+    Seq(1L, 4L).foreach(id => assert(out(id)._3.get >= 1.0))
+    assert(out(5L) == ((0L, 0.0, None)))
+  }
+
   test("tx15: entropy bounded by ln(n_distinct), zero iff one distinct bigram") {
     val rows = SparkEntry.queries("tx15_char_entropy")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -53,6 +53,7 @@ class PlanQualitySpec extends AnyFunSuite {
     "tx29_dedup_funnel",    // same 1-row page-universe broadcast + the
                             // four 1-row stage aggregates unioned
     "tx14_lm_perplexity",   // broadcast 1-row vocab size
+    "tx31_kn_perplexity",   // broadcast 1-row N1+(··) bigram-type count
     "gr2_triangles",        // final combine of three 1-row stat frames
     "sim12_mmr_rerank",     // candidate gen = sim1's brute product
                             // (bounded query side, broadcast)
