@@ -87,6 +87,44 @@ object UrlCanon {
         col("keeper_doc"), col("is_dup"), col("n_same_url"))
   }
 
+  /** Multi-part public suffixes recognized by [[registrableDomain]] — a
+    * deliberately SMALL subset of the public-suffix list (the full PSL
+    * is a versioned external artifact; a pipeline that needs it loads
+    * it as a broadcast lookup table — same plan shape, bigger
+    * dictionary). Pattern shared verbatim with the DuckDB twin. */
+  val MultiPartSuffixPattern = "\\.(co|com|net|org|ac|gov|edu)\\.[a-z]{2}$"
+
+  /** Host of an already-canonicalized URL (lowercase by construction;
+    * port never present for default-port schemes). */
+  def host(canonicalUrl: Column): Column =
+    regexp_extract(canonicalUrl, "^[^:]+://([^/?#:]*)", 1)
+
+  def hostSql(canonicalUrl: String): String =
+    s"regexp_extract($canonicalUrl, '^[^:]+://([^/?#:]*)', 1)"
+
+  /** Registrable domain (eTLD+1): the accounting key every crawl
+    * scheduler budgets by — `www.news.example-3.com` and
+    * `cdn.example-3.com` are one crawl-policy unit `example-3.com`.
+    * Heuristic: last two host labels, or last THREE when the host ends
+    * in a recognized multi-part suffix ([[MultiPartSuffixPattern]] —
+    * `bbc.co.uk`, not `co.uk`). Pure scan-projection string ops. */
+  def registrableDomain(canonicalUrl: Column): Column = {
+    val h = host(canonicalUrl)
+    val two = regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    when(h.rlike(MultiPartSuffixPattern),
+        regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1))
+      .otherwise(when(two === "", h).otherwise(two)) // single-label host
+  }
+
+  /** The DuckDB twin of [[registrableDomain]] (same patterns). */
+  def registrableDomainSql(canonicalUrl: String): String = {
+    val h = hostSql(canonicalUrl)
+    val two = s"regexp_extract($h, '([^.]+\\.[^.]+)$$', 1)"
+    s"CASE WHEN regexp_matches($h, '$MultiPartSuffixPattern') " +
+      s"THEN regexp_extract($h, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) " +
+      s"WHEN $two = '' THEN $h ELSE $two END"
+  }
+
   /** Deterministic synthetic fetch URLs from an id column — the tx24
     * render discipline: page identity is id mod `pages`, and id mod 4
     * picks the messiness variant (0: slash-run + trailing slash;

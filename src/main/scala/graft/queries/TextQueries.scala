@@ -867,6 +867,39 @@ object TextQueries extends QueryPack {
         "doc_id", "url")
     }),
 
+    // TX32 — registrable-domain (eTLD+1) crawl-mix report: per-domain
+    // fetch count, distinct canonical pages, URL-dup rate and corpus
+    // share — the host-level accounting a crawl scheduler budgets
+    // recrawls by (and the first place a misbehaving mirror shows up).
+    // Rides tx25's render/canonicalize pair; domain extraction is a
+    // scan-projection regex, then ONE domain-keyed agg + a broadcast
+    // 1-row total — linear at any scale, output is domain-cardinality.
+    // Ratios are int/int IEEE divisions (bit-deterministic, no decimal
+    // quantization needed).
+    "tx32_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val pages = d.agg(greatest(lit(50L),
+        expr("count(1) div 10")).as("npages"))
+      val canon = d.crossJoin(broadcast(pages)).select($"doc_id",
+        graft.operators.UrlCanon.canonicalize(
+          graft.operators.UrlCanon.renderUrl($"doc_id", $"npages"))
+          .as("canonical_url"))
+      val per = canon
+        .select(graft.operators.UrlCanon.registrableDomain($"canonical_url")
+          .as("domain"), $"canonical_url")
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_fetched"),
+          countDistinct($"canonical_url").as("n_pages"))
+      val tot = per.agg(sum($"n_fetched").as("n_total"))
+      per.crossJoin(broadcast(tot)).select(
+        $"domain", $"n_fetched", $"n_pages",
+        (lit(1.0d) - $"n_pages".cast("double") / $"n_fetched".cast("double"))
+          .as("url_dup_rate"),
+        ($"n_fetched".cast("double") / $"n_total".cast("double"))
+          .as("corpus_share"))
+    }),
+
     // REAL PCM sample decode: square-wave WAVs rendered from fixture
     // columns (amp/length derived from doc_id), decoded back through the
     // RIFF walk + int16 LE sample fold — peak/Σ/rms have closed-form
@@ -1359,6 +1392,35 @@ object TextQueries extends QueryPack {
          |    AS is_dup,
          |  count(*) OVER (PARTITION BY canonical_url) AS n_same_url
          |FROM c""".stripMargin,
+    "tx32_domain_mix" ->
+      s"""WITH par AS (
+         |  SELECT greatest(50, count(*) // 10) AS npages FROM documents
+         |), u AS (
+         |  SELECT doc_id,
+         |    ${graft.operators.UrlCanon.renderUrlSql("doc_id", "npages")}
+         |    AS url FROM documents CROSS JOIN par
+         |), c AS (
+         |  SELECT doc_id,
+         |    ${graft.operators.UrlCanon.canonicalizeSql("url")}
+         |      AS canonical_url
+         |  FROM u
+         |), per AS (
+         |  SELECT
+         |    ${graft.operators.UrlCanon.registrableDomainSql("canonical_url")}
+         |      AS domain,
+         |    count(*) AS n_fetched,
+         |    count(DISTINCT canonical_url) AS n_pages
+         |  FROM c GROUP BY domain
+         |), tot AS (
+         |  SELECT CAST(sum(n_fetched) AS BIGINT) AS n_total FROM per
+         |)
+         |SELECT domain, n_fetched, n_pages,
+         |  CAST(1 AS DOUBLE) -
+         |    CAST(n_pages AS DOUBLE) / CAST(n_fetched AS DOUBLE)
+         |    AS url_dup_rate,
+         |  CAST(n_fetched AS DOUBLE) / CAST(n_total AS DOUBLE)
+         |    AS corpus_share
+         |FROM per CROSS JOIN tot""".stripMargin,
     "tx9_gopher_filter" ->
       """WITH tok AS (
         |  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS ts

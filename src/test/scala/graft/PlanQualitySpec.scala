@@ -82,6 +82,9 @@ class PlanQualitySpec extends AnyFunSuite {
                             // three quartile-boundary rows) onto the
                             // customer aggregate — the scale-honest
                             // alternative to a global ntile sort
+    "tx32_domain_mix",      // two broadcast 1-row frames: the derived
+                            // npages render parameter (tx25's discipline)
+                            // and the corpus total for the share ratio
     "pl18_source_drift")    // sources×buckets grid completion: both sides
                             // are aggregate frames (distinct sources /
                             // distinct buckets), so the product is

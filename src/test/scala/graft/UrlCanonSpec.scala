@@ -79,4 +79,21 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(rows == Set((5L, 5L, false, 3L), (55L, 5L, true, 3L),
       (105L, 5L, true, 3L), (7L, 7L, false, 1L)))
   }
+
+  test("registrable domain: eTLD+1 with multi-part suffixes and fallbacks") {
+    val out = Seq(
+        "http://www.example-3.com/x",      // www stripped by last-2 rule
+        "https://cdn.media.example-3.com/y", // deep subdomain -> last 2
+        "http://www.bbc.co.uk/news",       // multi-part suffix -> last 3
+        "https://a.ac.jp/",                // multi-part, no subdomain
+        "http://localhost/x",              // single label -> host itself
+        "https://plain.org/p")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+      .select(UrlCanon.registrableDomain(
+        UrlCanon.canonicalize(col("url"))))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("example-3.com", "example-3.com", "bbc.co.uk",
+      "a.ac.jp", "localhost", "plain.org"))
+  }
 }
