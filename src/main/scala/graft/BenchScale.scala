@@ -143,7 +143,15 @@ object BenchScale {
     // OUTSIDE the timed probes for both dirs — same discipline as Bench:
     // probes measure serving, not artifact construction.
     Seq(sfDir, outDir).foreach { d =>
-      try SparkEntry.prewarm(spark, d) catch { case _: Throwable => () }
+      // a swallowed prewarm failure would silently move the shared-base
+      // build INTO the first timed probe that touches it and corrupt
+      // every printed slope — keep the probe run alive (this is a dev
+      // tool) but say loudly that the numbers are now build+serve.
+      try SparkEntry.prewarm(spark, d) catch {
+        case e: Throwable => System.err.println(
+          s"[benchscale] WARNING prewarm($d) failed — probe timings " +
+            s"will include shared-base construction: $e")
+      }
     }
     println(f"${"query"}%-22s ${"1x_sec"}%8s ${k + "x_sec"}%8s ${"slope"}%7s")
     Probes.foreach { q =>

@@ -153,13 +153,29 @@ object FixtureCache {
         build(tmp.toString)
         fs.create(new Path(tmp, Complete), true).close()
         fs.mkdirs(parent)
-        if (!fs.rename(tmp, fin)) {
-          // lost a cross-JVM race (or a previous builder landed between
-          // our check and rename): the winner's generation is complete —
-          // use it.
+        // Cross-JVM race protocol. "rename returns false when the target
+        // exists" is NOT portable: RawLocalFileSystem falls back to
+        // copying the source INTO an existing target dir and returns
+        // true, which would nest the loser's temp inside the winner's
+        // generation forever. So: (1) re-check completeness right before
+        // renaming — a racer that finished while we built makes us a
+        // clean loser; (2) after a "successful" rename, sweep any nested
+        // `_build_*` entry (the copy-fallback's footprint) and verify
+        // the generation is complete.
+        if (fs.exists(new Path(fin, Complete))) {
+          fs.delete(tmp, true) // lost while building; winner is complete
+        } else if (!fs.rename(tmp, fin)) {
           fs.delete(tmp, true)
           require(fs.exists(new Path(fin, Complete)),
             s"rename to $fin failed and no complete generation exists")
+        } else {
+          fs.listStatus(fin).foreach { st =>
+            if (st.getPath.getName.startsWith("_build_"))
+              fs.delete(st.getPath, true)
+          }
+          fs.delete(tmp, true) // no-op on a true move; kills copy leftovers
+          require(fs.exists(new Path(fin, Complete)),
+            s"generation $fin landed without its completeness marker")
         }
         prune(spark, parent, keep = fp)
       }
@@ -208,7 +224,19 @@ object FixtureCache {
 
   /** Delete completed sibling generations other than `keep`. In-flight
     * `_build_*` temps are left alone (a concurrent builder may own
-    * them); they are swept only once their fingerprint completes. */
+    * them); they are swept only once their fingerprint completes.
+    *
+    * Deliberate trade, stated: a reader that obtained a DataFrame over
+    * a generation BEFORE its fixture regenerated can fail loudly
+    * (FileNotFoundException) when that superseded generation is pruned
+    * under it — the caller re-resolves and gets the current generation.
+    * That loud failure replaces the r7 hazard this cache exists to
+    * kill (silently serving results computed from STALE fixtures); all
+    * in-repo consumers resolve their base per query call, so only a
+    * caller that caches a DataFrame across a mid-session fixture
+    * regeneration can observe it. A lease/refcount would trade that
+    * visible, retryable failure for unbounded disk growth under
+    * crashed readers — the wrong trade for a cache. */
   private def prune(spark: SparkSession, parent: Path, keep: String): Unit = {
     val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(parent)) return

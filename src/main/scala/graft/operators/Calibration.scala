@@ -99,6 +99,17 @@ object Calibration {
     val iterCtes = (1 to iters).map { it =>
       val prev = s"pr${it - 1}"
       val p = pSql(s"$prev.a", s"$prev.b")
+      // the same degenerate-histogram freeze as the Spark loop: det == 0
+      // (or a non-finite update) keeps the previous parameters — a
+      // double division by zero is NULL or ±inf depending on engine
+      // version, and BOTH fall to the ELSE branch here, matching the
+      // driver loop's guard exactly.
+      val det = s"(mo$it.s1 * mo$it.s3 - mo$it.s2 * mo$it.s2)"
+      val aN = s"($prev.a - (mo$it.s3 * mo$it.g1 - mo$it.s2 * mo$it.g2)" +
+        s" / $det)"
+      val bN = s"($prev.b - (mo$it.s1 * mo$it.g2 - mo$it.s2 * mo$it.g1)" +
+        s" / $det)"
+      val upd = s"($det <> 0 AND isfinite($aN) AND isfinite($bN))"
       s"""mo$it AS (
          |  SELECT
          |    ${f6s(s"CAST(n AS DOUBLE) * $p * (1.0 - $p) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)")} AS s1,
@@ -109,10 +120,8 @@ object Calibration {
          |  FROM hist CROSS JOIN $prev
          |), pr$it AS (
          |  SELECT
-         |    $prev.a - (mo$it.s3 * mo$it.g1 - mo$it.s2 * mo$it.g2)
-         |      / (mo$it.s1 * mo$it.s3 - mo$it.s2 * mo$it.s2) AS a,
-         |    $prev.b - (mo$it.s1 * mo$it.g2 - mo$it.s2 * mo$it.g1)
-         |      / (mo$it.s1 * mo$it.s3 - mo$it.s2 * mo$it.s2) AS b
+         |    CASE WHEN $upd THEN $aN ELSE $prev.a END AS a,
+         |    CASE WHEN $upd THEN $bN ELSE $prev.b END AS b
          |  FROM mo$it CROSS JOIN $prev
          |)""".stripMargin
     }.mkString(",\n")

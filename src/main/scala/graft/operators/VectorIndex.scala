@@ -95,6 +95,20 @@ object VectorIndex {
     val spark = vecs.sparkSession
     import spark.implicits._
     val meta = VMeta(dims, m, ks, iters, coarseK, coarseIters)
+    // BOTH trainings run to completion BEFORE anything is deleted: a
+    // rebuild whose Lloyd's iterations throw (degenerate input, executor
+    // loss) must leave the old serving index untouched. The models are
+    // KB-scale, so forcing them to the driver here is free; only after
+    // both exist does the destructive phase start. (The remaining
+    // crash window is the write phase below — model writes are
+    // mode("overwrite") and the append-mode tables are rebuilt from the
+    // same call's inputs, so a re-run of build() repairs it.)
+    val centDf = Similarity
+      .kmeansCentroids(vecs, idCol, vecCol, coarseK, coarseIters)
+      .select(col("label"), col("dim"), col("centroid"))
+    val centRows = centDf.collect() // training happens HERE
+    val model = ProductQuantization.train(vecs, idCol, vecCol, dims, m,
+      ks, iters)
     // Rebuild into a previously-used root must not keep the old corpus:
     // appendBatch uses mode("append"), so stale cells/codes/vectors (and
     // tombstones for ids about to be re-indexed) would duplicate every
@@ -107,11 +121,9 @@ object VectorIndex {
     Seq((dims, m, ks, iters, coarseK, coarseIters))
       .toDF("dims", "m", "ks", "iters", "coarse_k", "coarse_iters")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
-    Similarity.kmeansCentroids(vecs, idCol, vecCol, coarseK, coarseIters)
-      .select(col("label"), col("dim"), col("centroid"))
+    spark.createDataFrame(java.util.Arrays.asList(centRows: _*),
+        centDf.schema)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
-    val model = ProductQuantization.train(vecs, idCol, vecCol, dims, m,
-      ks, iters)
     model.cb.toDF("sub", "code", "c_arr")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
     appendBatch(spark, root, vecs, idCol, vecCol)
@@ -146,6 +158,7 @@ object VectorIndex {
             idCol: String, vecCol: String, nprobe: Int,
             k: Int): DataFrame = {
     require(nprobe >= 1 && k >= 1)
+    recoverCompact(spark, root)
     val meta = readMeta(spark, root)
     val model = readPqModel(spark, root, meta)
     val probes = Similarity.assignToCentroidArrays(queries, idCol, vecCol,
@@ -217,6 +230,7 @@ object VectorIndex {
     * no sampled query. */
   def health(spark: SparkSession, root: String, recallSample: Int = 0,
              recallK: Int = 10, nprobe: Int = 2): DataFrame = {
+    recoverCompact(spark, root)
     val centArr = readCentroidArrays(spark, root)
     val vecs = masked(spark, root, spark.read.parquet(s"$root/vectors"))
     // membership comes from the STORED cells (what queries actually
@@ -241,8 +255,14 @@ object VectorIndex {
       .select(col("_vid").as("query_id"), col("vec").as("qv"),
         col("label").as("home"))
     val probe = sample.select(col("query_id"), col("qv"))
+    // self-exclusion must be SYMMETRIC: truth drops the query point, so
+    // the ANN side must too — otherwise the query's own near-zero ADC
+    // distance occupies one of the k slots and a perfect index caps at
+    // (k-1)/k recall, permanently tripping any absolute retrain
+    // threshold. Ask for k+1, drop self, leaving k true slots.
     val ann = query(spark, root, probe, "query_id", "qv",
-        nprobe = nprobe, k = recallK)
+        nprobe = nprobe, k = recallK + 1)
+      .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
     val c = vecs.select(col("_vid").as("neighbor_id"),
       col("vec").as("cv"),
@@ -281,9 +301,11 @@ object VectorIndex {
     * swap is delete + filesystem rename (no second distributed write
     * with the live copy already gone). A crash during the write phase
     * leaves the live index untouched; a crash mid-swap leaves the full
-    * new copy at the temp path, ready to be renamed into place by a
-    * re-run. Tombstones are dropped only after all three swaps land. */
+    * new copy at the temp path, and [[recoverCompact]] — run at the
+    * start of every compact/query/health — renames it into place.
+    * Tombstones are dropped only after all three swaps land. */
   def compact(spark: SparkSession, root: String): Unit = {
+    recoverCompact(spark, root)
     if (!pathExists(spark, tombstonePath(root))) return
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -298,5 +320,22 @@ object VectorIndex {
         new org.apache.hadoop.fs.Path(s"$root/$t"))
     }
     fs.delete(new org.apache.hadoop.fs.Path(tombstonePath(root)), true)
+  }
+
+  /** Repair a crash that landed between a mid-[[compact]] delete and
+    * its rename: a live table that is MISSING while its full
+    * `_compact_` copy exists is renamed into place. Run at the start of
+    * compact/query/health (four existence checks — free next to any
+    * real work), so a half-swapped index heals on first touch instead
+    * of failing every read until manual surgery. */
+  private[operators] def recoverCompact(spark: SparkSession,
+                                        root: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("cells", "codes", "vectors").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(s"$root/$t")
+      val tmp = new org.apache.hadoop.fs.Path(s"$root/_compact_$t")
+      if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
+    }
   }
 }

@@ -44,12 +44,19 @@ object StreamingHeavyHitters {
                             ttl: TTLConfig)
       extends StatefulProcessor[Long, (Long, String), HeavyHitter] {
     @transient private var counts: MapState[String, Long] = _
-    @transient private var decs: ValueState[Long] = _
+    // (decrement total, map-was-empty-at-write-back). The Boolean is
+    // load-bearing: MG's decrement-all step can LEGITIMATELY empty the
+    // map (capacity counters all at 1 when a new token overflows), and
+    // that emptiness must not be mistaken for a TTL eviction — resetting
+    // the decrement total there would UNDERstate err and break the
+    // est ≤ true ≤ est + err contract even under TTLConfig.NONE.
+    @transient private var decs: ValueState[(Long, Boolean)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       counts = getHandle.getMapState[String, Long]("mg", Encoders.STRING,
         Encoders.scalaLong, ttl)
-      decs = getHandle.getValueState[Long]("decs", Encoders.scalaLong, ttl)
+      decs = getHandle.getValueState[(Long, Boolean)]("decs",
+        Encoders.product[(Long, Boolean)], ttl)
     }
 
     override def handleInputRows(key: Long,
@@ -59,13 +66,20 @@ object StreamingHeavyHitters {
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       counts.iterator().foreach { case (t, c) => m.put(t, c) }
       // With a TTL, counts and decs expire INDEPENDENTLY; a surviving
-      // decrement total over an evicted (empty) counter map would
-      // overstate err forever. An empty map means the summary restarted
-      // (fresh shard or TTL eviction) — restart the error bound with it.
-      // The strict interval contract est ≤ true ≤ est + err holds
-      // exactly under TTLConfig.NONE; with a TTL it holds relative to
-      // the post-eviction window, which is the intended recency scope.
-      var d = if (m.isEmpty || !decs.exists()) 0L else decs.get()
+      // decrement total over a TTL-EVICTED counter map would overstate
+      // err forever, so an eviction restarts the error bound. But an
+      // empty map whose last write-back RECORDED the emptiness (the
+      // Boolean) was emptied by MG decrements, not by eviction — its
+      // decrement total is exactly the error bound and must survive.
+      // The strict interval contract est ≤ true ≤ est + err therefore
+      // holds exactly under TTLConfig.NONE (no evictions exist, every
+      // legitimate emptiness is marker-recorded); with a TTL it holds
+      // relative to the post-eviction window, the intended recency
+      // scope.
+      var d = if (!decs.exists()) 0L else {
+        val (dTot, emptyLegit) = decs.get()
+        if (m.nonEmpty || emptyLegit) dTot else 0L
+      }
       rows.foreach { case (_, tok) =>
         m.get(tok) match {
           case Some(c) => m.update(tok, c + 1)
@@ -85,7 +99,7 @@ object StreamingHeavyHitters {
       // write back the full summary (≤ capacity entries)
       counts.clear()
       m.foreach { case (t, c) => counts.updateValue(t, c) }
-      decs.update(d)
+      decs.update((d, m.isEmpty))
       m.iterator.filter(_._2 >= emitThreshold)
         .map { case (t, c) => HeavyHitter(key, t, c, d) }
     }

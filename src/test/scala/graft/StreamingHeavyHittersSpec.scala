@@ -85,4 +85,38 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
       assert(rows.exists(_._1 == "aa"), s"${rows.toSeq}")
     }
   }
+
+  test("decrement-emptied map keeps its error bound across batches " +
+      "(TTL NONE interval contract)") {
+    withRocks {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[String]
+      // capacity 1, one shard: batch 1 [aa bb] inserts aa, bb overflows
+      // and the decrement-all EMPTIES the map (one decrement). If that
+      // emptiness were misread as a TTL eviction and the decrement
+      // total reset, batch 2's [aa aa] would emit (est 2, err 0)
+      // claiming true == 2 exactly — but true(aa) = 3.
+      val q = StreamingHeavyHitters.heavyHitters(spark,
+          mem.toDF().toDF("text"), "text", groups = 1, capacity = 1,
+          emitThreshold = 1L)
+        .toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("hh_emptied").start()
+      try {
+        mem.addData(Seq("aa bb"))
+        q.processAllAvailable()
+        mem.addData(Seq("aa aa"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("hh_emptied").collect()
+        .map(r => (r.getAs[String]("token"), r.getAs[Long]("est"),
+          r.getAs[Long]("err")))
+      val aa = rows.filter(t => t._1 == "aa" && t._2 == 2L)
+      assert(aa.nonEmpty, s"batch-2 aa emission missing: ${rows.toSeq}")
+      aa.foreach { case (_, est, err) =>
+        assert(est <= 3L && 3L <= est + err,
+          s"true(aa)=3 outside [est, est+err] = [$est, ${est + err}]")
+      }
+    }
+  }
 }

@@ -133,6 +133,34 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compact crash mid-swap heals on first touch: live table missing " +
+      "+ full _compact_ copy present is renamed into place") {
+    withIndex { root =>
+      val probe = Seq((999L, vec(16L))).toDF("vec_id", "embedding")
+      def hits() = VectorIndex.query(spark, root, probe, "vec_id",
+          "embedding", nprobe = 2, k = 5)
+        .collect().map(_.getLong(1)).toSet
+      val before = hits()
+      // fabricate the exact crash state: the swap's delete landed but
+      // the rename didn't — live `cells` is gone, the full compacted
+      // copy sits at `_compact_cells`
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/cells"),
+        new org.apache.hadoop.fs.Path(s"$root/_compact_cells")))
+      // first read-path touch recovers and serves identically
+      assert(hits() == before)
+      assert(new java.io.File(s"$root/cells").exists())
+      assert(!new java.io.File(s"$root/_compact_cells").exists())
+      // compact() itself also recovers (and then has nothing to reclaim)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/vectors"),
+        new org.apache.hadoop.fs.Path(s"$root/_compact_vectors")))
+      VectorIndex.compact(spark, root)
+      assert(new java.io.File(s"$root/vectors").exists())
+      assert(hits() == before)
+    }
+  }
+
   test("rebuild into a used root replaces the old index — no duplicated " +
       "rows, no surviving tombstones") {
     withIndex { root =>
