@@ -557,6 +557,43 @@ object TextQueries extends QueryPack {
           $"precision", $"recall", $"f1", $"is_best")
     }),
 
+    // Exact ROC-AUC of the tx19 classifier margin against the lang=='en'
+    // label — the rank statistic completing the evaluation family (tx19
+    // scores, tx27 calibrates, tx28 picks the operating point, tx33
+    // summarizes ranking quality threshold-free). Mann–Whitney U with
+    // the standard tie correction (ties count ½), computed from the
+    // SAME aggregate-sized (margin, n, k) histogram as tx27/tx28: one
+    // corpus pass, one cumulative window over distinct margins. 2·U is
+    // summed as DECIMAL(38,0) (2·U ≤ 2·P·N overflows a long somewhere
+    // past 2 B balanced docs; the decimal sum is exact at any scale)
+    // and AUC = 2U / (2·P·N) is one division of exactly-representable
+    // integers — bit-deterministic, fully hash-oracled.
+    "tx33_roc_auc" -> ((s, dir) => {
+      import s.implicits._
+      val hist = docs(s, dir)
+        .select($"doc_id", $"lang",
+          aggregate(tokens($"text"), lit(0L),
+            (acc, t) => acc + tokenWeight(t)).as("m"))
+        .groupBy($"m")
+        .agg(count(lit(1)).as("n"),
+          sum(($"lang" === "en").cast("long")).as("k"))
+      val wAsc = Window.orderBy($"m".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("neg", $"n" - $"k")
+        .withColumn("neg_below", sum($"n" - $"k").over(wAsc) - ($"n" - $"k"))
+        .agg(
+          sum($"k").as("n_pos"),
+          sum($"neg").as("n_neg"),
+          sum((lit(2L) * $"k" * $"neg_below" + $"k" * $"neg")
+            .cast("decimal(38,0)")).as("u2"))
+        .select($"n_pos", $"n_neg",
+          ($"u2".cast("double") /
+            (lit(2.0) * $"n_pos".cast("double") * $"n_neg".cast("double")))
+            .as("auc"))
+        .withColumn("gini", lit(2.0) * $"auc" - lit(1.0))
+    }),
+
     // BLEU-style clipped n-gram overlap — see [[bleuOverlap]]; the query
     // key pins candidateFloor = 0.02 (and the oracle's WHERE mirrors it).
     "tx26_bleu_overlap" -> ((s, dir) =>
@@ -1833,6 +1870,44 @@ object TextQueries extends QueryPack {
          |  precision, recall, f1,
          |  row_number() OVER (ORDER BY f1 DESC, m DESC) = 1 AS is_best
          |FROM scored""".stripMargin,
+    // tx33's twin: same margin histogram, Mann-Whitney 2U as an exact
+    // DECIMAL(38,0) sum, one integer-operand IEEE division.
+    "tx33_roc_auc" ->
+      raw"""WITH tw AS (
+         |  SELECT doc_id, CAST(sum(${tokenWeightSql("t")}) AS BIGINT)
+         |    AS margin
+         |  FROM (SELECT doc_id,
+         |          unnest(regexp_extract_all(text, '\S+')) AS t
+         |        FROM documents) tok
+         |  GROUP BY doc_id
+         |), pm AS (
+         |  SELECT d.doc_id, d.lang, COALESCE(tw.margin, 0) AS m
+         |  FROM documents d LEFT JOIN tw ON d.doc_id = tw.doc_id
+         |), hist AS (
+         |  SELECT m, count(*) AS n,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS k
+         |  FROM pm GROUP BY m
+         |), c AS (
+         |  SELECT k, n - k AS neg,
+         |    sum(n - k) OVER (ORDER BY m ASC
+         |      ROWS UNBOUNDED PRECEDING) - (n - k) AS neg_below
+         |  FROM hist
+         |), agg AS (
+         |  SELECT CAST(sum(k) AS BIGINT) AS n_pos,
+         |    CAST(sum(neg) AS BIGINT) AS n_neg,
+         |    sum(CAST(2 * k * neg_below + k * neg AS DECIMAL(38,0)))
+         |      AS u2
+         |  FROM c
+         |)
+         |SELECT n_pos, n_neg,
+         |  CAST(u2 AS DOUBLE)
+         |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+         |    AS auc,
+         |  2.0 * (CAST(u2 AS DOUBLE)
+         |    / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+         |    - 1.0 AS gini
+         |FROM agg""".stripMargin,
     // tx26's twin: the same blocked pair set, unigram/bigram MULTISET
     // counts, clipped least() sums, single IEEE divisions + sqrt.
     "tx26_bleu_overlap" ->
