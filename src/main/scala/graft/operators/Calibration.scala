@@ -53,11 +53,29 @@ object Calibration {
     val m = col(mCol).cast("double")
     val n = col(nCol).cast("double")
     val k = col(kCol).cast("double")
-    var a = 0.0; var b = 0.0
+    // Platt 1999's defining regularization: the fit targets are the
+    // Bayes-corrected t+ = (N₊+1)/(N₊+2) and t− = 1/(N₋+2), NOT raw
+    // 0/1 labels — on separable data the raw-label MLE has no finite
+    // optimum (a grows without bound and p_cal saturates to exact 0/1
+    // overconfidence); the corrected targets guarantee one. The start
+    // is Platt's b₀ = ln((N₋+1)/(N₊+1)) (a=0), quantized through the
+    // repo's DECIMAL(28,6) ln discipline so both engines iterate from
+    // the identical double. t± are divisions of exact integers —
+    // bit-identical in any IEEE engine.
+    val trow = h.agg(sum(col(kCol)).cast("long").as("npos"),
+      sum(col(nCol) - col(kCol)).cast("long").as("nneg")).head()
+    val (nPos, nNeg) = (trow.getLong(0), trow.getLong(1))
+    val tPlus = (nPos + 1.0) / (nPos + 2.0)
+    val tMinus = 1.0 / (nNeg + 2.0)
+    var a = 0.0
+    var b = BigDecimal(math.log((nNeg + 1.0) / (nPos + 1.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     for (_ <- 1 to iters) {
       val p = pCal(m, a, b)
       val w = n * p * (lit(1.0) - p)
-      val r = n * p - k
+      // gradient of the cross-entropy against the CORRECTED targets:
+      // Σ per-sample (p − t_i) = n·p − (k·t⁺ + (n−k)·t⁻)
+      val r = n * p - (k * lit(tPlus) + (n - k) * lit(tMinus))
       val row = h.agg(f6(w * m * m).as("s1"), f6(w * m).as("s2"),
         f6(w).as("s3"), f6(r * m).as("g1"), f6(r).as("g2")).head()
       val (s1, s2, s3) = (row.getDouble(0), row.getDouble(1),
@@ -110,14 +128,18 @@ object Calibration {
       val bN = s"($prev.b - (mo$it.s1 * mo$it.g2 - mo$it.s2 * mo$it.g1)" +
         s" / $det)"
       val upd = s"($det <> 0 AND isfinite($aN) AND isfinite($bN))"
+      // residual against Platt's Bayes-corrected targets (tc.tplus /
+      // tc.tminus), matching the driver loop verbatim
+      val resid = s"(CAST(n AS DOUBLE) * $p - (CAST(k AS DOUBLE) * tc.tplus" +
+        s" + (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * tc.tminus))"
       s"""mo$it AS (
          |  SELECT
          |    ${f6s(s"CAST(n AS DOUBLE) * $p * (1.0 - $p) * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)")} AS s1,
          |    ${f6s(s"CAST(n AS DOUBLE) * $p * (1.0 - $p) * CAST(m AS DOUBLE)")} AS s2,
          |    ${f6s(s"CAST(n AS DOUBLE) * $p * (1.0 - $p)")} AS s3,
-         |    ${f6s(s"(CAST(n AS DOUBLE) * $p - CAST(k AS DOUBLE)) * CAST(m AS DOUBLE)")} AS g1,
-         |    ${f6s(s"CAST(n AS DOUBLE) * $p - CAST(k AS DOUBLE)")} AS g2
-         |  FROM hist CROSS JOIN $prev
+         |    ${f6s(s"$resid * CAST(m AS DOUBLE)")} AS g1,
+         |    ${f6s(resid)} AS g2
+         |  FROM hist CROSS JOIN $prev CROSS JOIN tc
          |), pr$it AS (
          |  SELECT
          |    CASE WHEN $upd THEN $aN ELSE $prev.a END AS a,
@@ -128,7 +150,21 @@ object Calibration {
     val pFinal = pSql(s"pr$iters.a", s"pr$iters.b")
     s"""WITH hist AS (
        |$histSql
-       |), pr0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b),
+       |), tots AS (
+       |  SELECT CAST(sum(k) AS DOUBLE) AS npos,
+       |    CAST(sum(n - k) AS DOUBLE) AS nneg FROM hist
+       |), tc AS (
+       |  SELECT (npos + CAST(1 AS DOUBLE)) / (npos + CAST(2 AS DOUBLE))
+       |      AS tplus,
+       |    CAST(1 AS DOUBLE) / (nneg + CAST(2 AS DOUBLE)) AS tminus,
+       |    npos, nneg
+       |  FROM tots
+       |), pr0 AS (
+       |  SELECT CAST(0 AS DOUBLE) AS a,
+       |    ${q6s("ln((nneg + CAST(1 AS DOUBLE)) / (npos + CAST(1 AS DOUBLE)))")}
+       |      AS b
+       |  FROM tots
+       |),
        |$iterCtes
        |SELECT hist.m, hist.n, hist.k, $pFinal AS p_cal,
        |  pr$iters.a AS a, pr$iters.b AS b

@@ -21,16 +21,24 @@ object Graph {
     * over an UNDIRECTED edge list (one row per edge; every node must
     * appear in ≥1 edge).
     *
-    * Arithmetic is FIXED-POINT in integer micros (rank 1.0 ≡ 1 000 000;
-    * contributions are `rank div deg`, damping is `(85·Σ) div 100`) —
-    * the same discipline as the fixed-point LSH projections: every step
-    * is integer math, so the iterate is bit-identical across partition
-    * counts, engines, and AQE re-plans with no dependence on any
-    * double→decimal rounding convention. Each floor division drops
-    * < 1e-6 of a node's mass per round — quantization, not error, and
-    * reproduced exactly by the oracle. Long headroom: a node's damped
-    * in-sum is ≤ 85·(total mass) ≈ 8.5e7·N, safe through N ≈ 1e11
-    * nodes; beyond that, shrink the micros scale.
+    * Arithmetic is FIXED-POINT in integer micros (rank 1.0 ≡ 1 000 000)
+    * with a ×1000 guard scale on the per-edge division: contributions
+    * are `(rank·1000) div deg`, folded back by `div 1000` after the
+    * in-sum, damping is `(85·Σ) div 100` — the same discipline as the
+    * fixed-point LSH projections: every step is integer math, so the
+    * iterate is bit-identical across partition counts, engines, and AQE
+    * re-plans with no dependence on any double→decimal rounding
+    * convention. Floor-division loss, stated honestly: each edge's
+    * quotient floors away < 1e-3 micro (so a source loses < deg/1000
+    * micros of distributed mass per round), and the per-node fold-back
+    * floors < 1 micro — a plain `rank div deg` instead loses up to
+    * `deg` micros per source per round and ZEROES every node whose
+    * rank-in-micros is below its degree (a 2M-degree hub with rank
+    * 1.0 would vanish from the recurrence entirely; with the guard
+    * scale the cliff moves to rank < deg/1000, i.e. hubs beyond 1e9
+    * edges). Long headroom: rank·1000 and the per-dst in-sum stay
+    * < 2^63 while total mass·1000 does — safe through N ≈ 9e9 unit-mass
+    * nodes; beyond that, shrink the guard scale.
     *
     * Scale shape: the degree-annotated edge table is materialized ONCE,
     * hash-partitioned by `dst` (persisted here; a bucketed table on a
@@ -71,7 +79,8 @@ object Graph {
       ranks = ew.alias("e")
         .join(broadcast(ranks.alias("r")), col("e.src") === col("r.node"))
         .groupBy(col("e.dst"))
-        .agg(expr(s"$telMicros + ($dampPct * sum(rank div deg)) div 100")
+        .agg(expr(s"$telMicros + " +
+            s"($dampPct * (sum((rank * 1000) div deg) div 1000)) div 100")
           .as("rank"))
         .select(col("dst").as("node"), col("rank"))
     }
@@ -89,8 +98,9 @@ object Graph {
     def round(i: Int): String =
       s"""r$i AS (
          |  SELECT e.dst AS node,
-         |    CAST(150000 + (85 * sum(r.rank // e.deg)) // 100 AS BIGINT)
-         |      AS rank
+         |    CAST(150000 +
+         |      (85 * (sum((r.rank * 1000) // e.deg) // 1000)) // 100
+         |      AS BIGINT) AS rank
          |  FROM ew e JOIN r${i - 1} r ON e.src = r.node
          |  GROUP BY e.dst)""".stripMargin
     s"""WITH edges AS ($edgesCte),

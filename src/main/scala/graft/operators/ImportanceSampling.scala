@@ -10,9 +10,11 @@ import graft.functions.{ExactNum, PortableHash, TextFunctions}
   * hashed-bigram bag is under a TARGET distribution than under the raw
   * corpus distribution, then keep the top fraction.
   *
-  *  - features: token bigrams hashed into `buckets` buckets with the
-  *    engine-portable [[PortableHash.hash60]] (DSIR's hashed n-gram
-  *    generative model);
+  *  - features: token UNIGRAMS AND BIGRAMS hashed into `buckets`
+  *    buckets with the engine-portable [[PortableHash.hash60]] — the
+  *    paper's hashed n-gram feature space is both orders, not bigrams
+  *    alone (a target domain distinguished mainly by unigram vocabulary
+  *    would otherwise be invisible to the weights);
   *  - model: Laplace-smoothed unigram-over-buckets,
   *    p[b] = (count_b + 1) / (N + buckets), fit once on the target rows
   *    and once on the whole corpus;
@@ -48,13 +50,16 @@ object ImportanceSampling {
     val toks = docs.select(col(idCol).as("doc"), col(groupCol).as("grp"),
         isTarget.as("is_tgt"),
         TextFunctions.tokens(col(textCol)).as("_toks"))
-    // bigram = Dedup.shingleArray(_, 2) — the repo's one n-gram
-    // definition. The gram subtree is NARROW (no exchange for
+    // features = unigrams (the tokens verbatim) ∪ bigrams
+    // (Dedup.shingleArray(_, 2), the repo's one n-gram definition —
+    // space-joined, so a unigram can never collide with a bigram
+    // string). The gram subtree is NARROW (no exchange for
     // ReuseExchange to dedup) and feeds three aggregations, so it is
     // persisted EAGERLY — without it each consumer re-runs the
     // regex+md5 pass over the corpus (the ngramJaccardPairs hazard).
     val grams = toks.select(col("doc"), col("grp"), col("is_tgt"),
-        explode(Dedup.shingleArray(col("_toks"), 2)).as("g"))
+        explode(concat(col("_toks"),
+          Dedup.shingleArray(col("_toks"), 2))).as("g"))
       .withColumn("b", PortableHash.hash60(col("g")) % buckets)
       .select(col("doc"), col("is_tgt"), col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -204,7 +204,21 @@ object ProductQuantization {
     * query probes its `nprobe` nearest cells and ADC-scores ONLY their
     * members — the candidate set is nprobe/coarseK of the corpus, the
     * IVF pruning contract, and every pruned pair still scores through
-    * the broadcast LUT without reshipping vectors. */
+    * the broadcast LUT without reshipping vectors.
+    *
+    * DEVIATION FROM THE CITATION, stated: Jégou/Douze/Schmid 2011's
+    * IVFADC product-quantizes the RESIDUAL y − q_coarse(y) (one PQ
+    * codebook over the much smaller residual ball, with the ADC table
+    * rebuilt from each query's per-cell residual); this implementation
+    * quantizes the RAW vectors with a single corpus-wide codebook —
+    * the simpler "IVF + PQ-on-raw" variant. The pruning contract, plan
+    * shape, and durability story are identical; the difference is
+    * per-subspace quantization error (larger here at equal (m, ks),
+    * since one codebook must span the whole space). sim20's recall@k
+    * evaluation and VectorIndex.health's recall gate measure exactly
+    * that gap against exact ground truth, so the accuracy cost is
+    * OBSERVED per corpus, not assumed. Residual encoding is the known
+    * upgrade path: encode/LUT change, everything else stays. */
   def ivfPqTopK(vecs: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, dims: Int, m: Int, ks: Int, iters: Int,
                 coarseK: Int, coarseIters: Int, nprobe: Int,

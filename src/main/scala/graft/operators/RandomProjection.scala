@@ -27,14 +27,20 @@ object RandomProjection {
     if ((graft.functions.PortableHash.hash60Java(
       s"jl:$j:$i".getBytes("UTF-8")) & 1L) == 0L) 1.0 else -1.0
 
-  /** Project `vecCol` (array<float/double>, length d) to m dims y0..y{m-1}. */
+  /** Project `vecCol` (array<float/double>, length d) to m dims
+    * y0..y{m-1}, scaled by 1/√m — the normalization the JL guarantee is
+    * stated for (E‖y_a − y_b‖² = ‖x_a − x_b‖²; without it projected
+    * squared distances inflate by a factor of m and any absolute
+    * distance threshold calibrated in the original space is wrong).
+    * Both engines derive the factor as sqrt of the same exact integer
+    * (IEEE-correctly-rounded in each), so outputs stay bit-identical. */
   def project(df: DataFrame, idCol: String, vecCol: String,
               d: Int, m: Int): DataFrame = {
     val projCols: Seq[Column] = (0 until m).map { j =>
       val signs = array((0 until d).map(i => lit(sign(j, i))): _*)
-      aggregate(
+      (aggregate(
         zip_with(col(vecCol), signs, (x, sg) => x.cast("double") * sg),
-        lit(0.0), (acc, v) => acc + v).as(s"y$j")
+        lit(0.0), (acc, v) => acc + v) / sqrt(lit(m.toDouble))).as(s"y$j")
     }
     df.select(col(idCol) +: projCols: _*)
   }
@@ -47,7 +53,7 @@ object RandomProjection {
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
          |    list_transform(generate_series(1, $d),
          |      i -> CAST(embedding[i] AS DOUBLE) * ([$lits])[i])),
-         |    (acc, x) -> acc + x) AS y$j""".stripMargin
+         |    (acc, x) -> acc + x) / sqrt(CAST($m AS DOUBLE)) AS y$j""".stripMargin
     }
     s"SELECT vec_id,\n  ${cols.mkString(",\n  ")}\nFROM embeddings"
   }

@@ -157,10 +157,25 @@ object Similarity {
       .select(col("vec_id"), col("bench_id"), col("cos_sim"))
   }
 
-  /** Deterministic ±1 hyperplane sign for (plane, dim): LCG parity. */
-  private def planeSign(p: Int, dims: Int): Column =
-    when(((lit(p.toLong * dims) + col("dim")) * 48271L % 2147483647L) % 2L === 0L,
-      lit(1.0)).otherwise(lit(-1.0))
+  /** Deterministic ±1 hyperplane sign for (plane, dim): parity of the
+    * portable 60-bit hash of "plane:p:d" — the RandomProjection.sign
+    * discipline. The previous LCG-parity derivation was DEGENERATE: for
+    * s = p·dims+d < 44486 the multiply never wraps the 2^31−1 modulus,
+    * so parity((p·dims+d)·48271) = parity(p·dims+d), and with an even
+    * `dims` that is parity(d) — every "plane" was the SAME alternating
+    * hyperplane, collapsing all LSH signatures into two buckets (and
+    * both the DuckDB and streaming twins mirrored the identical
+    * arithmetic, so every parity check passed on the degenerate
+    * family). hash60's avalanche makes the planes actually independent,
+    * which is what Charikar 2002 requires. */
+  def planeSignJava(p: Int, d: Int): Double =
+    if ((graft.functions.PortableHash.hash60Java(
+      s"plane:$p:$d".getBytes("UTF-8")) & 1L) == 0L) 1.0 else -1.0
+
+  /** The plane's full ±1 sign vector as a literal array (indexed by the
+    * exploded `dim` column in [[signatures]]). */
+  private def planeSigns(p: Int, dims: Int): Column =
+    array((0 until dims).map(d => lit(planeSignJava(p, d))): _*)
 
   /** Per-id (norm, LSH signature) in ONE codegen hash-agg pass over the
     * exploded (id, dim, x) view: `planes` fixed-point projection sums +
@@ -178,7 +193,8 @@ object Similarity {
       .select(col("id"), col("dim").cast("long").as("dim"),
         col("xf").cast("double").as("x"))
     val projAggs = (0 until planes).map(p =>
-      sum(term(col("x") * planeSign(p, dims))).as(s"pr$p"))
+      sum(term(col("x") * element_at(planeSigns(p, dims),
+        (col("dim") + 1).cast("int")))).as(s"pr$p"))
     val normAgg = sum(term(col("x") * col("x"))).as("n2")
     val aggs = projAggs :+ normAgg
     ex.groupBy(col("id"))

@@ -987,12 +987,18 @@ object PipelineQueries extends QueryPack {
          |), gb AS (
          |  -- g is materialized a level below: hash60Sql's fold binds a
          |  -- lambda variable i, which would capture the unnest column i
-         |  -- inside t[i] and hash 15 corrupted bigrams per row
+         |  -- inside t[i] and hash corrupted grams per row. Features are
+         |  -- unigrams UNION ALL bigrams (the DSIR paper's space).
          |  SELECT doc, grp, is_tgt, ${hash60Sql("g")} % $B AS b
-         |  FROM (SELECT doc, grp, is_tgt, t[i] || ' ' || t[i+1] AS g
+         |  FROM (SELECT doc, grp, is_tgt, t[i] AS g
+         |        FROM (SELECT doc, grp, is_tgt, t,
+         |                unnest(generate_series(1, len(t))) AS i
+         |              FROM toks) y1
+         |        UNION ALL
+         |        SELECT doc, grp, is_tgt, t[i] || ' ' || t[i+1] AS g
          |        FROM (SELECT doc, grp, is_tgt, t,
          |                unnest(generate_series(1, len(t) - 1)) AS i
-         |              FROM toks) y) x
+         |              FROM toks) y2) x
          |), docb AS (
          |  SELECT doc, b, count(*) AS c FROM gb GROUP BY doc, b
          |), tmodel AS (
@@ -1016,8 +1022,10 @@ object PipelineQueries extends QueryPack {
          |  -- coalesce mirrors the Spark side's zero-fill: a NULL text
          |  -- row must profile as 0 grams, not NULL (greatest propagates
          |  -- NULL and would hard-fail the exact-column compare)
+         |  -- unigrams + bigrams: len + max(len-1, 0) grams per doc
          |  SELECT doc, grp,
-         |    greatest(coalesce(CAST(len(t) AS BIGINT), 0) - 1, 0)
+         |    coalesce(CAST(len(t) AS BIGINT), 0)
+         |      + greatest(coalesce(CAST(len(t) AS BIGINT), 0) - 1, 0)
          |      AS n_grams
          |  FROM toks
          |), ranked AS (

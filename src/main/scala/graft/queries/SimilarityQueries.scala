@@ -481,18 +481,23 @@ object SimilarityQueries extends QueryPack {
 
   /** sim5's DuckDB twin, mirroring Similarity.annLsh(planes=48, bands=4,
     * τ=0.35, dims=64, targetBucketSize=8, maxBucket=1024) stage by stage:
-    * same LCG plane signs, same fixed-point floor sums (integer addition
-    * ⇒ partitioning-invariant), same corpus-size-derived band width
+    * same hash60-parity plane signs (interpolated here as literal ±1
+    * list lookups — both engines read the SAME driver-computed table, so
+    * a divergent hash implementation cannot silently split the twins),
+    * same fixed-point floor sums (integer addition ⇒
+    * partitioning-invariant), same corpus-size-derived band width
     * (integer-only: smallest b ≤ 12 with count ≤ 8·2^b — so the oracle
     * tracks the operator across ALL scale factors), same per-bucket
-    * membership cap via row_number, same sequential-fold cosine. CASE
-    * outputs are CAST to DOUBLE (DuckDB decimal-literal trap). */
+    * membership cap via row_number, same sequential-fold cosine. */
   private def sim5Sql: String = {
     val planes = 48; val dims = 64
     val projAggs = (0 until planes).map { p =>
-      val pd = p.toLong * dims
-      s"CAST(sum(CAST(floor((x * (CASE WHEN ((($pd + dim) * 48271) % 2147483647) % 2 = 0 " +
-        s"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)) * 1e12) AS BIGINT)) AS BIGINT) AS pr$p"
+      val signList = (0 until dims)
+        .map(d => Similarity.planeSignJava(p, d) match {
+          case 1.0 => "1.0"; case _ => "-1.0"
+        }).mkString("[", ", ", "]")
+      s"CAST(sum(CAST(floor((x * CAST(($signList)[CAST(dim AS INT) + 1] AS DOUBLE)) " +
+        s"* 1e12) AS BIGINT)) AS BIGINT) AS pr$p"
     }.mkString(",\n    ")
     val sigExpr = (0 until planes)
       .map(p => s"CASE WHEN pr$p >= 0 THEN (CAST(1 AS BIGINT) << $p) " +

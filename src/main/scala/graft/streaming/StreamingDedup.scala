@@ -338,12 +338,11 @@ object StreamingDedup {
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         // the sign table depends only on (planes, dims): build it ONCE per
-        // partition, not 1536 modular ops per row. Same deterministic LCG
-        // family as Similarity.planeSign, so batch and stream bucket
-        // comparably.
+        // partition, not 1536 hash calls per row. Same deterministic
+        // hash60-parity family as Similarity.planeSignJava, so batch and
+        // stream bucket identically.
         val signs = Array.tabulate(planes, dims) { (p, d) =>
-          if (((p.toLong * dims + d) * 48271L % 2147483647L) % 2L == 0L) 1.0
-          else -1.0
+          graft.operators.Similarity.planeSignJava(p, d)
         }
         it.flatMap { case (id, v) =>
           val bits = Array.tabulate(planes) { p =>

@@ -339,11 +339,13 @@ class SimilaritySpec extends AnyFunSuite {
     val orig = base.map { case (i, v) => i -> v.map(_.toDouble).toArray }.toMap
     def d2(a: Array[Double], b: Array[Double]) =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    // independent ±1 signs ⇒ E[‖Pa−Pb‖²] = m·‖a−b‖², so ‖Pa−Pb‖²/m is
-    // an unbiased estimator with per-pair variance ~2/m; the MEAN
-    // distortion over ~200 pairs concentrates near 1
+    // project() scales by 1/√m, so E[‖Pa−Pb‖²] = ‖a−b‖² DIRECTLY — the
+    // distance-preservation contract the JL guarantee states (no
+    // caller-side rescaling; an absolute threshold calibrated in the
+    // original space carries over unchanged). Per-pair variance ~2/m;
+    // the MEAN distortion over ~200 pairs concentrates near 1.
     val ratios = for (i <- 0L until 20L; j <- (i + 1) until 20L) yield
-      d2(proj(i), proj(j)) / m / d2(orig(i), orig(j))
+      d2(proj(i), proj(j)) / d2(orig(i), orig(j))
     val mean = ratios.sum / ratios.size
     assert(mean > 0.75 && mean < 1.25, s"mean JL distortion $mean")
     // every single pair stays within a loose constant-factor band (at
