@@ -64,6 +64,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(win.exists(t => t._3.isNaN), "fixture must exercise the NaN path")
   }
 
+  test("LSH hyperplane family is non-degenerate: planes are pairwise " +
+      "distinct and no plane is constant or another's negation") {
+    // Regression guard for the r9 claims-audit find: the old LCG-parity
+    // sign was parity(p·dims+d) for every reachable seed, so with an
+    // even dims EVERY plane was the same alternating vector and all
+    // signatures collapsed into two buckets — while batch, streaming,
+    // and the DuckDB twin all agreed (the oracle is blind to a bug both
+    // twins share). This pins the family's actual randomness per
+    // (planes, dims) configuration used by sim5 and the streaming twin.
+    // configs actually shipped (sim5/streaming: dims=64; spec fixtures:
+    // dims=16 with 16 planes). dims=16 with MANY planes is excluded by
+    // design: 48 draws from the 2^16 sign space have a ~2 % birthday
+    // collision chance — a random-family property, not degeneracy (the
+    // bug this guards against was ALL planes identical, not two).
+    for ((dims, planes) <- Seq((16, 16), (64, 16), (64, 48))) {
+      val tbl = Array.tabulate(planes, dims)((p, d) =>
+        Similarity.planeSignJava(p, d))
+      val rows = tbl.map(_.toSeq)
+      assert(rows.distinct.size == planes,
+        s"duplicate hyperplanes at dims=$dims planes=$planes")
+      assert(rows.map(_.map(-_)).toSet.intersect(rows.toSet).isEmpty,
+        s"negated-duplicate hyperplanes at dims=$dims planes=$planes")
+      rows.zipWithIndex.foreach { case (r, p) =>
+        assert(r.distinct.size == 2,
+          s"plane $p is constant at dims=$dims (signs ${r.distinct})")
+      }
+      // balance sanity: hash parity should not skew a plane heavily
+      rows.foreach { r =>
+        val pos = r.count(_ > 0)
+        assert(pos >= dims / 5 && pos <= dims - dims / 5,
+          s"heavily skewed plane (pos=$pos of $dims)")
+      }
+    }
+  }
+
   test("LSH ANN recalls the planted near-dup pair and verifies with exact cosine") {
     val out = Similarity.annLsh(df, "vec_id", "embedding", dims = dims,
       planes = 16, bands = 8, threshold = 0.9)
