@@ -126,18 +126,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       (30L, "s1", false, offText),
       (31L, "s1", false, offText),
       (32L, "s1", false, offText),
-      (40L, "s1", false, "solo")) // 1 token → 0 grams
+      (40L, "s1", false, ""),     // 0 tokens → truly gramless
+      (41L, "s1", false, "solo")) // 1 token → exactly ONE unigram gram
       .toDF("doc_id", "src", "tgt", "text")
     val out = ImportanceSampling.dsirSelect(docs, "doc_id", "text", "src",
         col("tgt"), buckets = 256, keepFraction = 0.5)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_grams"), r.getAs[Double]("weight"),
           r.getAs[Boolean]("selected")))).toMap
-    assert(out.size == 7)
+    assert(out.size == 8)
+    // features are unigrams ∪ bigrams (the DSIR paper's space): a
+    // single-token doc is scored from its one unigram, not dropped
+    assert(out(41L)._1 == 1L, s"unigram feature missing: ${out(41L)}")
     // the off-target raw doc scores strictly below the target-like one
     assert(out(20L)._2 > out(30L)._2,
       s"target-like ${out(20L)._2} must outrank off-target ${out(30L)._2}")
-    // top-50% of 7 docs = ceil(3.5) = 4: the three target-like + one more
+    // top-50% of 8 docs = 4 slots: the three target-like + one more
     assert(out(20L)._3, "target-like raw doc must be selected")
     assert(out(10L)._3 && out(11L)._3, "target docs themselves rank top")
     assert(!out(30L)._3 || !out(31L)._3 || !out(32L)._3,
