@@ -22,8 +22,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (relative path, length, mtime) under the fixture dir into a 64-bit
   *    FNV-1a hash, recomputed on EVERY lookup (one FS listing — trivial
   *    next to any query it fronts). Regenerating a fixture changes the
-  *    fingerprint, which changes the path, so staleness is structurally
-  *    impossible rather than assumed away.
+  *    fingerprint, which changes the path — staleness detection is
+  *    structural AT (path, size, mtime) GRANULARITY: a regeneration
+  *    that byte-rewrites files while preserving all three (cp -p of
+  *    same-size content, a same-millisecond rewrite) is invisible to
+  *    the key, the same boundary every mtime-based build cache accepts.
   *
   * Write protocol (same shape as [[graft.operators.VectorIndex.compact]]
   * and a Spark FileOutputCommitter v1 job commit): build fully into a
@@ -76,17 +79,24 @@ object FixtureCache {
         !base.endsWith(".crc")
     val nioOk = qual.toUri.getScheme == "file" && (try {
       val root = java.nio.file.Paths.get(qual.toUri.getPath).normalize()
-      val it = java.nio.file.Files.walk(root).iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        if (java.nio.file.Files.isRegularFile(f) &&
-            keep(f.getFileName.toString)) {
-          val rel = "/" + root.relativize(f).toString
-            .replace(java.io.File.separatorChar, '/')
-          entries += s"$rel|${java.nio.file.Files.size(f)}|" +
-            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+      // the walk stream holds open directory descriptors — close it on
+      // EVERY exit, including the exception fallback below (fingerprint
+      // runs per lookup, so a repeatedly-failing walk would otherwise
+      // accumulate fds for the life of the JVM)
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        val it = walk.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (java.nio.file.Files.isRegularFile(f) &&
+              keep(f.getFileName.toString)) {
+            val rel = "/" + root.relativize(f).toString
+              .replace(java.io.File.separatorChar, '/')
+            entries += s"$rel|${java.nio.file.Files.size(f)}|" +
+              s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+          }
         }
-      }
+      } finally walk.close()
       true
     } catch { case _: Exception => entries.clear(); false })
     if (!nioOk) {

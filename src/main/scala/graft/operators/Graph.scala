@@ -45,16 +45,24 @@ object Graph {
     * cluster) — so the per-round `groupBy(dst)` aggregate needs NO
     * exchange at all: the cached partitioning already satisfies it. The
     * rank table (|nodes| rows, ≪ |edges|) is broadcast into the join
-    * each round, making a full iteration zero-shuffle at this scale; on
-    * a cluster where ranks outgrow a broadcast, the same loop runs with
-    * ranks bucketed by `node` against `ew` bucketed by `src` — only the
-    * small rank side moves per round, never the edges. Iterations are
-    * FIXED, not run-to-convergence: the plan depth and job count are
-    * known up front, and a fixed-power iterate is exactly reproducible
-    * by the oracle.
+    * each round while it fits (`broadcastNodeLimit`), making a full
+    * iteration zero-shuffle at this scale. PAST the gate — a node set
+    * too large to broadcast, the 10⁹-node web-graph regime — the SAME
+    * integer recurrence runs co-partitioned: a second persisted copy of
+    * the edge table hash-partitioned by `src` joins sort-merge against
+    * ranks exchanged on `node` (node-sized — the only thing that moves
+    * into the join), and the contribution aggregate flows back to `dst`
+    * partitioning with map-side partial aggregation bounding the
+    * exchange at distinct-dst-per-partition. Both regimes iterate
+    * bit-identically (the arithmetic is all integer — GraphSpec pins
+    * gate-on ≡ gate-off row-for-row). Iterations are FIXED, not
+    * run-to-convergence: the plan depth and job count are known up
+    * front, and a fixed-power iterate is exactly reproducible by the
+    * oracle.
     */
   def pagerank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
-               teleport: Double = 0.15): DataFrame = {
+               teleport: Double = 0.15,
+               broadcastNodeLimit: Long = 50000000L): DataFrame = {
     val dampPct = math.round(damping * 100)
     val telMicros = math.round(teleport * 1e6)
     val und = edges.select(col("src"), col("dst"))
@@ -74,10 +82,32 @@ object Graph {
       .repartition(shufflePartitions, col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ew.count() // eager: five rounds read this, never the join lineage
+    val nNodes = deg.count() // deg is cached — one node-sized job
+    val bigGraph = nNodes > broadcastNodeLimit
+    // the src-partitioned edge copy exists only in the big regime: the
+    // per-round join consumes its cached hash partitioning, so only the
+    // rank side exchanges into the join
+    val ewSrc = if (!bigGraph) null
+      else {
+        val df = ew.repartition(shufflePartitions, col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      }
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
     (1 to iters).foreach { _ =>
-      ranks = ew.alias("e")
-        .join(broadcast(ranks.alias("r")), col("e.src") === col("r.node"))
+      val joined =
+        if (!bigGraph)
+          ew.alias("e")
+            .join(broadcast(ranks.alias("r")),
+              col("e.src") === col("r.node"))
+        else
+          // merge hint: Catalyst must not silently re-broadcast a rank
+          // table the gate just declared un-broadcastable
+          ewSrc.alias("e")
+            .join(ranks.alias("r").hint("merge"),
+              col("e.src") === col("r.node"))
+      ranks = joined
         .groupBy(col("e.dst"))
         .agg(expr(s"$telMicros + " +
             s"($dampPct * (sum((rank * 1000) div deg) div 1000)) div 100")

@@ -30,10 +30,12 @@ import graft.functions.{ExactNum, PortableHash}
   *    arrays (DuckDB list_reduce twin), min(struct(score, code)) argmin
   *    with smaller-code tiebreak; codeword update = per-(sub, code, dim)
   *    decimal-exact mean; FIXED iteration count;
-  *  - ADC: lut(q, sub, code) = q_s·q_s − 2·q_s·c + ‖c‖² (per-row IEEE);
-  *    the m per-subspace hits pivot into m conditional-MAX aggs and sum
-  *    in a fixed d0+d1+… expression order — deterministic pure-double
-  *    codegen, no BigDecimal on the hottest agg.
+  *  - ADC: lut(q, sub, code) = q_s·q_s − 2·q_s·c + ‖c‖² (per-row IEEE;
+  *    in the IVF path q is the query's RESIDUAL against each probed
+  *    cell, so the LUT is (query, label)-keyed); the m per-subspace
+  *    hits pivot into m conditional-MAX aggs and sum in a fixed
+  *    d0+d1+… expression order — deterministic pure-double codegen, no
+  *    BigDecimal on the hottest agg.
   *
   * Scale shape: codebooks are m·ks·subDim doubles — driver round-trip +
   * broadcast per iteration (the Lloyd's loop discipline); training
@@ -140,6 +142,117 @@ object ProductQuantization {
     assign(subvectors(vecs, idCol, vecCol, model.m, model.subDim, "_vid"),
       model)
 
+  /** IVFADC residual table (Jégou 2011 §IV.A): each vector minus its
+    * assigned coarse centroid — (_vid, label, rvec). `members` is the
+    * (_vid, label) nearest-cell assignment (computed once by the caller,
+    * who usually also needs it for the candidate lists); `centArr` the
+    * [[Similarity.centroidArrays]] shape. The subtraction is the per-
+    * element `CAST(x AS DOUBLE) − c` both engines evaluate identically;
+    * the residual ball is much smaller than the raw space, so a single
+    * corpus-wide codebook over residuals quantizes far tighter than one
+    * over raw vectors at equal (m, ks). */
+  def residualsFor(vecs: DataFrame, idCol: String, vecCol: String,
+                   members: DataFrame, centArr: DataFrame): DataFrame =
+    vecs.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .join(members, "_vid")
+      .join(broadcast(centArr.select(col("label"), col("c_arr"))), "label")
+      .select(col("_vid"), col("label"),
+        zip_with(col("_v"), col("c_arr"),
+          (x, c) => x.cast("double") - c).as("rvec"))
+
+  /** Query-side residuals, one per PROBED cell: (query_id, label, rvec)
+    * for every (query, probed label) pair — the IVFADC query shape where
+    * the ADC table is rebuilt from the query's residual against EACH
+    * visited cell's centroid. */
+  def queryResiduals(queries: DataFrame, idCol: String, vecCol: String,
+                     probes: DataFrame, centArr: DataFrame): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("_v"))
+      .join(probes, "query_id")
+      .join(broadcast(centArr.select(col("label"), col("c_arr"))), "label")
+      .select(col("query_id"), col("label"),
+        zip_with(col("_v"), col("c_arr"),
+          (x, c) => x.cast("double") - c).as("rvec"))
+
+  /** ADC lookup table over query RESIDUALS — [[adcLut]] keyed by
+    * (query_id, label, sub, code): Q·nprobe·m·ks rows, still
+    * broadcast-sized. */
+  def adcLutResidual(queryRes: DataFrame, model: PqModel): DataFrame =
+    queryRes.select(col("query_id"), col("label"),
+        explode(sequence(lit(0), lit(model.m - 1))).as("subi"),
+        col("rvec").as("_v"))
+      .select(col("query_id"), col("label"),
+        col("subi").cast("long").as("sub"),
+        slice(col("_v"), col("subi") * model.subDim + 1,
+          lit(model.subDim)).as("sv"))
+      .join(broadcast(cbDf(model)), "sub")
+      .withColumn("qq", Similarity.dotSeqHof(col("sv"), col("sv")))
+      .withColumn("qc", Similarity.dotSeqHof(col("sv"), col("c_arr")))
+      .select(col("query_id"), col("label"), col("sub"), col("code"),
+        (col("qq") - lit(2.0) * col("qc") + col("c2")).as("d"))
+
+  /** Pivot the (_vid, sub, code) encoding into one row per vector:
+    * (_vid, codes: array of length m, sub-ordered) — the contiguous
+    * m-codes-per-vector layout a real PQ index stores. One N·m → N
+    * aggregate at build/encode time buys the query path a join with NO
+    * per-subspace row explosion. */
+  def pivotCodes(codes: DataFrame, m: Int): DataFrame = {
+    val aggs = (0 until m).map(s =>
+      max(when(col("sub") === s, col("code"))).as(s"_c$s"))
+    codes.groupBy(col("_vid")).agg(aggs.head, aggs.tail: _*)
+      .select(col("_vid"),
+        array((0 until m).map(s => col(s"_c$s")): _*).as("codes"))
+  }
+
+  /** LUT key packing for [[lutMaps]]: sub·2^20 + code (collision-free
+    * for any realistic ks; PQ codebooks are 8-bit in practice). */
+  private val LutKeyStride = 1 << 20
+
+  /** Fold the (query_id, label, sub, code, d) LUT rows into one
+    * broadcastable map per (query, probed cell): the scoring join
+    * carries Q·nprobe map rows of m·ks doubles each instead of keying
+    * every (sub, code) pair — the element_at lookups replace both the
+    * 8× row explosion and the pivot re-shuffle of the first residual
+    * cut (which moved Q·cand·m rows through a hash aggregate). */
+  def lutMaps(lut: DataFrame): DataFrame =
+    lut.groupBy(col("query_id"), col("label"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * LutKeyStride + col("code")).cast("int").as("k"),
+        col("d").as("v")))).as("dmap"))
+
+  /** [[adcRank]] for the residual path, in the no-explosion shape:
+    * `members` (_vid, label) joins the pivoted codes on _vid (N-row
+    * shuffle), fans out by the broadcast `probes` (query_id, label) —
+    * each member meets only queries probing ITS cell, the IVF pruning
+    * contract — and scores via m fixed-order map lookups against the
+    * broadcast per-(query, cell) LUT. A member scores against the LUT
+    * of the cell it lives in, which is the cell whose centroid its
+    * codes are residual to. The summed lookup order (sub 0..m−1) is
+    * the pivot form's d0+d1+… order, so distances are bit-identical. */
+  private[operators] def adcRankCells(codesPiv: DataFrame, lutMap: DataFrame,
+                                      m: Int, k: Int, members: DataFrame,
+                                      probes: DataFrame): DataFrame = {
+    // the explicit spread between the N-row (member ⋈ codes) join and
+    // the Q-fanout matters: AQE coalesces the tiny join output to ONE
+    // partition, and the Q·N/nprobe-row fanout + m map lookups would
+    // fuse into that single task (measured: the whole ADC stage on one
+    // core). A user-specified round-robin exchange is never coalesced.
+    val scored = graft.core.Tables.spread(members.join(codesPiv, "_vid"))
+      .join(broadcast(probes), "label")
+      .join(broadcast(lutMap), Seq("query_id", "label"))
+      .filter(col("_vid") =!= col("query_id"))
+      .withColumn("adc_dist", (0 until m).map(s =>
+        element_at(col("dmap"),
+          (lit(s.toLong * LutKeyStride) +
+            element_at(col("codes"), s + 1)).cast("int")))
+        .reduce(_ + _))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("_vid").asc)
+    scored.withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("_vid").as("neighbor_id"),
+        col("adc_dist"), col("rank"))
+  }
+
   /** ADC lookup table: exact subspace distance from each query
     * subvector to each codeword — (query_id, sub, code, d),
     * Q·m·ks rows, broadcast at the scoring join. */
@@ -152,17 +265,13 @@ object ProductQuantization {
       .select(col("query_id"), col("sub"), col("code"),
         (col("qq") - lit(2.0) * col("qc") + col("c2")).as("d"))
 
-  /** Pivoted ADC scoring + per-query top-k. `candidates` (query_id,
-    * _vid) restricts scoring to a pruned pair set (the IVF path);
-    * None scores the full corpus per query (the flat-PQ linear scan). */
+  /** Pivoted ADC scoring + per-query top-k over the FULL corpus — the
+    * flat-PQ linear scan in compressed space. (The IVF path's pruned
+    * variant is [[adcRankCells]], whose LUT and candidates carry the
+    * probed cell.) */
   private[operators] def adcRank(codes: DataFrame, lut: DataFrame,
-                                 m: Int, k: Int,
-                                 candidates: Option[DataFrame]): DataFrame = {
-    val joined = candidates match {
-      case Some(cand) => codes.join(cand, "_vid")
-        .join(broadcast(lut), Seq("query_id", "sub", "code"))
-      case None => codes.join(broadcast(lut), Seq("sub", "code"))
-    }
+                                 m: Int, k: Int): DataFrame = {
+    val joined = codes.join(broadcast(lut), Seq("sub", "code"))
     val pivots = (0 until m).map(s =>
       max(when(col("sub") === s, col("d"))).as(s"d$s"))
     val scored = joined
@@ -197,28 +306,36 @@ object ProductQuantization {
                       vecCol: String, model: PqModel, m: Int,
                       k: Int): DataFrame =
     adcRank(encode(vecs, idCol, vecCol, model),
-      adcLut(queries, idCol, vecCol, model), m, k, None)
+      adcLut(queries, idCol, vecCol, model), m, k)
 
-  /** IVF-PQ: the composed index. Corpus membership = nearest learned
-    * coarse centroid (full-dim, [[Similarity.kmeansCentroids]]); each
+  /** Train the PQ codebooks over the RESIDUALS of `vecs` against a
+    * coarse quantizer — the IVFADC training stage. Seed ids are the
+    * same hash-sampled ids [[train]] would pick (the id set is
+    * unchanged); the seed VECTORS are their residuals. */
+  def trainResidual(vecs: DataFrame, idCol: String, vecCol: String,
+                    centArr: DataFrame, dims: Int, m: Int, ks: Int,
+                    iters: Int): PqModel = {
+    val members = Similarity.assignToCentroidArrays(vecs, idCol, vecCol,
+      centArr)
+    train(residualsFor(vecs, idCol, vecCol, members, centArr),
+      "_vid", "rvec", dims, m, ks, iters)
+  }
+
+  /** IVF-PQ: the composed index, with IVFADC residual encoding
+    * (Jégou/Douze/Schmid 2011 §IV.A). Corpus membership = nearest
+    * learned coarse centroid (full-dim, [[Similarity.kmeansCentroids]]);
+    * every vector is PQ-encoded as the residual y − c(y) against its
+    * cell's centroid (one corpus-wide codebook over the residual ball —
+    * far tighter than raw-vector codewords at equal (m, ks)); each
     * query probes its `nprobe` nearest cells and ADC-scores ONLY their
-    * members — the candidate set is nprobe/coarseK of the corpus, the
-    * IVF pruning contract, and every pruned pair still scores through
-    * the broadcast LUT without reshipping vectors.
-    *
-    * DEVIATION FROM THE CITATION, stated: Jégou/Douze/Schmid 2011's
-    * IVFADC product-quantizes the RESIDUAL y − q_coarse(y) (one PQ
-    * codebook over the much smaller residual ball, with the ADC table
-    * rebuilt from each query's per-cell residual); this implementation
-    * quantizes the RAW vectors with a single corpus-wide codebook —
-    * the simpler "IVF + PQ-on-raw" variant. The pruning contract, plan
-    * shape, and durability story are identical; the difference is
-    * per-subspace quantization error (larger here at equal (m, ks),
-    * since one codebook must span the whole space). sim20's recall@k
-    * evaluation and VectorIndex.health's recall gate measure exactly
-    * that gap against exact ground truth, so the accuracy cost is
-    * OBSERVED per corpus, not assumed. Residual encoding is the known
-    * upgrade path: encode/LUT change, everything else stays. */
+    * members, through a LUT rebuilt from the query's residual against
+    * EACH probed centroid — (query, label)-keyed, still Q·nprobe·m·ks
+    * broadcast-sized. The candidate set is nprobe/coarseK of the
+    * corpus, the IVF pruning contract, and every pruned pair still
+    * scores through the broadcast LUT without reshipping vectors.
+    * sim20's recall@k evaluation and VectorIndex.health's recall gate
+    * measure the remaining quantization error against exact ground
+    * truth per corpus. */
   def ivfPqTopK(vecs: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, dims: Int, m: Int, ks: Int, iters: Int,
                 coarseK: Int, coarseIters: Int, nprobe: Int,
@@ -228,11 +345,14 @@ object ProductQuantization {
       Similarity.kmeansCentroids(vecs, idCol, vecCol, coarseK,
         coarseIters))
     ivfPqTopKWith(vecs, queries, idCol, vecCol,
-      train(vecs, idCol, vecCol, dims, m, ks, iters), centArr, m,
-      nprobe, k)
+      trainResidual(vecs, idCol, vecCol, centArr, dims, m, ks, iters),
+      centArr, m, nprobe, k)
   }
 
-  /** [[ivfPqTopK]] with a pre-trained PQ model + coarse quantizer. */
+  /** [[ivfPqTopK]] with a pre-trained RESIDUAL PQ model + coarse
+    * quantizer (the model must come from [[trainResidual]] against the
+    * same `centArr` — raw-trained codebooks would decode against the
+    * wrong ball). */
   def ivfPqTopKWith(vecs: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, model: PqModel, centArr: DataFrame,
                     m: Int, nprobe: Int, k: Int): DataFrame = {
@@ -244,9 +364,12 @@ object ProductQuantization {
     // probes (Q·nprobe rows) broadcast against the N-row membership —
     // the member side is the one that scales, it must never reshuffle
     // on an 8-value key
-    val cand = members.join(broadcast(probes), "label")
-      .select(col("query_id"), col("_vid"))
-    adcRank(encode(vecs, idCol, vecCol, model),
-      adcLut(queries, idCol, vecCol, model), m, k, Some(cand))
+    adcRankCells(
+      pivotCodes(
+        encode(residualsFor(vecs, idCol, vecCol, members, centArr),
+          "_vid", "rvec", model), m),
+      lutMaps(adcLutResidual(
+        queryResiduals(queries, idCol, vecCol, probes, centArr), model)),
+      m, k, members, probes)
   }
 }

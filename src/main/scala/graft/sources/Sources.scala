@@ -13,18 +13,56 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
+  /** The exact option map [[kafkaStream]] hands the Spark Kafka source,
+    * as a pure value so SourcesContractSpec can pin it against the
+    * reference consumer config (StreamJob.java:36-51) without a broker.
+    *
+    * ENV-BLOCKED, stated: the build sandbox has neither a Kafka broker
+    * nor the spark-sql-kafka connector jar (so even `load()` would fail
+    * on source resolution) — this map IS the testable surface here; the
+    * readStream wiring below is byte-for-byte the standard connector
+    * recipe and is exercised the first time a deployment runs against a
+    * real broker.
+    *
+    * Mapping decisions vs the reference, pinned in the spec:
+    *  - `bootstrap.servers` rides Spark's `kafka.`-prefixed passthrough;
+    *  - topic subscribe + `startingOffsets=latest` ≡
+    *    `setStartFromLatest()` (StreamJob.java:56);
+    *  - Flink's `group.id=flink-group` has NO analog on purpose: Spark
+    *    structured streaming tracks offsets in the CHECKPOINT, assigns a
+    *    unique consumer group per query, and documents that two queries
+    *    must not share `kafka.group.id` — the reference's two consumers
+    *    (S1/S2) map to two kafkaStream calls with two checkpoints. */
+  def kafkaConsumerOptions(bootstrap: String,
+                           topic: String = "remittance-stream",
+                           startingOffsets: String = "latest")
+      : Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets)
+
   /** S1/S2 — Kafka source (StreamJob.java:36-51). Each call is an
     * independent reader with its own offsets, mirroring the reference's two
-    * consumers on one topic. */
+    * consumers on one topic. The `value.cast(string)` projection is
+    * SimpleStringSchema (StreamJob.java:42). */
   def kafkaStream(spark: SparkSession, bootstrap: String,
                   topic: String = "remittance-stream",
                   startingOffsets: String = "latest"): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
+      .options(kafkaConsumerOptions(bootstrap, topic, startingOffsets))
       .load()
       .select(col("value").cast("string").as("value"))
+
+  /** [[kafkaSink]]'s option map, pure for the same contract-pinning
+    * reason as [[kafkaConsumerOptions]] (producer config:
+    * KafkaProducerConfig.java:19-31, send: RemittanceGenerator.java:60-61). */
+  def kafkaProducerOptions(bootstrap: String,
+                           topic: String = "remittance-stream",
+                           checkpoint: String = "/tmp/graft-ckpt-kafka")
+      : Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "topic" -> topic,
+    "checkpointLocation" -> checkpoint)
 
   /** K3 — Kafka sink (producer side, RemittanceGenerator.java:60-61). */
   def kafkaSink(df: DataFrame, bootstrap: String,
@@ -32,9 +70,7 @@ object Sources {
                 checkpoint: String = "/tmp/graft-ckpt-kafka",
                 trigger: Trigger = DefaultTrigger): DataStreamWriter[_] =
     df.writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+      .options(kafkaProducerOptions(bootstrap, topic, checkpoint))
       .trigger(trigger)
 
   /** Bounded-ingest file source: stream a directory of files with

@@ -177,4 +177,23 @@ class GraphSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(run(1) === run(7))
   }
+
+  test("pagerank: broadcast gate OFF (co-partitioned sort-merge rounds) " +
+      "iterates bit-identically to the broadcast path") {
+    // a less symmetric graph than the star so a regime divergence can't
+    // hide behind structural symmetry; broadcastNodeLimit = 0 forces
+    // EVERY round through the cluster path (src-partitioned edge copy,
+    // ranks exchanged on node, merge join) — the integer recurrence
+    // must not care which plan executes it
+    val base = edgeDf((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (5L, 1L), (2L, 5L))
+      .select(col("s1").as("src"), col("s2").as("dst"))
+    def run(limit: Long) =
+      Graph.pagerank(base, iters = 4, broadcastNodeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gateOn = run(50000000L)
+    val gateOff = run(0L)
+    assert(gateOn === gateOff)
+    assert(gateOn.size == 5)
+  }
 }

@@ -305,6 +305,65 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("IVFADC residual codes quantize tighter than raw codes on " +
+      "clustered data (Jégou 2011 §IV.A) — pruning eliminated, so the " +
+      "gap is pure code quality") {
+    import graft.operators.ProductQuantization
+    // three well-separated gaussian clusters: a RAW codebook must spend
+    // its 4 codewords per subspace spanning all three cluster centers,
+    // while the RESIDUAL codebook only has to cover the within-cluster
+    // spread — the paper's core argument for encoding y − c(y)
+    val rndC = new scala.util.Random(23)
+    val centersC = Seq(
+      Seq.tabulate(dims)(d => if (d < 5) 20.0 else 0.0),
+      Seq.tabulate(dims)(d => if (d >= 5 && d < 10) 20.0 else 0.0),
+      Seq.tabulate(dims)(d => if (d >= 10) 20.0 else 0.0))
+    val pts = (0 until 90).map { i =>
+      (i.toLong,
+        centersC(i % 3).map(x => (x + rndC.nextGaussian()).toFloat))
+    }
+    val cdf = pts.toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val queries = cdf.filter($"vec_id" < 9)
+    val k = 5
+    // exact L2 truth, driver-side (the fixture is tiny)
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val byId = pts.toMap
+    val truth = (0L until 9L).map { q =>
+      q -> pts.filter(_._1 != q)
+        .map { case (id, v) => (l2(byId(q), v), id) }
+        .sorted.take(k).map(_._2).toSet
+    }.toMap
+    def recall(out: Array[(Long, Long)]): Double = {
+      val by = out.groupBy(_._1).map { case (q, rs) =>
+        q -> rs.map(_._2).toSet }
+      (0L until 9L).map(q =>
+        truth(q).intersect(by.getOrElse(q, Set.empty)).size.toDouble / k)
+        .sum / 9.0
+    }
+    val (m, ks) = (4, 4)
+    val rawModel = ProductQuantization.train(cdf, "vec_id", "embedding",
+      dims, m, ks, iters = 2)
+    val rawOut = ProductQuantization.pqTopKWithModel(cdf, queries,
+        "vec_id", "embedding", rawModel, m, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val centArr = Similarity.centroidArrays(
+      Similarity.kmeansCentroids(cdf, "vec_id", "embedding", 3, 3))
+    val resModel = ProductQuantization.trainResidual(cdf, "vec_id",
+      "embedding", centArr, dims, m, ks, iters = 2)
+    // nprobe = coarseK probes EVERY cell: flat raw ADC vs full-coverage
+    // residual ADC differ only in what the codes quantize
+    val resOut = ProductQuantization.ivfPqTopKWith(cdf, queries,
+        "vec_id", "embedding", resModel, centArr, m, nprobe = 3, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (rRaw, rRes) = (recall(rawOut), recall(resOut))
+    info(f"recall@5 on the clustered fixture: raw=$rRaw%.3f residual=$rRes%.3f")
+    assert(rRes > rRaw,
+      f"residual recall@5 $rRes%.3f must beat raw $rRaw%.3f")
+  }
+
   test("semDedup drops the planted semantic dup, keeps the cluster's first doc") {
     // three geometric clusters; doc 63 is a near-copy of doc 0 (same
     // cluster, cosine ≈ 1) — SemDeDup must drop 63 (the larger id), keep

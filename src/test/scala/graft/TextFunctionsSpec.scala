@@ -228,6 +228,58 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fb == Map(8L -> "unknown", 9L -> "unknown", 10L -> "unknown"))
   }
 
+  test("multimodal: TIFF real-world shapes — JPEG-in-TIFF (tag 259≠1, " +
+      "dims in the compressed stream) degrades to the fallback row, " +
+      "never garbage; a strip-offset ARRAY entry (273, count>1) cannot " +
+      "corrupt the walk") {
+    // hand-built little-endian TIFFs: header 'II' 42, IFD0 at 8
+    def le16(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def le32(b: Array[Byte], o: Int, v: Long): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte
+      b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def header(b: Array[Byte]): Unit = {
+      b(0) = 'I'; b(1) = 'I'; le16(b, 2, 42); le32(b, 4, 8L)
+    }
+    def entry(b: Array[Byte], o: Int, tag: Int, typ: Int, count: Long,
+              value: Long): Unit = {
+      le16(b, o, tag); le16(b, o + 2, typ); le32(b, o + 4, count)
+      le32(b, o + 8, value)
+    }
+    // old-JPEG TIFF: ONLY Compression=6 — width/height live inside the
+    // embedded JPEG stream, which a metadata walker must not invent
+    val jpegInTiff = new Array[Byte](26)
+    header(jpegInTiff)
+    le16(jpegInTiff, 8, 1)
+    entry(jpegInTiff, 10, 259, 3, 1L, 6L)
+    le32(jpegInTiff, 22, 0L)
+    // striped TIFF: valid dims plus a StripOffsets (273) LONG array of
+    // 4 — count·size > 4 means the value field is an OFFSET; an
+    // implementation that misreads array entries as data, or follows
+    // them into the walk, would corrupt width/height
+    val striped = new Array[Byte](80)
+    header(striped)
+    le16(striped, 8, 4)
+    entry(striped, 10, 256, 3, 1L, 320L)
+    entry(striped, 22, 257, 3, 1L, 240L)
+    entry(striped, 34, 258, 3, 1L, 8L)
+    entry(striped, 46, 273, 4, 4L, 64L)
+    le32(striped, 58, 0L)
+    (0 until 4).foreach(i => le32(striped, 64 + i * 4, 1000L + i))
+    val out = Multimodal.decodeTiffMetaOp(spark,
+        Seq((20L, jpegInTiff), (21L, striped))
+          .toDF("doc_id", "payload"), "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(20L).format == "unknown",
+      s"JPEG-in-TIFF without dim tags must fall back, got ${out(20L)}")
+    assert(out(21L).format == "tiff" && out(21L).width == 320L &&
+      out(21L).height == 240L && out(21L).bits_per_sample == 8,
+      s"strip-offset array must not corrupt dims: ${out(21L)}")
+  }
+
   test("multimodal: frameSample keeps every Nth frame with indices") {
     val frames = (0 until 10).map(i => Array[Byte](i.toByte)).toSeq
     val df = Seq((7L, frames)).toDF("vid_id", "frames")

@@ -38,18 +38,26 @@ class VectorIndexSpec extends AnyFunSuite {
       VectorIndex.appendBatch(spark, root, newVecs, "vec_id", "embedding")
       val all = oldVecs.union(newVecs)
       val queries = all.filter($"vec_id" % 5 === 1)
+      // k=8: this adversarial pseudo-random fixture quantizes to a
+      // 4-way ADC tie around old 16's exact duplicate (ks=4 codewords
+      // per 2-dim subspace collapse many members to shared codes), and
+      // the deterministic id tie-break ranks 101 fourth — the
+      // equivalence AND find-ability asserts both need the cut wider
+      // than the tie group
       val fromIndex = VectorIndex.query(spark, root, queries, "vec_id",
-          "embedding", nprobe = 2, k = 3)
+          "embedding", nprobe = 2, k = 8)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           r.getLong(3))).toSet
       // from scratch, with models trained on the SAME historical slice
-      // the index froze — the incremental path must agree bit-for-bit
-      val model = ProductQuantization.train(oldVecs, "vec_id", "embedding",
-        Dims, m = 4, ks = 4, iters = 2)
+      // the index froze (coarse cells, then the RESIDUAL codebook
+      // against them — IVFADC) — the incremental path must agree
+      // bit-for-bit
       val centArr = Similarity.centroidArrays(
         Similarity.kmeansCentroids(oldVecs, "vec_id", "embedding", 2, 2))
+      val model = ProductQuantization.trainResidual(oldVecs, "vec_id",
+        "embedding", centArr, Dims, m = 4, ks = 4, iters = 2)
       val scratch = ProductQuantization.ivfPqTopKWith(all, queries,
-          "vec_id", "embedding", model, centArr, m = 4, nprobe = 2, k = 3)
+          "vec_id", "embedding", model, centArr, m = 4, nprobe = 2, k = 8)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           r.getLong(3))).toSet
       assert(fromIndex == scratch)
@@ -90,11 +98,21 @@ class VectorIndexSpec extends AnyFunSuite {
       val batch2 = Seq((201L, vec(16L))).toDF("vec_id", "embedding")
       VectorIndex.appendBatch(spark, root, batch2, "vec_id", "embedding")
       val hits = VectorIndex.query(spark, root, batch2, "vec_id",
-          "embedding", nprobe = 2, k = 3)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
-      // identical vector ⇒ ADC distance ties at the minimum; 101 must be
-      // among the top-k neighbors of 201
-      assert(hits.exists(t => t._1 == 201L && t._2 == 101L), s"${hits.toSeq}")
+          "embedding", nprobe = 2, k = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // batch-1's 101 is find-able by batch 2 — and the STRUCTURAL
+      // residual-encoding guarantee holds: 101 and old 16 are the same
+      // point, so they share a cell, share codes, and their ADC
+      // distances to 201 tie EXACTLY (k=6 is wide enough that the
+      // adversarial pseudo-random fixture's quantization noise — this
+      // is PQ's worst case, ks=4 over structureless vectors — cannot
+      // push the tied pair out of the cut)
+      val d101 = hits.collectFirst { case (201L, 101L, d) => d }
+      val d16 = hits.collectFirst { case (201L, 16L, d) => d }
+      assert(d101.nonEmpty, s"${hits.toSeq}")
+      assert(d16.nonEmpty, s"${hits.toSeq}")
+      assert(d101 == d16,
+        s"identical vectors must tie exactly: $d101 vs $d16")
     }
   }
 
@@ -114,10 +132,10 @@ class VectorIndexSpec extends AnyFunSuite {
       assert(afterDelete.contains(16L), s"$afterDelete")
       // equivalence still holds vs from-scratch over the LIVE corpus
       val live = oldVecs.union(newVecs).filter($"vec_id" =!= 101L)
-      val model = ProductQuantization.train(oldVecs, "vec_id", "embedding",
-        Dims, m = 4, ks = 4, iters = 2)
       val centArr = Similarity.centroidArrays(
         Similarity.kmeansCentroids(oldVecs, "vec_id", "embedding", 2, 2))
+      val model = ProductQuantization.trainResidual(oldVecs, "vec_id",
+        "embedding", centArr, Dims, m = 4, ks = 4, iters = 2)
       val scratch = ProductQuantization.ivfPqTopKWith(live, probe,
           "vec_id", "embedding", model, centArr, m = 4, nprobe = 2, k = 5)
         .collect().map(_.getLong(1)).toSet
@@ -176,7 +194,8 @@ class VectorIndexSpec extends AnyFunSuite {
       val n = rebuilt.count()
       assert(spark.read.parquet(s"$root/vectors").count() == n)
       assert(spark.read.parquet(s"$root/cells").count() == n)
-      assert(spark.read.parquet(s"$root/codes").count() == n * 4)
+      // pivoted layout: one codes row per vector, m codes inside it
+      assert(spark.read.parquet(s"$root/codes").count() == n)
       assert(spark.read.parquet(s"$root/vectors")
         .groupBy(col("_vid")).count().filter(col("count") > 1).count() == 0,
         "a rebuilt root must hold each id exactly once")
