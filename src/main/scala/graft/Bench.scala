@@ -116,12 +116,17 @@ object Bench {
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve(s"BENCH_FULL-$sfLabel.json"),
         fullLine.getBytes("UTF-8"))
-      // Commit-suffixed history copy: a later degraded capture must never
-      // clobber the only clean record of a round (ADVICE r6).
+      // Commit+time-suffixed history copy: a later degraded capture must
+      // never clobber the only clean record of a round (ADVICE r6), and
+      // REPEAT captures at one commit must all survive — the round-10
+      // capture discipline reads the MEDIAN of ≥3 same-commit runs
+      // (tools/bench_median.py), because a single capture carries ±12%
+      // load noise (the r9 docs-only-commit episode).
       val hist = dir.resolve("history")
       java.nio.file.Files.createDirectories(hist)
       java.nio.file.Files.write(
-        hist.resolve(s"BENCH_FULL-$sfLabel-$commit.json"),
+        hist.resolve(s"BENCH_FULL-$sfLabel-$commit-" +
+          s"${System.currentTimeMillis() / 1000}.json"),
         fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // ONE compact JSON line on stdout: must fit the driver's bounded tail
