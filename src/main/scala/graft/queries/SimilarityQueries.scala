@@ -456,8 +456,13 @@ object SimilarityQueries extends QueryPack {
     // treeAggregate outer-product accumulation (see
     // Similarity.covarianceMatrix's scale note). DECIMAL(38,12) folds →
     // one shared double AST per cell ⇒ full hash oracle.
+    // spread first: the d²/2 in-row pair expansion (~2080 structs per
+    // vector) and the decimal folds otherwise fuse into the single-task
+    // parquet scan stage (the Tables.spread trap — measured as the
+    // round-10 sanity bench's #1 key at 4.4 s on one core)
     "sim13_covariance" -> ((s, dir) =>
-      Similarity.covarianceMatrix(emb(s, dir), "embedding")),
+      Similarity.covarianceMatrix(
+        graft.core.Tables.spread(emb(s, dir)), "embedding")),
 
     // per-dimension z-standardization (whitening-lite before metric ops):
     // stats agg + broadcast-back — the corpus never shuffles. Full hash
