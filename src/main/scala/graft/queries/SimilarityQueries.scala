@@ -79,6 +79,24 @@ object SimilarityQueries extends QueryPack {
       graft.operators.ProductQuantization.modelFromDF(
         s.read.parquet(gen)))
 
+  /** sim22's durable SCALE-CORRECT index: the whole corpus built into a
+    * VectorIndex with coarseK = max(4, round(√N)) cells (dd5's
+    * derivation; Jégou 2011 uses k' ≈ √n, the FAISS guideline is
+    * 4√N–16√N). Assignment/encode are BUILD work here — the deployment
+    * truth the in-query variant (sim11's shape at derived k) hides: a
+    * first cut ran nearest-cell assignment of the full corpus inside
+    * the timed region and measured 2.9 s at sf0.1, all of it index
+    * construction. */
+  private def vectorIndexScaledDir(s: SparkSession, dir: String): String =
+    graft.core.FixtureCache.dirFor(s, dir, "vidxs1") { p =>
+      val e = emb(s, dir)
+      val ck = dd5K(s, dir)
+      graft.operators.VectorIndex.build(e, "vec_id", "embedding", p,
+        dims = 64, m = 8, ks = 8, iters = 2, coarseK = ck,
+        coarseIters = 2)
+      ()
+    }
+
   /** The sim18 fixture split: vectors with vec_id ≡ 0 (mod 4) are the
     * "new batch" appended to the durable index; the rest are the
     * historical corpus both models are trained on (dd4's split shape). */
@@ -110,6 +128,7 @@ object SimilarityQueries extends QueryPack {
     sharedPqModel(s, dir, 64, 8, 8, 2)
     sharedResPqModel(s, dir, 64, 8, 8, 2, 8, 2)
     vectorIndexDir(s, dir)
+    vectorIndexScaledDir(s, dir)
     ()
   }
 
@@ -264,6 +283,23 @@ object SimilarityQueries extends QueryPack {
         sharedResPqModel(s, dir, 64, 8, 8, 2, 8, 2),
         Similarity.centroidArrays(sharedKmeans(s, dir, 8, 2)),
         m = 8, nprobe = 2, k = 5)
+    }),
+
+    // IVFADC at the SCALE-CORRECT cell count: the durable index built
+    // with coarseK = max(4, round(√N)) cells — sim11/sim18 pin
+    // coarseK=8 for the fixture contract, where nprobe/coarseK prunes
+    // only 4× and a bounded-query brute scan stays competitive
+    // (measured, see sim14's note); HERE candidates per query are
+    // N·nprobe/√N, so the pruning ratio IMPROVES as the corpus grows —
+    // the property that makes IVF the billion-scale layout. Served
+    // from parquet like sim18 (assignment/encode are BUILD work); the
+    // twin re-derives the whole chain from scratch with the identical
+    // derived k — the index ≡ from-scratch oracle.
+    "sim22_ivfadc_scaled" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.VectorIndex.query(s, vectorIndexScaledDir(s, dir),
+        emb(s, dir).filter($"vec_id" < 40), "vec_id", "embedding",
+        nprobe = 2, k = 5)
     }),
 
     // Durable IVF-PQ index, served from parquet (VectorIndex — the dd4
@@ -840,6 +876,7 @@ object SimilarityQueries extends QueryPack {
     "sim16_kmeans_inertia" -> sim16Sql(8, 2),
     "sim10_pq_adc" -> sim10Sql(8, 8, 8, 2, 5),
     "sim11_ivfpq" -> sim11Sql(8, 2, 2, 8, 8, 8, 2, 5),
+    "sim22_ivfadc_scaled" -> sim22Sql(2, 2, 8, 8, 8, 2, 5),
     "sim18_ivfpq_index" -> sim18Sql(8, 2, 2, 8, 8, 8, 2, 5),
     "sim19_scalar_quantize" ->
       graft.operators.ScalarQuantization.int8StatsSql,
@@ -1040,7 +1077,17 @@ object SimilarityQueries extends QueryPack {
   private def sim11Sql(coarseK: Int, coarseIters: Int, nprobe: Int,
                        m: Int, subDim: Int, ks: Int, iters: Int,
                        k: Int): String =
-    ivfPqSql(coarseK, coarseIters, nprobe, m, subDim, ks, iters, k)
+    ivfPqSql(coarseK.toString, coarseIters, nprobe, m, subDim, ks, iters, k)
+
+  /** sim22's twin: the sim11 IVFADC chain with the coarse cell count
+    * DERIVED from the corpus (k = max(4, round(√N)), dd5's derivation —
+    * the cell count that keeps IVF pruning real at any corpus size). */
+  private def sim22Sql(coarseIters: Int, nprobe: Int, m: Int, subDim: Int,
+                       ks: Int, iters: Int, k: Int): String =
+    ivfPqSql("(SELECT kk FROM params)", coarseIters, nprobe, m, subDim,
+      ks, iters, k,
+      prelude = "params AS (SELECT greatest(4, CAST(round(sqrt(count(*)))" +
+        " AS BIGINT)) AS kk FROM embeddings), ")
 
   /** sim18's twin = the sim11 chain with BOTH trainings restricted to
     * the historical slice (`oldv`) while membership assignment,
@@ -1050,7 +1097,7 @@ object SimilarityQueries extends QueryPack {
                        m: Int, subDim: Int, ks: Int, iters: Int,
                        k: Int,
                        queryWhere: String = "p._vid < 40"): String =
-    ivfPqSql(coarseK, coarseIters, nprobe, m, subDim, ks, iters, k,
+    ivfPqSql(coarseK.toString, coarseIters, nprobe, m, subDim, ks, iters, k,
       prelude = "oldv AS (SELECT * FROM embeddings " +
         "WHERE vec_id % 4 <> 0), ",
       trainSrc = "oldv", queryWhere = queryWhere)
@@ -1134,13 +1181,13 @@ object SimilarityQueries extends QueryPack {
        |)""".stripMargin
   }
 
-  private def ivfPqSql(coarseK: Int, coarseIters: Int, nprobe: Int,
+  private def ivfPqSql(coarseKExpr: String, coarseIters: Int, nprobe: Int,
                        m: Int, subDim: Int, ks: Int, iters: Int,
                        k: Int, prelude: String = "",
                        trainSrc: String = "embeddings",
                        queryWhere: String = "p._vid < 40"): String = {
     val dims = m * subDim
-    s"""WITH $prelude${kmeansCtes(coarseK.toString, coarseIters, trainSrc)},
+    s"""WITH $prelude${kmeansCtes(coarseKExpr, coarseIters, trainSrc)},
        |icarr AS (
        |  SELECT label, list(centroid ORDER BY dim) AS c_arr
        |  FROM cent$coarseIters GROUP BY label

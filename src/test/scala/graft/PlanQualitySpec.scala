@@ -32,6 +32,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "dd5_semdedup",         // same assignment engine as sim9
     "sim11_ivfpq",          // same: coarse-cell assignment vs the
                             // broadcast coarseK-row centroid table
+    "sim22_ivfadc_scaled",  // same probe assignment, √N-row broadcast
+                            // centroid table (still KB-scale: k·dims
+                            // doubles grows as √corpus)
     "sim18_ivfpq_index",    // same probe assignment against the
                             // broadcast centroid arrays read from the
                             // durable index (corpus side is index scans
