@@ -519,34 +519,46 @@ object Dedup {
     *
     * Output: (doc_a, doc_b, gap, common, n_a, n_b, jaccard), doc_a
     * earlier in sort order, gap = seq distance, jaccard ≥ `threshold`. */
-  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
-                              textCol: String, window: Int = 4,
-                              keyLen: Int = 24,
-                              threshold: Double = 0.5): DataFrame = {
-    val spark = docs.sparkSession
+  /** Global sequence number in (sk, doc) sort order WITHOUT a
+    * single-partition sort: `repartitionByRange` gives contiguous key
+    * ranges, `row_number` ranks within each range, and per-range
+    * offsets (one count per partition, collected to the driver —
+    * bounded by the partition count, never the data) lift the ranks to
+    * a global sequence. Invariant to where the range sampler draws
+    * boundaries: (sk, doc) is a total order, so the global rank is
+    * unique. Input must carry (doc, sk); output adds `seq` and is
+    * persisted (both the count pass and the caller's joins read it). */
+  private def withGlobalSeq(keyed: DataFrame): DataFrame = {
+    val spark = keyed.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
-    val nt = TextFunctions.normalizeText(col(textCol))
-    val keyed = docs.select(col(idCol).as("doc"),
-        substring(nt, 1, keyLen).as("sk"),
-        array_distinct(array_remove(split(nt, " "), "")).as("toks"))
-      .filter(size(col("toks")) > 0)
     val ranged = keyed.repartitionByRange(nPart, col("sk"), col("doc"))
       .withColumn("_pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val rn = row_number().over(org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid")).orderBy(col("sk"), col("doc")))
-    // one row per partition; the collect is bounded by the partition
-    // count (the documented driver-side exception class, cf. Tables.spread)
     val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offs = counts.map { case (p, c) => val o = (p, acc); acc += c; o }
     import spark.implicits._
     val offDf = offs.toSeq.toDF("_pid", "_off")
-    val seqd = ranged.withColumn("_rn", rn)
+    ranged.withColumn("_rn", rn)
       .join(broadcast(offDf), "_pid")
-      .select(col("doc"), col("toks"),
-        (col("_off") + col("_rn")).as("seq"))
+      .withColumn("seq", col("_off") + col("_rn"))
+      .drop("_pid", "_rn", "_off")
+  }
+
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              textCol: String, window: Int = 4,
+                              keyLen: Int = 24,
+                              threshold: Double = 0.5): DataFrame = {
+    val nt = TextFunctions.normalizeText(col(textCol))
+    val keyed = docs.select(col(idCol).as("doc"),
+        substring(nt, 1, keyLen).as("sk"),
+        array_distinct(array_remove(split(nt, " "), "")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val seqd = withGlobalSeq(keyed).select(col("doc"), col("toks"),
+      col("seq"))
     val probes = seqd.select(col("doc").as("doc_a"),
       col("toks").as("toks_a"), col("seq").as("seq_a"),
       explode(sequence(col("seq") + 1, col("seq") + window)).as("seq"))
@@ -561,6 +573,62 @@ object Dedup {
       .withColumn("jaccard", col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Edit-distance verified near-dup pairs — the character-level dedup
+    * family (the RETSim/ReLiK-style verification metric next to the
+    * token-set Jaccard of [[sortedNeighborhoodPairs]]): candidates come
+    * from the same sorted-neighborhood blocking (O(N·window) pairs by
+    * construction), and each pair is verified by EXACT Levenshtein
+    * distance over the normalized text truncated to `maxLen` chars —
+    * the truncation bounds the per-pair DP at O(maxLen²) regardless of
+    * document length, making total work O(N·window·maxLen²), every
+    * knob explicit. Catches the near-dup class token-set Jaccard is
+    * blind to: character-level edits inside tokens (OCR noise, typo
+    * farms, template fills), where token sets diverge but the edit
+    * distance stays small.
+    *
+    * Determinism/oracle: Spark's `levenshtein` and DuckDB's
+    * `levenshtein` are the identical unit-cost DP (no transposition) on
+    * the identical normalized strings; distance and lengths are
+    * integers and `sim = 1 − dist/max(len)` is one IEEE division —
+    * fully hash-oracle-able.
+    *
+    * Output: (doc_a, doc_b, gap, dist, len_a, len_b, sim), doc_a
+    * earlier in sort order, kept when dist ≤ `maxDist`. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        window: Int = 4, keyLen: Int = 24,
+                        maxLen: Int = 128, maxDist: Int = 32): DataFrame = {
+    val nt = TextFunctions.normalizeText(col(textCol))
+    val keyed = docs.select(col(idCol).as("doc"),
+        substring(nt, 1, keyLen).as("sk"),
+        substring(nt, 1, maxLen).as("nt"))
+      .filter(length(col("nt")) > 0)
+    val seqd = withGlobalSeq(keyed).select(col("doc"), col("nt"),
+      col("seq"))
+    val nPart = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // the O(maxLen²) DP runs INSIDE the join stage (the dist ≤ maxDist
+    // predicate is pushed below any later exchange), so the join stage
+    // itself must be wide: USER-specified hash repartitions on the join
+    // key — which AQE never coalesces and the join consumes directly —
+    // keep it at nPart tasks (a post-join spread measured 2.9 s of DP
+    // on ONE task at sf0.1: AQE had coalesced the small candidate
+    // shuffle and the pushed-down filter dragged levenshtein with it)
+    val probes = seqd.select(col("doc").as("doc_a"),
+        col("nt").as("nt_a"), col("seq").as("seq_a"),
+        explode(sequence(col("seq") + 1, col("seq") + window)).as("seq"))
+      .repartition(nPart, col("seq"))
+    probes.join(seqd.select(col("doc").as("doc_b"),
+        col("nt").as("nt_b"), col("seq"))
+        .repartition(nPart, col("seq")), "seq")
+      .select(col("doc_a"), col("doc_b"),
+        (col("seq") - col("seq_a")).cast("long").as("gap"),
+        levenshtein(col("nt_a"), col("nt_b")).cast("long").as("dist"),
+        length(col("nt_a")).cast("long").as("len_a"),
+        length(col("nt_b")).cast("long").as("len_b"))
+      .withColumn("sim", lit(1.0) - col("dist").cast("double") /
+        greatest(col("len_a"), col("len_b")).cast("double"))
+      .filter(col("dist") <= maxDist)
   }
 
   /** Repeated-span (exact-substring) duplication profile — the n-gram

@@ -258,6 +258,18 @@ object TextQueries extends QueryPack {
       Dedup.sortedNeighborhoodPairs(docs(s, dir), "doc_id", "text",
         window = 4, keyLen = 24, threshold = 0.5)),
 
+    // edit-distance verified near-dup pairs (the character-level dedup
+    // family): dd7's sorted-neighborhood blocking, but each candidate
+    // pair verified by EXACT Levenshtein over the normalized text
+    // truncated to 128 chars — O(N·window·maxLen²) total, every knob
+    // explicit. Catches OCR-noise/typo-farm/template-fill near-dups
+    // whose token SETS diverge while the character edit distance stays
+    // small. Spark and DuckDB levenshtein are the identical unit-cost
+    // DP ⇒ full hash oracle.
+    "dd11_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(docs(s, dir), "doc_id", "text",
+        window = 4, keyLen = 24, maxLen = 128, maxDist = 32)),
+
     // EXACT all-pairs Jaccard join by prefix filtering (PPJoin family) —
     // the fourth dedup family: unlike LSH banding there are NO false
     // negatives, unlike sorted neighborhood no window misses; candidates
@@ -2201,6 +2213,34 @@ object TextQueries extends QueryPack {
          |FROM pairs
          |WHERE CAST(common AS DOUBLE) / CAST(n_a + n_b - common AS DOUBLE)
          |  >= 0.5""".stripMargin
+    },
+    // dd11's twin: dd7's blocking chain with the truncated normalized
+    // text carried instead of token sets, verified by DuckDB's
+    // levenshtein (the identical unit-cost DP Spark runs).
+    "dd11_edit_distance" -> {
+      val nt = graft.functions.TextFunctions.normalizeTextSql("text")
+      s"""WITH keyed AS (
+         |  SELECT doc_id AS doc, substr($nt, 1, 24) AS sk,
+         |    substr($nt, 1, 128) AS nt
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT doc, nt,
+         |    row_number() OVER (ORDER BY sk, doc) AS seq
+         |  FROM keyed WHERE length(nt) > 0
+         |), pairs AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b,
+         |    CAST(b.seq - a.seq AS BIGINT) AS gap,
+         |    CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS dist,
+         |    CAST(length(a.nt) AS BIGINT) AS len_a,
+         |    CAST(length(b.nt) AS BIGINT) AS len_b
+         |  FROM ranked a JOIN ranked b
+         |    ON b.seq > a.seq AND b.seq <= a.seq + 4
+         |)
+         |SELECT doc_a, doc_b, gap, dist, len_a, len_b,
+         |  1.0 - CAST(dist AS DOUBLE)
+         |    / CAST(greatest(len_a, len_b) AS DOUBLE) AS sim
+         |FROM pairs
+         |WHERE dist <= 32""".stripMargin
     },
     // dd10's twin: dd9's exact pair chain + the unordered source
     // attribution.

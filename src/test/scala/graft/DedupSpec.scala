@@ -222,4 +222,47 @@ class DedupSpec extends AnyFunSuite {
     assert(pairsOf(d.repartition(1)) == out)
     assert(pairsOf(d.repartition(13)) == out)
   }
+
+  test("edit-distance pairs: catches in-token character edits that " +
+      "token-set Jaccard is blind to; exact distance; truncation bound") {
+    // 1/2: every token carries a one-character edit (OCR-noise shape) —
+    // token sets are DISJOINT (Jaccard 0) but the edit distance is tiny;
+    // 3 unrelated; 4 exact copy of 1
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha8 bete gamna de1ta epsi1on zeta"),
+      (3L, "completely different words nothing shared here at all"),
+      (4L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(d, "doc_id", "text", window = 3,
+        keyLen = 24, maxLen = 128, maxDist = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist"), r.getAs[Double]("sim"))).toSet
+    // token-set Jaccard on the SAME corpus misses the 1↔2 pair entirely
+    val jac = Dedup.sortedNeighborhoodPairs(d, "doc_id", "text",
+        window = 3, keyLen = 24, threshold = 0.3)
+      .collect().map(r => Set(r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"))).toSet
+    assert(!jac.contains(Set(1L, 2L)),
+      s"fixture broken: token Jaccard should be blind to 1-2, got $jac")
+    // edit distance catches it, with the EXACT hand-countable distance:
+    // normalizeText lowercases; per-token edits vs doc 1 = 1 insert (8)
+    // + 4 substitutions = 5
+    val p12 = out.find(p => Set(p._1, p._2) == Set(1L, 2L))
+    assert(p12.nonEmpty, s"$out")
+    assert(p12.get._3 == 5L, s"exact Levenshtein must be 5: $p12")
+    // exact copy ties at distance 0, sim 1.0
+    val p14 = out.find(p => Set(p._1, p._2) == Set(1L, 4L))
+    assert(p14.nonEmpty && p14.get._3 == 0L && p14.get._4 == 1.0, s"$out")
+    // unrelated doc never passes maxDist
+    assert(!out.exists(p => p._1 == 3L || p._2 == 3L), s"$out")
+    // truncation bound: maxLen=8 compares only the first 8 normalized
+    // chars ("alpha be" vs "alpha8 b") — distance is computed on the
+    // TRUNCATED strings (the documented DP bound), here 2
+    val trunc = Dedup.editDistancePairs(d, "doc_id", "text", window = 3,
+        keyLen = 24, maxLen = 8, maxDist = 10)
+      .collect().map(r => (Set(r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b")), r.getAs[Long]("dist"))).toMap
+    assert(trunc(Set(1L, 2L)) == 2L, s"$trunc")
+  }
 }
