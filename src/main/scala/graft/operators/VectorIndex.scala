@@ -81,6 +81,34 @@ object VectorIndex {
       r.getAs[Int]("coarse_iters"), enc)
   }
 
+  /** JVM-lifetime memo of the FROZEN per-root artifacts (meta, PQ
+    * model, collected centroid rows): every [[query]]/[[health]] call
+    * was paying three separate collect jobs + parquet footer reads for
+    * models the freezing contract declares IMMUTABLE after build —
+    * measured as the bulk of the index query's fixed latency (a ~1.8 s
+    * warm query carried ~19 sub-100 ms jobs and driver gaps, no heavy
+    * stage). [[build]] invalidates its root's entry, so a same-JVM
+    * rebuild (VectorIndexSpec does this) never serves stale models;
+    * appends/deletes/compact don't touch the frozen tables, so they
+    * don't invalidate. */
+  private val frozenMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (VMeta, ProductQuantization.PqModel,
+        Array[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]()
+
+  private def frozen(spark: SparkSession, root: String)
+      : (VMeta, ProductQuantization.PqModel, DataFrame) = {
+    val e = frozenMemo.computeIfAbsent(root, { r =>
+      val meta = readMeta(spark, r)
+      val model = readPqModel(spark, r, meta)
+      val cent = spark.read.parquet(s"$r/centroids")
+      (meta, model, cent.collect(), cent.schema)
+    })
+    (e._1, e._2, Similarity.centroidArrays(
+      spark.createDataFrame(java.util.Arrays.asList(e._3: _*), e._4)))
+  }
+
   /** The freezing contract extended to the CODE SEMANTICS: appends and
     * queries against codes that quantize a different quantity than this
     * version writes would be silently wrong, never slow. */
@@ -142,6 +170,9 @@ object VectorIndex {
     Seq("cells", "codes", "vectors", "tombstones").foreach { t =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true)
     }
+    // a same-JVM rebuild must not serve the PREVIOUS build's memoized
+    // models (the freeze contract is per-build, not per-root-forever)
+    frozenMemo.remove(root)
     Seq((dims, m, ks, iters, coarseK, coarseIters, "residual"))
       .toDF("dims", "m", "ks", "iters", "coarse_k", "coarse_iters", "enc")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
@@ -158,10 +189,8 @@ object VectorIndex {
     * contributes nothing to this plan. */
   def appendBatch(spark: SparkSession, root: String, vecs: DataFrame,
                   idCol: String, vecCol: String): Unit = {
-    val meta = readMeta(spark, root)
+    val (meta, model, centArr) = frozen(spark, root)
     requireResidual(meta, root)
-    val model = readPqModel(spark, root, meta)
-    val centArr = readCentroidArrays(spark, root)
     val members = Similarity.assignToCentroidArrays(vecs, idCol, vecCol,
       centArr)
     // codes quantize the batch's RESIDUALS against the frozen coarse
@@ -192,10 +221,8 @@ object VectorIndex {
             k: Int): DataFrame = {
     require(nprobe >= 1 && k >= 1)
     recoverCompact(spark, root)
-    val meta = readMeta(spark, root)
+    val (meta, model, centArr) = frozen(spark, root)
     requireResidual(meta, root)
-    val model = readPqModel(spark, root, meta)
-    val centArr = readCentroidArrays(spark, root)
     val probes = Similarity.assignToCentroidArrays(queries, idCol, vecCol,
         centArr, nprobe)
       .select(col("_vid").as("query_id"), col("label"))
@@ -269,7 +296,7 @@ object VectorIndex {
   def health(spark: SparkSession, root: String, recallSample: Int = 0,
              recallK: Int = 10, nprobe: Int = 2): DataFrame = {
     recoverCompact(spark, root)
-    val centArr = readCentroidArrays(spark, root)
+    val centArr = frozen(spark, root)._3
     val vecs = masked(spark, root, spark.read.parquet(s"$root/vectors"))
     // membership comes from the STORED cells (what queries actually
     // serve), not a re-assignment — one distance fold per vector

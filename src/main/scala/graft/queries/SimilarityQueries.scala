@@ -87,7 +87,7 @@ object SimilarityQueries extends QueryPack {
     * first cut ran nearest-cell assignment of the full corpus inside
     * the timed region and measured 2.9 s at sf0.1, all of it index
     * construction. */
-  private def vectorIndexScaledDir(s: SparkSession, dir: String): String =
+  private[graft] def vectorIndexScaledDir(s: SparkSession, dir: String): String =
     graft.core.FixtureCache.dirFor(s, dir, "vidxs1") { p =>
       val e = emb(s, dir)
       val ck = dd5K(s, dir)
@@ -545,13 +545,17 @@ object SimilarityQueries extends QueryPack {
     // inverted index WITH its materialized dl/docfreq/avgdl statistics —
     // the r9 capture recomputed those three index aggregates per run,
     // the measured bulk of sim14's latency. The DENSE leg stays the
-    // brute scorer DELIBERATELY: the round-10 attempt to serve it from
-    // the sim18 IVF-PQ index (top-30 ADC + exact re-rank) measured
-    // ~3× SLOWER at fixture scale — coarseK=8 prunes only nprobe/8 =
-    // 4× while the candidate join's per-row cost exceeds the 64-wide
-    // whole-stage-codegen dot fold, so brute wins until the cell count
-    // scales with √N (the sim18 index's fixture contract pins
-    // coarseK=8; the serve-path ANN story lives in sim18/sim20).
+    // brute scorer, a decision made on MEASUREMENTS, twice: (a) served
+    // from the coarseK=8 sim18 index, ~3× slower than brute (nprobe/8
+    // prunes only 4× while the candidate join's per-row cost exceeds
+    // the 64-wide codegen dot fold); (b) served from the √N-cell sim22
+    // index + exact re-rank (the asymptotically right stack), STILL
+    // ~1 s slower at both fixture scales — the index query's fixed job
+    // chain (probes, LUT maps, rerank joins) exceeds what pruning saves
+    // while brute is a single fused codegen scan. The crossover needs
+    // either a larger corpus or a real cluster (where brute's O(Q·N·d)
+    // is a non-starter); sim22 itself carries the serve-path
+    // demonstration at √N cells.
     "sim14_hybrid_rrf" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.TextFunctions
@@ -1083,11 +1087,13 @@ object SimilarityQueries extends QueryPack {
     * DERIVED from the corpus (k = max(4, round(√N)), dd5's derivation —
     * the cell count that keeps IVF pruning real at any corpus size). */
   private def sim22Sql(coarseIters: Int, nprobe: Int, m: Int, subDim: Int,
-                       ks: Int, iters: Int, k: Int): String =
+                       ks: Int, iters: Int, k: Int,
+                       queryWhere: String = "p._vid < 40"): String =
     ivfPqSql("(SELECT kk FROM params)", coarseIters, nprobe, m, subDim,
       ks, iters, k,
       prelude = "params AS (SELECT greatest(4, CAST(round(sqrt(count(*)))" +
-        " AS BIGINT)) AS kk FROM embeddings), ")
+        " AS BIGINT)) AS kk FROM embeddings), ",
+      queryWhere = queryWhere)
 
   /** sim18's twin = the sim11 chain with BOTH trainings restricted to
     * the historical slice (`oldv`) while membership assignment,
