@@ -356,8 +356,14 @@ object ProductQuantization {
   def ivfPqTopKWith(vecs: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, model: PqModel, centArr: DataFrame,
                     m: Int, nprobe: Int, k: Int): DataFrame = {
+    // persisted: the corpus cell assignment feeds BOTH the residual
+    // encode and the candidate lists — unpersisted, the N·coarseK·dims
+    // fold runs twice per execution (measured as the bulk of sim11's
+    // r10 regression at sf1.0); released by the caller's clearCache /
+    // session end (the semDedup membership discipline)
     val members = Similarity.assignToCentroidArrays(vecs, idCol, vecCol,
-      centArr)
+        centArr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = Similarity.assignToCentroidArrays(queries, idCol,
         vecCol, centArr, nprobe)
       .select(col("_vid").as("query_id"), col("label"))
