@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{ExactNum, PortableHash}
+import graft.functions.ExactNum
 
 /** Product quantization for ANN (Jégou, Douze & Schmid 2011, "Product
   * Quantization for Nearest Neighbor Search"): split each vector into
@@ -106,12 +106,9 @@ object ProductQuantization {
     import spark.implicits._
     val subDim = dims / m
     val sub = subvectors(vecs, idCol, vecCol, m, subDim, "_vid")
-    val wSeed = Window.orderBy(
-      PortableHash.hash60(col("_vid").cast("string")), col("_vid"))
-    val seeds = vecs.select(col(idCol).as("_vid"))
-      .withColumn("rn", row_number().over(wSeed))
-      .filter(col("rn") <= ks)
-      .select(col("_vid"), (col("rn") - 1).cast("long").as("code"))
+    // distributed top-k seed pick (Similarity.seedSelect) — the former
+    // global row_number window ranked the whole corpus in one task
+    val seeds = Similarity.seedSelect(vecs, idCol, ks, "code")
     var cb: Seq[(Long, Long, Seq[Double])] = seeds.join(sub, "_vid")
       .select(col("sub"), col("code"),
         transform(col("sv"), x => x.cast("double")).as("c_arr"))

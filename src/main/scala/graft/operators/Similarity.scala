@@ -338,7 +338,7 @@ object Similarity {
     * [[labelCentroids]], so the probe side is interchangeable. */
   def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
-    import graft.functions.{ExactNum, PortableHash}
+    import graft.functions.ExactNum
     require(k >= 1 && iters >= 1)
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -346,12 +346,7 @@ object Similarity {
         posexplode(col(vecCol)).as(Seq("pos0", "xf")))
       .select(col("_vid"), (col("pos0") + 1).cast("long").as("dim"),
         col("xf").cast("double").as("x"))
-    val wSeed = Window.orderBy(
-      PortableHash.hash60(col("_vid").cast("string")), col("_vid"))
-    val seeds = vecs.select(col(idCol).as("_vid"))
-      .withColumn("rn", row_number().over(wSeed))
-      .filter(col("rn") <= k)
-      .select(col("_vid"), (col("rn") - 1).cast("long").as("label"))
+    val seeds = seedSelect(vecs, idCol, k, "label")
     var centRows: Seq[(Long, Long, Double)] = seeds.join(ex, "_vid")
       .select(col("label"), col("dim"), col("x"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -387,6 +382,47 @@ object Similarity {
       }
     }
     out
+  }
+
+  /** Lloyd's seed pick — the `k` ids with the smallest (hash60(id), id),
+    * labeled 0..k−1 in that order (the sim9 seeding rule, shared with PQ
+    * codebook init). Runs as a distributed TakeOrderedAndProject +
+    * driver collect of the k picked rows, NOT a global row_number
+    * window: the window form moved the entire corpus-sized id table
+    * through one task ("Moving all data to a single partition") just to
+    * rank k of its rows. k is model-sized (ks ≤ 256, coarseK ≤ √N) —
+    * the same driver-size class as the centroid tables the training
+    * loop already collects per iteration; the result serves as a
+    * LocalRelation so the downstream join broadcasts it. */
+  private[graft] def seedSelect(vecs: DataFrame, idCol: String,
+                                k: Int, ordName: String): DataFrame = {
+    import graft.functions.PortableHash
+    val spark = vecs.sparkSession
+    val idField = vecs.select(col(idCol)).schema.head
+    val picked = vecs.select(col(idCol).as("_vid"),
+        PortableHash.hash60(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("_vid"))
+      .limit(k)
+      .collect()
+    // TakeOrderedAndProject.executeCollect returns rows in sort order;
+    // verify rather than trust — a plan regime that ever returned an
+    // unsorted prefix would silently re-label every seed. (hash60 ties
+    // between distinct ids are ~2⁻⁶⁰; a tie passes the check and the id
+    // tiebreak is then exercised only through the unchanged-hash gate.)
+    picked.iterator.sliding(2).withPartial(false).foreach { w =>
+      require(w(0).getLong(1) <= w(1).getLong(1),
+        "seedSelect: collect order is not the sort order — plan regime " +
+          "changed; seeds would be mislabeled")
+    }
+    val rows = picked.toSeq.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i.toLong) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "_vid", idField.dataType, idField.nullable),
+      org.apache.spark.sql.types.StructField(
+        ordName, org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Nearest-centroid assignment over an exploded (_vid, dim, x) view:
