@@ -808,13 +808,13 @@ object ExtendedQueries extends QueryPack {
     }),
 
     // Q83 — RFM segmentation (recency / frequency / monetary): the
-    // classic customer scoring. Scale-honest scoring: a global
+    // classic customer scoring. Scale-honest end to end: a global
     // ntile(4) would be ONE single-partition sort over all customers;
-    // instead the three quartile BOUNDARIES are rank-extracted from the
-    // customer-aggregate table (aggregate-sized) and broadcast back, so
-    // scoring is a narrow comparison pass. Boundary rank ⌈q·n⌉ in exact
-    // integer arithmetic; scores 1-4 ascending (recency inverted:
-    // recent = high).
+    // instead the three quartile BOUNDARIES come from a histogram
+    // cumulative (bucketed, partitioned windows only — see the inline
+    // note) and broadcast back, so scoring is a narrow comparison pass.
+    // Boundary rank ⌈q·n⌉ in exact integer arithmetic; scores 1-4
+    // ascending (recency inverted: recent = high).
     "q83_rfm" -> ((s, dir) => {
       import s.implicits._
       val byCust = t(s, dir, "orders")
@@ -827,26 +827,72 @@ object ExtendedQueries extends QueryPack {
         .withColumn("recency_d",
           datediff($"anchor", $"last_ts").cast("long"))
         .select($"o_custkey", $"recency_d", $"freq", $"money")
-      def bounds(metric: String): DataFrame = {
-        val w = Window.orderBy(col(metric), col("o_custkey"))
-        base
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over())
-          .select((1 to 3).map(k =>
-            max(when(col("rn") === expr(s"($k * n + 3) div 4"),
-              col(metric))).as(s"b$k")): _*)
+      // Quartile bounds via pl17's histogram-cumulative, generalized to
+      // an unpartitioned domain (the former extraction ranked the whole
+      // customer aggregate under ONE un-partitioned row_number window —
+      // the exact single-task trap this file documents elsewhere). Each
+      // metric's (v, count) histogram is range-bucketed by a
+      // percentile_approx probe (monotone in v, so the approximation can
+      // only shift bucket SIZES — the cumulative below is exact counts
+      // and probe error can never reach the output), per-bucket offsets
+      // collect driver-side (≤3·32 rows), and the within-bucket
+      // cumulative runs under a PARTITIONED window. b_k = min v with
+      // cum(v) ≥ ⌈k·n/4⌉ — the rank-selection ≡ empirical-CDF identity
+      // (the rank's custkey tiebreak never changes the VALUE at the
+      // rank), so every boundary and score is unchanged. All three
+      // metrics ride one histogram pass (in-row explode ×3); the long
+      // metrics are ≪ 2⁵³ so the shared double domain is exact.
+      val exv = base.select(explode(array(
+          struct(lit("r").as("mname"),
+            $"recency_d".cast("double").as("v")),
+          struct(lit("f").as("mname"), $"freq".cast("double").as("v")),
+          struct(lit("m").as("mname"), $"money".as("v")))).as("e"))
+        .select($"e.mname".as("mname"), $"e.v".as("v"))
+      val hist = exv.groupBy($"mname", $"v").agg(count(lit(1)).as("c"))
+      val nb = 32
+      val probes: Map[String, Seq[Double]] = hist.groupBy($"mname")
+        .agg(percentile_approx($"v",
+          array((1 until nb).map(i => lit(i.toDouble / nb)): _*),
+          lit(1000)).as("qs"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+      def bucketFor(name: String): org.apache.spark.sql.Column =
+        probes(name).foldLeft(lit(0)) { (acc, bd) =>
+          acc + when($"v" > lit(bd), 1).otherwise(0) }
+      val bucketed = hist.withColumn("b",
+        when($"mname" === "r", bucketFor("r"))
+          .when($"mname" === "f", bucketFor("f"))
+          .otherwise(bucketFor("m")))
+      val offRows = bucketed.groupBy($"mname", $"b")
+        .agg(sum($"c").as("bc")).collect()
+      val offs = offRows.groupBy(_.getString(0)).toSeq.flatMap {
+        case (mn, rs) =>
+          var acc = 0L
+          rs.sortBy(_.getInt(1)).map { r =>
+            val o = (mn, r.getInt(1), acc); acc += r.getLong(2); o }
       }
+      val n = offRows.filter(_.getString(0) == "r").map(_.getLong(2)).sum
+      val rk = (1 to 3).map(k => (k * n + 3) / 4)
+      val offDf = offs.toDF("mname", "b", "off")
+      val wCum = Window.partitionBy($"mname", $"b").orderBy($"v")
+      val cum = bucketed.join(broadcast(offDf), Seq("mname", "b"))
+        .withColumn("cum", $"off" + sum($"c").over(wCum))
+      val boundsDf = cum.groupBy($"mname").agg(
+        min(when($"cum" >= lit(rk(0)), $"v")).as("b1"),
+        min(when($"cum" >= lit(rk(1)), $"v")).as("b2"),
+        min(when($"cum" >= lit(rk(2)), $"v")).as("b3"))
+      def pick(p: String, b: String) =
+        max(when($"mname" === p, col(b))).as(s"${p}_$b")
+      val wide = boundsDf.agg(
+        pick("r", "b1"), pick("r", "b2"), pick("r", "b3"),
+        pick("f", "b1"), pick("f", "b2"), pick("f", "b3"),
+        pick("m", "b1"), pick("m", "b2"), pick("m", "b3"))
       def score(metric: String, b: String) =
         (lit(1L) + when(col(metric) > col(s"${b}_b1"), 1L).otherwise(0L)
           + when(col(metric) > col(s"${b}_b2"), 1L).otherwise(0L)
           + when(col(metric) > col(s"${b}_b3"), 1L).otherwise(0L))
-      def named(df: DataFrame, p: String) = df.select(
-        col("b1").as(s"${p}_b1"), col("b2").as(s"${p}_b2"),
-        col("b3").as(s"${p}_b3"))
       base
-        .crossJoin(broadcast(named(bounds("recency_d"), "r")))
-        .crossJoin(broadcast(named(bounds("freq"), "f")))
-        .crossJoin(broadcast(named(bounds("money"), "m")))
+        .crossJoin(broadcast(wide))
         .withColumn("r_score", lit(5L) - score("recency_d", "r"))
         .withColumn("f_score", score("freq", "f"))
         .withColumn("m_score", score("money", "m"))
