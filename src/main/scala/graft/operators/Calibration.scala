@@ -55,9 +55,16 @@ object Calibration {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
 
   /** Driver mirror of [[pCal]]: Spark's exp is java.lang.Math.exp —
-    * the same JVM intrinsic this driver call hits. */
+    * the same JVM intrinsic this driver call hits. The clamp mirrors
+    * Spark's least/greatest NaN ORDERING too (Spark comparisons treat
+    * NaN as the largest double, so least(NaN, 30) = 30; java.lang.Math
+    * min/max would PROPAGATE the NaN) — unreachable with today's finite
+    * a/b/m, but the mirror must not silently desynchronize if an input
+    * ever degrades (ADVICE r10). */
   private def pCalD(m: Double, a: Double, b: Double): Double = {
-    val z = math.max(math.min(-(a * m + b), 30.0), -30.0)
+    val z0 = -(a * m + b)
+    val zLo = if (z0.isNaN) 30.0 else math.min(z0, 30.0) // Spark least
+    val z = math.max(zLo, -30.0) // zLo is finite here, max is exact
     q6d(1.0 / (1.0 + q6d(math.exp(z))))
   }
 
@@ -89,13 +96,25 @@ object Calibration {
                      kCol: String, iters: Int = 3): DataFrame = {
     require(iters >= 1)
     val spark = hist.sparkSession
-    // persisted so a re-execution of the same calibration (Bench's
-    // best-of-2, or a retry) serves the corpus pass from cache — the
-    // pinned block is histogram-sized (score-domain-bounded) and falls
-    // to the consumer's clearCache / session end
+    // persisted ONLY across the collect below (a retry of the collect
+    // job re-reads the cache, not the corpus); the collected rows serve
+    // every later consumer — the LocalRelation output and the driver
+    // fit — so the block is released here instead of pinning an
+    // executor block per distinct calibration until clearCache
+    // (ADVICE r10)
     val slim = hist.select(col(mCol), col(nCol), col(kCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rows = slim.collect()
+    slim.unpersist()
+    // the driver collect is score-domain-bounded by CONTRACT (integer
+    // margins from hashed-weight classifiers span ~10³ values); guard
+    // the contract so a caller handing a continuous-score histogram
+    // fails with the design assumption named, not a driver OOM
+    require(rows.length <= (1 << 22),
+      s"plattCalibrate: histogram has ${rows.length} rows — the fit " +
+        "collects the score-domain histogram to the driver, which " +
+        "assumes a bounded integer score domain (≲4M distinct values); " +
+        "quantize/bucket the score column before calibrating")
     val mv = rows.map(_.get(0).asInstanceOf[Number].doubleValue)
     val nv = rows.map(_.get(1).asInstanceOf[Number].doubleValue)
     val kv = rows.map(_.get(2).asInstanceOf[Number].doubleValue)

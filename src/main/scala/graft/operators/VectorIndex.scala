@@ -90,23 +90,56 @@ object VectorIndex {
     * stage). [[build]] invalidates its root's entry, so a same-JVM
     * rebuild (VectorIndexSpec does this) never serves stale models;
     * appends/deletes/compact don't touch the frozen tables, so they
-    * don't invalidate. */
+    * don't invalidate.
+    *
+    * Staleness + aliasing (ADVICE r10): the memo key is the
+    * FileSystem-QUALIFIED root (so `/x`, `/x/`, and a relative spelling
+    * of the same dir share one entry), and every lookup validates a
+    * freshness token — the (name, length, mtime) fold of the root's
+    * `meta` files (ONE FS listing, trivial next to any query it
+    * fronts). A root rebuilt by ANOTHER process rewrites `meta`, the
+    * token changes, and the entry reloads instead of serving the dead
+    * build's models — the same (size, mtime)-granularity boundary
+    * FixtureCache documents. */
   private val frozenMemo =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (VMeta, ProductQuantization.PqModel,
+      (String, VMeta, ProductQuantization.PqModel,
         Array[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType)]()
 
+  /** (qualified root, freshness token) — one FS listing of `meta`. */
+  private def memoKey(spark: SparkSession, root: String): (String, String) = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val q = fs.makeQualified(p).toString
+    val metaDir = new org.apache.hadoop.fs.Path(q, "meta")
+    val tok = fs.listStatus(metaDir)
+      .filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString(";")
+    (q, tok)
+  }
+
   private def frozen(spark: SparkSession, root: String)
       : (VMeta, ProductQuantization.PqModel, DataFrame) = {
-    val e = frozenMemo.computeIfAbsent(root, { r =>
-      val meta = readMeta(spark, r)
-      val model = readPqModel(spark, r, meta)
-      val cent = spark.read.parquet(s"$r/centroids")
-      (meta, model, cent.collect(), cent.schema)
+    val (qRoot, tok) = memoKey(spark, root)
+    def load(): (String, VMeta, ProductQuantization.PqModel,
+        Array[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType) = {
+      val meta = readMeta(spark, qRoot)
+      val model = readPqModel(spark, qRoot, meta)
+      val cent = spark.read.parquet(s"$qRoot/centroids")
+      (tok, meta, model, cent.collect(), cent.schema)
+    }
+    val e = frozenMemo.compute(qRoot, { (_, old) =>
+      if (old != null && old._1 == tok) old else load()
     })
-    (e._1, e._2, Similarity.centroidArrays(
-      spark.createDataFrame(java.util.Arrays.asList(e._3: _*), e._4)))
+    (e._2, e._3, Similarity.centroidArrays(
+      spark.createDataFrame(java.util.Arrays.asList(e._4: _*), e._5)))
   }
 
   /** The freezing contract extended to the CODE SEMANTICS: appends and
@@ -171,8 +204,11 @@ object VectorIndex {
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true)
     }
     // a same-JVM rebuild must not serve the PREVIOUS build's memoized
-    // models (the freeze contract is per-build, not per-root-forever)
-    frozenMemo.remove(root)
+    // models (the freeze contract is per-build, not per-root-forever);
+    // remove under the QUALIFIED key — the freshness token would catch
+    // it too, but only after meta is rewritten below
+    frozenMemo.remove(fs.makeQualified(
+      new org.apache.hadoop.fs.Path(root)).toString)
     Seq((dims, m, ks, iters, coarseK, coarseIters, "residual"))
       .toDF("dims", "m", "ks", "iters", "coarse_k", "coarse_iters", "enc")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
