@@ -29,14 +29,30 @@ object Bench {
     // iteration.
     val waitBudget = sys.env.get("SPARK_GRAFT_LOADWAIT")
       .flatMap(_.toLongOption).getOrElse(240L)
+    // CLOSING mode (SPARK_GRAFT_CLOSING=1): the round-10 closing medians
+    // were captured at loads up to 1.27 and quoted anyway — the rule
+    // (README: closing captures at 1-min load < 0.5) and the tool could
+    // diverge because nothing enforced the rule at capture time. In
+    // closing mode the drain threshold IS the closing bar, and a box
+    // that never drains makes Bench REFUSE (exit 2, no artifacts
+    // written) instead of producing a record that bench_median would
+    // have to stamp closing_grade: false.
+    val closing = sys.env.get("SPARK_GRAFT_CLOSING").contains("1")
+    val drainTo = if (closing) 0.5 else 1.2
     val waitDeadline = System.nanoTime() + waitBudget * 1000000000L
-    while (loadAvg > 1.2 && System.nanoTime() < waitDeadline)
+    while (loadAvg >= drainTo && System.nanoTime() < waitDeadline)
       Thread.sleep(10000L)
     // sample load AFTER the drain wait, BEFORE any Spark work: the 1-min
     // average taken at the end of a 32-thread run mostly measures the
     // bench itself; taken here it measures the co-tenant load that
     // historically skewed captures.
     val la = loadAvg
+    if (closing && la >= 0.5) {
+      System.err.println(f"[bench] REFUSING closing capture: load $la%.2f" +
+        " >= 0.5 after the drain wait — nothing written (raise " +
+        "SPARK_GRAFT_LOADWAIT or wait for the co-tenant to finish)")
+      sys.exit(2)
+    }
     val spark = graft.core.Sessions.local(cpus)
     // Warmup: pay one-time session/codegen/parquet-footer costs outside the
     // per-query timings.
@@ -104,8 +120,9 @@ object Bench {
     // regressions were all noise — a number stamped degraded must never
     // be read as a regression (or an improvement).
     val degraded = if (la > 4.0) ""","degraded_capture":true""" else ""
+    val closingTag = if (closing) ""","closing_mode":true""" else ""
     val cond = s""""load_avg":${f(la)},"commit":"$commit"""" +
-      s""","prewarm_sec":${f(prewarmSec)}$degraded"""
+      s""","prewarm_sec":${f(prewarmSec)}$degraded$closingTag"""
     // Full-name record for humans/the repo (committed per round).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -124,11 +141,18 @@ object Bench {
       // load noise (the r9 docs-only-commit episode).
       val hist = dir.resolve("history")
       java.nio.file.Files.createDirectories(hist)
+      // millisecond granularity: two captures finishing within one
+      // SECOND used to silently overwrite a history record, shrinking
+      // bench_median's sample (ADVICE r10)
       java.nio.file.Files.write(
         hist.resolve(s"BENCH_FULL-$sfLabel-$commit-" +
-          s"${System.currentTimeMillis() / 1000}.json"),
+          s"${System.currentTimeMillis()}.json"),
         fullLine.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // the stdout line (below) is the driver's record either way, but a
+      // lost history copy must not be silent — it starves the median
+      System.err.println(s"[bench] artifact write failed: $e")
+    }
     // ONE compact JSON line on stdout: must fit the driver's bounded tail
     // window (2000 chars) in FULL, including sbt's trailing "[success]"
     // line (~80 chars). Short keys, 2-dec secs, failed queries omitted
