@@ -200,15 +200,6 @@ object Graph {
         when(lowerFirst, col("s1")).otherwise(col("s2")).as("u"),
         when(lowerFirst, col("s2")).otherwise(col("s1")).as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // The wedge set (Σ out·in rows) must never be sorted or shuffled —
-    // it is the algorithm's O(E^{3/2}) blow-up term. While the oriented
-    // edge table fits a broadcast, both the wedge join and the closing
-    // probe run map-side over one cached scan: wedges exist only inside
-    // a codegen pipeline feeding a partial count. Past the limit, the
-    // shuffle-hash hint keeps the same joins hash-based (an SMJ would
-    // sort the wedge stream) with edges partitioned by the join key.
-    def buildSide(d: DataFrame) =
-      if (nEdges <= broadcastEdgeLimit) broadcast(d) else d.hint("shuffle_hash")
     // wedge-budget guard: the join below materializes Σ out(v)·in(v)
     // probe rows. Degree orientation bounds that by O(E^{3/2}) for any
     // graph, but a pathologically dense PROJECTION (one giant order ⇒ a
@@ -232,6 +223,41 @@ object Graph {
           "edge build) or raise maxOrientedWedges deliberately")
     }
     val maxId = e.agg(max(greatest(col("s1"), col("s2")))).head.getLong(0)
+    val tri = closedWedgeCount(oriented, nEdges, maxId,
+      broadcastEdgeLimit, wedgeBroadcastLimit)
+    val degStats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+    // two single-row frames → broadcast combine (1×1 rows, by design);
+    // n_edges is already on the driver from the eager persist count.
+    // clustering is NULL (not NaN) when the graph has no wedges — the
+    // coefficient is undefined there, and NULL is the cross-engine-safe
+    // encoding (0.0/0 is NaN in Spark but not portable)
+    degStats.crossJoin(tri)
+      .select(col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("clustering"))
+  }
+
+  /** The wedge join + closing semi probe over an ALREADY-ORIENTED edge
+    * table (one row count) — shared by [[triangleStats]] (in-query
+    * orientation) and [[triangleStatsServed]] (orientation read from
+    * the durable base).
+    *
+    * The wedge set (Σ out·in rows) must never be sorted or shuffled —
+    * it is the algorithm's O(E^{3/2}) blow-up term. While the oriented
+    * edge table fits a broadcast, both the wedge join and the closing
+    * probe run map-side over one scan: wedges exist only inside a
+    * codegen pipeline feeding a partial count. Past the limit, the
+    * shuffle-hash hint keeps the same joins hash-based (an SMJ would
+    * sort the wedge stream) with edges partitioned by the join key. */
+  private def closedWedgeCount(oriented: DataFrame, nEdges: Long,
+                               maxId: Long, broadcastEdgeLimit: Long,
+                               wedgeBroadcastLimit: Long): DataFrame = {
+    def buildSide(d: DataFrame) =
+      if (nEdges <= broadcastEdgeLimit) broadcast(d) else d.hint("shuffle_hash")
     // the wedge-build side fans out per probe row, so its broadcast
     // threshold is tighter than the closing probe's — but both must
     // respect the caller's cap
@@ -246,7 +272,7 @@ object Graph {
     // 31 bits the (u,v) pair packs into ONE long, turning the ~E^{3/2}
     // probes into dense LongHashedRelation lookups instead of generic
     // two-column row-key hashing (several× per-probe cost)
-    val tri = (if (maxId < (1L << 31)) {
+    (if (maxId < (1L << 31)) {
       val packed = (c1: org.apache.spark.sql.Column,
                     c2: org.apache.spark.sql.Column) =>
         shiftleft(c1, 32) + c2
@@ -258,15 +284,96 @@ object Graph {
         .join(buildSide(oriented.alias("e3")),
           col("a") === col("e3.u") && col("c") === col("e3.v"), "left_semi")
     }).agg(count(lit(1)).as("n_triangles"))
-    val degStats = deg.agg(
-      count(lit(1)).as("n_nodes"),
-      sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
-    // two single-row frames → broadcast combine (1×1 rows, by design);
-    // n_edges is already on the driver from the eager persist count.
-    // clustering is NULL (not NaN) when the graph has no wedges — the
-    // coefficient is undefined there, and NULL is the cross-engine-safe
-    // encoding (0.0/0 is NaN in Spark but not portable)
-    degStats.crossJoin(tri)
+  }
+
+  /** Build the durable triangle-base artifact for `edges` under `path`:
+    * `oriented/` — the degree-oriented edge table ([[triangleStats]]'s
+    * exact orientation rule: each edge points from the (degree, id)-
+    * smaller endpoint to the larger) — and `meta/` — ONE row of the
+    * graph scalars (n_nodes, n_edges, n_wedges, max_id, wedge_work)
+    * the serve path needs, including the EXACT oriented wedge work so
+    * [[triangleStatsServed]]'s budget guard is a driver compare instead
+    * of two node-sized aggregates per query. The orientation is a
+    * corpus-snapshot artifact exactly like the basket pair base: built
+    * once per fixture generation (prewarm), consumed by every
+    * triangle-count run against that snapshot. */
+  def buildTriangleBase(edges: DataFrame, path: String): Unit = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("s1"), col("s2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEdges = e.count()
+      val deg = e.select(col("s1").as("node"))
+        .union(e.select(col("s2").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val ed = e
+        .join(broadcast(deg.select(col("node").as("s1"), col("d").as("d1"))),
+          "s1")
+        .join(broadcast(deg.select(col("node").as("s2"), col("d").as("d2"))),
+          "s2")
+      val lowerFirst = (col("d1") < col("d2")) ||
+        ((col("d1") === col("d2")) && (col("s1") < col("s2")))
+      ed.select(
+          when(lowerFirst, col("s1")).otherwise(col("s2")).as("u"),
+          when(lowerFirst, col("s2")).otherwise(col("s1")).as("v"))
+        .write.mode("overwrite").parquet(s"$path/oriented")
+      // scalars off the WRITTEN table (one extra scan beats recomputing
+      // the orientation joins) — all build-time work
+      val or = spark.read.parquet(s"$path/oriented")
+      val wedgeWork = or.groupBy(col("u")).agg(count(lit(1)).as("o"))
+        .join(or.groupBy(col("v")).agg(count(lit(1)).as("i")),
+          col("u") === col("v"))
+        .agg(coalesce(sum(col("o") * col("i")), lit(0L))).head.getLong(0)
+      val maxId =
+        if (nEdges == 0L) 0L
+        else e.agg(max(greatest(col("s1"), col("s2")))).head.getLong(0)
+      val ds = deg.agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).cast("long")
+            .as("n_wedges")).head
+      Seq((ds.getLong(0), nEdges, ds.getLong(1), maxId, wedgeWork))
+        .toDF("n_nodes", "n_edges", "n_wedges", "max_id", "wedge_work")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally { e.unpersist(); () }
+  }
+
+  /** [[triangleStats]] served from a [[buildTriangleBase]] artifact:
+    * the orientation joins, degree aggregates, and the wedge-work guard
+    * all collapse into a meta read + one driver compare, so a serve-path
+    * run is ONE wedge-join-count over the oriented parquet scan. Output
+    * is row-identical to [[triangleStats]] on the same edges (the
+    * clustering division runs the same AST on the same operands);
+    * GraphSpec pins the equality. */
+  def triangleStatsServed(spark: org.apache.spark.sql.SparkSession,
+                          root: String,
+                          broadcastEdgeLimit: Long = 20000000L,
+                          wedgeBroadcastLimit: Long = 2000000L,
+                          maxOrientedWedges: Long = 50000000000L)
+      : DataFrame = {
+    import spark.implicits._
+    val m = spark.read.parquet(s"$root/meta").head
+    val nEdges = m.getAs[Long]("n_edges")
+    if (nEdges == 0L) {
+      return Seq((0L, 0L, 0L, 0L)).toDF(
+          "n_nodes", "n_edges", "n_wedges", "n_triangles")
+        .withColumn("clustering", lit(null).cast("double"))
+    }
+    val wedgeWork = m.getAs[Long]("wedge_work")
+    require(wedgeWork <= maxOrientedWedges,
+      s"triangleStats: oriented wedge count $wedgeWork exceeds the " +
+        s"$maxOrientedWedges budget — the projection is too dense to " +
+        "enumerate; pre-filter hub groups (cap per-key set size at the " +
+        "edge build) or raise maxOrientedWedges deliberately")
+    // spread for the same reason triangleStats spreads: each oriented
+    // row fans out to its out-degree in the wedge join — partitioning
+    // must follow the fan-out, not the scanned bytes
+    val oriented = graft.core.Tables.spread(
+      spark.read.parquet(s"$root/oriented"))
+    val tri = closedWedgeCount(oriented, nEdges, m.getAs[Long]("max_id"),
+      broadcastEdgeLimit, wedgeBroadcastLimit)
+    Seq((m.getAs[Long]("n_nodes"), m.getAs[Long]("n_wedges")))
+      .toDF("n_nodes", "n_wedges")
+      .crossJoin(tri)
       .select(col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
         col("n_triangles"),
         when(col("n_wedges") > 0,

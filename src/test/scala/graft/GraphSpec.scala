@@ -26,6 +26,31 @@ class GraphSpec extends AnyFunSuite {
     assert(out.getAs[Double]("clustering") === 0.6)
   }
 
+  test("triangleStatsServed: the durable oriented base serves the " +
+      "identical row as the direct computation") {
+    // a graph with asymmetric degrees and two triangles sharing an edge,
+    // so orientation, wedge join, and clustering all do real work
+    val edges = edgeDf((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (1L, 5L), (5L, 6L))
+    val tmp = java.nio.file.Files.createTempDirectory("tri-base").toString
+    Graph.buildTriangleBase(edges, tmp)
+    val direct = Graph.triangleStats(edges).collect().toSeq
+    val served = Graph.triangleStatsServed(spark, tmp).collect().toSeq
+    assert(served === direct)
+    // meta froze the exact wedge work the direct guard would compute
+    assert(graft.queries.TriangleBase.wedgeWork(spark, tmp) ===
+      Graph.orientedWedgeWork(edges))
+  }
+
+  test("triangleStatsServed: empty base serves zero counts, " +
+      "NULL clustering — same as direct") {
+    val tmp = java.nio.file.Files.createTempDirectory("tri-base-e").toString
+    Graph.buildTriangleBase(edgeDf(), tmp)
+    val served = Graph.triangleStatsServed(spark, tmp).collect().head
+    assert(served.getAs[Long]("n_triangles") === 0L)
+    assert(served.isNullAt(served.fieldIndex("clustering")))
+  }
+
   test("triangleStats: empty edge list yields zero counts, NULL clustering") {
     val out = Graph.triangleStats(edgeDf()).collect().head
     assert(out.getAs[Long]("n_nodes") === 0L &&
