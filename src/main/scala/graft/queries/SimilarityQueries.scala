@@ -97,6 +97,94 @@ object SimilarityQueries extends QueryPack {
       ()
     }
 
+  /** sim23's deterministically CLUSTERED embedding set, derived from
+    * the fixture ids alone (the renderUrl/renderWav derivation
+    * discipline — both engines rebuild identical vectors from vec_id),
+    * with TWO levels of structure so both stages of the index have
+    * something real to resolve:
+    *
+    *  - macro cluster c = vec_id % 3: center = 20.0 on the c-th third
+    *    of the 64 dims, 0.0 elsewhere — what the COARSE quantizer must
+    *    recover (centers 20·√21 ≈ 91.7 apart; total within-cluster
+    *    displacement ≤ √(64·(2+0.125)²) ≈ 17 — no overlap);
+    *  - sub-cluster g = vec_id div 12: a per-(c, g, dim) pattern
+    *    uniform in [−2, 2) from hash60("c:g:d") — each (c, g) cell
+    *    holds exactly 4 ids among any 12 consecutive, so every vector
+    *    has 3 planted same-pattern siblings; per-(id, dim) jitter
+    *    uniform in [−0.125, 0.125) separates siblings from exact
+    *    copies. Sibling d² ≈ 64·2·(0.25²/12) ≈ 0.7 vs cross-pattern
+    *    d² ≈ 64·2·(4²/12) ≈ 171 — what the RESIDUAL codes must
+    *    resolve, and CAN: codes quantize only the ±2 pattern ball
+    *    around the cell centroid (Jégou 2011 §IV.A), not the ±20
+    *    center spread a raw codebook would have to span.
+    *
+    * A flat-spectrum fixture (uniform noise with NO sub-structure —
+    * the first cut, and sim20's random fixture) is PQ's pathological
+    * case and measures recall ≈ 0.17 regardless of encoding; real
+    * embedding corpora have neighbor structure, which is what this
+    * derivation plants. Every coordinate is an exact dyadic
+    * (center 0/20 + k·2⁻⁸ pattern + k·2⁻¹² jitter), so both engines
+    * produce identical bits under any evaluation order. */
+  private def clusteredVecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.PortableHash
+    val dims = 64
+    val coord = (1 to dims).map { d =>
+      val block = ((d - 1) * 3) / dims
+      val center = when($"vec_id" % 3 === lit(block), lit(20.0))
+        .otherwise(lit(0.0))
+      val pat = (PortableHash.hash60(concat_ws(":",
+          ($"vec_id" % 3).cast("string"),
+          expr("vec_id div 12").cast("string"), lit(d.toString)))
+          % lit(1024L))
+        .cast("double") / lit(1024.0) * lit(4.0) - lit(2.0)
+      val jit = (PortableHash.hash60(concat_ws(":",
+          $"vec_id".cast("string"), lit(d.toString))) % lit(1024L))
+        .cast("double") / lit(1024.0) * lit(0.25) - lit(0.125)
+      center + pat + jit
+    }
+    emb(s, dir).select($"vec_id", array(coord: _*).as("embedding"))
+  }
+
+  /** The DuckDB twin of [[clusteredVecs]] (a `cvecs(vec_id, embedding)`
+    * CTE body): the identical center + pattern + jitter arithmetic
+    * inside a list_transform. Outer lambda var is `dd` — hash60Sql's
+    * internal lambdas bind `i` and `d`; DuckDB `//` is floor division ≡
+    * Spark's `div` on the nonnegative ids. */
+  private def clusteredVecsSql: String = {
+    import graft.functions.PortableHash
+    val hPat = PortableHash.hash60Sql(
+      "CAST(vec_id % 3 AS VARCHAR) || ':' || " +
+        "CAST(vec_id // 12 AS VARCHAR) || ':' || CAST(dd AS VARCHAR)")
+    val hJit = PortableHash.hash60Sql(
+      "CAST(vec_id AS VARCHAR) || ':' || CAST(dd AS VARCHAR)")
+    """cvecs AS (
+      |  SELECT vec_id, list_transform(generate_series(1, 64), dd ->
+      |    (CASE WHEN vec_id % 3 = ((dd - 1) * 3) // 64
+      |          THEN 20.0 ELSE 0.0 END)
+      |    + (CAST((HPAT) % 1024 AS DOUBLE) / 1024.0 * 4.0 - 2.0)
+      |    + (CAST((HJIT) % 1024 AS DOUBLE) / 1024.0 * 0.25 - 0.125)
+      |  ) AS embedding
+      |  FROM embeddings)""".stripMargin
+      .replace("HPAT", hPat).replace("HJIT", hJit)
+  }
+
+  /** sim23's durable index over the DERIVED clustered corpus — same
+    * freeze/serve contract as sim18/sim22; built in prewarm. coarseK=4
+    * over 3 true clusters (one cell splits a cluster; nprobe=2 covers
+    * it), IVFADC residual codes at the sim18 (m=8, ks=8). */
+  private[graft] def vectorIndexClusteredDir(s: SparkSession,
+                                             dir: String): String =
+    // "vidxc2": the cache name carries the DERIVATION version too — the
+    // flat-noise v1 fixture was replaced by the sub-clustered one; an
+    // index built over v1 vectors must never serve v2 queries
+    graft.core.FixtureCache.dirFor(s, dir, "vidxc2") { p =>
+      graft.operators.VectorIndex.build(clusteredVecs(s, dir), "vec_id",
+        "embedding", p, dims = 64, m = 8, ks = 8, iters = 2, coarseK = 4,
+        coarseIters = 2)
+      ()
+    }
+
   /** The sim18 fixture split: vectors with vec_id ≡ 0 (mod 4) are the
     * "new batch" appended to the durable index; the rest are the
     * historical corpus both models are trained on (dd4's split shape). */
@@ -129,6 +217,7 @@ object SimilarityQueries extends QueryPack {
     sharedResPqModel(s, dir, 64, 8, 8, 2, 8, 2)
     vectorIndexDir(s, dir)
     vectorIndexScaledDir(s, dir)
+    vectorIndexClusteredDir(s, dir)
     ()
   }
 
@@ -352,6 +441,48 @@ object SimilarityQueries extends QueryPack {
       val qs = e.filter($"vec_id" < 40)
       val ann = graft.operators.VectorIndex.query(s,
           vectorIndexDir(s, dir), qs, "vec_id", "embedding",
+          nprobe = 2, k = 5)
+        .select($"query_id", $"neighbor_id")
+      val c = e.select($"vec_id".as("neighbor_id"),
+        $"embedding".as("cv"),
+        Similarity.dotSeqHof($"embedding", $"embedding").as("c2"))
+      val q = qs.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id")
+        .orderBy($"d2".asc, $"neighbor_id".asc)
+      val truth = c.crossJoin(broadcast(q))
+        .filter($"neighbor_id" =!= $"query_id")
+        .withColumn("d2",
+          $"c2" - lit(2.0) * Similarity.dotSeqHof($"qv", $"cv"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"neighbor_id")
+      truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+        .join(qs.select($"vec_id".as("query_id")), Seq("query_id"),
+          "right")
+        .select($"query_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (coalesce($"n_hits", lit(0L)).cast("double") / lit(5.0))
+            .as("recall"))
+    }),
+
+    // sim20's evaluation on the CLUSTERED derived corpus (clusteredVecs)
+    // — the oracled counterpart of SimilaritySpec's raw 0.20 → residual
+    // 0.40 measurement, so the IVFADC recall gain is demonstrated by a
+    // CORRECTNESS key, not only a spec (VERDICT r10 #4): the durable
+    // clustered index's top-5 (nprobe=2 of coarseK=4) scored against
+    // exact L2 ground truth, per-query n_hits/recall, fully hash-oracled
+    // (the twin re-derives the vectors, the whole IVFADC chain, and the
+    // brute truth from scratch). SimilaritySpec additionally pins the
+    // MEAN recall ≥ 0.4 at sf0.001 so the demonstration cannot decay
+    // into a structural green.
+    "sim23_clustered_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = clusteredVecs(s, dir)
+      val qs = e.filter($"vec_id" < 40)
+      val ann = graft.operators.VectorIndex.query(s,
+          vectorIndexClusteredDir(s, dir), qs, "vec_id", "embedding",
           nprobe = 2, k = 5)
         .select($"query_id", $"neighbor_id")
       val c = e.select($"vec_id".as("neighbor_id"),
@@ -916,6 +1047,42 @@ object SimilarityQueries extends QueryPack {
          |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
          |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
          |FROM qv q LEFT JOIN hits h USING (query_id)""".stripMargin,
+    // sim23's twin: the derived clustered vectors as an outer CTE
+    // (visible inside ann0's nested WITH), the whole IVFADC chain
+    // re-derived over them (training AND membership on cvecs), exact-L2
+    // truth and hits exactly like sim20's twin.
+    "sim23_clustered_recall" ->
+      s"""WITH $clusteredVecsSql,
+         |ann0 AS (
+         |${ivfPqSql("4", 2, 2, 8, 8, 8, 2, 5, trainSrc = "cvecs",
+                     corpus = "cvecs")}
+         |), ann AS (
+         |  SELECT query_id, neighbor_id FROM ann0
+         |), qv AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec
+         |  FROM cvecs WHERE vec_id < 40
+         |), cv AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS cvec,
+         |    ${dotSql("embedding", "embedding")} AS c2
+         |  FROM cvecs
+         |), truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, c.neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY c.c2 - 2.0 * ${dotSql("q.qvec", "c.cvec")} ASC,
+         |          c.neighbor_id ASC) AS rank
+         |    FROM cv c CROSS JOIN qv q
+         |    WHERE c.neighbor_id <> q.query_id) t
+         |  WHERE rank <= 5
+         |), hits AS (
+         |  SELECT t.query_id, count(*) AS n_hits
+         |  FROM truth t JOIN ann a
+         |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY 1
+         |)
+         |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+         |FROM qv q LEFT JOIN hits h USING (query_id)""".stripMargin,
     // sim21's twin: one scored CTE carrying all four fold dots (DuckDB
     // a[1:d] slices feed the same sequential fold), one ranked CTE per
     // truncation, hits vs the d=64 truth, unioned per dim.
@@ -1115,7 +1282,8 @@ object SimilarityQueries extends QueryPack {
     * (training rows restricted to `trainSrc` ids), final encode
     * `penc`. Composes after the coarse CTEs (needs `iasg`/`icc`). */
   private def pqResCtes(m: Int, subDim: Int, ks: Int, iters: Int,
-                        trainSrc: String): String = {
+                        trainSrc: String,
+                        corpus: String = "embeddings"): String = {
     import graft.functions.ExactNum.avgExactSql
     import graft.functions.PortableHash
     val dims = m * subDim
@@ -1154,7 +1322,7 @@ object SimilarityQueries extends QueryPack {
        |    list_transform(generate_series(1, $dims),
        |      i -> CAST(e.embedding[i] AS DOUBLE) - c.c_arr[i]) AS rvec
        |  FROM iasg a
-       |  JOIN embeddings e ON e.vec_id = a._vid
+       |  JOIN $corpus e ON e.vec_id = a._vid
        |  JOIN icc c ON c.label = a.label
        |  WHERE a.rn = 1
        |), psubq AS (
@@ -1191,7 +1359,8 @@ object SimilarityQueries extends QueryPack {
                        m: Int, subDim: Int, ks: Int, iters: Int,
                        k: Int, prelude: String = "",
                        trainSrc: String = "embeddings",
-                       queryWhere: String = "p._vid < 40"): String = {
+                       queryWhere: String = "p._vid < 40",
+                       corpus: String = "embeddings"): String = {
     val dims = m * subDim
     s"""WITH $prelude${kmeansCtes(coarseKExpr, coarseIters, trainSrc)},
        |icarr AS (
@@ -1203,7 +1372,7 @@ object SimilarityQueries extends QueryPack {
        |), iscored AS (
        |  SELECT e.vec_id AS _vid, c.label,
        |    c.c2 - 2.0 * ${dotSql("e.embedding", "c.c_arr")} AS score
-       |  FROM embeddings e CROSS JOIN icc c
+       |  FROM $corpus e CROSS JOIN icc c
        |), iasg AS (
        |  SELECT _vid, label,
        |    row_number() OVER (PARTITION BY _vid
@@ -1213,13 +1382,13 @@ object SimilarityQueries extends QueryPack {
        |  SELECT p._vid AS query_id, p.label, mm._vid
        |  FROM iasg p JOIN iasg mm ON mm.rn = 1 AND mm.label = p.label
        |  WHERE $queryWhere AND p.rn <= $nprobe
-       |), ${pqResCtes(m, subDim, ks, iters, trainSrc)},
+       |), ${pqResCtes(m, subDim, ks, iters, trainSrc, corpus)},
        |iqres AS (
        |  SELECT p._vid AS query_id, p.label,
        |    list_transform(generate_series(1, $dims),
        |      i -> CAST(e.embedding[i] AS DOUBLE) - c.c_arr[i]) AS rvec
        |  FROM iasg p
-       |  JOIN embeddings e ON e.vec_id = p._vid
+       |  JOIN $corpus e ON e.vec_id = p._vid
        |  JOIN icc c ON c.label = p.label
        |  WHERE $queryWhere AND p.rn <= $nprobe
        |), pqs AS (

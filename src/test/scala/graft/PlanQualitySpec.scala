@@ -43,6 +43,9 @@ class PlanQualitySpec extends AnyFunSuite {
                             // bounded-query brute truth (broadcast
                             // 40-row query set; the truth IS a linear
                             // scan by design)
+    "sim23_clustered_recall", // sim20's evaluation on the derived
+                            // clustered corpus: same probe product +
+                            // bounded brute truth
     "sim21_matryoshka",     // the same sim1/sim20 bounded brute shape:
                             // corpus × broadcast(40 queries), scored
                             // once for all four truncation dots
@@ -81,8 +84,8 @@ class PlanQualitySpec extends AnyFunSuite {
                             // fusion itself is grid-sized per query)
     "q84_skew_profile",     // broadcast 1-row fact count into the share/
                             // salt arithmetic (top-5-per-column frame)
-    "q83_rfm",              // broadcast of four 1-row frames (anchor +
-                            // three quartile-boundary rows) onto the
+    "q83_rfm",              // broadcast of two 1-row frames (anchor +
+                            // the nine quartile boundaries) onto the
                             // customer aggregate — the scale-honest
                             // alternative to a global ntile sort
     "tx32_domain_mix",      // two broadcast 1-row frames: the derived
@@ -149,6 +152,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("ObjectHashAggregate"),
       "q25: value-buffering aggregate reappeared")
     assert(plan.contains("Window"), "q25: expected the sort-based window plan")
+  }
+
+  test("q83 runs no un-partitioned window (quartile bounds ride the " +
+      "bucketed histogram cumulative)") {
+    // the r10 form extracted the boundaries under ONE global row_number
+    // over the whole customer aggregate — the single-task trap; the
+    // histogram-cumulative rework must keep every window partitioned
+    val plan = SparkEntry.queries("q83_rfm")(spark, dir)
+      .queryExecution.optimizedPlan
+    val global = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      s"q83: un-partitioned Window nodes in the plan:\n${global.mkString}")
   }
 
   test("dimension joins broadcast (no fact-side shuffle for the join)") {

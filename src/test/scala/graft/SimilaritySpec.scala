@@ -20,6 +20,33 @@ class SimilaritySpec extends AnyFunSuite {
   private val df = vecs.toDF("vec_id", "embedding")
     .withColumn("embedding", $"embedding".cast("array<float>"))
 
+  test("seedSelect picks the k smallest (hash60(id), id) with ordinal " +
+      "labels — the former global-window rule, now distributed top-k") {
+    // expected set computed OUTSIDE Spark: the driver MD5 mirror sorts
+    // the same (hash, id) key the query-side expression sorts
+    val ids = (0L to 37L).map(i => (i, Seq.fill(dims)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val expected = (0L to 37L)
+      .sortBy(i => (graft.functions.PortableHash.hash60Java(
+        i.toString.getBytes("UTF-8")), i))
+      .take(7).zipWithIndex.map { case (id, ord) => (id, ord.toLong) }
+    val got = Similarity.seedSelect(ids, "vec_id", 7, "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sortBy(_._2)
+    assert(got === expected)
+  }
+
+  test("sim23: mean recall@5 on the derived clustered fixture stays " +
+      "≥ 0.4 — the IVFADC gain must remain demonstrated, not structural") {
+    // the oracled key pins the exact per-query hits; THIS pins the
+    // headline number so a fixture/params drift that silently degraded
+    // recall to flat-spectrum levels (≈0.17) fails loudly
+    val out = graft.queries.SimilarityQueries
+      .queries("sim23_clustered_recall")(spark, "/root/testdata/sf0.001")
+      .agg(avg($"recall")).head.getDouble(0)
+    assert(out >= 0.4, f"sim23 mean recall $out%.3f fell below 0.4")
+  }
+
   test("dotSeq matches a driver-side left-fold computation exactly") {
     val got = df.filter($"vec_id" === 0L)
       .select(Similarity.dotSeq($"embedding", $"embedding").as("d"))
