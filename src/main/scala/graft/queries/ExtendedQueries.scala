@@ -842,13 +842,22 @@ object ExtendedQueries extends QueryPack {
       // rank), so every boundary and score is unchanged. All three
       // metrics ride one histogram pass (in-row explode ×3); the long
       // metrics are ≪ 2⁵³ so the shared double domain is exact.
-      val exv = base.select(explode(array(
+      // persisted across the pass's consumers: base feeds the histogram
+      // AND the final scoring; hist feeds the probe job, the offsets job
+      // and the bounds subtree — unpersisted, each consumer re-ran the
+      // orders aggregation (measured 3.5× on the first cut). Both frames
+      // are customer-aggregate-sized; released by Bench's per-query
+      // clearCache / session end (the sim21 persist discipline).
+      val baseP = base.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exv = baseP.select(explode(array(
           struct(lit("r").as("mname"),
             $"recency_d".cast("double").as("v")),
           struct(lit("f").as("mname"), $"freq".cast("double").as("v")),
           struct(lit("m").as("mname"), $"money".as("v")))).as("e"))
         .select($"e.mname".as("mname"), $"e.v".as("v"))
       val hist = exv.groupBy($"mname", $"v").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nb = 32
       val probes: Map[String, Seq[Double]] = hist.groupBy($"mname")
         .agg(percentile_approx($"v",
@@ -891,7 +900,7 @@ object ExtendedQueries extends QueryPack {
         (lit(1L) + when(col(metric) > col(s"${b}_b1"), 1L).otherwise(0L)
           + when(col(metric) > col(s"${b}_b2"), 1L).otherwise(0L)
           + when(col(metric) > col(s"${b}_b3"), 1L).otherwise(0L))
-      base
+      baseP
         .crossJoin(broadcast(wide))
         .withColumn("r_score", lit(5L) - score("recency_d", "r"))
         .withColumn("f_score", score("freq", "f"))

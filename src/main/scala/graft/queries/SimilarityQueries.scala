@@ -125,7 +125,8 @@ object SimilarityQueries extends QueryPack {
     * derivation plants. Every coordinate is an exact dyadic
     * (center 0/20 + k·2⁻⁸ pattern + k·2⁻¹² jitter), so both engines
     * produce identical bits under any evaluation order. */
-  private def clusteredVecs(s: SparkSession, dir: String): DataFrame = {
+  private def deriveClusteredVecs(s: SparkSession,
+                                  dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.PortableHash
     val dims = 64
@@ -145,6 +146,16 @@ object SimilarityQueries extends QueryPack {
     }
     emb(s, dir).select($"vec_id", array(coord: _*).as("embedding"))
   }
+
+  /** [[deriveClusteredVecs]] served from the durable cache: the derived
+    * corpus is a per-generation artifact exactly like the index built
+    * over it — deriving in-query re-paid 128 MD5s per row on EVERY
+    * consumer (ann queries, brute truth, query set: 3× per sim23 run,
+    * measured as the bulk of its 4.3 s first capture). Doubles
+    * round-trip parquet bit-exactly, so serving changes no hashes. */
+  private def clusteredVecs(s: SparkSession, dir: String): DataFrame =
+    graft.core.FixtureCache.tableFor(s, dir, "cvecs1")(
+      deriveClusteredVecs(s, dir))
 
   /** The DuckDB twin of [[clusteredVecs]] (a `cvecs(vec_id, embedding)`
     * CTE body): the identical center + pattern + jitter arithmetic
