@@ -276,6 +276,49 @@ object VectorIndex {
       masked(spark, root, spark.read.parquet(s"$root/cells")), probes)
   }
 
+  /** [[query]] + exact re-ranking — the IVFADC+R serving topology
+    * (Jégou, Tavenard, Douze & Amsaleg 2011, "Searching in one billion
+    * vectors: re-rank with source coding", simplified to source-VECTOR
+    * rescoring since this index keeps the floats): retrieve a
+    * `shortlist`-deep candidate list by ADC, fetch ONLY those
+    * candidates' stored vectors, exact-L2 rescore, return top-`k`.
+    * Refinement converts the quantization error that caps pure-ADC
+    * recall into a small constant-factor fetch: the corpus still
+    * contributes only `cells`/`codes` index scans plus Q·shortlist
+    * vector rows moving through one hash equi-join on `_vid` —
+    * shortlist is the recall/IO knob (R in the paper, recall@k rises
+    * toward recall-of-shortlist as R grows).
+    *
+    * Ranking uses d² − ‖q‖² = ‖c‖² − 2·q·c (the sim20 discipline:
+    * the per-query constant drops, order is unchanged), both dots the
+    * shared sequential folds, (score, id) tiebreak — so the output is
+    * hash-oracle-able end to end.
+    * Output: (query_id, neighbor_id, d2, rank ≤ k). */
+  def queryRefined(spark: SparkSession, root: String, queries: DataFrame,
+                   idCol: String, vecCol: String, nprobe: Int,
+                   shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k && k >= 1)
+    val cand = query(spark, root, queries, idCol, vecCol, nprobe,
+        shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // candidates are already tombstone-masked by query(); the vector
+    // fetch is Q·shortlist rows against the _vid-keyed vectors table
+    val cv = spark.read.parquet(s"$root/vectors")
+      .select(col("_vid").as("neighbor_id"), col("vec").as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    cand.join(cv, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("d2",
+        Similarity.dotSeqHof(col("_cv"), col("_cv"))
+          - lit(2.0) * Similarity.dotSeqHof(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("d2"), col("rank"))
+  }
+
   private def tombstonePath(root: String) = s"$root/tombstones"
 
   /** Filesystem-agnostic existence check (a java.io.File test would

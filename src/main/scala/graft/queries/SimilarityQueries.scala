@@ -520,6 +520,23 @@ object SimilarityQueries extends QueryPack {
             .as("recall"))
     }),
 
+    // IVFADC + exact re-rank (Jégou et al. 2011's IVFADC+R topology,
+    // VectorIndex.queryRefined): a 20-deep ADC shortlist from the
+    // clustered index, exact-L2 rescored to top-5. The deployment
+    // answer to sim23's quantization-capped 0.615: refinement fetches
+    // Q·shortlist stored vectors through one _vid equi-join and
+    // converts code error into a constant-factor IO knob —
+    // SimilaritySpec pins the measured recall lift over sim23. Fully
+    // hash-oracled: the twin re-derives the chain at k=20 and rescores
+    // with the shared folds, pinning the refine arithmetic itself.
+    "sim24_adc_refine" -> ((s, dir) => {
+      import s.implicits._
+      val e = clusteredVecs(s, dir)
+      graft.operators.VectorIndex.queryRefined(s,
+        vectorIndexClusteredDir(s, dir), e.filter($"vec_id" < 40),
+        "vec_id", "embedding", nprobe = 2, shortlist = 20, k = 5)
+    }),
+
     // Matryoshka truncation profile (Kusupati et al. 2022, "Matryoshka
     // Representation Learning"): the dimension-adaptive retrieval story —
     // serve the FIRST d coordinates of each embedding and measure what
@@ -1094,6 +1111,30 @@ object SimilarityQueries extends QueryPack {
          |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
          |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
          |FROM qv q LEFT JOIN hits h USING (query_id)""".stripMargin,
+    // sim24's twin: the sim23 chain at shortlist depth 20, rescored by
+    // the exact-fold d² and re-ranked — the refine arithmetic is pinned
+    // end to end, not just the hit sets.
+    "sim24_adc_refine" ->
+      s"""WITH $clusteredVecsSql,
+         |ann0 AS (
+         |${ivfPqSql("4", 2, 2, 8, 8, 8, 2, 20, trainSrc = "cvecs",
+                     corpus = "cvecs")}
+         |), qv AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec
+         |  FROM cvecs WHERE vec_id < 40
+         |)
+         |SELECT query_id, neighbor_id, d2, rank FROM (
+         |  SELECT r.query_id, r.neighbor_id, r.d2,
+         |    row_number() OVER (PARTITION BY r.query_id
+         |      ORDER BY r.d2 ASC, r.neighbor_id ASC) AS rank
+         |  FROM (
+         |    SELECT a.query_id, a.neighbor_id,
+         |      ${dotSql("c.embedding", "c.embedding")}
+         |        - 2.0 * ${dotSql("q.qvec", "c.embedding")} AS d2
+         |    FROM ann0 a
+         |    JOIN cvecs c ON c.vec_id = a.neighbor_id
+         |    JOIN qv q ON q.query_id = a.query_id) r) t
+         |WHERE rank <= 5""".stripMargin,
     // sim21's twin: one scored CTE carrying all four fold dots (DuckDB
     // a[1:d] slices feed the same sequential fold), one ranked CTE per
     // truncation, hits vs the d=64 truth, unioned per dim.

@@ -46,6 +46,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "sim23_clustered_recall", // sim20's evaluation on the derived
                             // clustered corpus: same probe product +
                             // bounded brute truth
+    "sim24_adc_refine",     // the same index probe product; the refine
+                            // itself is an equi-join vector fetch
     "sim21_matryoshka",     // the same sim1/sim20 bounded brute shape:
                             // corpus × broadcast(40 queries), scored
                             // once for all four truncation dots

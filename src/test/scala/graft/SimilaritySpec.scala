@@ -47,6 +47,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out >= 0.4, f"sim23 mean recall $out%.3f fell below 0.4")
   }
 
+  test("sim24: exact refinement lifts recall over pure-ADC ranking " +
+      "(IVFADC+R) — >= 0.7 and strictly above sim23 on the same fixture") {
+    // measured at pinning time: ADC-ranked (sim23) 0.615, refined 0.79
+    // with shortlist 20 — the lift is the whole point of the topology;
+    // a refactor that silently broke the rescore join would collapse
+    // refined recall back to the ADC number
+    val dir = "/root/testdata/sf0.001"
+    val refined = graft.queries.SimilarityQueries
+      .queries("sim24_adc_refine")(spark, dir)
+      .select($"query_id", $"neighbor_id")
+    val e = graft.queries.SimilarityQueries
+      .queries("sim23_clustered_recall")(spark, dir) // per-query ADC recall
+    val adcMean = e.agg(avg($"recall")).head.getDouble(0)
+    // refined recall vs exact truth, computed with the independent
+    // driver-side MD5 mirror (a third engine next to Spark and DuckDB)
+    val ids = graft.core.Tables.load(spark, dir, "embeddings")
+      .select($"vec_id").as[Long].collect().sorted
+    def h60(sv: String): Long =
+      graft.functions.PortableHash.hash60Java(sv.getBytes("UTF-8"))
+    def vec(i: Long): Array[Double] = (1 to 64).map { d =>
+      val block = ((d - 1) * 3) / 64
+      val c = if (i % 3 == block) 20.0 else 0.0
+      val p = (h60(s"${i % 3}:${i / 12}:$d") % 1024L).toDouble /
+        1024.0 * 4.0 - 2.0
+      val j = (h60(s"$i:$d") % 1024L).toDouble / 1024.0 * 0.25 - 0.125
+      c + p + j
+    }.toArray
+    val vs = ids.map(i => i -> vec(i)).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, k) =>
+        s + (a(k) - b(k)) * (a(k) - b(k)))
+    val got = refined.collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.map(_.getLong(1)).toSet }
+    val qids = ids.filter(_ < 40)
+    val refMean = qids.map { q =>
+      val truth = ids.filter(_ != q)
+        .map(i => (d2(vs(q), vs(i)), i)).sorted.take(5).map(_._2).toSet
+      truth.intersect(got.getOrElse(q, Set.empty)).size.toDouble / 5.0
+    }.sum / qids.length
+    info(f"recall@5: ADC-ranked $adcMean%.3f, refined $refMean%.3f")
+    assert(refMean >= 0.7, f"refined recall $refMean%.3f below 0.7")
+    assert(refMean > adcMean,
+      f"refinement must lift recall: refined $refMean%.3f vs ADC $adcMean%.3f")
+  }
+
   test("dotSeq matches a driver-side left-fold computation exactly") {
     val got = df.filter($"vec_id" === 0L)
       .select(Similarity.dotSeq($"embedding", $"embedding").as("d"))
