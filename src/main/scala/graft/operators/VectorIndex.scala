@@ -314,7 +314,7 @@ object VectorIndex {
       .withColumn("d2",
         Similarity.dotSeqHof(col("_cv"), col("_cv"))
           - lit(2.0) * Similarity.dotSeqHof(col("_qv"), col("_cv")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("d2"), col("rank"))
   }

@@ -70,6 +70,37 @@ class VectorIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("queryRefined: with the shortlist probing the whole probed set, " +
+      "refined top-k equals exact L2 over the probed cells") {
+    // exactness property of the rescore stage: once every ADC candidate
+    // is in the shortlist, quantization cannot influence the output —
+    // the refine must return the exact-L2 top-k of the candidate set
+    withIndex { root =>
+      val queries = oldVecs.filter($"vec_id" % 5 === 1)
+      val refined = VectorIndex.queryRefined(spark, root, queries,
+          "vec_id", "embedding", nprobe = 2, shortlist = 24, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .toSet
+      // candidate set = members of each query's 2 probed cells (what
+      // query() with k=corpus returns), exact-rescored driver-side
+      val cand = VectorIndex.query(spark, root, queries, "vec_id",
+          "embedding", nprobe = 2, k = 24)
+        .select($"query_id", $"neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      def d2(a: Seq[Float], b: Seq[Float]): Double =
+        a.zip(b).map { case (x, y) =>
+          (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+      val byId = oldIds.map(i => i -> vec(i)).toMap
+      val want = cand.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+        rs.map(_._2).distinct.toSeq
+          .map(n => (d2(byId(q), byId(n)), n))
+          .sorted.take(3).zipWithIndex
+          .map { case ((_, n), i) => (q, n, (i + 1).toLong) }
+      }.toSet
+      assert(refined === want)
+    }
+  }
+
   test("plan contract: the corpus contributes ONLY cells/codes index scans") {
     withIndex { root =>
       // queries are an in-memory DataFrame, so EVERY file scan must read
