@@ -27,14 +27,12 @@ object BenchScale {
     * committed BENCH_FULL-sf1.0.json reorders. As of round 9 these are
     * the top-10 from the r8 capture (gr2/q21 since reworked — the probe
     * verifies the rework's slope claim instead of assuming it). */
-  // the CURRENT top-10 sf1.0 keys (final r9 capture, 8eea5da) — the
-  // late-r9 consolidation moved q21/dd9/dd10 onto shared serve paths
-  // (their build slopes now live in prewarm), and q59/tx13/tx12
-  // surfaced as the new tail members
-  private val Probes = Seq("gr2_triangles", "dd5_semdedup",
-    "gr1_pagerank", "sim14_hybrid_rrf", "tx26_bleu_overlap",
-    "gr5_capped_edges", "tx29_dedup_funnel", "q59_recursive_tree",
-    "tx13_bm25_topk", "tx12_repeated_spans")
+  // the CURRENT top-10 sf1.0 keys (r11 closing medians, e4caacf) —
+  // dd5's rework dropped it out of the tail; sim13 and pl11 entered
+  private val Probes = Seq("gr2_triangles", "sim14_hybrid_rrf",
+    "tx26_bleu_overlap", "gr1_pagerank", "gr5_capped_edges",
+    "tx13_bm25_topk", "tx29_dedup_funnel", "q59_recursive_tree",
+    "sim13_covariance", "pl11_dsir_select")
 
   /** `runMain graft.BenchScale K full` materializes an ALL-TABLE K×
     * replica of SPARK_GRAFT_SF_DIR at /tmp/sf1.0 (consistent foreign-key
