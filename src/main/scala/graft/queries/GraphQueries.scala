@@ -130,6 +130,34 @@ object GraphQueries extends QueryPack {
             .as("jaccard"))
     }),
 
+    // GR6 — Doulion sampled triangle count (Tsourakakis, Kang, Miller &
+    // Faloutsos, KDD 2009): keep each edge w.p. p = 0.1, count exactly
+    // on the sparsified graph, estimate T̂ = t/p³ — the 100 TB answer
+    // to gr2's exact-count floor (gr2 is wedge-join-bound at 41
+    // wedges/edge; sampling at p cuts wedge work ~p², here ~100×).
+    // Each triangle survives w.p. p³ ⇒ T̂ unbiased (the paper's Lemma
+    // 1). Deviation from the paper's coin flips, stated: edges keep by
+    // hash60(s1:s2) % 1000 < 100 — deterministic and engine-portable
+    // (the gr5 sampling discipline), which is what lets the twin
+    // re-derive the identical sample and the whole row hash-oracle.
+    // The sampled exact counts ride along so the ×1/p³ scaling is
+    // auditable; est = t·1000.0 exactly (no 1/0.001 rounding).
+    "gr6_triangles_sampled" -> ((s, dir) => {
+      import graft.functions.PortableHash
+      val edges = BasketBase.pairCounts(s, dir)
+        .select(col("a").as("s1"), col("b").as("s2"))
+        .filter(PortableHash.hash60(concat_ws(":",
+          col("s1").cast("string"), col("s2").cast("string")))
+          % lit(1000L) < lit(100L))
+      Graph.triangleStats(edges).select(
+        col("n_nodes").as("n_nodes_sampled"),
+        col("n_edges").as("n_edges_sampled"),
+        col("n_wedges").as("n_wedges_sampled"),
+        col("n_triangles").as("n_triangles_sampled"),
+        (col("n_triangles").cast("double") * lit(1000.0))
+          .as("est_triangles"))
+    }),
+
     // GR5 — the CAPPED co-purchase edge build (Graph.cappedBasketPairs):
     // the scale-safe degrade the gr2 wedge guard's error message names.
     // cap=4 genuinely bites TPC-H-shaped baskets (sizes reach 7): capped
@@ -238,6 +266,32 @@ object GraphQueries extends QueryPack {
         |JOIN deg du ON du.n = c.u
         |JOIN deg dv ON dv.n = c.v
         |LEFT JOIN nab e ON e.a = c.u AND e.b = c.v""".stripMargin,
+    // gr6's twin: the gr2 triple-join count over the IDENTICALLY
+    // hash-sampled edge set; est is the same exact ×1000.0 multiply.
+    "gr6_triangles_sampled" -> {
+      val keep = graft.functions.PortableHash.hash60Sql(
+        "CAST(s1 AS VARCHAR) || ':' || CAST(s2 AS VARCHAR)")
+      s"""WITH ps AS (SELECT DISTINCT l_orderkey AS ok,
+         |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+         |alle AS (SELECT DISTINCT a.pk AS s1, b.pk AS s2
+         |         FROM ps a JOIN ps b ON a.ok = b.ok AND a.pk < b.pk),
+         |edges AS (SELECT s1, s2 FROM alle
+         |          WHERE ($keep) % 1000 < 100),
+         |deg AS (SELECT node, count(*) AS d FROM (
+         |          SELECT s1 AS node FROM edges
+         |          UNION ALL SELECT s2 FROM edges) GROUP BY node),
+         |tri AS (SELECT count(*) AS n_triangles FROM edges e1
+         |        JOIN edges e2 ON e1.s2 = e2.s1
+         |        JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+         |wedges AS (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0)
+         |    AS BIGINT) AS n_wedges FROM deg)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes_sampled,
+         |  (SELECT count(*) FROM edges) AS n_edges_sampled,
+         |  n_wedges AS n_wedges_sampled,
+         |  n_triangles AS n_triangles_sampled,
+         |  CAST(n_triangles AS DOUBLE) * 1000.0 AS est_triangles
+         |FROM tri CROSS JOIN wedges""".stripMargin
+    },
     "gr2_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_orderkey AS ok,
         |    CAST(l_partkey AS BIGINT) AS pk FROM lineitem),

@@ -51,6 +51,25 @@ class GraphSpec extends AnyFunSuite {
     assert(served.isNullAt(served.fieldIndex("clustering")))
   }
 
+  test("gr6 Doulion estimate: exactly t/p^3 of the sampled count, and " +
+      "within 20% of the exact count on the deterministic fixture") {
+    // the sample is hash-deterministic, so the fixture error is a pin,
+    // not a statistical assertion: measured +15.1% at sf0.001 (and
+    // -11.1% at sf0.01) — a drift past 20% means the sampling rule or
+    // the estimator changed, not bad luck
+    val dir = "/root/testdata/sf0.001"
+    val g6 = graft.queries.GraphQueries
+      .queries("gr6_triangles_sampled")(spark, dir).collect().head
+    val exact = graft.queries.GraphQueries
+      .queries("gr2_triangles")(spark, dir).collect().head
+      .getAs[Long]("n_triangles")
+    val t = g6.getAs[Long]("n_triangles_sampled")
+    val est = g6.getAs[Double]("est_triangles")
+    assert(est == t.toDouble * 1000.0, "estimator must be exactly t/p^3")
+    val rel = math.abs(est - exact.toDouble) / exact.toDouble
+    assert(rel < 0.2, f"sampled estimate off by $rel%.3f (>20%%)")
+  }
+
   test("triangleStats: empty edge list yields zero counts, NULL clustering") {
     val out = Graph.triangleStats(edgeDf()).collect().head
     assert(out.getAs[Long]("n_nodes") === 0L &&

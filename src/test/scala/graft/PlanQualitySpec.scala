@@ -63,6 +63,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "tx14_lm_perplexity",   // broadcast 1-row vocab size
     "tx31_kn_perplexity",   // broadcast 1-row N1+(··) bigram-type count
     "gr2_triangles",        // final combine of three 1-row stat frames
+    "gr6_triangles_sampled", // same triangleStats 1-row combines over
+                            // the hash-sampled edge set
     "sim12_mmr_rerank",     // candidate gen = sim1's brute product
                             // (bounded query side, broadcast)
     "pl14_zorder_stats",    // broadcast 1-row global min/max for the
