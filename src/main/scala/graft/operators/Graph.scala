@@ -16,6 +16,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Default oriented-wedge work budget shared by [[triangleStats]],
+    * [[triangleStatsServed]], [[triangleStatsAuto]] AND the gr2 serve
+    * gate in GraphQueries — ONE constant so the serve path's degrade
+    * threshold can never drift from the build paths' refusal threshold
+    * (ADVICE r11: a duplicated literal would make the serve path throw
+    * the require instead of degrading if the default ever moved). */
+  val DefaultMaxOrientedWedges: Long = 50000000000L
+
   /** Unnormalized PageRank (Brin & Page 1998): init rank 1.0 per node,
     * then `iters` rounds of `r'(v) = teleport + damping · Σ_{u~v} r(u)/deg(u)`
     * over an UNDIRECTED edge list (one row per edge; every node must
@@ -167,7 +175,7 @@ object Graph {
   def triangleStats(edges: DataFrame,
                     broadcastEdgeLimit: Long = 20000000L,
                     wedgeBroadcastLimit: Long = 20000000L,
-                    maxOrientedWedges: Long = 50000000000L): DataFrame = {
+                    maxOrientedWedges: Long = DefaultMaxOrientedWedges): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("s1"), col("s2"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -265,7 +273,14 @@ object Graph {
     // rows, produced in EITHER regime) with broadcast cost. Keeping the
     // wedge build broadcast while the table fits skips two full edge
     // exchanges and is stream-side skew-immune (measured on the 12M-edge
-    // sf1.0 replica: 22.1 s shuffled -> 18.0 s broadcast, same box)
+    // sf1.0 replica: 22.1 s shuffled -> 18.0 s broadcast, same box).
+    // MEMORY NOTE (ADVICE r11): in the 2M-20M-edge band the wedge build
+    // AND the closing probe each broadcast the oriented table as a
+    // SEPARATE relation (different projections never share a broadcast
+    // exchange), so peak broadcast memory is ~2× the table — size
+    // executors for two copies, or lower wedgeBroadcastLimit (caller-
+    // tunable) where that headroom doesn't exist; the win above was
+    // measured at 12M edges on one 128 GiB box only
     val wedgeBuild =
       if (nEdges <= math.min(wedgeBroadcastLimit, broadcastEdgeLimit))
         broadcast(orientedBuild.alias("e2"))
@@ -354,7 +369,7 @@ object Graph {
                           root: String,
                           broadcastEdgeLimit: Long = 20000000L,
                           wedgeBroadcastLimit: Long = 20000000L,
-                          maxOrientedWedges: Long = 50000000000L)
+                          maxOrientedWedges: Long = DefaultMaxOrientedWedges)
       : DataFrame = {
     import spark.implicits._
     val m = spark.read.parquet(s"$root/meta").head
@@ -437,7 +452,7 @@ object Graph {
     * guard, never silently explode twice. */
   def triangleStatsAuto(exactEdges: DataFrame, baskets: DataFrame,
                         groupCol: String, itemCol: String, cap: Int,
-                        maxOrientedWedges: Long = 50000000000L): DataFrame =
+                        maxOrientedWedges: Long = DefaultMaxOrientedWedges): DataFrame =
     try
       triangleStats(exactEdges, maxOrientedWedges = maxOrientedWedges)
         .withColumn("degraded", lit(false))

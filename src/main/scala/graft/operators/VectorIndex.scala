@@ -107,6 +107,13 @@ object VectorIndex {
         Array[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType)]()
 
+  /** Per-root load locks (see `frozen`): serialize loads of ONE stale
+    * root without holding any frozenMemo bin. Entries are one Object per
+    * distinct root string ever queried in this JVM — bounded by the
+    * number of index roots, never grows with queries. */
+  private val loadLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** (qualified root, freshness token) — one FS listing of `meta`. */
   private def memoKey(spark: SparkSession, root: String): (String, String) = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -135,9 +142,23 @@ object VectorIndex {
       val cent = spark.read.parquet(s"$qRoot/centroids")
       (tok, meta, model, cent.collect(), cent.schema)
     }
-    val e = frozenMemo.compute(qRoot, { (_, old) =>
-      if (old != null && old._1 == tok) old else load()
-    })
+    // the (parquet reads + collect) load runs OUTSIDE any CHM remapping
+    // function (ADVICE r11: CHM requires remappers to be short and
+    // non-blocking — a slow load inside compute() blocks unrelated roots
+    // hashing to the same bin). Per-root lock + double-checked reread:
+    // one loader per stale root, concurrent readers of OTHER roots never
+    // wait on it.
+    def cached = Option(frozenMemo.get(qRoot)).filter(_._1 == tok)
+    val e = cached.getOrElse {
+      val lock = loadLocks.computeIfAbsent(qRoot, _ => new Object)
+      lock.synchronized {
+        cached.getOrElse {
+          val fresh = load()
+          frozenMemo.put(qRoot, fresh)
+          fresh
+        }
+      }
+    }
     (e._2, e._3, Similarity.centroidArrays(
       spark.createDataFrame(java.util.Arrays.asList(e._4: _*), e._5)))
   }
@@ -293,7 +314,11 @@ object VectorIndex {
     * the per-query constant drops, order is unchanged), both dots the
     * shared sequential folds, (score, id) tiebreak — so the output is
     * hash-oracle-able end to end.
-    * Output: (query_id, neighbor_id, d2, rank ≤ k). */
+    * Output: (query_id, neighbor_id, d2_shifted, rank ≤ k).
+    * `d2_shifted` is the SHIFTED score ‖c‖² − 2·q·c — the true squared
+    * distance minus the per-query constant ‖q‖², so it can be NEGATIVE
+    * and is comparable only within one query_id (ADVICE r11: the former
+    * name `d2` invited reading it as the distance itself). */
   def queryRefined(spark: SparkSession, root: String, queries: DataFrame,
                    idCol: String, vecCol: String, nprobe: Int,
                    shortlist: Int, k: Int): DataFrame = {
@@ -308,15 +333,16 @@ object VectorIndex {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("d2").asc, col("neighbor_id").asc)
+      .orderBy(col("d2_shifted").asc, col("neighbor_id").asc)
     cand.join(cv, "neighbor_id")
       .join(broadcast(q), "query_id")
-      .withColumn("d2",
+      .withColumn("d2_shifted",
         Similarity.dotSeqHof(col("_cv"), col("_cv"))
           - lit(2.0) * Similarity.dotSeqHof(col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("d2"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("d2_shifted"),
+        col("rank"))
   }
 
   private def tombstonePath(root: String) = s"$root/tombstones"

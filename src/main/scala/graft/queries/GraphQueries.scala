@@ -69,7 +69,7 @@ object GraphQueries extends QueryPack {
       // build — `degraded` marks exact (false; TPC-H-shaped baskets
       // never trip the budget) vs capped lower bounds (true).
       val root = TriangleBase.dir(s, dir)
-      if (TriangleBase.wedgeWork(s, root) <= 50000000000L)
+      if (TriangleBase.wedgeWork(s, root) <= Graph.DefaultMaxOrientedWedges)
         Graph.triangleStatsServed(s, root)
           .withColumn("degraded", lit(false))
       else

@@ -1123,7 +1123,7 @@ object SimilarityQueries extends QueryPack {
          |  SELECT vec_id AS query_id, embedding AS qvec
          |  FROM cvecs WHERE vec_id < 40
          |)
-         |SELECT query_id, neighbor_id, d2, rank FROM (
+         |SELECT query_id, neighbor_id, d2 AS d2_shifted, rank FROM (
          |  SELECT r.query_id, r.neighbor_id, r.d2,
          |    row_number() OVER (PARTITION BY r.query_id
          |      ORDER BY r.d2 ASC, r.neighbor_id ASC) AS rank
