@@ -667,18 +667,19 @@ object ExtendedQueries extends QueryPack {
       import s.implicits._
       // histogram-cumulative extraction (q81's shape): the per-group ROW
       // sort ran on #groups cores (3 here); the histogram aggregates the
-      // corpus once and windows run over DISTINCT values. v_at(rank) =
-      // min v with cum(v) >= rank, read for both interpolation anchors
-      // of each quantile in ONE conditional agg; the fractional weight
-      // derives from cnt post-agg with the oracle-shared AST.
+      // corpus once. Distinct l_extendedprice is ~60% of rows (a
+      // continuous column, NOT a small domain), so the cumulative runs
+      // through BucketedCdf's probe-bucketed partitioned windows — the
+      // r12 rework shared with q71/q81/pl17. v_at(rank) = min v with
+      // cum(v) >= rank, read for both interpolation anchors of each
+      // quantile in ONE conditional agg; the fractional weight derives
+      // from cnt post-agg with the oracle-shared AST.
       val hist = t(s, dir, "lineitem")
         .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
         .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
-      val cum = hist
-        .withColumn("n", sum($"c").over(Window.partitionBy($"g")))
-        .withColumn("cum", sum($"c").over(
-          Window.partitionBy($"g").orderBy($"v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ng = hist.groupBy($"g").agg(sum($"c").as("n"))
+      val cum = graft.operators.BucketedCdf.withCum(hist, Seq("g"), "v", "c")
+        .join(broadcast(ng), "g")
       val qs = Seq(0.25, 0.5, 0.75)
       val aggs = qs.zipWithIndex.flatMap { case (p, i) =>
         val pos = ($"n" - 1).cast("double") * lit(p)
@@ -706,28 +707,27 @@ object ExtendedQueries extends QueryPack {
     // cum(v) ≥ (n+1) div 2). NOT the q66 per-group row sort: with a
     // 3-value group key that sort runs on 3 of 32 cores (measured
     // slope 7.5 at the 10× probe); the histogram path aggregates the
-    // corpus once and every window runs over DISTINCT values per group
-    // — domain-bounded, exact, parallel. Deviations are re-histogrammed
-    // (|v − med| of VALUE rows, counts carried), never re-scanned.
+    // corpus once. The histogram is over DISTINCT values per group —
+    // which for a continuous price column is ~60% of ROWS, not a small
+    // domain (the r11 "domain-bounded" claim overstated this), so both
+    // cumulatives run through BucketedCdf's probe-bucketed PARTITIONED
+    // windows instead of one task per 3-value group. Deviations are
+    // re-histogrammed (|v − med| of VALUE rows, counts carried), never
+    // re-scanned.
     "q81_mad_robust" -> ((s, dir) => {
       import s.implicits._
       val hist = t(s, dir, "lineitem")
         .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
         .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
-      val wg = Window.partitionBy($"g").orderBy($"v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val med = hist
-        .withColumn("n", sum($"c").over(Window.partitionBy($"g")))
-        .withColumn("cum", sum($"c").over(wg))
+      val ng = hist.groupBy($"g").agg(sum($"c").as("n"))
+      val med = graft.operators.BucketedCdf.withCum(hist, Seq("g"), "v", "c")
+        .join(broadcast(ng), "g")
         .filter($"cum" >= expr("(n + 1) div 2"))
         .groupBy($"g").agg(min($"v").as("median"), max($"n").as("n"))
-      val dev = hist.join(med, "g")
+      val dev = hist.join(broadcast(med), "g")
         .select($"g", $"n", $"median", abs($"v" - $"median").as("d"), $"c")
         .groupBy($"g", $"n", $"median", $"d").agg(sum($"c").as("c"))
-      val wd = Window.partitionBy($"g").orderBy($"d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      dev
-        .withColumn("cum", sum($"c").over(wd))
+      graft.operators.BucketedCdf.withCum(dev, Seq("g"), "d", "c")
         .filter($"cum" >= expr("(n + 1) div 2"))
         .groupBy($"g".as("l_returnflag"), $"n", $"median")
         .agg(min($"d").as("mad"))
@@ -865,8 +865,13 @@ object ExtendedQueries extends QueryPack {
           lit(1000)).as("qs"))
         .collect()
         .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+      // getOrElse: an EMPTY orders table produces no histogram rows for
+      // a metric — the fold over no boundaries yields bucket 0 and the
+      // query degrades to an empty frame (ADVICE r11: probes(name) threw
+      // NoSuchElementException where the former bounds() form returned
+      // null bounds gracefully).
       def bucketFor(name: String): org.apache.spark.sql.Column =
-        probes(name).foldLeft(lit(0)) { (acc, bd) =>
+        probes.getOrElse(name, Seq.empty).foldLeft(lit(0)) { (acc, bd) =>
           acc + when($"v" > lit(bd), 1).otherwise(0) }
       val bucketed = hist.withColumn("b",
         when($"mname" === "r", bucketFor("r"))
@@ -1056,25 +1061,42 @@ object ExtendedQueries extends QueryPack {
     // verbose source and a p90 doc from a terse one land on the same
     // calibrated value). Distributed exactness without a global row
     // sort: per-row group quantiles come from group-keyed windows; the
-    // global side is the pl17 histogram trick (cumulative over DISTINCT
-    // values — domain-bounded, not data-bounded) probed at the 101 grid
-    // ranks; the corpus then equi-joins the broadcast 101-row grid. The
-    // one nonequi join (grid ranks × histogram) touches two
-    // aggregate-sized frames only.
+    // global side is an exact histogram cumulative — over DISTINCT
+    // o_totalprice values, which for a continuous column is NOT a small
+    // domain (~#orders rows; the r11 un-partitioned window here was the
+    // worst single-task scale-killer on the board), so the cumulative
+    // runs through BucketedCdf's probe-bucketed partitioned windows —
+    // then the 101 grid ranks read off it and the corpus equi-joins the
+    // broadcast 101-row grid. The one nonequi join (grid ranks ×
+    // histogram) streams the histogram once against the broadcast
+    // 101-row grid into a map-side-combined min agg — parallel, never
+    // sorted.
     "q71_quantile_normalize" -> ((s, dir) => {
       import s.implicits._
       val o = t(s, dir, "orders").select($"o_orderpriority".as("g"),
         $"o_totalprice".as("v"), $"o_orderkey".as("id"))
-      val ranked = o
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"g").orderBy($"v", $"id")).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy($"g")))
+      // per-row group rank WITHOUT a per-group row sort (5 groups ⇒ 5
+      // tasks each sorting n/5 ROWS — the same single-task class as the
+      // histogram window, one notch milder): rn over (v, id) decomposes
+      // as (#group rows with smaller v) + (rank by id among equal-v
+      // rows). The first term is the bucketed group cumulative shifted
+      // by the value's own count; the second is a window partitioned by
+      // (g, v) — near-unique values ⇒ tiny partitions, fully parallel.
+      val gHist = o.groupBy($"g", $"v").agg(count(lit(1)).as("gc"))
+      val gCum = graft.operators.BucketedCdf.withCum(
+        gHist, Seq("g"), "v", "gc", "gcum")
+      val ng = gHist.groupBy($"g").agg(sum($"gc").as("n"))
+      val ranked = o.join(gCum, Seq("g", "v"))
+        .withColumn("rn", ($"gcum" - $"gc" +
+          row_number().over(
+            Window.partitionBy($"g", $"v").orderBy($"id"))).cast("long"))
+        .join(broadcast(ng), "g")
       val q = when($"n" === 1L, lit(0.0))
         .otherwise(($"rn" - 1L).cast("double") / ($"n" - 1L).cast("double"))
       val bucketed = ranked.withColumn("qb", floor(q * 100.0).cast("long"))
-      val hist = o.groupBy($"v").agg(count(lit(1)).as("c"))
-        .withColumn("cum",
-          sum($"c").over(Window.orderBy($"v")).cast("long"))
+      val hist = graft.operators.BucketedCdf.withCum(
+        o.groupBy($"v").agg(count(lit(1)).as("c")),
+        Seq.empty, "v", "c", "cum")
       val nTot = o.agg(count(lit(1)).as("n_tot"))
       val grid = s.range(0, 101).toDF("qb")
         .crossJoin(broadcast(nTot))

@@ -424,24 +424,24 @@ object PipelineQueries extends QueryPack {
     // pass before loss/length statistics feed a curriculum. The quantiles
     // are EXACT rank order statistics, but no corpus-scale sort happens:
     // a (group, value) hash agg collapses the fact table to its value
-    // HISTOGRAM, the cumulative window runs over that histogram (domain-
-    // bounded — distinct prices, not rows — so the per-group sorted pass
-    // holds even though l_returnflag has only 3 values; a raw per-group
-    // row sort here would put 33 TB through 3 tasks at target scale),
-    // bound value v(k) = min v with cum(v) ≥ k, and the tiny bounds frame
-    // broadcasts back for the clip pass. Clipped values are untouched
-    // doubles (least/greatest only) and the sum folds in decimal — full
-    // hash oracle.
+    // HISTOGRAM — which over a continuous price column is ~60% of ROWS,
+    // not a small domain (the r11 comment overstated "domain-bounded"),
+    // so the cumulative runs through BucketedCdf's probe-bucketed
+    // PARTITIONED windows rather than one task per 3-value group (a raw
+    // per-group row sort here would put 33 TB through 3 tasks at target
+    // scale; the un-bucketed histogram window put ~60% of that through
+    // the same 3 tasks). Bound value v(k) = min v with cum(v) ≥ k, and
+    // the tiny bounds frame broadcasts back for the clip pass. Clipped
+    // values are untouched doubles (least/greatest only) and the sum
+    // folds in decimal — full hash oracle.
     "pl17_winsorize" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val li = Tables.load(s, dir, "lineitem")
         .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
-      val wCum = Window.partitionBy($"g").orderBy($"v")
-      val wAll = Window.partitionBy($"g")
-      val cum = li.groupBy($"g", $"v").agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum($"c").over(wCum))
-        .withColumn("n", sum($"c").over(wAll))
+      val hist = li.groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+      val ng = hist.groupBy($"g").agg(sum($"c").as("n"))
+      val cum = graft.operators.BucketedCdf.withCum(hist, Seq("g"), "v", "c")
+        .join(broadcast(ng), "g")
       val loR = greatest(lit(1L), ceil($"n".cast("double") * 0.05))
       val hiR = ceil($"n".cast("double") * 0.95)
       val bounds = cum.groupBy($"g").agg(

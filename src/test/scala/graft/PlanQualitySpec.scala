@@ -158,19 +158,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Window"), "q25: expected the sort-based window plan")
   }
 
-  test("q83 runs no un-partitioned window (quartile bounds ride the " +
-      "bucketed histogram cumulative)") {
-    // the r10 form extracted the boundaries under ONE global row_number
-    // over the whole customer aggregate — the single-task trap; the
-    // histogram-cumulative rework must keep every window partitioned
-    val plan = SparkEntry.queries("q83_rfm")(spark, dir)
-      .queryExecution.optimizedPlan
-    val global = plan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window
-          if w.partitionSpec.isEmpty => w
+  test("exact-quantile keys run no data-sized window: every Window is " +
+      "partitioned, and histogram cumulatives carry the bucket key") {
+    // q83 r11: quartile bounds were ONE global row_number over the whole
+    // customer aggregate. r12 (VERDICT r11 #1): q71's global histogram
+    // cumulative, q66/q81/pl17's 3-value-key cumulatives over distinct
+    // prices (~60% of rows per task), and q71's 5-task per-group row
+    // rank all moved onto BucketedCdf — every surviving Window must be
+    // partitioned, and by MORE than the bare low-cardinality group key
+    // (group + bucket, or group + value), so no task sees a data-sized
+    // frame.
+    Seq("q83_rfm", "q71_quantile_normalize", "q66_percentile_interp",
+        "q81_mad_robust", "pl17_winsorize").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      val global = windows.filter(_.partitionSpec.isEmpty)
+      assert(global.isEmpty,
+        s"$name: un-partitioned Window nodes in the plan:\n${global.mkString}")
+      // the reworked keys' windows partition on ≥2 expressions (group +
+      // bucket, or group + value) — EXCEPT the global-CDF case, where
+      // the synthetic constant group folds away and the lone bucket key
+      // `__b` is exactly the partitioning we want. A single bare GROUP
+      // key would mean the bucket key fell off.
+      if (name != "q83_rfm") windows.foreach { w =>
+        val loneBucket = w.partitionSpec.size == 1 &&
+          w.partitionSpec.head.references.forall(_.name.startsWith("__b"))
+        assert(w.partitionSpec.size >= 2 || loneBucket,
+          s"$name: Window partitioned on a single low-cardinality key " +
+            s"(bucket key lost): ${w.partitionSpec}")
+      }
     }
-    assert(global.isEmpty,
-      s"q83: un-partitioned Window nodes in the plan:\n${global.mkString}")
   }
 
   test("dimension joins broadcast (no fact-side shuffle for the join)") {
