@@ -6,7 +6,8 @@ A single Bench capture on this box carries a measured +/-12% noise floor
 equal load), so round-over-round claims must never be read off one run.
 This tool folds >=N same-commit history captures into one median record:
 
-    python3 tools/bench_median.py sf0.1 <commit> [min_runs=3]
+    python3 tools/bench_median.py sf0.1 <commit> [min_runs=3] \
+        [--prev bench/MEDIAN-<sf>-<oldcommit>.json]
 
 reads  bench/history/BENCH_FULL-<sf>-<commit>-<epoch>.json  (the
 timestamped copies Bench writes per run), takes the PER-KEY median and
@@ -16,6 +17,21 @@ the median total, and writes  bench/MEDIAN-<sf>-<commit>.json  carrying:
     for the record to be stamped clean; <0.5 is the closing-capture bar)
   - queries: per-key medians, total: median of totals
 README/PLANS deltas must quote THESE medians, never a single capture.
+
+With --prev (VERDICT r11 #5 — the board-drift estimator as a tool, not
+hand arithmetic): the box's throughput drifts round to round (r11
+measured ×1.2 in ONE HOUR between same-code median sets under
+hypervisor-level contention the load gate cannot see), so raw per-key
+ratios vs an older close conflate code changes with box drift. The
+record then also carries:
+  - prev: the baseline file, board_ratio: the MEDIAN of per-key ratios
+    cur/prev over all shared keys — the box-drift estimate (the median
+    is robust: genuinely-changed keys are a minority by construction,
+    and if they aren't, the board ratio honestly absorbs the round's
+    typical change instead)
+  - adjusted_vs_prev: per-key cur/prev ÷ board_ratio — read THESE for
+    round-over-round claims; a key is only interestingly faster/slower
+    when its ADJUSTED ratio leaves the ±20-30% single-key noise band.
 """
 import glob
 import json
@@ -24,11 +40,17 @@ import sys
 
 
 def main() -> int:
-    if len(sys.argv) < 3:
+    argv = list(sys.argv[1:])
+    prev_path = None
+    if "--prev" in argv:
+        i = argv.index("--prev")
+        prev_path = argv[i + 1]
+        del argv[i:i + 2]
+    if len(argv) < 2:
         print(__doc__)
         return 2
-    sf, commit = sys.argv[1], sys.argv[2]
-    min_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    sf, commit = argv[0], argv[1]
+    min_runs = int(argv[2]) if len(argv) > 2 else 3
     pat = f"bench/history/BENCH_FULL-{sf}-{commit}-*.json"
     files = sorted(glob.glob(pat))
     if len(files) < min_runs:
@@ -61,12 +83,30 @@ def main() -> int:
             statistics.median([r.get("prewarm_sec", 0.0) for r in runs]), 3),
         "queries": med,
     }
+    if prev_path:
+        prev = json.load(open(prev_path))
+        prevq = prev["queries"]
+        ratios = {k: med[k] / prevq[k] for k in med
+                  if k in prevq and prevq[k] > 0}
+        if ratios:
+            board = statistics.median(ratios.values())
+            out["prev"] = prev_path
+            out["board_ratio"] = round(board, 4)
+            out["adjusted_vs_prev"] = {
+                k: round(r / board, 3) for k, r in sorted(ratios.items())}
+            out["new_keys"] = sorted(k for k in med if k not in prevq)
     dest = f"bench/MEDIAN-{sf}-{commit}.json"
     with open(dest, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"{dest}: runs={out['runs']} loads={loads} "
           f"total={out['total']} clean={out['clean']} "
           f"closing_grade={out['closing_grade']}")
+    if "board_ratio" in out:
+        adj = out["adjusted_vs_prev"]
+        hot = {k: v for k, v in adj.items() if v >= 1.3 or v <= 0.7}
+        print(f"board_ratio={out['board_ratio']} vs {out['prev']}; "
+              f"{len(adj)} shared keys, adjusted outliers (|Δ|≥30%): "
+              f"{hot if hot else 'none'}")
     return 0
 
 
