@@ -80,6 +80,28 @@ object TextQueries extends QueryPack {
       ()
     }
 
+  /** dd12's durable multi-generation artifact: `idx/` is the MinHash
+    * index after build(g0) + appendBatch(g1) + appendBatch(g2); `r1/`,
+    * `r2/` are the pair outputs each epoch's incrementalDedup produced
+    * BEFORE its batch was appended (the daily-ingest loop: dedup the
+    * arriving snapshot against everything already indexed, then index
+    * it). Built once per fixture generation; dd12 serves r1/r2 as reads
+    * and runs only g3's dedup live. */
+  private[graft] def multigenIndexDir(s: SparkSession, dir: String): String =
+    graft.core.FixtureCache.dirFor(s, dir, "mhgen1") { p =>
+      def gen(g: Int) = docs(s, dir).filter(col("doc_id") % 4 === g)
+      graft.operators.DedupIndex.buildMinhashIndex(
+        gen(0), "doc_id", "text", s"$p/idx")
+      Seq(1, 2).foreach { g =>
+        graft.operators.DedupIndex.incrementalDedup(s, s"$p/idx", gen(g),
+            "doc_id", "text", jaccardThreshold = 0.3)
+          .withColumn("gen", lit(g.toLong))
+          .write.mode("overwrite").parquet(s"$p/r$g")
+        graft.operators.DedupIndex.appendBatch(s, s"$p/idx", gen(g),
+          "doc_id", "text")
+      }
+    }
+
   /** Materialize the per-dir shared artifacts (shingle base, dd4 index)
     * OUTSIDE any timed region: Bench calls this in its warmup so tx6/dd1/
     * dd3/dd4 per-query timings don't depend on which of them runs first
@@ -87,6 +109,7 @@ object TextQueries extends QueryPack {
   override def prewarm(s: SparkSession, dir: String): Unit = {
     sharedShingles(s, dir)
     minhashIndexDir(s, dir)
+    multigenIndexDir(s, dir)
     TermFreqBase.tf(s, dir)
     TermFreqBase.dl(s, dir)
     TermFreqBase.docFreq(s, dir)
@@ -321,6 +344,30 @@ object TextQueries extends QueryPack {
         minhashIndexDir(s, dir),
         docs(s, dir).filter(col("doc_id") % NewBatchMod === NewBatchRem),
         "doc_id", "text", jaccardThreshold = 0.3)),
+
+    // MULTI-GENERATION incremental dedup (VERDICT r11 #6 — the CCNet/
+    // RefinedWeb per-snapshot loop): generations g = doc_id % 4; the
+    // index is built over g0, then g1 and g2 each ran
+    // incrementalDedup → appendBatch into the durable artifact (TWO
+    // append generations — history is never re-shingled, the artifact
+    // stores each epoch's pair output), and g3's dedup runs LIVE here
+    // against the twice-appended index (read-only — the timed path
+    // never mutates the cached artifact). Output = r1 ∪ r2 ∪ r3 tagged
+    // `gen`. Oracle identity (PLANS_r12 gate, written before this key):
+    // a pair is examined exactly once, at the epoch of its LATER member
+    // — so the union equals ONE full LSH recompute over all documents
+    // (r frozen from g0's count) restricted to pairs not entirely
+    // inside g0, tagged gen = greatest(doc_a % 4, doc_b % 4).
+    "dd12_multigen_dedup" -> ((s, dir) => {
+      val root = multigenIndexDir(s, dir)
+      val live = graft.operators.DedupIndex.incrementalDedup(s,
+          s"$root/idx", docs(s, dir).filter(col("doc_id") % 4 === 3),
+          "doc_id", "text", jaccardThreshold = 0.3)
+        .withColumn("gen", lit(3L))
+      s.read.parquet(s"$root/r1")
+        .unionByName(s.read.parquet(s"$root/r2"))
+        .unionByName(live)
+    }),
 
     // 60-bit SimHash sketch table (portable token hash — sketch VALUES are
     // oracle-checked bit-for-bit).
@@ -1394,6 +1441,21 @@ object TextQueries extends QueryPack {
       restrict = s"\n  AND (doc_a % $NewBatchMod = $NewBatchRem " +
         s"OR doc_b % $NewBatchMod = $NewBatchRem)")
 
+  /** dd12's oracle: the PLANS_r12 gate identity — the union of the
+    * three epochs' incremental outputs equals one full recompute over
+    * ALL documents with r derived from g0's count (the meta the index
+    * froze at build), restricted to pairs not entirely inside g0 and
+    * tagged with the later member's generation. */
+  private def dd12Sql: String =
+    s"""SELECT doc_a, doc_b, common, jaccard,
+       |  greatest(doc_a % 4, doc_b % 4) AS gen
+       |FROM (
+       |${minhashPairsSql(bands = 4, minRows = 2, maxRows = 8, target = 8,
+            countSql = "SELECT count(*) FROM documents WHERE doc_id % 4 = 0",
+            threshold = 0.3,
+            restrict = "\n  AND (doc_a % 4 <> 0 OR doc_b % 4 <> 0)")}
+       |) q""".stripMargin
+
   /** dd2's DuckDB twin: 60 conditional bit-vote sums over the portable
     * token hash, reassembled to the same 60-bit sketch; tokenless docs
     * come back via the LEFT JOIN with sketch 0 (Spark: explode_outer →
@@ -1585,6 +1647,7 @@ object TextQueries extends QueryPack {
            |    SELECT doc_id AS id, shingle AS tk FROM sh) z""".stripMargin,
         tNum = 4, tDen = 5),
     "dd4_incremental_dedup" -> dd4Sql,
+    "dd12_multigen_dedup" -> dd12Sql,
     "dd2_simhash" -> dd2Sql,
     "tx12_repeated_spans" ->
       """WITH tok AS (

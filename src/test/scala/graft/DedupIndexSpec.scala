@@ -94,6 +94,39 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("multigen loop (dd12's shape): after TWO appended generations, " +
+      "the live batch still dedups via index scans only") {
+    withIndex(oldDocs) { root =>
+      DedupIndex.appendBatch(spark, root, newDocs, "doc_id", "text")
+      val batch2 = Seq((201L, "fresh new document with its own tokens " +
+        "kappa lambda mu nu xi omicron pi rho sigma tau chi"))
+        .toDF("doc_id", "text")
+      DedupIndex.appendBatch(spark, root, batch2, "doc_id", "text")
+      val batch3 = Seq(
+        (301L, variant(9)), // near-dup of g0's planted pair
+        (302L, "fresh new document with its own tokens kappa lambda mu " +
+          "nu xi omicron pi rho sigma tau psi")) // near-dup of g1's 102/103 + g2's 201
+        .toDF("doc_id", "text")
+      val df = DedupIndex.incrementalDedup(spark, root, batch3,
+        "doc_id", "text", 0.3)
+      // history-never-reshingled pin across generations: batch3 is an
+      // in-memory frame, so every file scan must point under the index
+      // root — g0's build AND both appended generations alike
+      val plan = df.queryExecution.executedPlan.toString
+      val scanned = "file:[^\\s\\],]+".r.findAllIn(plan).toList
+      val rootNorm = root.stripPrefix("file:")
+      assert(scanned.nonEmpty)
+      scanned.foreach(p => assert(p.contains(rootNorm),
+        s"non-index file scan in multigen incremental plan: $p"))
+      val pairs = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 301 must pair with g0 history; 302 with BOTH appended generations
+      assert(pairs.contains((19L, 301L)) || pairs.contains((20L, 301L)),
+        s"g3 near-dup of a g0 doc must be caught: $pairs")
+      assert(pairs.contains((102L, 302L)) && pairs.contains((201L, 302L)),
+        s"g3 near-dup must hit docs from both appended generations: $pairs")
+    }
+  }
+
   test("deriveMinhashRows grows with the corpus, integer-exact") {
     assert(Dedup.deriveMinhashRows(500) == 2)
     assert(Dedup.deriveMinhashRows(5000) == 3)
