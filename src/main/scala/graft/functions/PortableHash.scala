@@ -65,12 +65,18 @@ object PortableHash {
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
   }
 
-  /** DuckDB twin of [[hash60]]. */
+  /** DuckDB twin of [[hash60]]. Lambda variables deliberately obscure:
+    * `e` is spliced INSIDE the hex-position lambda, and DuckDB lambda
+    * parameters SHADOW outer columns of the same name — an `e` that
+    * referenced a column named `i` used to hash a different value per
+    * fold step (caught live by tx34's positional shingles; the r12
+    * rename retires the hazard class instead of each caller dodging
+    * it). */
   def hash60Sql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      s"list_transform(range(1,16), i -> CAST(strpos('0123456789abcdef', " +
-      s"substring(md5($e), CAST(i AS INTEGER), 1)) - 1 AS BIGINT))), " +
-      s"(a, d) -> a * 16 + d)"
+      s"list_transform(range(1,16), h60i -> CAST(strpos('0123456789abcdef', " +
+      s"substring(md5($e), CAST(h60i AS INTEGER), 1)) - 1 AS BIGINT))), " +
+      s"(h60a, h60d) -> h60a * 16 + h60d)"
 
   /** Coefficients of the i-th affine permutation (a_i nonzero: both
     * factors are in (0, p) and p is prime, so the product mod p is too). */

@@ -49,7 +49,16 @@ object BucketedCdf {
               maxOffsetRows: Int = 65536): DataFrame = {
     val spark = hist.sparkSession
     val synth = "__bcdf_g"
-    val h = if (groupCols.nonEmpty) hist else hist.withColumn(synth, lit(0))
+    // The helper consumes `hist` three times (boundary probe, offset
+    // fold, final join) and callers chain passes whose second histogram
+    // embeds the first pass's whole plan — without a persist the input
+    // lineage re-executes multiplicatively (q81's two chained passes
+    // measured 2.3 → 8.7 s at sf0.1 before this pin). The persist is
+    // owned by the caller's session lifecycle: Bench clears the cache
+    // per query, the repo-wide convention for in-plan intermediates.
+    val h = (if (groupCols.nonEmpty) hist
+             else hist.withColumn(synth, lit(0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gcols = if (groupCols.nonEmpty) groupCols else Seq(synth)
     val gc = gcols.map(col)
     // 1. boundary probe — one hash agg over the histogram; accuracy 1000

@@ -680,4 +680,72 @@ object Dedup {
       .select(col("doc").as(idCol), col("n_tokens"), col("n_dup_spans"),
         col("dup_tokens"), col("dup_fraction"))
   }
+
+  /** CROSS-document exact-substring duplicate spans — the ExactSubstr
+    * dedup signal of Lee, Ippolito et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better"): per document, the maximal
+    * token runs covered by some verbatim substring of ≥ `k` tokens that
+    * also appears in ANOTHER document. Their implementation is a corpus
+    * suffix array; the distributed formulation rests on the k-gram
+    * cover identity (PLANS_r12 gate): a position lies in a duplicated
+    * substring of length ≥ k iff some length-k window covering it is
+    * duplicated, so the paper's dup region is exactly the union of
+    * [i, i+k−1] over shared k-gram starts i. Differs from
+    * [[repeatedSpanProfile]] (tx12) on all three axes that matter at
+    * scale: cross-doc only (shared = min(doc) ≠ max(doc) over the
+    * k-gram's rows — exact, no count-distinct), k-grams grouped by the
+    * engine-portable hash60 of the space-joined k-gram (fixed-width
+    * shuffle key; the DuckDB twin folds the identical hash, so even
+    * collisions — odds ~n²/2⁶⁰ — are bit-identical), and coverage via
+    * per-doc RUN MERGE of start positions (starts fuse while the gap is
+    * ≤ k, i.e. their covered windows overlap or touch) instead of
+    * exploding k covered positions per hit — O(hits) rows, not
+    * O(hits·k), and dup_tokens = Σ(en−st+1) is an exact covered-token
+    * count with no double counting.
+    *
+    * Scale shape: one in-row positional shingle explode (corpus-token-
+    * sized), one map-side-combinable min/max hash agg on the 8-byte
+    * key, one equi-join back, then windows PARTITIONED BY doc (frames
+    * bounded by document length) and two per-doc aggs. Never O(N²);
+    * no corpus-sized single-task stage.
+    *
+    * Output: (idCol, n_tokens, n_spans, dup_tokens, max_span,
+    * dup_frac), one row per input document (docs without spans carry
+    * zeros). */
+  def crossDocDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 2, "a span threshold needs k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableHash
+    val toks = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("_toks"))
+    val pos = toks.select(col("doc"),
+        posexplode(shingleArray(col("_toks"), k)).as(Seq("p0", "sh")))
+      .select(col("doc"), (col("p0") + 1).cast("long").as("i"),
+        PortableHash.hash60(col("sh")).as("h"))
+    val shared = pos.groupBy(col("h"))
+      .agg(min(col("doc")).as("mn"), max(col("doc")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select(col("h"))
+    val hits = pos.join(shared, "h").select(col("doc"), col("i"))
+    val wDoc = Window.partitionBy(col("doc")).orderBy(col("i"))
+    val spans = hits
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(wDoc) > k, 1L).otherwise(0L))
+      .withColumn("g", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc"), col("g"))
+      .agg(min(col("i")).as("st"), (max(col("i")) + (k - 1)).as("en"))
+    val per = spans.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st") + 1).as("dup_tokens"),
+        max(col("en") - col("st") + 1).as("max_span"))
+    docs.select(col(idCol).as("doc"),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .join(per, Seq("doc"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_tokens", "max_span"))
+      .withColumn("dup_frac",
+        when(col("n_tokens") > 0,
+          col("dup_tokens").cast("double") / col("n_tokens").cast("double")))
+      .select(col("doc").as(idCol), col("n_tokens"), col("n_spans"),
+        col("dup_tokens"), col("max_span"), col("dup_frac"))
+  }
 }

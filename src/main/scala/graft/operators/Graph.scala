@@ -492,14 +492,32 @@ object Graph {
     * the wedge budget in [[triangleStats]] becomes a static guarantee:
     * Σ out·in ≤ E·cap regardless of how dense the raw projection is. */
   def cappedBasketPairs(df: DataFrame, groupCol: String, itemCol: String,
-                        cap: Int): DataFrame = {
-    require(cap >= 2, "a pair build needs cap >= 2")
-    import graft.functions.PortableHash
-    val baskets = df
-      .select(col(groupCol).as("ok"), col(itemCol).cast("long").as("pk"))
+                        cap: Int): DataFrame =
+    cappedPairsFromBaskets(basketSets(df, groupCol, itemCol), cap)
+
+  /** The basket projection itself — one row per group with ≥2 distinct
+    * items, `(ok, parts)` with `parts = array_sort(collect_set(item))`.
+    * This is the single shuffle every basket-derived build pays
+    * (pair counts, capped pairs, the triangle bases); factoring it out
+    * lets a deployment materialize it ONCE per corpus snapshot (see
+    * [[graft.queries.BasketBase.baskets]]) and serve every downstream
+    * projection as a scan — the checkpoint-the-projection pattern the
+    * pair-count base already uses, pushed one derivation earlier. */
+  def basketSets(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.select(col(groupCol).as("ok"), col(itemCol).cast("long").as("pk"))
       .groupBy(col("ok"))
       .agg(array_sort(collect_set(col("pk"))).as("parts"))
       .filter(size(col("parts")) >= 2)
+
+  /** [[cappedBasketPairs]]'s sample + pair expansion over an already
+    * built `(ok, parts)` basket table — shuffle-free (the explode and
+    * the hash sample are in-row; only the final pair-count agg
+    * exchanges). Serving gr5 from the durable basket artifact via this
+    * entry point retired the per-query collect_set rebuild (r12). */
+  def cappedPairsFromBaskets(baskets0: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 2, "a pair build needs cap >= 2")
+    import graft.functions.PortableHash
+    val baskets = baskets0
       .withColumn("was_capped", size(col("parts")) > cap)
     val keyed = transform(col("parts"), pk =>
       struct(

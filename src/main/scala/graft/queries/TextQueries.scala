@@ -936,6 +936,19 @@ object TextQueries extends QueryPack {
       Dedup.repeatedSpanProfile(graft.core.Tables.spread(docs(s, dir)),
         "doc_id", "text", spanLen = 8)),
 
+    // CROSS-document exact-substring duplicate spans (Lee, Ippolito et
+    // al. 2021 ExactSubstr dedup; gate + k-gram cover identity in
+    // PLANS_r12): per doc, the maximal token runs covered by a verbatim
+    // ≥8-token substring that also appears in ANOTHER document — the
+    // boilerplate/syndication trimmer that runs where tx12's
+    // any-repeat profile (within-doc echoes included) is too blunt.
+    // k=8 whitespace tokens, not the paper's 50 BPE: fixture docs
+    // average 54 tokens (deviation stated in the gate; probed 47
+    // docs with spans before the oracle was written). See
+    // Dedup.crossDocDupSpans for the scale shape.
+    "tx34_crossdoc_spans" -> ((s, dir) =>
+      Dedup.crossDocDupSpans(docs(s, dir), "doc_id", "text", k = 8)),
+
     // HTML → text extraction with block-level boilerplate removal
     // (jusText/trafilatura lineage): synthetic pages rendered from
     // `documents` (the mm2 render→decode discipline — title, nav,
@@ -1684,6 +1697,59 @@ object TextQueries extends QueryPack {
         |FROM sizes z
         |LEFT JOIN ndup n USING (doc)
         |LEFT JOIN cov c USING (doc)""".stripMargin,
+    // tx34's twin: identical hash60 k-gram keys (collision-identical),
+    // the same min≠max cross-doc criterion and the same gap≤k run
+    // merge — lag() is NULL on each doc's first hit in both engines,
+    // so NULL > 8 folds to the ELSE 0 branch identically. The gram
+    // STRING is materialized in its own CTE before hashing: hash60Sql
+    // expands to a list_transform whose lambda variable is `i`, which
+    // SHADOWS an outer position column of the same name (caught live —
+    // the inlined form hashed a different gram per fold step and turned
+    // the key into a doc-level fingerprint).
+    "tx34_crossdoc_spans" -> {
+      val h = graft.functions.PortableHash.hash60Sql("s")
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, regexp_extract_all(text, '\\S+') AS t
+         |  FROM documents
+         |), sh0 AS (
+         |  SELECT doc, CAST(si AS BIGINT) AS i,
+         |    array_to_string(t[si:si+7], ' ') AS s
+         |  FROM (SELECT doc, t,
+         |          unnest(generate_series(1, len(t) - 7)) AS si
+         |        FROM tok) x
+         |), sh AS (
+         |  SELECT doc, i, $h AS h FROM sh0
+         |), shared AS (
+         |  SELECT h FROM sh GROUP BY h HAVING min(doc) <> max(doc)
+         |), hits AS (
+         |  SELECT doc, i FROM sh JOIN shared USING (h)
+         |), brk AS (
+         |  SELECT doc, i, CASE WHEN i - lag(i) OVER
+         |      (PARTITION BY doc ORDER BY i) > 8 THEN 1 ELSE 0 END AS b
+         |  FROM hits
+         |), isl AS (
+         |  SELECT doc, i,
+         |    sum(b) OVER (PARTITION BY doc ORDER BY i) AS g
+         |  FROM brk
+         |), sp AS (
+         |  SELECT doc, min(i) AS st, max(i) + 7 AS en
+         |  FROM isl GROUP BY doc, g
+         |), per AS (
+         |  SELECT doc, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens,
+         |    CAST(max(en - st + 1) AS BIGINT) AS max_span
+         |  FROM sp GROUP BY doc
+         |)
+         |SELECT k.doc AS doc_id, k.n_tokens,
+         |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(coalesce(p.max_span, 0) AS BIGINT) AS max_span,
+         |  CASE WHEN k.n_tokens > 0
+         |    THEN CAST(coalesce(p.dup_tokens, 0) AS DOUBLE)
+         |      / CAST(k.n_tokens AS DOUBLE) END AS dup_frac
+         |FROM (SELECT doc, CAST(len(t) AS BIGINT) AS n_tokens FROM tok) k
+         |LEFT JOIN per p USING (doc)""".stripMargin
+    },
     "mm2_decode_dims" ->
       """SELECT doc_id, 'png' AS format,
         |  CAST(1 + doc_id % 37 AS INTEGER) AS width,

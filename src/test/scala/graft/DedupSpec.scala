@@ -265,4 +265,35 @@ class DedupSpec extends AnyFunSuite {
         r.getAs[Long]("doc_b")), r.getAs[Long]("dist"))).toMap
     assert(trunc(Set(1L, 2L)) == 2L, s"$trunc")
   }
+
+  test("crossDocDupSpans: cross-doc runs merge while coverage touches, " +
+      "within-doc-only repeats are excluded, far spans stay separate") {
+    def toks(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val x8 = toks("x", 8); val c8 = toks("c", 8); val z8 = toks("z", 8)
+    val d = Seq(
+      // doc 1: x-gram [1,8] and c-gram [9,16] — shared with DIFFERENT
+      // partners, starts 1 and 9 (gap = k): windows touch ⇒ ONE span of
+      // 16 tokens. z-gram at [27,34] (gap 18 > k) stays its own span.
+      (1L, s"$x8 $c8 ${toks("f", 10)} $z8"),
+      (2L, s"${toks("p", 3)} $x8 ${toks("q", 3)} $z8"), // shares x, z
+      (3L, s"${toks("r", 5)} $c8"),                     // shares c
+      // doc 4: an 8-gram repeated twice WITHIN the doc only — the
+      // cross-doc criterion (min≠max) must exclude it entirely
+      (4L, s"${toks("w", 8)} ${toks("w", 8)}"),
+      (5L, "too short to shingle"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDocDupSpans(d, "doc_id", "text", k = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Long]("max_span")))).toMap
+    assert(out(1L) == ((2L, 24L, 16L)), s"$out")  // [1,16] + [27,34]
+    assert(out(2L) == ((2L, 16L, 8L)), s"$out")
+    assert(out(3L) == ((1L, 8L, 8L)), s"$out")
+    assert(out(4L) == ((0L, 0L, 0L)), s"$out")
+    assert(out(5L) == ((0L, 0L, 0L)), s"$out")
+    // dup_frac: one correctly-rounded division (doc 3: 8 of 13 tokens)
+    val f3 = Dedup.crossDocDupSpans(d, "doc_id", "text", k = 8)
+      .filter(col("doc_id") === 3L).collect().head.getAs[Double]("dup_frac")
+    assert(f3 == 8.0 / 13.0)
+  }
 }

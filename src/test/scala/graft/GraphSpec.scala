@@ -70,6 +70,21 @@ class GraphSpec extends AnyFunSuite {
     assert(rel < 0.2, f"sampled estimate off by $rel%.3f (>20%%)")
   }
 
+  test("gr5 serves from the durable baskets artifact: row-identical to " +
+      "the raw rebuild, and the timed plan carries no collect_set") {
+    val dir = "/root/testdata/sf0.001"
+    val served = graft.queries.GraphQueries
+      .queries("gr5_capped_edges")(spark, dir)
+    val raw = Graph.cappedBasketPairs(
+      graft.core.Tables.load(spark, dir, "lineitem"),
+      "l_orderkey", "l_partkey", cap = 4)
+    assert(served.collect().toSet === raw.collect().toSet)
+    // the collect_set shuffle must be prewarm's cost, not the query's
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set"),
+      "gr5's timed plan re-derives baskets instead of scanning the artifact")
+  }
+
   test("triangleStats: empty edge list yields zero counts, NULL clustering") {
     val out = Graph.triangleStats(edgeDf()).collect().head
     assert(out.getAs[Long]("n_nodes") === 0L &&
