@@ -191,6 +191,47 @@ object PipelineQueries extends QueryPack {
           $"content_chars", ($"doc_id" =!= $"keeper").as("is_content_dup"))
     }),
 
+    // PL26 — hive-style partition pruning: the timed query reads ONE
+    // language subtree of the durable lang-partitioned parquet layout
+    // (graft.sources.FileSources; built in prewarm like every
+    // corpus-snapshot artifact). At 100 TB, partitioning by a coarse
+    // low-cardinality key is the MANIFEST-level pruning lever — the
+    // filter eliminates whole directories before any file is opened,
+    // where the flat layout lists every file and prunes row groups at
+    // best (pl14's Z-order works the intra-file level; this is the
+    // level above). FileSourcesSpec pins PartitionFilters in the
+    // executed plan AND row-identity with the flat-table filter.
+    "pl26_partition_prune" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(graft.sources.FileSources.langPartitionedDocsDir(s, dir))
+        .filter($"lang" === "en")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          sum(TextFunctions.tokenCount($"text")).as("n_tokens"))
+    }),
+
+    // S4 — the JSONL batch file source (the interchange format LLM
+    // corpora ship in): `documents` round-tripped once per generation
+    // through a durable JSONL artifact (prewarm), then read with the
+    // PINNED schema — schema inference is a full extra pass over the
+    // data at scale, so the timed path never pays it. The aggregate
+    // includes a token count over the round-tripped text, so the
+    // oracle (same aggregate over the parquet fixture) proves the
+    // JSON codec lossless on the text payload, not just the numerics.
+    // The corrupt-line PERMISSIVE contract (P1's stream-JSON policy,
+    // batch twin) is pinned in FileSourcesSpec.
+    "s4_jsonl_docs" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.FileSources.readJsonl(s,
+          graft.sources.FileSources.jsonlDocsDir(s, dir))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          sum(TextFunctions.tokenCount($"text")).as("n_tokens"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+    }),
+
     "pl8_ingest_pipeline" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.spread(Tables.load(s, dir, "documents"))
@@ -591,7 +632,34 @@ object PipelineQueries extends QueryPack {
        |FROM c GROUP BY lang, bin""".stripMargin
   }
 
+  /** Materialize the file-layout artifacts (lang-partitioned copy,
+    * JSONL copy) outside any timed region — the write is the once-per-
+    * corpus-snapshot cost, the queries measure serving. */
+  override def prewarm(s: SparkSession, dir: String): Unit = {
+    graft.sources.FileSources.langPartitionedDocsDir(s, dir)
+    graft.sources.FileSources.jsonlDocsDir(s, dir)
+    ()
+  }
+
   def oracles: Map[String, String] = Map(
+    // pl26's twin: the same aggregate over the flat table — the key's
+    // content is the LAYOUT (pruned scan, spec-pinned), not the math.
+    "pl26_partition_prune" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(${TextFunctions.tokenCountSql("text")}) AS BIGINT)
+         |    AS n_tokens
+         |FROM documents WHERE lang = 'en'
+         |GROUP BY source""".stripMargin,
+    // s4's twin: the same aggregate over the parquet fixture — equality
+    // proves the JSONL round trip lossless on text and numerics.
+    "s4_jsonl_docs" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(${TextFunctions.tokenCountSql("text")}) AS BIGINT)
+         |    AS n_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents GROUP BY lang""".stripMargin,
     // pl16's twin: identical (hash, vec_id) pick order per label.
     "pl16_cluster_cap_sample" -> {
       import graft.functions.PortableHash

@@ -1159,6 +1159,26 @@ object TextQueries extends QueryPack {
     "tx18_bpe_pairs" -> ((s, dir) =>
       graft.operators.Bpe.pairStats(docs(s, dir), "text")),
 
+    // Full iterative BPE merge TRAINING (Sennrich et al. 2016 alg. 1;
+    // gate + the doubled-separator replace identity in PLANS_r12): the
+    // learned merge table after 8 rounds — corpus collapses to the
+    // word-frequency vocabulary once, then every round is
+    // vocabulary-sized (pair agg + 1-row argmax + narrow rewrite), the
+    // textbook tokenizer-training shape at 100 TB. The twin unrolls the
+    // 8 rounds as CTE stages (the sim9 kmeans discipline) and applies
+    // each merge with a doubled-separator string replace proven ≡ the
+    // greedy left-to-right scan (consecutive-repeat case pinned in
+    // BpeSpec). Tie-break (n desc, l asc, r asc), binary collation both
+    // engines.
+    "tx35_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, _) =
+        graft.operators.Bpe.train(docs(s, dir), "text", nMerges = 8)
+      merges.zipWithIndex
+        .map { case (m, i) => ((i + 1).toLong, m.left, m.right, m.n) }
+        .toDF("step", "l", "r", "n")
+    }),
+
     // hashed-linear-classifier quality scoring (the fastText / DCLM
     // model-based filter shape): each token hashes into one of
     // [[ClassifierBuckets]] weight buckets and the document's margin is
@@ -2183,6 +2203,59 @@ object TextQueries extends QueryPack {
          |  count(DISTINCT word) AS n_vocab
          |FROM pairs GROUP BY pair
          |ORDER BY n_pair DESC, pair ASC LIMIT 30""".stripMargin,
+
+    // tx35's twin: the 8 training rounds unrolled as CTE stages (sim9's
+    // kmeans discipline). Symbol strings ride the DOUBLED-separator
+    // representation (' a  b  c ', single guard at ends) so the round's
+    // string `replace` is provably ≡ the Spark side's greedy
+    // left-to-right merge scan — a single-space guard fails on
+    // consecutive repeats because replace consumes the shared delimiter
+    // (PLANS_r12 gate, checked on paper; the Spark-side repeat case is
+    // pinned in BpeSpec).
+    "tx35_bpe_train" -> {
+      val rounds = 8
+      val ctes = new StringBuilder
+      ctes ++= raw"""words AS (
+         |  SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+         |  FROM documents
+         |), wc AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS wc
+         |  FROM words GROUP BY word
+         |), v0 AS MATERIALIZED (
+         |  SELECT ' ' || array_to_string(list_transform(
+         |      generate_series(1, length(word)),
+         |      ci -> substring(word, CAST(ci AS INTEGER), 1)), '  ') || ' '
+         |    AS s, wc
+         |  FROM wc
+         |)""".stripMargin
+      // MATERIALIZED throughout: each v/m is referenced twice and CTE
+      // inlining would re-expand the whole round chain per reference —
+      // the un-materialized form multiplied the base parquet scan past
+      // the fd limit ("Too many open files", caught live at sf0.01).
+      for (t <- 1 to rounds) {
+        val pv = s"v${t - 1}"
+        ctes ++= s""",
+           |p$t AS (
+           |  SELECT syms[pi] AS l, syms[pi + 1] AS r, wc
+           |  FROM (SELECT string_split(trim(s), '  ') AS syms, wc
+           |        FROM $pv) z,
+           |    unnest(generate_series(1, len(syms) - 1)) AS u(pi)
+           |), m$t AS MATERIALIZED (
+           |  SELECT CAST($t AS BIGINT) AS step, l, r,
+           |    CAST(sum(wc) AS BIGINT) AS n
+           |  FROM p$t GROUP BY l, r ORDER BY n DESC, l ASC, r ASC LIMIT 1
+           |)""".stripMargin
+        if (t < rounds) ctes ++= s""",
+           |v$t AS MATERIALIZED (
+           |  SELECT replace(s, ' ' || m.l || '  ' || m.r || ' ',
+           |      ' ' || m.l || m.r || ' ') AS s, wc
+           |  FROM $pv, m$t m
+           |)""".stripMargin
+      }
+      "WITH " + ctes + "\n" +
+        (1 to rounds).map(t => s"SELECT step, l, r, n FROM m$t")
+          .mkString("\nUNION ALL\n")
+    },
 
     // tx19's twin scores token-by-token through unnest + re-agg (SQL has
     // no guaranteed-fold order for a lambda over hash arithmetic this

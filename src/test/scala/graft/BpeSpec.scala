@@ -70,4 +70,18 @@ class BpeSpec extends AnyFunSuite {
     val syms = vocab.collect().head.getAs[scala.collection.Seq[String]]("symbols").toSeq
     assert(syms == Seq("aa", "a"))
   }
+
+  test("train: EVEN-run repeats merge pairwise ([aa, aa] for 'aaaa') — " +
+      "the case the tx35 twin's doubled-separator replace must match") {
+    // 'aaaa' → greedy (a,a) gives [aa, aa]; a single-space-guarded SQL
+    // replace would give [aa, a, a] because it consumes the shared
+    // delimiter (PLANS_r12 gate). This pins the Spark-side truth the
+    // twin is proven against.
+    val (merges, vocab) =
+      Bpe.train(Seq("aaaa").toDF("text"), "text", nMerges = 1)
+    assert(merges.head == graft.operators.Bpe.Merge("a", "a", 3L))
+    val syms = vocab.collect().head
+      .getAs[scala.collection.Seq[String]]("symbols").toSeq
+    assert(syms == Seq("aa", "aa"))
+  }
 }

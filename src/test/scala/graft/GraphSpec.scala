@@ -56,7 +56,13 @@ class GraphSpec extends AnyFunSuite {
     // the sample is hash-deterministic, so the fixture error is a pin,
     // not a statistical assertion: measured +15.1% at sf0.001 (and
     // -11.1% at sf0.01) — a drift past 20% means the sampling rule or
-    // the estimator changed, not bad luck
+    // the estimator changed, not bad luck. At sf1.0 (the 10× replica,
+    // measured r12 at the 9a45a83 code): est 1.9002e7 vs exact
+    // 18,844,880 → +0.83% — the estimator CONCENTRATES with scale
+    // (Doulion's variance shrinks as the sampled triangle count t
+    // grows; t=19,002 here vs 368 at sf0.01), which is exactly why it
+    // is the named 100 TB path while the fixture-scale pins above stay
+    // loose
     val dir = "/root/testdata/sf0.001"
     val g6 = graft.queries.GraphQueries
       .queries("gr6_triangles_sampled")(spark, dir).collect().head
