@@ -1060,7 +1060,8 @@ object ExtendedQueries extends QueryPack {
     // comparable before a corpus-wide keep threshold (a p90 doc from a
     // verbose source and a p90 doc from a terse one land on the same
     // calibrated value). Distributed exactness without a global row
-    // sort: per-row group quantiles come from group-keyed windows; the
+    // sort: per-row group ranks regenerate from the group histogram
+    // (contiguous rank intervals, see below); the
     // global side is an exact histogram cumulative — over DISTINCT
     // o_totalprice values, which for a continuous column is NOT a small
     // domain (~#orders rows; the r11 un-partitioned window here was the
@@ -1074,30 +1075,41 @@ object ExtendedQueries extends QueryPack {
     "q71_quantile_normalize" -> ((s, dir) => {
       import s.implicits._
       val o = t(s, dir, "orders").select($"o_orderpriority".as("g"),
-        $"o_totalprice".as("v"), $"o_orderkey".as("id"))
-      // per-row group rank WITHOUT a per-group row sort (5 groups ⇒ 5
-      // tasks each sorting n/5 ROWS — the same single-task class as the
-      // histogram window, one notch milder): rn over (v, id) decomposes
-      // as (#group rows with smaller v) + (rank by id among equal-v
-      // rows). The first term is the bucketed group cumulative shifted
-      // by the value's own count; the second is a window partitioned by
-      // (g, v) — near-unique values ⇒ tiny partitions, fully parallel.
+        $"o_totalprice".as("v"))
+      // per-row group ranks WITHOUT touching the corpus again: the
+      // ranks of a group's equal-v rows form the contiguous interval
+      // [gcum-gc+1, gcum], and nothing downstream reads anything but
+      // (g, rank) — so the rank multiset REGENERATES from the histogram
+      // via a sequence explode. The r11 form joined the corpus back to
+      // the cumulative and ran a row_number window over (g, v): two
+      // corpus-row shuffles that produced exactly this multiset (the
+      // window only distributed ranks among tied rows by id, and the id
+      // never reaches the output — hash-invariant by construction).
+      // Chunked so a heavily-duplicated value emits bounded arrays, not
+      // one gc-sized allocation.
       val gHist = o.groupBy($"g", $"v").agg(count(lit(1)).as("gc"))
       val gCum = graft.operators.BucketedCdf.withCum(
         gHist, Seq("g"), "v", "gc", "gcum")
       val ng = gHist.groupBy($"g").agg(sum($"gc").as("n"))
-      val ranked = o.join(gCum, Seq("g", "v"))
-        .withColumn("rn", ($"gcum" - $"gc" +
-          row_number().over(
-            Window.partitionBy($"g", $"v").orderBy($"id"))).cast("long"))
-        .join(broadcast(ng), "g")
+      val chunk = 65536L
+      val ranked = gCum.join(broadcast(ng), "g")
+        .withColumn("__ck",
+          explode(sequence(lit(0L),
+            floor(($"gc" - 1L) / chunk).cast("long"))))
+        .withColumn("rn", explode(sequence(
+          $"gcum" - $"gc" + 1L + $"__ck" * chunk,
+          least($"gcum", $"gcum" - $"gc" + ($"__ck" + 1L) * chunk))))
       val q = when($"n" === 1L, lit(0.0))
         .otherwise(($"rn" - 1L).cast("double") / ($"n" - 1L).cast("double"))
       val bucketed = ranked.withColumn("qb", floor(q * 100.0).cast("long"))
+      // the global histogram is the group histogram marginalized over g
+      // (hist(v) = Σ_g gHist(g,v)), and withCum persisted gHist — so the
+      // corpus is scanned exactly ONCE; every downstream frame here is
+      // histogram-sized, broadcast, or driver-tiny.
       val hist = graft.operators.BucketedCdf.withCum(
-        o.groupBy($"v").agg(count(lit(1)).as("c")),
+        gHist.groupBy($"v").agg(sum($"gc").as("c")),
         Seq.empty, "v", "c", "cum")
-      val nTot = o.agg(count(lit(1)).as("n_tot"))
+      val nTot = ng.agg(sum($"n").as("n_tot"))
       val grid = s.range(0, 101).toDF("qb")
         .crossJoin(broadcast(nTot))
         .withColumn("r", floor($"qb".cast("double") / 100.0 *
