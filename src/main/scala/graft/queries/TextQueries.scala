@@ -1179,6 +1179,37 @@ object TextQueries extends QueryPack {
         .toDF("step", "l", "r", "n")
     }),
 
+    // BPE ENCODE — the token-budget accounting every corpus report
+    // quotes (tokens under the actual trained tokenizer, not whitespace
+    // tokens; tx1 counts the latter). Trains the 8-merge table (tx35's
+    // loop) and reads each vocabulary word's FINAL segmentation straight
+    // off the training state — the form the DuckDB twin replays exactly
+    // via the shared doubled-separator chain (PLANS_r12 gate §tx37: the
+    // serving-path rank-order encode, Bpe.encode, coincides on the
+    // training corpus and is pinned ≡ the replay on every fixture vocab
+    // word in BpeSpec, but is not provably identical in general — the
+    // oracled key pins the twin-replayable form). Scale shape: the
+    // corpus collapses to the word-frequency vocabulary once;
+    // tokenization is vocabulary-sized work; the doc-side re-join is one
+    // word-keyed join (AQE broadcasts the fixture-scale vocab) + a
+    // doc-keyed re-agg. Outputs are longs plus one long/long double
+    // division — full hash oracle.
+    "tx37_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val (_, vocab) =
+        graft.operators.Bpe.train(docs(s, dir), "text", nMerges = 8)
+      val tokmap = vocab.select($"word",
+        size($"symbols").cast("long").as("tok"))
+      docs(s, dir)
+        .select($"doc_id", explode(tokens($"text")).as("word"))
+        .join(tokmap, "word")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"), sum($"tok").as("n_tokens"),
+          sum(length($"word")).cast("long").as("n_chars"))
+        .withColumn("chars_per_token",
+          $"n_chars".cast("double") / $"n_tokens".cast("double"))
+    }),
+
     // hashed-linear-classifier quality scoring (the fastText / DCLM
     // model-based filter shape): each token hashes into one of
     // [[ClassifierBuckets]] weight buckets and the document's margin is
@@ -1334,6 +1365,56 @@ object TextQueries extends QueryPack {
   /** tx20's vocabulary threshold: a token is in-vocabulary when ≥ this
     * many distinct documents contain it. */
   private val OovMinDf = 20
+
+  /** Shared DuckDB CTE chain replaying BPE merge training (tx35's gate
+    * identities: doubled-separator replace ≡ greedy left-to-right merge;
+    * argmax tie-break (n desc, l asc, r asc) under binary collation).
+    * words → wc → v0, then per round t: p_t (adjacent symbol pairs),
+    * m_t (1-row argmax merge), v_t (vocabulary after the merge — emitted
+    * through round `rounds` when `finalV`, else `rounds`−1, since tx35
+    * only reads the m_t rows). v_t carries the WORD so consumers can
+    * read per-word final segmentations (tx37). MATERIALIZED throughout:
+    * each v/m is referenced twice and CTE inlining would re-expand the
+    * whole round chain per reference — the un-materialized form
+    * multiplied the base parquet scan past the fd limit ("Too many open
+    * files", caught live at sf0.01). */
+  private def bpeChainSql(rounds: Int, finalV: Boolean): String = {
+    val ctes = new StringBuilder
+    ctes ++= raw"""words AS (
+       |  SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+       |  FROM documents
+       |), wc AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS wc
+       |  FROM words GROUP BY word
+       |), v0 AS MATERIALIZED (
+       |  SELECT word, ' ' || array_to_string(list_transform(
+       |      generate_series(1, length(word)),
+       |      ci -> substring(word, CAST(ci AS INTEGER), 1)), '  ') || ' '
+       |    AS s, wc
+       |  FROM wc
+       |)""".stripMargin
+    for (t <- 1 to rounds) {
+      val pv = s"v${t - 1}"
+      ctes ++= s""",
+         |p$t AS (
+         |  SELECT syms[pi] AS l, syms[pi + 1] AS r, wc
+         |  FROM (SELECT string_split(trim(s), '  ') AS syms, wc
+         |        FROM $pv) z,
+         |    unnest(generate_series(1, len(syms) - 1)) AS u(pi)
+         |), m$t AS MATERIALIZED (
+         |  SELECT CAST($t AS BIGINT) AS step, l, r,
+         |    CAST(sum(wc) AS BIGINT) AS n
+         |  FROM p$t GROUP BY l, r ORDER BY n DESC, l ASC, r ASC LIMIT 1
+         |)""".stripMargin
+      if (t < rounds || finalV) ctes ++= s""",
+         |v$t AS MATERIALIZED (
+         |  SELECT word, replace(s, ' ' || m.l || '  ' || m.r || ' ',
+         |      ' ' || m.l || m.r || ' ') AS s, wc
+         |  FROM $pv, m$t m
+         |)""".stripMargin
+    }
+    ctes.toString
+  }
 
   private val ClassifierBuckets = 4096
   private def tokenWeight(t: org.apache.spark.sql.Column) =
@@ -2214,47 +2295,35 @@ object TextQueries extends QueryPack {
     // pinned in BpeSpec).
     "tx35_bpe_train" -> {
       val rounds = 8
-      val ctes = new StringBuilder
-      ctes ++= raw"""words AS (
-         |  SELECT unnest(regexp_extract_all(text, '\S+')) AS word
-         |  FROM documents
-         |), wc AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS wc
-         |  FROM words GROUP BY word
-         |), v0 AS MATERIALIZED (
-         |  SELECT ' ' || array_to_string(list_transform(
-         |      generate_series(1, length(word)),
-         |      ci -> substring(word, CAST(ci AS INTEGER), 1)), '  ') || ' '
-         |    AS s, wc
-         |  FROM wc
-         |)""".stripMargin
-      // MATERIALIZED throughout: each v/m is referenced twice and CTE
-      // inlining would re-expand the whole round chain per reference —
-      // the un-materialized form multiplied the base parquet scan past
-      // the fd limit ("Too many open files", caught live at sf0.01).
-      for (t <- 1 to rounds) {
-        val pv = s"v${t - 1}"
-        ctes ++= s""",
-           |p$t AS (
-           |  SELECT syms[pi] AS l, syms[pi + 1] AS r, wc
-           |  FROM (SELECT string_split(trim(s), '  ') AS syms, wc
-           |        FROM $pv) z,
-           |    unnest(generate_series(1, len(syms) - 1)) AS u(pi)
-           |), m$t AS MATERIALIZED (
-           |  SELECT CAST($t AS BIGINT) AS step, l, r,
-           |    CAST(sum(wc) AS BIGINT) AS n
-           |  FROM p$t GROUP BY l, r ORDER BY n DESC, l ASC, r ASC LIMIT 1
-           |)""".stripMargin
-        if (t < rounds) ctes ++= s""",
-           |v$t AS MATERIALIZED (
-           |  SELECT replace(s, ' ' || m.l || '  ' || m.r || ' ',
-           |      ' ' || m.l || m.r || ' ') AS s, wc
-           |  FROM $pv, m$t m
-           |)""".stripMargin
-      }
-      "WITH " + ctes + "\n" +
+      "WITH " + bpeChainSql(rounds, finalV = false) + "\n" +
         (1 to rounds).map(t => s"SELECT step, l, r, n FROM m$t")
           .mkString("\nUNION ALL\n")
+    },
+
+    // tx37's twin: the SAME merge-replay chain (shared builder), run one
+    // round further so v8 carries every vocabulary word's final
+    // segmentation; tokens per word = the doubled-separator split count,
+    // and per-doc totals re-join the corpus token stream. Inner join in
+    // both engines — train and encode share the corpus, so the map has
+    // zero misses by construction (PLANS_r12 gate §tx37).
+    "tx37_bpe_encode" -> {
+      raw"""WITH ${bpeChainSql(8, finalV = true)},
+         |tokmap AS MATERIALIZED (
+         |  SELECT word,
+         |    CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS tok
+         |  FROM v8
+         |), dw AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+         |  FROM documents
+         |)
+         |SELECT dw.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(t.tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+         |  (CAST(sum(length(dw.word)) AS DOUBLE) /
+         |    CAST(sum(t.tok) AS DOUBLE)) AS chars_per_token
+         |FROM dw JOIN tokmap t ON t.word = dw.word
+         |GROUP BY dw.doc_id""".stripMargin
     },
 
     // tx19's twin scores token-by-token through unnest + re-agg (SQL has

@@ -84,4 +84,29 @@ class BpeSpec extends AnyFunSuite {
       .getAs[scala.collection.Seq[String]]("symbols").toSeq
     assert(syms == Seq("aa", "aa"))
   }
+
+  test("encode ≡ training-replay segmentation on every fixture vocab " +
+      "word (the tx37 gate's empirical equivalence pin)") {
+    // tx37 oracles the training-final segmentation (twin-replayable);
+    // Bpe.encode is the rank-order serving path. The two are not
+    // provably identical in general (PLANS_r12 gate §tx37) — this pins
+    // that they coincide on the whole fixture vocabulary, token count
+    // for token count, at the tx35/tx37 merge depth.
+    val docs = graft.core.Tables.load(
+      TestSession.spark, "/root/testdata/sf0.001", "documents")
+    val (merges, vocab) = Bpe.train(docs, "text", nMerges = 8)
+    val replay = vocab.collect()
+      .map(r => r.getAs[String]("word") ->
+        r.getAs[scala.collection.Seq[String]]("symbols").length.toLong)
+      .toMap
+    // one synthetic doc per vocab word → encode's per-doc n_tokens is
+    // exactly that word's segment count under the rank-order loop
+    val words = replay.keys.toSeq.sorted
+    val asDocs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val enc = Bpe.encode(asDocs, "doc_id", "text", merges).collect()
+      .map(r => words(r.getLong(0).toInt) -> r.getLong(2)).toMap
+    assert(words.nonEmpty && words.forall(w => enc(w) == replay(w)),
+      words.filter(w => enc(w) != replay(w)).take(5).toString)
+  }
 }
