@@ -232,6 +232,88 @@ object PipelineQueries extends QueryPack {
           min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
     }),
 
+    // PL27 — model-based quality filtering, TRAINING step: a linear
+    // classifier fit IN-ENGINE by 8 rounds of full-batch gradient
+    // descent (the fastText/DCLM-style filter's training loop as a
+    // dataflow; tx19/tx27/tx28/tx33 cover scoring, calibration,
+    // thresholding and evaluation of an already-trained model — this
+    // key trains one). Numeric portability (PLANS_r12 gate §pl27):
+    // the link is the FAST sigmoid σ(m) = 0.5 + 0.5·m/(1+|m|) — the
+    // logistic exp() is not bit-portable across engines, while +,×,/,
+    // abs are IEEE-exact; a documented deviation, not smuggled
+    // approximation. Gradient components fold through q72's
+    // floor(·1e6) fixed-point sum (the rounding decimal cast resolves
+    // half-way digits differently per engine), so every round's weights
+    // are bit-identical in both engines regardless of partitioning and
+    // the twin replays the whole trajectory through 1-row CTEs (sim9's
+    // unroll). Labels come from a deterministic TEACHER rule
+    // (y = 1 iff 3·x1 − 2·x3 + 0.3 ≥ 0, measured 68.8% positive at
+    // sf0.01) — the fixture text carries no organic label signal
+    // (probed: marker counts are lang-invariant), so the planted
+    // boundary is what makes the emitted accuracy trajectory
+    // demonstrate real learning above the majority baseline. Scale
+    // shape: the feature projection is one narrow corpus pass
+    // (persisted); each round is one map-side-combined aggregation
+    // producing a 4-value model + one accuracy count — model-sized
+    // state, rounds = corpus passes, the textbook full-batch GD shape.
+    "pl27_lr_train" -> ((s, dir) => {
+      import s.implicits._
+      def sumF6(c: org.apache.spark.sql.Column) =
+        sum(floor(c * 1e6)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / 1e6
+      val x1r = TextFunctions.wordListCount(lower($"text"),
+        TextFunctions.langMarkers.head._2).cast("double") / 10.0
+      val x2r = length($"text").cast("double") / 1000.0
+      val x3r = TextFunctions.tokenCount($"text").cast("double") / 100.0
+      // features centered at FIXED constants (≈ the corpus means,
+      // hard-coded — a data-derived mean would cost a pass and another
+      // portability surface): uncentered all-positive features against
+      // a 69%-positive teacher stall full-batch GD at the majority
+      // predictor for far more rounds (measured: 8 rounds flat at
+      // 0.688; centered+η=8 rises to 0.804 by round 16). The teacher
+      // rule reads the RAW scaled features.
+      val feats = Tables.spread(Tables.load(s, dir, "documents"))
+        .select((x1r - 0.35).as("x1"), (x2r - 0.3).as("x2"),
+          (x3r - 0.55).as("x3"),
+          when(lit(3.0) * x1r - lit(2.0) * x3r + lit(0.3) >= 0.0,
+            lit(1.0)).otherwise(lit(0.0)).as("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def margin(wv: Array[Double]) =
+        lit(wv(0)) + lit(wv(1)) * $"x1" + lit(wv(2)) * $"x2" +
+          lit(wv(3)) * $"x3"
+      val eta = 8.0
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      // one aggregation job per round, not two: pass t computes the
+      // gradient at w_{t-1} AND the accuracy at w_{t-1} in the same
+      // fold (they share the margin expression); the emitted row t
+      // pairs w_t with nc(w_t), which arrives in pass t+1 — so 17
+      // passes total, and each round stays one map-side-combined job.
+      val ws = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      val ncs = scala.collection.mutable.ArrayBuffer[Long]()
+      for (t <- 1 to 17) {
+        val m = margin(w)
+        val ncCol = sum(when((m >= 0.0) === ($"y" === 1.0), 1L)
+          .otherwise(0L)).as("nc")
+        if (t <= 16) {
+          val p = lit(0.5) + lit(0.5) * m / (lit(1.0) + abs(m))
+          val e = $"y" - p
+          val g = feats.agg(sumF6(e).as("g0"), sumF6(e * $"x1").as("g1"),
+            sumF6(e * $"x2").as("g2"), sumF6(e * $"x3").as("g3"),
+            count(lit(1)).as("n"), ncCol).collect()(0)
+          ncs += g.getLong(5) // nc(w_{t-1})
+          val n = g.getLong(4).toDouble
+          w = Array.tabulate(4)(j => w(j) + eta * g.getDouble(j) / n)
+          ws += w.clone()
+        } else ncs += feats.agg(ncCol).collect()(0).getLong(0) // nc(w_16)
+      }
+      feats.unpersist()
+      (1 to 16).map { t =>
+        val wt = ws(t - 1)
+        (t.toLong, wt(0), wt(1), wt(2), wt(3), ncs(t))
+      }.toDF("step", "w0", "w1", "w2", "w3", "n_correct")
+    }),
+
     "pl8_ingest_pipeline" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.spread(Tables.load(s, dir, "documents"))
@@ -660,6 +742,62 @@ object PipelineQueries extends QueryPack {
          |    AS n_tokens,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM documents GROUP BY lang""".stripMargin,
+    // pl27's twin: the SAME 8-round GD trajectory, unrolled as 1-row
+    // CTE stages (sim9's discipline). Every per-row double op (+, ×, /,
+    // abs, the fast-sigmoid link) is IEEE-exact; the gradient sums are
+    // q72's floor(·1e6) fixed-point fold; the weight updates are scalar
+    // double arithmetic on those exact folds — so the whole trajectory
+    // (weights AND accuracy counts) hash-matches bit-for-bit.
+    "pl27_lr_train" -> {
+      def f6(e: String): String =
+        s"(CAST(sum(CAST(floor(($e) * 1e6) AS DECIMAL(38,0))) AS DOUBLE)" +
+          " / 1e6)"
+      val enWords = TextFunctions.langMarkers.head._2
+      val x1 =
+        s"(CAST(${TextFunctions.wordListCountSql("lower(text)", enWords)}" +
+          " AS DOUBLE) / 10.0)"
+      val x2 = "(CAST(length(text) AS DOUBLE) / 1000.0)"
+      val x3 = s"(CAST(${TextFunctions.tokenCountSql("text")} AS DOUBLE)" +
+        " / 100.0)"
+      val mExpr = "(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+      val eExpr = "(y - (0.5 + 0.5 * m / (1.0 + abs(m))))"
+      val sb = new StringBuilder
+      sb ++= s"""feats AS MATERIALIZED (
+         |  SELECT (x1r - 0.35) AS x1, (x2r - 0.3) AS x2,
+         |    (x3r - 0.55) AS x3,
+         |    CASE WHEN 3.0 * x1r - 2.0 * x3r + 0.3 >= 0.0
+         |      THEN 1.0 ELSE 0.0 END AS y
+         |  FROM (SELECT $x1 AS x1r, $x2 AS x2r, $x3 AS x3r
+         |        FROM documents) f0
+         |),
+         |wt0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+        .stripMargin
+      for (t <- 1 to 16) {
+        sb ++= s""",
+           |g$t AS MATERIALIZED (
+           |  SELECT ${f6(eExpr)} AS g0, ${f6(s"$eExpr * x1")} AS g1,
+           |    ${f6(s"$eExpr * x2")} AS g2, ${f6(s"$eExpr * x3")} AS g3,
+           |    count(*) AS n
+           |  FROM (SELECT y, x1, x2, x3, $mExpr AS m
+           |        FROM feats, wt${t - 1} w) z
+           |), wt$t AS MATERIALIZED (
+           |  SELECT w.w0 + 8.0 * g.g0 / CAST(g.n AS DOUBLE) AS w0,
+           |    w.w1 + 8.0 * g.g1 / CAST(g.n AS DOUBLE) AS w1,
+           |    w.w2 + 8.0 * g.g2 / CAST(g.n AS DOUBLE) AS w2,
+           |    w.w3 + 8.0 * g.g3 / CAST(g.n AS DOUBLE) AS w3
+           |  FROM wt${t - 1} w, g$t g
+           |), nc$t AS MATERIALIZED (
+           |  SELECT CAST(sum(CASE WHEN ($mExpr >= 0.0) = (y = 1.0)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS nc
+           |  FROM feats, wt$t w
+           |)""".stripMargin
+      }
+      "WITH " + sb + "\n" +
+        (1 to 16).map(t =>
+          s"SELECT CAST($t AS BIGINT) AS step, w.w0, w.w1, w.w2, w.w3, " +
+            s"nc.nc AS n_correct FROM wt$t w, nc$t nc")
+          .mkString("\nUNION ALL\n")
+    },
     // pl16's twin: identical (hash, vec_id) pick order per label.
     "pl16_cluster_cap_sample" -> {
       import graft.functions.PortableHash
