@@ -538,4 +538,49 @@ object Graph {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_ab"), max(col("was_capped")).as("from_capped"))
   }
+
+  /** Fixed-round synchronous k-core peel (Seidman 1983; the
+    * Batagelj–Zaveršnik sequential peel re-expressed as BSP rounds so
+    * every round is one degree aggregation + two node semi-joins over
+    * the live edge set — no sequential vertex deletion, no
+    * driver-resident graph). Round r drops every node whose degree
+    * among round-(r−1) survivors is < k. Survivor sets shrink
+    * monotonically (once a node's degree falls below k it can never
+    * recover — edges only disappear), so COUNT equality between the
+    * last two rounds proves SET equality; the `require` makes the
+    * emitted frame the TRUE k-core on any fixture that converges
+    * within `rounds` rather than a silent approximation (a
+    * data-dependent loop-to-fixpoint is not twin-replayable; a fixed
+    * unroll with a proven fixpoint is — the sim9/tx35/pl27 unroll
+    * discipline). localCheckpoint per round keeps the plan from
+    * growing linearly with rounds; at cluster scale that is a
+    * checkpoint to durable storage. Input: one row per undirected edge
+    * (a, b); output: (node, deg_in_core) over the fixpoint edge set. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 2, "need >= 2 rounds for the fixpoint check")
+    var live = edges.select(col("a"), col("b"))
+      .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var prevSurvivors = -1L
+    var lastSurvivors = -2L
+    for (r <- 1 to rounds) {
+      val surv = live.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("a").as("n"))
+        .localCheckpoint()
+      if (r >= rounds - 1) {
+        prevSurvivors = lastSurvivors
+        lastSurvivors = surv.count()
+      }
+      live = live
+        .join(surv.select(col("n").as("a")), Seq("a"), "left_semi")
+        .join(surv.select(col("n").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    require(prevSurvivors == lastSurvivors,
+      s"k-core peel did not reach fixpoint in $rounds rounds " +
+        s"(survivors ${prevSurvivors} -> ${lastSurvivors}); raise rounds")
+    live.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg_in_core"))
+  }
 }

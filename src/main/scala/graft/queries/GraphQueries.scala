@@ -177,7 +177,25 @@ object GraphQueries extends QueryPack {
     // suspected broadcast/cache interaction.)
     "gr5_capped_edges" -> ((s, dir) =>
       graft.operators.Graph.cappedPairsFromBaskets(
-        BasketBase.baskets(s, dir), cap = 4)))
+        BasketBase.baskets(s, dir), cap = 4)),
+
+    // GR7 — k-core decomposition (Seidman 1983) of the repeated-
+    // co-purchase graph (gr3/gr4's support-2 edge base): the standard
+    // "dense-enough subgraph" retention filter for graph-derived
+    // training data — the 2-core prunes the tree-like periphery and
+    // keeps only nodes inside cycles. Fixed 8-round synchronous peel
+    // with a PROVEN fixpoint (Graph.kcore's require; probed
+    // trajectories converge by round 5 at every fixture sf — PLANS_r12
+    // gate §gr7, which also records the two falsified candidates:
+    // k=3 here is a structural zero at sf0.1, and the full basket pair
+    // graph peels nothing below k≈100). The twin replays the same 8
+    // unrolled rounds as CTE stages; output is all-long, full hash
+    // oracle.
+    "gr7_kcore" -> ((s, dir) =>
+      Graph.kcore(
+        BasketBase.pairCounts(s, dir).filter(col("n_ab") >= 2L)
+          .select(col("a"), col("b")),
+        k = 2, rounds = 8)))
 
   /** Materialize the shared basket pair base and the oriented triangle
     * base outside any timed region (Bench warmup) — per-query timings
@@ -300,6 +318,34 @@ object GraphQueries extends QueryPack {
          |  n_triangles AS n_triangles_sampled,
          |  CAST(n_triangles AS DOUBLE) * 1000.0 AS est_triangles
          |FROM tri CROSS JOIN wedges""".stripMargin
+    },
+    // gr7's twin: the gr3/gr4 support-2 edge build, then 8 unrolled
+    // synchronous peel rounds (s_t = nodes with live degree >= 2,
+    // e_t = edges among s_t). s_t rows are distinct (GROUP BY), so the
+    // inner joins are exact semi-joins. Final read = degrees over e8.
+    "gr7_kcore" -> {
+      val sb = new StringBuilder
+      sb ++= """d AS (
+        |  SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT)
+        |    AS pk FROM lineitem
+        |), nab AS (
+        |  SELECT x.pk AS a, y.pk AS b
+        |  FROM d x JOIN d y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), e0 AS MATERIALIZED (
+        |  SELECT a, b FROM nab UNION ALL SELECT b, a FROM nab
+        |)""".stripMargin
+      for (t <- 1 to 8) sb ++= s""",
+        |s$t AS MATERIALIZED (
+        |  SELECT a AS n FROM e${t - 1} GROUP BY a
+        |  HAVING count(*) >= 2
+        |), e$t AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e${t - 1} e
+        |  JOIN s$t x ON e.a = x.n JOIN s$t y ON e.b = y.n
+        |)""".stripMargin
+      "WITH " + sb + "\n" +
+        """SELECT a AS node, CAST(count(*) AS BIGINT) AS deg_in_core
+          |FROM e8 GROUP BY a""".stripMargin
     },
     "gr2_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_orderkey AS ok,

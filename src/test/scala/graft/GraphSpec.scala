@@ -261,4 +261,26 @@ class GraphSpec extends AnyFunSuite {
     assert(gateOn === gateOff)
     assert(gateOn.size == 5)
   }
+
+  test("kcore: 2-core strips the tail, keeps the cycle, hand-checked") {
+    // triangle 1-2-3 plus a tail 3-4-5: the 2-core is exactly the
+    // triangle (4 and 5 peel in two cascading rounds), and every core
+    // node has in-core degree 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val out = Graph.kcore(edges, k = 2, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kcore: refuses loudly when the peel has not reached fixpoint") {
+    // a 12-node path at k=2 peels one node per end per round — far
+    // from converged after 2 rounds; the require must fire rather than
+    // emit a non-core frame.
+    val path = (1L to 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kcore(path, k = 2, rounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+  }
 }
