@@ -256,6 +256,27 @@ object PipelineQueries extends QueryPack {
     // (persisted); each round is one map-side-combined aggregation
     // producing a 4-value model + one accuracy count — model-sized
     // state, rounds = corpus passes, the textbook full-batch GD shape.
+    // S5 — the ORC batch file source (the Hive/Trino-estate columnar
+    // format, Spark-native vectorized reader): `documents` round-
+    // tripped once per generation through a durable ORC artifact
+    // (prewarm), then read back with a selective numeric predicate so
+    // the scan exercises ORC's min/max predicate pushdown (pinned as
+    // PushedFilters in the executed plan by FileSourcesSpec — the
+    // format-parity twin of pl26's parquet PartitionFilters pin). The
+    // aggregate includes a token count over the round-tripped text, so
+    // the oracle (the same aggregate over the parquet fixture) proves
+    // the ORC codec lossless on the text payload, not just numerics.
+    "s5_orc_docs" -> ((s, dir) => {
+      import s.implicits._
+      s.read.orc(graft.sources.FileSources.orcDocsDir(s, dir))
+        .filter($"n_chars" >= 200L)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          sum(TextFunctions.tokenCount($"text")).as("n_tokens"),
+          min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+    }),
+
     "pl27_lr_train" -> ((s, dir) => {
       import s.implicits._
       def sumF6(c: org.apache.spark.sql.Column) =
@@ -720,6 +741,7 @@ object PipelineQueries extends QueryPack {
   override def prewarm(s: SparkSession, dir: String): Unit = {
     graft.sources.FileSources.langPartitionedDocsDir(s, dir)
     graft.sources.FileSources.jsonlDocsDir(s, dir)
+    graft.sources.FileSources.orcDocsDir(s, dir)
     ()
   }
 
@@ -735,6 +757,16 @@ object PipelineQueries extends QueryPack {
          |GROUP BY source""".stripMargin,
     // s4's twin: the same aggregate over the parquet fixture — equality
     // proves the JSONL round trip lossless on text and numerics.
+    // s5's twin: the same filtered aggregate over the parquet fixture —
+    // equality proves the ORC round trip lossless on text and numerics.
+    "s5_orc_docs" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(${TextFunctions.tokenCountSql("text")}) AS BIGINT)
+         |    AS n_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents WHERE n_chars >= 200
+         |GROUP BY source""".stripMargin,
     "s4_jsonl_docs" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -52,6 +52,19 @@ object FileSources {
         .write.mode("overwrite").json(p)
     }
 
+  /** Root of the ORC copy of `documents` for this fixture generation,
+    * building it on first use. ORC is the other production columnar
+    * format Spark ships a native vectorized reader for — corpora
+    * migrated from Hive/Trino estates arrive in it — and it carries
+    * the same pushdown machinery as parquet (column pruning +
+    * min/max/bloom predicate pushdown; s5's spec pins the pushed
+    * filter in the executed scan). */
+  def orcDocsDir(s: SparkSession, fixtureDir: String): String =
+    graft.core.FixtureCache.dirFor(s, fixtureDir, "docs-orc") { p =>
+      graft.core.Tables.load(s, fixtureDir, "documents")
+        .write.mode("overwrite").orc(p)
+    }
+
   /** Schema-pinned JSONL read (no inference pass). `mode` defaults to
     * Spark's PERMISSIVE: malformed lines yield null fields instead of
     * failing the job — add `_corrupt_record` to the schema to capture

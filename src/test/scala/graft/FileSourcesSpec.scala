@@ -47,6 +47,24 @@ class FileSourcesSpec extends AnyFunSuite {
       === FileSources.DocsJsonSchema)
   }
 
+  test("s5: the ORC scan pushes the numeric predicate (PushedFilters) " +
+      "and the round trip is lossless vs the parquet fixture") {
+    val served = graft.queries.PipelineQueries
+      .queries("s5_orc_docs")(spark, dir)
+    val plan = served.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.exists(l => l.contains("n_chars") &&
+      l.contains("GreaterThanOrEqual")),
+      s"no pushed n_chars filter in the ORC scan:\n$plan")
+    val flat = graft.core.Tables.load(spark, dir, "documents")
+      .filter($"n_chars" >= 200L)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        sum(graft.functions.TextFunctions.tokenCount($"text")).as("n_tokens"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+    assert(served.collect().toSet === flat.collect().toSet)
+  }
+
   test("JSONL PERMISSIVE corrupt-record contract: malformed lines are " +
       "captured, well-formed rows survive (P1's policy, batch twin)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
