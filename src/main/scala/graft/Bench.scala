@@ -121,7 +121,15 @@ object Bench {
     // be read as a regression (or an improvement).
     val degraded = if (la > 4.0) ""","degraded_capture":true""" else ""
     val closingTag = if (closing) ""","closing_mode":true""" else ""
-    val cond = s""""load_avg":${f(la)},"commit":"$commit"""" +
+    // load_avg serializes FLOORED at 1e-3, not rounded: the closing
+    // gate above enforces la < 0.5 on the raw double, and "%.3f"
+    // rounding half-up turned a passed 0.4996 into a recorded "0.500"
+    // that bench_median's strict < 0.5 stamp then failed (r11's b38e626
+    // and one r12 sf1.0 capture both hit this). Flooring keeps every
+    // gate-passed value below the bar in the record too — the gate and
+    // the stamp can no longer disagree.
+    val laFloored = math.floor(la * 1000) / 1000
+    val cond = s""""load_avg":${f(laFloored)},"commit":"$commit"""" +
       s""","prewarm_sec":${f(prewarmSec)}$degraded$closingTag"""
     // Full-name record for humans/the repo (committed per round).
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
