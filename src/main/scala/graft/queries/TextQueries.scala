@@ -369,6 +369,65 @@ object TextQueries extends QueryPack {
         .unionByName(live)
     }),
 
+    // DD13 — MinHash banding RECALL AUDIT (Broder's S-curve made
+    // empirical): measured recall per similarity stratum against exact
+    // ground truth — the audit every LSH deployment owes its users
+    // before a threshold ships. The fixture's organic pair distribution
+    // is bimodal (all true pairs at j ≥ 0.9, where 4-band LSH finds
+    // everything — probed: recall ≡ 1.0 at any τ, a structural
+    // constant), so the key derives controlled mid-jaccard structure
+    // (sim23's discipline): EVERY doc gets a mutated twin (sentinel
+    // token at positions ≡ 1 mod m; m ∈ {8,12,16,24} by doc_id % 4),
+    // planting jaccard strata ≈ 0.45/0.6/0.68/0.78 — the banding gray
+    // zone. Ground truth is exact and FREE (one twin pair per doc by
+    // construction — no exact all-pairs join, the production recipe for
+    // auditing at corpus scale), the found set is pure banding outcome
+    // (verification threshold 0, twin-pair restrict), and the miss set
+    // is deterministic (shared hash60 permutation family), so the whole
+    // audit hash-oracles. Landed vs the gate's theory numbers
+    // (P = 1−(1−j^r)^b at r=3, b=4: ≈0.31/0.62/0.79/0.91): measured
+    // sf0.01 recalls land inside the ~125-doc-class binomial noise of
+    // those predictions — quoted in PLANS_r12 §dd13.
+    "dd13_lsh_recall" -> ((s, dir) => {
+      import s.implicits._
+      val off = 10000000L
+      val periods = array(lit(8), lit(12), lit(16), lit(24))
+      val withTs = docs(s, dir)
+        .select($"doc_id", tokens($"text").as("_ts"))
+        .withColumn("_m",
+          element_at(periods, ($"doc_id" % 4).cast("int") + 1))
+      val twins = withTs.select(($"doc_id" + off).as("doc_id"),
+        array_join(transform(sequence(lit(1), size($"_ts")),
+          i => when(i % $"_m" === 1, lit("zqx"))
+            .otherwise(element_at($"_ts", i))), " ").as("text"))
+      val derived = docs(s, dir).select($"doc_id", $"text")
+        .unionByName(twins)
+      def sumF6(c: org.apache.spark.sql.Column) =
+        sum(floor(c * 1e6)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / 1e6
+      val found = Dedup.minhashLshDerived(derived, "doc_id", "text",
+          shingleK = 3, bands = 4, jaccardThreshold = 0.0,
+          targetCollisions = 8, minRows = 2, maxRows = 8)
+        .filter($"doc_b" === $"doc_a" + off)
+        .groupBy(($"doc_a" % 4).as("cls"))
+        .agg(count(lit(1)).as("n_found"), sumF6($"jaccard").as("sum_j"))
+      docs(s, dir).groupBy(($"doc_id" % 4).as("cls"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .join(found, Seq("cls"), "left")
+        .select($"cls",
+          element_at(periods, $"cls".cast("int") + 1).cast("long")
+            .as("period"),
+          $"n_pairs",
+          coalesce($"n_found", lit(0L)).as("n_found"),
+          ($"n_pairs" - coalesce($"n_found", lit(0L))).as("n_missed"),
+          (coalesce($"n_found", lit(0L)).cast("double") /
+            $"n_pairs".cast("double")).as("recall"),
+          when(coalesce($"n_found", lit(0L)) > 0L,
+            $"sum_j" / coalesce($"n_found", lit(0L)).cast("double"))
+            .as("mean_jaccard"))
+    }),
+
     // 60-bit SimHash sketch table (portable token hash — sketch VALUES are
     // oracle-checked bit-for-bit).
     "dd2_simhash" -> ((s, dir) =>
@@ -1478,9 +1537,15 @@ object TextQueries extends QueryPack {
     * extra AND clause on the final pair filter ("" for all pairs) —
     * dd4's oracle restricts the full recompute to pairs touching the new
     * batch. */
+  /** `docsFrom`/`extraCtes` (r12 continuation, dd13): the corpus the
+    * pipeline shingles can be a derived CTE (spliced via `extraCtes`,
+    * read via `docsFrom`) instead of the raw `documents` table — every
+    * committed caller keeps the defaults, so their SQL is unchanged. */
   private def minhashPairsSql(bands: Int, minRows: Int, maxRows: Int,
                               target: Int, countSql: String,
-                              threshold: Double, restrict: String): String = {
+                              threshold: Double, restrict: String,
+                              docsFrom: String = "documents",
+                              extraCtes: String = ""): String = {
     import graft.functions.PortableHash
     val maxHashes = bands * maxRows
     val mins = (0 until maxHashes)
@@ -1488,12 +1553,12 @@ object TextQueries extends QueryPack {
       .mkString(",\n    ")
     val hsArr = (0 until maxHashes).map(i => s"h$i").mkString("[", ", ", "]")
     val bandVals = (0 until bands).map(b => s"($b)").mkString(", ")
-    s"""WITH params AS (
+    s"""WITH ${extraCtes}params AS (
        |  SELECT coalesce((SELECT min(r) FROM generate_series($minRows, $maxRows) t(r)
        |    WHERE ($countSql) <= $target * CAST(power(10, r) AS BIGINT)),
        |    $maxRows) AS r
        |), tok AS (
-       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM $docsFrom
        |), pos AS (
        |  SELECT doc_id, ts,
        |    unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
@@ -1541,6 +1606,52 @@ object TextQueries extends QueryPack {
     minhashPairsSql(bands = 4, minRows = 2, maxRows = 8, target = 8,
       countSql = "SELECT count(*) FROM documents",
       threshold = 0.3, restrict = "")
+
+  /** dd13's twin: the SAME minhash pipeline over the derived
+    * corpus-plus-mutated-twins (lambda param deliberately obscure —
+    * the hash60Sql shadowing lesson), r derived from 2·count exactly
+    * as minhashLshDerived counts the derived frame, restrict keeps
+    * only (orig, twin) pairs, then the per-class recall fold. */
+  private def dd13Sql: String = {
+    val derivedCte =
+      raw"""derived AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000 AS doc_id,
+         |    array_to_string(list_transform(generate_series(1, len(ts)),
+         |      mti -> CASE WHEN mti % m = 1 THEN 'zqx'
+         |             ELSE ts[mti] END), ' ') AS text
+         |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts,
+         |        [8, 12, 16, 24][CAST(doc_id % 4 AS INTEGER) + 1] AS m
+         |        FROM documents) mz
+         |),
+         |""".stripMargin
+    val pairs = minhashPairsSql(bands = 4, minRows = 2, maxRows = 8,
+      target = 8, countSql = "SELECT 2 * count(*) FROM documents",
+      threshold = 0.0, restrict = "\n  AND doc_b = doc_a + 10000000",
+      docsFrom = "derived", extraCtes = derivedCte)
+    s"""WITH exp AS (
+       |  SELECT doc_id % 4 AS cls, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM documents GROUP BY 1
+       |), f AS (
+       |  SELECT doc_a % 4 AS cls, CAST(count(*) AS BIGINT) AS n_found,
+       |    (CAST(sum(CAST(floor(jaccard * 1e6) AS DECIMAL(38,0)))
+       |      AS DOUBLE) / 1e6) AS sum_j
+       |  FROM ($pairs) q GROUP BY 1
+       |)
+       |SELECT e.cls,
+       |  CAST([8, 12, 16, 24][CAST(e.cls AS INTEGER) + 1] AS BIGINT)
+       |    AS period,
+       |  e.n_pairs,
+       |  coalesce(f.n_found, 0) AS n_found,
+       |  e.n_pairs - coalesce(f.n_found, 0) AS n_missed,
+       |  CAST(coalesce(f.n_found, 0) AS DOUBLE) /
+       |    CAST(e.n_pairs AS DOUBLE) AS recall,
+       |  CASE WHEN coalesce(f.n_found, 0) > 0
+       |    THEN f.sum_j / CAST(coalesce(f.n_found, 0) AS DOUBLE) END
+       |    AS mean_jaccard
+       |FROM exp e LEFT JOIN f ON f.cls = e.cls""".stripMargin
+  }
 
   /** dd4's oracle: the honest FULL recompute over old ∪ new — same
     * derived parameterization as the index build (r from the OLD-slice
@@ -1754,6 +1865,7 @@ object TextQueries extends QueryPack {
          |FROM r""".stripMargin
     },
     "dd1_minhash_lsh" -> dd1Sql,
+    "dd13_lsh_recall" -> dd13Sql,
     "dd9_ppjoin_allpairs" ->
       graft.operators.PrefixJoin.jaccardJoinSetsSql(
         s"""  SELECT id, tk FROM (
