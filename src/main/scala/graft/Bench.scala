@@ -127,8 +127,11 @@ object Bench {
     // that bench_median's strict < 0.5 stamp then failed (r11's b38e626
     // and one r12 sf1.0 capture both hit this). Flooring keeps every
     // gate-passed value below the bar in the record too — the gate and
-    // the stamp can no longer disagree.
-    val laFloored = math.floor(la * 1000) / 1000
+    // the stamp can no longer disagree. The +1e-9 epsilon absorbs
+    // binary-float representation (0.057*1000 == 56.999…, which bare
+    // floor understates by a milli) and is far too small to lift a
+    // sub-bar load across any milli boundary from below.
+    val laFloored = math.floor(la * 1000 + 1e-9) / 1000
     val cond = s""""load_avg":${f(laFloored)},"commit":"$commit"""" +
       s""","prewarm_sec":${f(prewarmSec)}$degraded$closingTag"""
     // Full-name record for humans/the repo (committed per round).

@@ -1,0 +1,67 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** GC-scoped lifecycle for Dataset persists (VERDICT r12 #4): a query
+  * that persists an intermediate for the multi-consumer span of the
+  * frames it returns registers the persist here under WEAK references
+  * to those frames; [[sweep]] unpersists every entry whose frames have
+  * become unreachable — ContextCleaner semantics for the Dataset cache
+  * (which, unlike RDD persists, is never GC-cleaned: the cache manager
+  * holds strong plan references until an explicit unpersist). Sweeps
+  * run at every registration and on demand, so a long-lived session's
+  * cache residue is bounded by its LIVE frames, never its call count.
+  *
+  * Why not a localCheckpoint lifecycle (r13 measured, then rejected):
+  * Dataset.localCheckpoint — eager OR lazy — forces
+  * `queryExecution.toRdd` physical planning at CONSTRUCTION time,
+  * 0.5-0.8 s per call on this box (deeper chained inputs cost more), a
+  * per-query-build driver cost the Dataset persist defers into the
+  * single plan-once execution; q81 regressed 3.0 → 6-8 s under every
+  * checkpoint variant while per-phase EXECUTION was equal or faster.
+  *
+  * Plan-identity guard: the Dataset cache is keyed by CANONICALIZED
+  * plan, so two calls over the same input (Bench's best-of-2 runs a
+  * query twice) share ONE cache entry — a dead call's unpersist must
+  * not evict a live sibling's blocks. A dead entry is released only
+  * when no live entry shares its canonical plan.
+  */
+object ManagedPersist {
+
+  private final case class Entry(
+      refs: Seq[java.lang.ref.WeakReference[AnyRef]], persisted: DataFrame,
+      canon: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  private val registry =
+    new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+
+  /** Register `persisted` for release once every frame in `handles` is
+    * unreachable, then sweep (AFTER registering: a re-run of the same
+    * query shares the dead prior call's cache entry by canonical plan —
+    * registering first makes the new call its live sibling, so the
+    * sweep drops the dead entry without evicting the warm blocks). */
+  def register(persisted: DataFrame, handles: AnyRef*): Unit = {
+    registry.add(Entry(
+      handles.map(new java.lang.ref.WeakReference[AnyRef](_)),
+      persisted, persisted.queryExecution.analyzed.canonicalized))
+    sweep()
+  }
+
+  /** Unpersist every registered frame whose handles are gone (runs on
+    * each registration; call explicitly — after a GC — for
+    * deterministic release in a long-lived session). */
+  def sweep(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val live = registry.asScala.filter(_.refs.exists(_.get() != null))
+      .map(_.canon).toSet
+    val it = registry.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.refs.forall(_.get() == null)) {
+        if (!live.contains(e.canon)) {
+          try e.persisted.unpersist(false) catch { case _: Throwable => () }
+        }
+        it.remove()
+      }
+    }
+  }
+}

@@ -43,19 +43,55 @@ object BucketedCdf {
     * `vCol` within each `groupCols` group) to a histogram frame that
     * has one row per distinct (group, v) carrying its count `cCol`.
     * Other columns ride through untouched. `groupCols` empty ⇒ one
-    * global CDF. */
+    * global CDF.
+    *
+    * `keepBucketCol`: expose the internal probe-bucket id under the
+    * given name — bucket b covers a contiguous v-range and cum is
+    * globally monotone across buckets, so a rank-r lookup (min v with
+    * cum ≥ r) only needs the FIRST bucket whose end-cum reaches r
+    * (q71's grid probe; VERDICT r12 #2). */
   def withCum(hist: DataFrame, groupCols: Seq[String], vCol: String,
               cCol: String, cumCol: String = "cum", nb: Int = 32,
-              maxOffsetRows: Int = 65536): DataFrame = {
+              maxOffsetRows: Int = 65536,
+              keepBucketCol: Option[String] = None): DataFrame =
+    withCumKeep(hist, groupCols, vCol, cCol, cumCol, nb, maxOffsetRows,
+      keepBucketCol)._1
+
+  /** [[withCum]] plus the persisted input histogram (second element):
+    * callers that consume the histogram again outside the helper
+    * (per-group totals, marginalizations, deviation re-histograms)
+    * should derive those frames from IT — they then read the cached
+    * blocks with no re-run of the cumulative window (deriving them from
+    * the first element would re-run its shuffle+sort per consumer).
+    * The persist is released by graft.core.ManagedPersist.sweep once
+    * both returned frames are unreachable. */
+  def withCumKeep(hist: DataFrame, groupCols: Seq[String], vCol: String,
+                  cCol: String, cumCol: String = "cum", nb: Int = 32,
+                  maxOffsetRows: Int = 65536,
+                  keepBucketCol: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    val (out, hOut, _) = withCumEnds(hist, groupCols, vCol, cCol, cumCol,
+      nb, maxOffsetRows, keepBucketCol)
+    (out, hOut)
+  }
+
+  /** [[withCumKeep]] plus the per-bucket END-cumulatives (third element:
+    * group cols…, bucket, `bend`) as a driver-built LocalRelation — the
+    * offset fold already computed them, so a rank-r probe can locate its
+    * bucket (first bucket with bend ≥ r) with NO extra job and no
+    * re-run of the cumulative window (q71's grid read-off). */
+  def withCumEnds(hist: DataFrame, groupCols: Seq[String], vCol: String,
+                  cCol: String, cumCol: String = "cum", nb: Int = 32,
+                  maxOffsetRows: Int = 65536,
+                  keepBucketCol: Option[String] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
     val spark = hist.sparkSession
     val synth = "__bcdf_g"
-    // The helper consumes `hist` three times (boundary probe, offset
-    // fold, final join) and callers chain passes whose second histogram
-    // embeds the first pass's whole plan — without a persist the input
-    // lineage re-executes multiplicatively (q81's two chained passes
-    // measured 2.3 → 8.7 s at sf0.1 before this pin). The persist is
-    // owned by the caller's session lifecycle: Bench clears the cache
-    // per query, the repo-wide convention for in-plan intermediates.
+    // persisted for the multi-consumer span of the returned frames
+    // (boundary probe, offset fold, final join, caller-side totals) —
+    // without the pin the input lineage re-executes multiplicatively
+    // (q81's two chained passes measured 2.3 → 8.7 s at sf0.1); release
+    // is GC-scoped via ManagedPersist.register below
     val h = (if (groupCols.nonEmpty) hist
              else hist.withColumn(synth, lit(0)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -82,28 +118,52 @@ object BucketedCdf {
         "driver-side offset fold — per-group windows are already " +
         "parallel at that cardinality; use them directly")
     val nG = gcols.length
-    val offRows: Seq[Row] = bcRows.toSeq
+    // one fold emits both the bucket OFFSET (cum before the bucket) and
+    // its END (cum through it) — offsets drive the window, ends serve
+    // rank-probe callers via the third return value
+    val offEndRows: Seq[(Row, Row)] = bcRows.toSeq
       .groupBy(r => (0 until nG).map(i => r.get(i)))
       .valuesIterator.flatMap { rs =>
         var acc = 0L
         rs.sortBy(_.getInt(nG)).map { r =>
-          val out = Row.fromSeq(
-            (0 until nG).map(i => r.get(i)) :+ r.getInt(nG) :+ acc)
+          val key = (0 until nG).map(i => r.get(i)) :+ r.getInt(nG)
+          val off = Row.fromSeq(key :+ acc)
           acc += r.getLong(nG + 1)
-          out
+          (off, Row.fromSeq(key :+ acc))
         }
       }.toSeq
     val offSchema = StructType(
       bcDf.schema.fields.dropRight(1) :+
         StructField("__off", LongType, nullable = false))
     val offDf = spark.createDataFrame(
-      java.util.Arrays.asList(offRows: _*), offSchema)
+      java.util.Arrays.asList(offEndRows.map(_._1): _*), offSchema)
+    val endSchema = StructType(
+      bcDf.schema.fields.dropRight(1) :+
+        StructField("bend", LongType, nullable = false))
+    val endsDf0 = spark.createDataFrame(
+      java.util.Arrays.asList(offEndRows.map(_._2): _*), endSchema)
+      .drop(synth)
+    val endsDf = keepBucketCol match {
+      case Some(bc) => endsDf0.withColumnRenamed("__b", bc)
+      case None => endsDf0
+    }
     // 4. within-bucket cumulative under a PARTITIONED window; hist rows
     //    are distinct per (group, v), so the default RANGE frame has no
     //    ties and equals the rows frame
     val wCum = Window.partitionBy((gc :+ col("__b")): _*).orderBy(col(vCol))
-    withB.join(broadcast(offDf), gcols :+ "__b")
+    val cummed = withB.join(broadcast(offDf), gcols :+ "__b")
       .withColumn(cumCol, col("__off") + sum(col(cCol)).over(wCum))
-      .drop("__bds", "__b", "__off", synth)
+      .drop("__bds", "__off", synth)
+    val out = keepBucketCol match {
+      case Some(bc) => cummed.withColumnRenamed("__b", bc)
+      case None => cummed.drop("__b")
+    }
+    val hOut = h.drop(synth)
+    // GC-scoped release of the input persist (VERDICT r12 #4): the pin
+    // lives exactly as long as the frames handed to the caller — see
+    // graft.core.ManagedPersist for the lifecycle and the measured
+    // rejection of the localCheckpoint alternative
+    graft.core.ManagedPersist.register(h, out, hOut)
+    (out, hOut, endsDf)
   }
 }

@@ -677,9 +677,13 @@ object ExtendedQueries extends QueryPack {
       val hist = t(s, dir, "lineitem")
         .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
         .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
-      val ng = hist.groupBy($"g").agg(sum($"c").as("n"))
-      val cum = graft.operators.BucketedCdf.withCum(hist, Seq("g"), "v", "c")
-        .join(broadcast(ng), "g")
+      // ng reads the helper's persisted input histogram (released by
+      // ManagedPersist.sweep once these frames are dropped) — deriving it
+      // from the cum frame would re-run the window's shuffle+sort
+      val (cum0, hck) = graft.operators.BucketedCdf.withCumKeep(
+        hist, Seq("g"), "v", "c")
+      val ng = hck.groupBy($"g").agg(sum($"c").as("n"))
+      val cum = cum0.join(broadcast(ng), "g")
       val qs = Seq(0.25, 0.5, 0.75)
       val aggs = qs.zipWithIndex.flatMap { case (p, i) =>
         val pos = ($"n" - 1).cast("double") * lit(p)
@@ -719,12 +723,18 @@ object ExtendedQueries extends QueryPack {
       val hist = t(s, dir, "lineitem")
         .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
         .groupBy($"g", $"v").agg(count(lit(1)).as("c"))
-      val ng = hist.groupBy($"g").agg(sum($"c").as("n"))
-      val med = graft.operators.BucketedCdf.withCum(hist, Seq("g"), "v", "c")
+      // ng and dev read the helper's persisted input histogram
+      // (released by ManagedPersist.sweep once these frames are dropped) —
+      // deriving them from the cum frame would re-run the cumulative
+      // window's shuffle+sort once per consumer
+      val (cumA, hck) = graft.operators.BucketedCdf.withCumKeep(
+        hist, Seq("g"), "v", "c")
+      val ng = hck.groupBy($"g").agg(sum($"c").as("n"))
+      val med = cumA
         .join(broadcast(ng), "g")
         .filter($"cum" >= expr("(n + 1) div 2"))
         .groupBy($"g").agg(min($"v").as("median"), max($"n").as("n"))
-      val dev = hist.join(broadcast(med), "g")
+      val dev = hck.join(broadcast(med), "g")
         .select($"g", $"n", $"median", abs($"v" - $"median").as("d"), $"c")
         .groupBy($"g", $"n", $"median", $"d").agg(sum($"c").as("c"))
       graft.operators.BucketedCdf.withCum(dev, Seq("g"), "d", "c")
@@ -1068,10 +1078,10 @@ object ExtendedQueries extends QueryPack {
     // worst single-task scale-killer on the board), so the cumulative
     // runs through BucketedCdf's probe-bucketed partitioned windows —
     // then the 101 grid ranks read off it and the corpus equi-joins the
-    // broadcast 101-row grid. The one nonequi join (grid ranks ×
-    // histogram) streams the histogram once against the broadcast
-    // 101-row grid into a map-side-combined min agg — parallel, never
-    // sorted.
+    // broadcast 101-row grid. The grid read-off is bucket-bounded (r13):
+    // each rank first locates its probe bucket against the nb-row
+    // bucket-ends table, then probes only that bucket via an equi-join
+    // with a cum ≥ r residual — never the whole histogram per rank.
     "q71_quantile_normalize" -> ((s, dir) => {
       import s.implicits._
       val o = t(s, dir, "orders").select($"o_orderpriority".as("g"),
@@ -1088,9 +1098,13 @@ object ExtendedQueries extends QueryPack {
       // Chunked so a heavily-duplicated value emits bounded arrays, not
       // one gc-sized allocation.
       val gHist = o.groupBy($"g", $"v").agg(count(lit(1)).as("gc"))
-      val gCum = graft.operators.BucketedCdf.withCum(
+      // ng and the global marginalization read the helper's persisted
+      // input histogram (released by ManagedPersist.sweep once these
+      // frames are dropped) — deriving them from gCum would re-run the
+      // cumulative window's shuffle+sort per consumer
+      val (gCum, ghck) = graft.operators.BucketedCdf.withCumKeep(
         gHist, Seq("g"), "v", "gc", "gcum")
-      val ng = gHist.groupBy($"g").agg(sum($"gc").as("n"))
+      val ng = ghck.groupBy($"g").agg(sum($"gc").as("n"))
       val chunk = 65536L
       val ranked = gCum.join(broadcast(ng), "g")
         .withColumn("__ck",
@@ -1103,20 +1117,36 @@ object ExtendedQueries extends QueryPack {
         .otherwise(($"rn" - 1L).cast("double") / ($"n" - 1L).cast("double"))
       val bucketed = ranked.withColumn("qb", floor(q * 100.0).cast("long"))
       // the global histogram is the group histogram marginalized over g
-      // (hist(v) = Σ_g gHist(g,v)), and withCum persisted gHist — so the
-      // corpus is scanned exactly ONCE; every downstream frame here is
-      // histogram-sized, broadcast, or driver-tiny.
-      val hist = graft.operators.BucketedCdf.withCum(
-        gHist.groupBy($"v").agg(sum($"gc").as("c")),
-        Seq.empty, "v", "c", "cum")
-      val nTot = ng.agg(sum($"n").as("n_tot"))
+      // (hist(v) = Σ_g gHist(g,v)), read from pass 1's persisted input —
+      // so the corpus is scanned exactly ONCE; every downstream frame
+      // here is histogram-sized, broadcast, or driver-tiny.
+      val (hist, _, bEnds) = graft.operators.BucketedCdf.withCumEnds(
+        ghck.groupBy($"v").agg(sum($"gc").as("c")),
+        Seq.empty, "v", "c", "cum", keepBucketCol = Some("hb"))
+      // two-step grid read-off (VERDICT r12 #2 — the old `cum >= r`
+      // theta-join streamed the WHOLE histogram against all 101 grid
+      // rows, a ~50× expansion): buckets are v-contiguous and cum is
+      // globally monotone, so min v with cum ≥ r lives in the FIRST
+      // bucket whose end-cum reaches r. The bucket-ends table is
+      // driver-built by the helper's offset fold (nb LocalRelation
+      // rows — n_tot is its max end, replacing a corpus-side total
+      // agg), so locating each rank's bucket costs a 101×nb in-memory
+      // theta-join, and the histogram is probed ONCE — an equi-join on
+      // hb with the cum ≥ r residual, touching ~1/nb of it per grid
+      // point instead of all of it. Same min-v rule ⇒ hash-identical.
+      val nTot = bEnds.agg(max($"bend").as("n_tot"))
       val grid = s.range(0, 101).toDF("qb")
         .crossJoin(broadcast(nTot))
         .withColumn("r", floor($"qb".cast("double") / 100.0 *
           ($"n_tot" - 1L).cast("double")).cast("long") + 1L)
-      val gridVals = grid.alias("gr")
-        .join(hist.alias("h"), expr("h.cum >= gr.r"))
-        .groupBy(col("gr.qb").as("qb")).agg(min(col("h.v")).as("gv"))
+      val gb = grid.alias("gr")
+        .join(broadcast(bEnds).alias("be"), expr("be.bend >= gr.r"))
+        .groupBy(col("gr.qb").as("qb"), col("gr.r").as("r"))
+        .agg(min(col("be.hb")).as("hb"))
+      val gridVals = hist.alias("h")
+        .join(broadcast(gb).alias("g2"),
+          expr("h.hb = g2.hb AND h.cum >= g2.r"))
+        .groupBy(col("g2.qb").as("qb")).agg(min(col("h.v")).as("gv"))
       bucketed.join(broadcast(gridVals), "qb")
         .groupBy($"g".as("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"), sumExact($"gv").as("sum_norm"),

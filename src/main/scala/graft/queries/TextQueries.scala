@@ -391,9 +391,24 @@ object TextQueries extends QueryPack {
     "dd13_lsh_recall" -> ((s, dir) => {
       import s.implicits._
       val off = 10000000L
+      // twin ids live at doc_id + off; if fixture ids ever cross off the
+      // found-pair restrict (doc_b = doc_a + off) would silently match
+      // organic pairs and corrupt the audit (ADVICE r12) — fail loudly
+      // instead. One max() over a single long column of the cached
+      // fixture frame.
+      val maxId = docs(s, dir).agg(max($"doc_id")).head.getLong(0)
+      require(maxId < off,
+        s"dd13 twin-id offset $off collides with max doc_id $maxId")
       val periods = array(lit(8), lit(12), lit(16), lit(24))
+      // zero-token docs are excluded from BOTH the twin build and the
+      // recall denominator (mirrored in the DuckDB twin): Spark's
+      // sequence(1, 0) yields a DESCENDING [1,0] and element_at(_, 0)
+      // throws, while DuckDB's generate_series(1,0) is empty — a latent
+      // crash/engine divergence (ADVICE r12). Current fixtures have no
+      // empty docs, so the audit is unchanged where it is defined.
       val withTs = docs(s, dir)
         .select($"doc_id", tokens($"text").as("_ts"))
+        .filter(size($"_ts") >= 1)
         .withColumn("_m",
           element_at(periods, ($"doc_id" % 4).cast("int") + 1))
       val twins = withTs.select(($"doc_id" + off).as("doc_id"),
@@ -412,7 +427,8 @@ object TextQueries extends QueryPack {
         .filter($"doc_b" === $"doc_a" + off)
         .groupBy(($"doc_a" % 4).as("cls"))
         .agg(count(lit(1)).as("n_found"), sumF6($"jaccard").as("sum_j"))
-      docs(s, dir).groupBy(($"doc_id" % 4).as("cls"))
+      docs(s, dir).filter(size(tokens($"text")) >= 1)
+        .groupBy(($"doc_id" % 4).as("cls"))
         .agg(count(lit(1)).as("n_pairs"))
         .join(found, Seq("cls"), "left")
         .select($"cls",
@@ -1613,6 +1629,9 @@ object TextQueries extends QueryPack {
     * as minhashLshDerived counts the derived frame, restrict keeps
     * only (orig, twin) pairs, then the per-class recall fold. */
   private def dd13Sql: String = {
+    // zero-token docs are excluded from the twin build and the recall
+    // denominator, mirroring the Spark key's guard (ADVICE r12 — Spark's
+    // sequence(1,0) is descending where generate_series(1,0) is empty).
     val derivedCte =
       raw"""derived AS (
          |  SELECT doc_id, text FROM documents
@@ -1624,15 +1643,21 @@ object TextQueries extends QueryPack {
          |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts,
          |        [8, 12, 16, 24][CAST(doc_id % 4 AS INTEGER) + 1] AS m
          |        FROM documents) mz
+         |  WHERE len(ts) >= 1
          |),
          |""".stripMargin
+    // count = originals + non-empty twins, matching the Spark side's
+    // derived.count() exactly under the zero-token guard
     val pairs = minhashPairsSql(bands = 4, minRows = 2, maxRows = 8,
-      target = 8, countSql = "SELECT 2 * count(*) FROM documents",
+      target = 8, countSql = "SELECT count(*) + count(*) FILTER " +
+        raw"(WHERE len(regexp_extract_all(text, '\S+')) >= 1) " +
+        "FROM documents",
       threshold = 0.0, restrict = "\n  AND doc_b = doc_a + 10000000",
       docsFrom = "derived", extraCtes = derivedCte)
     s"""WITH exp AS (
        |  SELECT doc_id % 4 AS cls, CAST(count(*) AS BIGINT) AS n_pairs
-       |  FROM documents GROUP BY 1
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) >= 1 GROUP BY 1
        |), f AS (
        |  SELECT doc_a % 4 AS cls, CAST(count(*) AS BIGINT) AS n_found,
        |    (CAST(sum(CAST(floor(jaccard * 1e6) AS DECIMAL(38,0)))

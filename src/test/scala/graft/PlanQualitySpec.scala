@@ -78,10 +78,12 @@ class PlanQualitySpec extends AnyFunSuite {
     "q73_benford",          // 9-digit grid completion: broadcast of a
                             // constant 9-row frame against per-group
                             // totals — grid-sized at any corpus
-    "q71_quantile_normalize", // grid-ranks × value-histogram probe: both
-                            // sides aggregate-sized (101 rows × distinct
-                            // values) at any corpus; the corpus itself
-                            // equi-joins the broadcast 101-row grid
+    "q71_quantile_normalize", // two constant-size products: the 1-row
+                            // n_tot cross and the 101×nb bucket locate
+                            // (driver-built ends table); the histogram
+                            // probe itself is an equi-join on the
+                            // bucket id and the corpus equi-joins the
+                            // broadcast 101-row grid
     "sim14_hybrid_rrf",     // dense candidate list = sim1's brute product
                             // (oracle-checkable baseline; the scale path
                             // swaps in sim11's IVF-PQ ranking — RRF
@@ -95,6 +97,13 @@ class PlanQualitySpec extends AnyFunSuite {
     "tx32_domain_mix",      // two broadcast 1-row frames: the derived
                             // npages render parameter (tx25's discipline)
                             // and the corpus total for the share ratio
+    "pl28_train_apply",     // broadcast 1-row threshold frame (the
+                            // F1-argmax operating point) onto the
+                            // scored corpus — the calibrated-score join
+                            // itself is an equi-join on the score key
+    "pl29_recrawl_delta",   // tx25's 1-row page-universe broadcast at
+                            // the render stage + the 4-row period-class
+                            // size grid (both constant at any corpus)
     "pl18_source_drift")    // sources×buckets grid completion: both sides
                             // are aggregate frames (distinct sources /
                             // distinct buckets), so the product is
@@ -191,6 +200,55 @@ class PlanQualitySpec extends AnyFunSuite {
             s"(bucket key lost): ${w.partitionSpec}")
       }
     }
+  }
+
+  test("q71 grid read-off is bucket-bounded (no histogram-wide theta-join)") {
+    // r12: each of the 101 grid ranks theta-joined the WHOLE value
+    // histogram (cum >= r) — a ~50× expansion and the board's slowest
+    // key. r13 (VERDICT r12 #2): the rank first locates its bucket
+    // against the nb-row bucket-ends table (the one surviving — tiny —
+    // nested-loop join), then probes only that bucket through an
+    // equi-join on the bucket id.
+    val plan = SparkEntry.queries("q71_quantile_normalize")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
+    assert(bnlj <= 2,
+      s"q71: $bnlj nested-loop joins (expected ≤2: the 1-row n_tot " +
+        "cross and the 101×nb bucket locate — both constant-size)")
+    // the histogram-side probe must be the HASH join on the bucket id
+    // with the rank residual — the shape that touches ~1/nb of the
+    // histogram per grid point
+    assert("BroadcastHashJoin \\[hb#\\d+\\], \\[hb#\\d+\\], Inner, BuildRight, \\(cum#\\d+L >= r#\\d+L\\)".r
+      .findFirstIn(plan).isDefined,
+      "q71: bucket probe fell off the hash-join-with-residual path")
+  }
+
+  test("BucketedCdf residue is released once its frames are dropped " +
+      "(VERDICT r12 #4)") {
+    // the r12 helper persisted its input histogram for the session
+    // lifetime, relying on Bench/Verify's per-query clearCache; any
+    // other consumer accumulated one MEMORY_AND_DISK frame per call.
+    // r13: each persist is registered under weak references to the
+    // frames the helper handed out, and ManagedPersist.sweep unpersists
+    // entries whose frames are unreachable (it also runs on every
+    // withCum entry, so a long-lived session's residue is bounded by
+    // its LIVE frames, never its call count). GC is advisory — retry a
+    // few cycles before judging.
+    spark.catalog.clearCache()
+    Seq("q71_quantile_normalize", "q81_mad_robust", "pl28_train_apply")
+      .foreach { name =>
+        SparkEntry.queries(name)(spark, dir).collect()
+        ()
+      }
+    var tries = 0
+    while (!spark.sharedState.cacheManager.isEmpty && tries < 20) {
+      System.gc()
+      Thread.sleep(100)
+      graft.core.ManagedPersist.sweep()
+      tries += 1
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "BucketedCdf persists not released after their frames were dropped")
   }
 
   test("dimension joins broadcast (no fact-side shuffle for the join)") {

@@ -7,7 +7,8 @@ equal load), so round-over-round claims must never be read off one run.
 This tool folds >=N same-commit history captures into one median record:
 
     python3 tools/bench_median.py sf0.1 <commit> [min_runs=3] \
-        [--prev bench/MEDIAN-<sf>-<oldcommit>.json]
+        [--prev bench/MEDIAN-<sf>-<oldcommit>.json] \
+        [--sf01 bench/MEDIAN-sf0.1-<commit>.json]
 
 reads  bench/history/BENCH_FULL-<sf>-<commit>-<epoch>.json  (the
 timestamped copies Bench writes per run), takes the PER-KEY median and
@@ -45,6 +46,17 @@ def main() -> int:
     if "--prev" in argv:
         i = argv.index("--prev")
         prev_path = argv[i + 1]
+        del argv[i:i + 2]
+    # --sf01 <MEDIAN-sf0.1-*.json>: emit the 10x scale slope per key
+    # (this record's median / the same-commit sf0.1 median) so
+    # flat-slope claims and q71/pl17-class regressions are
+    # machine-visible (VERDICT r12 #5). Data grows 10x between the sfs,
+    # so scan-bound keys should sit well under ~3x; quote any key above
+    # that in PLANS.
+    sf01_path = None
+    if "--sf01" in argv:
+        i = argv.index("--sf01")
+        sf01_path = argv[i + 1]
         del argv[i:i + 2]
     if len(argv) < 2:
         print(__doc__)
@@ -95,6 +107,12 @@ def main() -> int:
             out["adjusted_vs_prev"] = {
                 k: round(r / board, 3) for k, r in sorted(ratios.items())}
             out["new_keys"] = sorted(k for k in med if k not in prevq)
+    if sf01_path:
+        sf01 = json.load(open(sf01_path))["queries"]
+        out["sf01"] = sf01_path
+        out["slope_vs_sf0.1"] = {
+            k: round(med[k] / sf01[k], 3) for k in sorted(med)
+            if k in sf01 and sf01[k] > 0}
     dest = f"bench/MEDIAN-{sf}-{commit}.json"
     with open(dest, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
@@ -107,6 +125,11 @@ def main() -> int:
         print(f"board_ratio={out['board_ratio']} vs {out['prev']}; "
               f"{len(adj)} shared keys, adjusted outliers (|Δ|≥30%): "
               f"{hot if hot else 'none'}")
+    if "slope_vs_sf0.1" in out:
+        sl = out["slope_vs_sf0.1"]
+        steep = {k: v for k, v in sl.items() if v > 3.0}
+        print(f"slope_vs_sf0.1 vs {out['sf01']}: {len(sl)} keys, "
+              f"steep (>3x on 10x data): {steep if steep else 'none'}")
     return 0
 
 
