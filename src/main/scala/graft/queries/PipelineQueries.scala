@@ -431,6 +431,69 @@ object PipelineQueries extends QueryPack {
             .as("change_rate"))
     }),
 
+    // PL30 — quality-weighted temperature mix → token packing, the
+    // pl7×pl15 seam closed as ONE oracled chain (VERDICT r12 #6's
+    // alternative): per-source weight w_s = √n_s · q̄_s (mT5's
+    // α-sampling, α=0.5, with a DoReMi-adjacent quality factor), a
+    // half-corpus TOKEN budget, rate_s = min(1, budget·share_s /
+    // tokens_s), deterministic hash selection, then the SELECTED stream
+    // packs into 512-token bins per source (pl7's packer) — the mix
+    // decides WHAT enters, the packer lays it out. Gate: PLANS_r13
+    // §pl30 — the fixture's organic `source` column is round-robin
+    // (shares a structural ≈1/20, probed and discarded), so sources
+    // are re-binned GEOMETRICALLY from doc_id arithmetic shared with
+    // the twin: src = 's'||(length(bin(doc_id+2))−1), size-2^k bins —
+    // the skewed-corpus regime α-sampling exists for (probed: shares
+    // 0.007-0.31, small sources kept whole at rate 1.0, large ones
+    // downsampled to 0.30). length-of-binary, NOT floor(log2(·)):
+    // double log2 floors disagree between engines at exact powers of
+    // two; the string form is integer-exact in both.
+    //
+    // Scale shape: mix statistics are one per-source agg (+ quality
+    // fold) and a 1-row totals broadcast; selection is a narrow
+    // broadcast-rate filter; packing is pl7's per-source sequential
+    // window (production shards the stream first — pl19's epoch×shard
+    // — when one source outgrows a task). Weight sums cross sources in
+    // DECIMAL (pl15's discipline), quality sums as floor·1e6 folds.
+    "pl30_quality_mix_pack" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.{ExactNum, PortableHash}
+      def sumF6(c: org.apache.spark.sql.Column) =
+        sum(floor(c * 1e6)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / 1e6
+      val d = Tables.spread(Tables.load(s, dir, "documents"))
+        .select($"doc_id",
+          concat(lit("s"), (length(bin($"doc_id" + 2)) - 1)
+            .cast("string")).as("src"),
+          TextFunctions.tokenCount($"text").as("n_tok"),
+          TextFunctions.qualityScore($"text").as("q"))
+      val stats = d.groupBy($"src").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("src_tok"),
+        sumF6($"q").as("sum_q"))
+      val ws = stats.withColumn("w",
+        (sqrt($"n_docs".cast("double")) *
+          ($"sum_q" / $"n_docs".cast("double"))).cast(ExactNum.Exact))
+      val tot = ws.agg(sum($"w").cast("double").as("w_tot"),
+        expr("sum(src_tok) div 2").as("budget"))
+      val rates = ws.crossJoin(broadcast(tot)).select($"src",
+        ($"w".cast("double") / $"w_tot").as("share"),
+        least(lit(1.0),
+          ($"budget".cast("double") * ($"w".cast("double") / $"w_tot")) /
+            $"src_tok".cast("double")).as("rate"))
+      val sel = d.join(broadcast(rates), Seq("src"))
+        .filter(PortableHash.hash60($"doc_id".cast("string"))
+          .cast("double") < $"rate" * lit(graft.operators.Sketches.Pow60))
+      val wPack = Window.partitionBy($"src").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sel.withColumn("cum", sum($"n_tok").over(wPack))
+        .groupBy($"src".as("source"),
+          floor(($"cum" - 1) / 512.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"),
+          max($"share").as("share"), max($"rate").as("rate"))
+    }),
+
     "pl8_ingest_pipeline" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.spread(Tables.load(s, dir, "documents"))
@@ -990,6 +1053,56 @@ object PipelineQueries extends QueryPack {
          |  CAST(s.n_changed AS DOUBLE) / CAST(s.n_seen AS DOUBLE)
          |    AS change_rate
          |FROM seen s JOIN classes cl ON cl.period = s.period""".stripMargin
+    },
+    // pl30's twin: same geometric source binning (length-of-binary),
+    // same decimal weight fold and rate arithmetic (pl15's twin
+    // discipline), same hash selection and pl7 packing window.
+    "pl30_quality_mix_pack" -> {
+      import graft.functions.PortableHash
+      s"""WITH dd AS (
+         |  SELECT doc_id,
+         |    's' || CAST(length(bin(doc_id + 2)) - 1 AS VARCHAR) AS src,
+         |    CAST(${TextFunctions.tokenCountSql("text")} AS BIGINT)
+         |      AS n_tok,
+         |    ${TextFunctions.qualityScoreSql("text")} AS q
+         |  FROM documents
+         |), c AS (
+         |  SELECT src, count(*) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS src_tok,
+         |    CAST(sum(CAST(floor(q * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+         |      / 1e6 AS sum_q
+         |  FROM dd GROUP BY src
+         |), w AS (
+         |  SELECT src, n_docs, src_tok,
+         |    CAST(sqrt(CAST(n_docs AS DOUBLE)) *
+         |      (sum_q / CAST(n_docs AS DOUBLE)) AS DECIMAL(28,6)) AS w
+         |  FROM c
+         |), t AS (
+         |  SELECT CAST(sum(w) AS DOUBLE) AS w_tot,
+         |    sum(src_tok) // 2 AS budget FROM w
+         |), r AS (
+         |  SELECT src, CAST(w AS DOUBLE) / w_tot AS share,
+         |    least(1.0, (CAST(budget AS DOUBLE) *
+         |        (CAST(w AS DOUBLE) / w_tot)) / CAST(src_tok AS DOUBLE))
+         |      AS rate
+         |  FROM w, t
+         |), sel AS (
+         |  SELECT dd.src, dd.doc_id, dd.n_tok, r.share, r.rate
+         |  FROM dd JOIN r ON r.src = dd.src
+         |  WHERE ${PortableHash.hash60Sql("CAST(dd.doc_id AS VARCHAR)")}
+         |    < r.rate * 1152921504606846976.0
+         |), cumd AS (
+         |  SELECT src, doc_id, n_tok, share, rate,
+         |    sum(n_tok) OVER (PARTITION BY src ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sel
+         |)
+         |SELECT src AS source,
+         |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+         |  max(share) AS share, max(rate) AS rate
+         |FROM cumd GROUP BY source, bin""".stripMargin
     },
     // pl16's twin: identical (hash, vec_id) pick order per label.
     "pl16_cluster_cap_sample" -> {

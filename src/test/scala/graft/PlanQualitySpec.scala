@@ -104,6 +104,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "pl29_recrawl_delta",   // tx25's 1-row page-universe broadcast at
                             // the render stage + the 4-row period-class
                             // size grid (both constant at any corpus)
+    "pl30_quality_mix_pack", // pl15's 1-row totals broadcast (w_tot,
+                            // budget) onto the source-weight frame
     "pl18_source_drift")    // sources×buckets grid completion: both sides
                             // are aggregate frames (distinct sources /
                             // distinct buckets), so the product is

@@ -49,6 +49,31 @@ class TrainServeSpec extends AnyFunSuite {
         s" vs dropped ≤ ${r.getDouble(1)}")
   }
 
+  test("pl30: temperature mix saturates small sources and downsamples " +
+      "large ones; packing bins are contiguous from 0") {
+    val out = SparkEntry.queries("pl30_quality_mix_pack")(spark, dir)
+      .collect()
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    assert(bySrc.size >= 6, s"expected the geometric source spread, " +
+      s"got ${bySrc.keys}")
+    val rates = bySrc.view.mapValues(_.head.getAs[Double]("rate")).toMap
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    assert(rates.values.exists(_ == 1.0),
+      "no source fully kept — α-sampling should saturate the small ones")
+    assert(rates.values.exists(_ < 1.0),
+      "no source downsampled — the budget did nothing")
+    // α=0.5 flattens the skew: the LARGEST source carries the smallest
+    // rate (probed 0.31 at sf0.01)
+    val largest = bySrc.maxBy(_._2.map(_.getAs[Long]("n_docs")).sum)._1
+    assert(rates(largest) == rates.values.min,
+      s"largest source $largest should be downsampled hardest")
+    bySrc.foreach { case (src, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).sorted.toSeq
+      assert(bins == (0L until bins.length.toLong),
+        s"$src: packing bins not contiguous from 0: ${bins.toList}")
+    }
+  }
+
   test("pl29: delta ledger accounting identities") {
     val out = SparkEntry.queries("pl29_recrawl_delta")(spark, dir)
       .collect()
