@@ -129,8 +129,15 @@ object Bench {
     // gate-passed value below the bar in the record too — the gate and
     // the stamp can no longer disagree. The +1e-9 epsilon absorbs
     // binary-float representation (0.057*1000 == 56.999…, which bare
-    // floor understates by a milli) and is far too small to lift a
-    // sub-bar load across any milli boundary from below.
+    // floor understates by a milli). Why the epsilon can never lift a
+    // sub-bar load ACROSS a milli boundary (ADVICE r13 — the claim
+    // rests on the value's source, not on the arithmetic alone): Linux
+    // exposes loadavg as fixed-point k/2048, so la*1000 = 1000k/2048 =
+    // 125k/256 — a dyadic rational whose distance from any integer it
+    // does not attain is ≥ 1/256, eight orders above both the epsilon
+    // and the ≤1e-13 representation error of the product. A load source
+    // with finer granularity would need the decimal-string round-trip
+    // instead.
     val laFloored = math.floor(la * 1000 + 1e-9) / 1000
     val cond = s""""load_avg":${f(laFloored)},"commit":"$commit"""" +
       s""","prewarm_sec":${f(prewarmSec)}$degraded$closingTag"""

@@ -26,17 +26,35 @@ import org.apache.spark.sql.DataFrame
   * not evict a live sibling's blocks. A dead entry is released only
   * when no live entry shares its canonical plan.
   *
+  * Concurrency: every public method holds the object lock (ADVICE r13
+  * — the previous lock-free queue snapshotted the live canonical-plan
+  * set before iterating, so a register() racing a sweep() could land a
+  * live same-plan sibling after the snapshot and still lose its shared
+  * cache entry). unpersist(blocking = false) inside the lock is a
+  * metadata operation; block eviction happens asynchronously.
+  *
+  * Handle extension ([[extendHandles]], ADVICE r13): a helper registers
+  * its persist under the frames IT returns, but a multi-stage caller
+  * usually returns a frame DERIVED from those — once the caller
+  * returns, the helper's handles are unreachable and a sweep between
+  * construction and execution would unpersist lineage the final frame
+  * still embeds. Such callers extend the entry's handles to their own
+  * output frame, tying the persist's lifetime to the frame that
+  * actually executes.
+  *
   * Residue bound: live frames + at most [[SweepTrigger]] dead entries
   * between lazy sweeps (see register); `sweep()` after a GC releases
   * everything dead deterministically.
   */
 object ManagedPersist {
 
-  private final case class Entry(
-      refs: Seq[java.lang.ref.WeakReference[AnyRef]], persisted: DataFrame,
-      canon: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-  private val registry =
-    new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
+  private final class Entry(
+      val refs: scala.collection.mutable.ArrayBuffer[
+        java.lang.ref.WeakReference[AnyRef]],
+      val persisted: DataFrame,
+      val canon: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
+  private val registry = scala.collection.mutable.ArrayBuffer.empty[Entry]
 
   /** Registration-time sweeps are SIZE-TRIGGERED, not unconditional: a
     * re-run of a MULTI-stage query (Bench's best-of-2) re-registers its
@@ -52,29 +70,43 @@ object ManagedPersist {
 
   /** Register `persisted` for release once every frame in `handles` is
     * unreachable. Sweeps lazily — see [[SweepTrigger]]. */
-  def register(persisted: DataFrame, handles: AnyRef*): Unit = {
-    registry.add(Entry(
-      handles.map(new java.lang.ref.WeakReference[AnyRef](_)),
-      persisted, persisted.queryExecution.analyzed.canonicalized))
-    if (registry.size > SweepTrigger) sweep()
+  def register(persisted: DataFrame, handles: AnyRef*): Unit = synchronized {
+    registry += new Entry(
+      scala.collection.mutable.ArrayBuffer(
+        handles.map(new java.lang.ref.WeakReference[AnyRef](_)): _*),
+      persisted, persisted.queryExecution.analyzed.canonicalized)
+    if (registry.size > SweepTrigger) sweepLocked()
+  }
+
+  /** Append `extra` live handles to every entry one of whose current
+    * handles IS (reference-equal to) `handle` — the multi-stage-caller
+    * hook (ADVICE r13): pass a frame the helper returned plus the final
+    * frame the query hands out, and the persist now lives exactly as
+    * long as that output frame. Unknown handles are a silent no-op (the
+    * entry may already have been swept). */
+  def extendHandles(handle: AnyRef, extra: AnyRef*): Unit = synchronized {
+    registry.foreach { e =>
+      if (e.refs.exists(_.get() eq handle))
+        e.refs ++= extra.map(new java.lang.ref.WeakReference[AnyRef](_))
+    }
   }
 
   /** Unpersist every registered frame whose handles are gone (runs on
     * each registration; call explicitly — after a GC — for
     * deterministic release in a long-lived session). */
-  def sweep(): Unit = {
-    import scala.jdk.CollectionConverters._
-    val live = registry.asScala.filter(_.refs.exists(_.get() != null))
-      .map(_.canon).toSet
-    val it = registry.iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.refs.forall(_.get() == null)) {
-        if (!live.contains(e.canon)) {
-          try e.persisted.unpersist(false) catch { case _: Throwable => () }
-        }
-        it.remove()
+  def sweep(): Unit = synchronized { sweepLocked() }
+
+  private def sweepLocked(): Unit = {
+    val (dead, live) = registry.partition(_.refs.forall(_.get() == null))
+    // live canonical plans computed under the SAME lock that admits new
+    // registrations — the live-sibling guard can no longer race
+    val liveCanon = live.map(_.canon).toSet
+    dead.foreach { e =>
+      if (!liveCanon.contains(e.canon)) {
+        try e.persisted.unpersist(false) catch { case _: Throwable => () }
       }
     }
+    registry.clear()
+    registry ++= live
   }
 }

@@ -700,8 +700,14 @@ object ExtendedQueries extends QueryPack {
         (col(s"lo$i") + (col(s"hi$i") - col(s"lo$i")) *
           (pos - floor(pos))).as(s"p${(p * 100).toInt}")
       }
-      picked.select($"l_returnflag", $"cnt",
+      val res = picked.select($"l_returnflag", $"cnt",
         interp(0, 0.25), interp(1, 0.5), interp(2, 0.75))
+      // the returned frame embeds the helper's persisted lineage — tie
+      // the persist's lifetime to it (ADVICE r13: without this, a sweep
+      // between construction and execution could unpersist the histogram
+      // once cum0/hck go out of scope here)
+      graft.core.ManagedPersist.extendHandles(hck, res)
+      res
     }),
 
     // Q81 — median absolute deviation (the robust dispersion measure —
@@ -737,10 +743,16 @@ object ExtendedQueries extends QueryPack {
       val dev = hck.join(broadcast(med), "g")
         .select($"g", $"n", $"median", abs($"v" - $"median").as("d"), $"c")
         .groupBy($"g", $"n", $"median", $"d").agg(sum($"c").as("c"))
-      graft.operators.BucketedCdf.withCum(dev, Seq("g"), "d", "c")
+      val cum2 = graft.operators.BucketedCdf.withCum(dev, Seq("g"), "d", "c")
+      val res = cum2
         .filter($"cum" >= expr("(n + 1) div 2"))
         .groupBy($"g".as("l_returnflag"), $"n", $"median")
         .agg(min($"d").as("mad"))
+      // both stages' persists must outlive the frame actually returned
+      // (ADVICE r13) — extend each entry's handles to it
+      graft.core.ManagedPersist.extendHandles(hck, res)
+      graft.core.ManagedPersist.extendHandles(cum2, res)
+      res
     }),
 
     // Q82 — SCD2 history audit: the dimension-side data-quality check
@@ -1147,10 +1159,15 @@ object ExtendedQueries extends QueryPack {
         .join(broadcast(gb).alias("g2"),
           expr("h.hb = g2.hb AND h.cum >= g2.r"))
         .groupBy(col("g2.qb").as("qb")).agg(min(col("h.v")).as("gv"))
-      bucketed.join(broadcast(gridVals), "qb")
+      val res = bucketed.join(broadcast(gridVals), "qb")
         .groupBy($"g".as("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"), sumExact($"gv").as("sum_norm"),
           min($"gv").as("min_norm"), max($"gv").as("max_norm"))
+      // both passes' persisted histograms live as long as the frame the
+      // query hands out (ADVICE r13)
+      graft.core.ManagedPersist.extendHandles(ghck, res)
+      graft.core.ManagedPersist.extendHandles(hist, res)
+      res
     }),
 
     // Q72 — per-group OLS trend: regress event value on time per

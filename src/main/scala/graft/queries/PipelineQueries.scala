@@ -754,7 +754,7 @@ object PipelineQueries extends QueryPack {
       val bounds = cum.groupBy($"g").agg(
         min(when($"cum" >= loR, $"v")).as("p05"),
         min(when($"cum" >= hiR, $"v")).as("p95"))
-      li.join(broadcast(bounds), "g")
+      val res = li.join(broadcast(bounds), "g")
         .groupBy($"g".as("l_returnflag"))
         .agg(count(lit(1)).as("cnt"),
           max($"p05").as("p05"), max($"p95").as("p95"),
@@ -762,6 +762,10 @@ object PipelineQueries extends QueryPack {
           sum(when($"v" > $"p95", 1L).otherwise(0L)).as("clipped_hi"),
           graft.functions.ExactNum.sumExact(
             least(greatest($"v", $"p05"), $"p95")).as("sum_winsorized"))
+      // tie the helper's persist to the frame actually returned
+      // (ADVICE r13)
+      graft.core.ManagedPersist.extendHandles(hck, res)
+      res
     }),
 
     // per-source distribution drift: Pearson χ² of each source's language

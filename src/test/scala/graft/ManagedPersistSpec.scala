@@ -60,4 +60,35 @@ class ManagedPersistSpec extends AnyFunSuite {
       "sweep failed to release the entry after all registrants died")
     spark.catalog.clearCache()
   }
+
+  /** Register in a helper frame, extending handles to a DERIVED frame
+    * the "caller" keeps — the multi-stage-caller shape ADVICE r13
+    * flagged: without the extension the helper's own handles are dead
+    * as soon as it returns. */
+  private def extendedRegistrant(): DataFrame = {
+    val h = shape()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = h.groupBy(col("v")).count()
+    out.collect()
+    graft.core.ManagedPersist.register(h, out)
+    val finalFrame = out.filter(col("count") > 0)
+    graft.core.ManagedPersist.extendHandles(out, finalFrame)
+    finalFrame
+  }
+
+  test("extendHandles ties the persist to the caller's derived frame " +
+      "(ADVICE r13)") {
+    spark.catalog.clearCache()
+    var kept: AnyRef = extendedRegistrant()
+    val probe = shape()
+    (1 to 10).foreach(_ => gcSweep())
+    assert(cached(probe),
+      "persist released while the extended (derived) handle was live")
+    kept = null
+    var tries = 0
+    while (cached(probe) && tries < 40) { gcSweep(); tries += 1 }
+    assert(!cached(probe),
+      "sweep failed to release after the extended handle died")
+    spark.catalog.clearCache()
+  }
 }

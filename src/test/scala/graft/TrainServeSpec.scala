@@ -44,6 +44,11 @@ class TrainServeSpec extends AnyFunSuite {
     val r = out.agg(
       min(when($"keep", $"p_cal")).as("min_kept"),
       max(when(!$"keep", $"p_cal")).as("max_dropped")).head()
+    // a degenerate threshold (all kept or all dropped) nulls one side —
+    // fail with the diagnostic, not an NPE (ADVICE r13)
+    assert(!r.isNullAt(0) && !r.isNullAt(1),
+      s"degenerate threshold: ${if (r.isNullAt(0)) "nothing kept"
+        else "nothing dropped"} — the F1 sweep landed on a boundary")
     assert(r.getDouble(0) >= r.getDouble(1),
       s"p_cal not monotone across the threshold: kept ≥ ${r.getDouble(0)}" +
         s" vs dropped ≤ ${r.getDouble(1)}")
