@@ -15,7 +15,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, dir, table) frame memo: `spark.read.parquet` runs a
+    * footer schema-inference JOB on every call, so an un-memoized load
+    * taxed every DataFrame construction (one job per table reference —
+    * visible in PlanQualitySpec's construction-laziness pin). The frame
+    * is lazy and immutable: DATA always comes from the files at
+    * execution time; only the inferred schema is pinned, and the
+    * fixture dirs are static for a JVM's lifetime (artifact staleness
+    * is FixtureCache's fingerprint job, not this memo's). Sessions key
+    * by identity; the memo holds ≤ sessions × tables lazy frames. */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((spark, dir, name),
+      _ => load0(spark, dir, name))
+
+  private def load0(spark: SparkSession, dir: String,
+                    name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
       // generations and TIMESTAMP(MICROS) in others. Adapt to whatever the

@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Exact cumulative counts over a value histogram WITHOUT a data-sized
   * single-task sort — q83's bucketed-offset machinery
@@ -24,10 +23,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *     only — never any cumulative count.
   *  2. bucket id = #boundaries strictly below v (a fold over the
   *     broadcast boundary array) — monotone in v by construction.
-  *  3. per-(group, bucket) row counts collect driver-side (≤ groups·nb
-  *     rows — this helper targets LOW-cardinality group keys; a
-  *     high-cardinality key doesn't have the problem, its per-group
-  *     windows are already parallel) and fold into exact bucket OFFSETS.
+  *  3. per-(group, bucket) counts fold into exact bucket OFFSETS via a
+  *     window over the ≤ groups·nb aggregate (this helper targets
+  *     LOW-cardinality group keys; a high-cardinality key doesn't have
+  *     the problem, its per-group windows are already parallel). The
+  *     fold is IN-PLAN since r14 (VERDICT r13 #3) — DataFrame
+  *     construction triggers no jobs; probe and fold execute inside the
+  *     caller's own action.
   *  4. cum = offset + running sum under a window PARTITIONED by
   *     (group, bucket): each task sorts ~1/nb of the group's distinct
   *     values; scaling nb with data keeps tasks memory-bounded.
@@ -76,16 +78,15 @@ object BucketedCdf {
   }
 
   /** [[withCumKeep]] plus the per-bucket END-cumulatives (third element:
-    * group cols…, bucket, `bend`) as a driver-built LocalRelation — the
-    * offset fold already computed them, so a rank-r probe can locate its
-    * bucket (first bucket with bend ≥ r) with NO extra job and no
-    * re-run of the cumulative window (q71's grid read-off). */
+    * group cols…, bucket, `bend`) — a constant-size (≤ groups·nb rows)
+    * frame the offset fold computes anyway, so a rank-r probe can locate
+    * its bucket (first bucket with bend ≥ r) against a broadcast of it
+    * with no re-run of the cumulative window (q71's grid read-off). */
   def withCumEnds(hist: DataFrame, groupCols: Seq[String], vCol: String,
                   cCol: String, cumCol: String = "cum", nb: Int = 32,
                   maxOffsetRows: Int = 65536,
                   keepBucketCol: Option[String] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val spark = hist.sparkSession
     val synth = "__bcdf_g"
     // persisted for the multi-consumer span of the returned frames
     // (boundary probe, offset fold, final join, caller-side totals) —
@@ -108,40 +109,54 @@ object BucketedCdf {
       .withColumn("__b",
         aggregate(col("__bds"), lit(0), (acc, bd) =>
           acc + when(col(vCol).cast("double") > bd, 1).otherwise(0)))
-    // 3. exact offsets, folded driver-side (≤ groups·nb rows — guarded)
+    // 3. exact offsets, IN-PLAN (VERDICT r13 #3): the r13 form collected
+    //    the per-(group, bucket) counts to the driver and folded offsets
+    //    there — correct, but it made every DataFrame CONSTRUCTION pay
+    //    two sequential job barriers (boundary-probe broadcast + offset
+    //    collect), ~2.2 s of q71's 4.13 s sf0.1 median across its two
+    //    passes, re-paid by each of Bench's best-of-2 constructions.
+    //    The same fold is one window over the ≤ groups·nb bucket-count
+    //    aggregate (constant-size by construction), so construction now
+    //    triggers ZERO jobs: probe, fold and ends table all execute
+    //    inside the query's own action, where AQE schedules the
+    //    broadcast subtrees and a re-run reuses the persisted histogram.
+    //    Offset values are the identical running sum — cum stays
+    //    byte-identical (q71/q66/q81/pl17/pl28 hash-pinned).
     val bcDf = withB.groupBy((gc :+ col("__b")): _*)
       .agg(sum(col(cCol)).as("__bc"))
-    val bcRows = bcDf.collect()
-    require(bcRows.length <= maxOffsetRows,
-      s"BucketedCdf offset table has ${bcRows.length} rows " +
-        s"(> $maxOffsetRows): the group key is too wide for the " +
-        "driver-side offset fold — per-group windows are already " +
-        "parallel at that cardinality; use them directly")
-    val nG = gcols.length
-    // one fold emits both the bucket OFFSET (cum before the bucket) and
-    // its END (cum through it) — offsets drive the window, ends serve
-    // rank-probe callers via the third return value
-    val offEndRows: Seq[(Row, Row)] = bcRows.toSeq
-      .groupBy(r => (0 until nG).map(i => r.get(i)))
-      .valuesIterator.flatMap { rs =>
-        var acc = 0L
-        rs.sortBy(_.getInt(nG)).map { r =>
-          val key = (0 until nG).map(i => r.get(i)) :+ r.getInt(nG)
-          val off = Row.fromSeq(key :+ acc)
-          acc += r.getLong(nG + 1)
-          (off, Row.fromSeq(key :+ acc))
-        }
-      }.toSeq
-    val offSchema = StructType(
-      bcDf.schema.fields.dropRight(1) :+
-        StructField("__off", LongType, nullable = false))
-    val offDf = spark.createDataFrame(
-      java.util.Arrays.asList(offEndRows.map(_._1): _*), offSchema)
-    val endSchema = StructType(
-      bcDf.schema.fields.dropRight(1) :+
-        StructField("bend", LongType, nullable = false))
-    val endsDf0 = spark.createDataFrame(
-      java.util.Arrays.asList(offEndRows.map(_._2): _*), endSchema)
+    val wOff = Window.partitionBy(gc: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the r13 require() becomes an in-plan guard (it must stay LOUD —
+    // a too-wide group key would otherwise surface as a giant broadcast
+    // or driver OOM): per-bucket group count × nb bounds the offset-
+    // table size from above (total rows = Σ_b cnt_b ≤ nb·max_b cnt_b),
+    // so any row seeing cnt_b·nb > maxOffsetRows fails the build before
+    // the broadcast materializes. Slightly conservative under collapsed
+    // probe boundaries (fails early only when buckets are missing for
+    // some groups — exactly the degenerate case worth flagging).
+    val wB = Window.partitionBy(col("__b"))
+    val guarded = bcDf
+      .withColumn("__off",
+        when(count(lit(1)).over(wB) * lit(nb.toLong) <=
+            lit(maxOffsetRows.toLong),
+          coalesce(sum(col("__bc")).over(wOff), lit(0L)))
+          .otherwise(raise_error(lit(
+            s"BucketedCdf offset table exceeds $maxOffsetRows rows: " +
+              "the group key is too wide for the broadcast offset " +
+              "fold — per-group windows are already parallel at that " +
+              "cardinality; use them directly")).cast("long")))
+      .withColumn("bend", col("__off") + col("__bc"))
+      // persisted (lazily — construction still triggers no jobs): the
+      // offsets frame feeds up to three broadcast subtrees per caller
+      // (cum join, ends table, rank probes), and WITHOUT the pin each
+      // one re-runs the probe-join + count-agg chain — exchange reuse
+      // cannot dedupe them because each consumer projects a different
+      // column set. The frame is ≤ maxOffsetRows rows; release is
+      // GC-scoped with the histogram below.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offDf = guarded.select((gc :+ col("__b") :+ col("__off")): _*)
+    val endsDf0 = guarded
+      .select((gc :+ col("__b") :+ col("bend")): _*)
       .drop(synth)
     val endsDf = keepBucketCol match {
       case Some(bc) => endsDf0.withColumnRenamed("__b", bc)
@@ -162,8 +177,11 @@ object BucketedCdf {
     // GC-scoped release of the input persist (VERDICT r12 #4): the pin
     // lives exactly as long as the frames handed to the caller — see
     // graft.core.ManagedPersist for the lifecycle and the measured
-    // rejection of the localCheckpoint alternative
-    graft.core.ManagedPersist.register(h, out, hOut)
+    // rejection of the localCheckpoint alternative. endsDf embeds the
+    // persisted lineage too (it is no longer a driver LocalRelation —
+    // VERDICT r13 #3), so it joins the handle set.
+    graft.core.ManagedPersist.register(h, out, hOut, endsDf)
+    graft.core.ManagedPersist.register(guarded, out, hOut, endsDf)
     (out, hOut, endsDf)
   }
 }
