@@ -17,6 +17,26 @@ object PipelineQueries extends QueryPack {
   case class EventRow(event_id: Long, user_id: Long, event_type: String,
                       value: Double)
 
+  /** Packing shard count for pl7/pl8/pl30 (VERDICT r13 #5): the packing
+    * windows hash-shard their stream BEFORE the per-group sort, so the
+    * largest group bounds a task at corpus/PackShards instead of the
+    * whole group (pl19's epoch×shard, composed into the keys). Fixed —
+    * both engines must derive identical shards; a deployment scales it
+    * with corpus/executor count. */
+  private val PackShards = 8L
+
+  /** The shard of a doc: portable hash of the "sh:"-prefixed id (the
+    * prefix decorrelates shard bits from every other doc_id hash in the
+    * suite — pl19's epoch-prefix discipline). Shared verbatim with the
+    * DuckDB twins via [[packShardSql]]. */
+  private def packShard(docId: org.apache.spark.sql.Column) =
+    pmod(graft.functions.PortableHash.hash60(
+      concat(lit("sh:"), docId.cast("string"))), lit(PackShards))
+
+  private def packShardSql(docIdExpr: String): String =
+    s"${graft.functions.PortableHash.hash60Sql(
+      s"'sh:' || CAST($docIdExpr AS VARCHAR)")} % $PackShards"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // int8 symmetric quantization per vector (scale = max |x|); the
@@ -130,23 +150,33 @@ object PipelineQueries extends QueryPack {
           sum(length($"text")).cast("long").as("total_chars"))
     }),
 
-    // sequence packing: running token cumsum per lang (doc_id order)
-    // assigns each doc to a ~512-token context-window bin — the greedy
-    // fill pass that turns documents into fixed-budget training sequences.
-    // One window sort per lang partition + a hash agg; integer sums only.
+    // sequence packing: running token cumsum per (lang, shard) in doc_id
+    // order assigns each doc to a ~512-token context-window bin — the
+    // greedy fill pass that turns documents into fixed-budget training
+    // sequences. SHARDED (r14, VERDICT r13 #5): the packing stream
+    // hash-shards BEFORE the window (pl19's epoch×shard composed into
+    // the key), so no task ever sorts more than corpus/shards rows even
+    // when one group dominates — the per-(group, shard) bin is the
+    // training-sequence file key a sharded loader writes independently.
+    // The shard hash is decorrelated from doc ids by the "sh:" prefix
+    // (pl19's epoch-prefix discipline) and shared verbatim with the
+    // oracle. One window sort per (lang, shard) partition + a hash agg;
+    // integer sums only.
     "pl7_pack_sequences" -> ((s, dir) => {
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"lang").orderBy($"doc_id")
+        .partitionBy($"lang", $"shard").orderBy($"doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"lang",
-          TextFunctions.tokenCount($"text").as("n_tok"))
+          TextFunctions.tokenCount($"text").as("n_tok"),
+          packShard($"doc_id").as("shard"))
         .withColumn("cum", sum($"n_tok").over(w))
         // floor division, not `div`: div truncates toward zero, so a
         // zero-token head doc ((cum-1) = -1) would bin to 0 in Spark but
         // -1 under the oracle's floor semantics. floor() matches both.
-        .groupBy($"lang", floor(($"cum" - 1) / 512.0).cast("long").as("bin"))
+        .groupBy($"lang", $"shard",
+          floor(($"cum" - 1) / 512.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
     }),
 
@@ -387,32 +417,14 @@ object PipelineQueries extends QueryPack {
     // than report missing=class_size — probed impossible at these
     // fixtures (residues mod 13 spread within every class); stated as
     // the accounting's edge.
+    // Derivation shared verbatim with the STREAMING twin
+    // ([[graft.streaming.RecrawlLedger]], VERDICT r13 #4) through
+    // RecrawlBase — the batch key aggregates the classified fetches the
+    // online ledger emits at watermark close.
     "pl29_recrawl_delta" -> ((s, dir) => {
       import s.implicits._
-      val d = Tables.spread(Tables.load(s, dir, "documents"))
-      val pages = d.agg(greatest(lit(50L),
-        expr("count(1) div 10")).as("npages"))
-      val f = d.crossJoin(broadcast(pages))
-        .filter($"doc_id" % 13 =!= 7)
-        .select($"doc_id", $"npages",
-          graft.operators.UrlCanon.canonicalize(
-            graft.operators.UrlCanon.renderUrl($"doc_id", $"npages"))
-            .as("canonical_url"),
-          ($"doc_id" % $"npages").as("p"),
-          expr("doc_id div npages").as("r"))
-        .withColumn("period", lit(1L) + $"p" % 4)
-        .withColumn("base_id",
-          $"p" + ($"r" - $"r" % $"period") * $"npages")
-      val content = f
-        .join(d.select($"doc_id".as("base_id"), $"text"), Seq("base_id"))
-        .select($"canonical_url", $"r", $"period",
-          graft.functions.PortableHash.hash60($"text").as("ck"))
-      val lagW = Window.partitionBy($"canonical_url").orderBy($"r")
-      val classed = content
-        .withColumn("prev", lag($"ck", 1).over(lagW))
-        .withColumn("chg", when($"prev".isNull, "new")
-          .when($"ck" =!= $"prev", "changed").otherwise("unchanged"))
-      val seen = classed.groupBy($"r".as("round"), $"period")
+      val seen = RecrawlBase.classified(s, dir)
+        .groupBy($"r".as("round"), $"period")
         .agg(count(lit(1)).as("n_seen"),
           sum(when($"chg" === "new", 1L).otherwise(0L)).as("n_new"),
           sum(when($"chg" === "changed", 1L).otherwise(0L)).as("n_changed"),
@@ -420,11 +432,7 @@ object PipelineQueries extends QueryPack {
             .as("n_unchanged"))
       // class sizes from pure arithmetic (pages p in [0, npages) with
       // p%4 == c number (npages − c + 3) div 4) — no corpus pass
-      val classes = s.range(0, 4).toDF("c")
-        .crossJoin(broadcast(pages))
-        .select((lit(1L) + $"c").as("period"),
-          expr("(npages - c + 3) div 4").as("class_size"))
-      seen.join(broadcast(classes), Seq("period"))
+      seen.join(broadcast(RecrawlBase.classSizes(s, dir)), Seq("period"))
         .select($"round", $"period", $"n_seen", $"n_new", $"n_changed",
           $"n_unchanged", ($"class_size" - $"n_seen").as("n_missing"),
           ($"n_changed".cast("double") / $"n_seen".cast("double"))
@@ -451,9 +459,8 @@ object PipelineQueries extends QueryPack {
     //
     // Scale shape: mix statistics are one per-source agg (+ quality
     // fold) and a 1-row totals broadcast; selection is a narrow
-    // broadcast-rate filter; packing is pl7's per-source sequential
-    // window (production shards the stream first — pl19's epoch×shard
-    // — when one source outgrows a task). Weight sums cross sources in
+    // broadcast-rate filter; packing is pl7's SHARDED per-(source,
+    // shard) window (r14, VERDICT r13 #5). Weight sums cross sources in
     // DECIMAL (pl15's discipline), quality sums as floor·1e6 folds.
     "pl30_quality_mix_pack" -> ((s, dir) => {
       import s.implicits._
@@ -485,10 +492,16 @@ object PipelineQueries extends QueryPack {
       val sel = d.join(broadcast(rates), Seq("src"))
         .filter(PortableHash.hash60($"doc_id".cast("string"))
           .cast("double") < $"rate" * lit(graft.operators.Sketches.Pow60))
-      val wPack = Window.partitionBy($"src").orderBy($"doc_id")
+        .withColumn("shard", packShard($"doc_id"))
+      // packing is sharded (VERDICT r13 #5): pl30's geometric bins make
+      // the largest source ~half the corpus BY CONSTRUCTION — exactly
+      // the regime where an un-sharded per-source window serializes.
+      // The selection hash (bare doc_id) and the shard hash ("sh:"
+      // prefix) are decorrelated by the prefix.
+      val wPack = Window.partitionBy($"src", $"shard").orderBy($"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       sel.withColumn("cum", sum($"n_tok").over(wPack))
-        .groupBy($"src".as("source"),
+        .groupBy($"src".as("source"), $"shard",
           floor(($"cum" - 1) / 512.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"),
           max($"share").as("share"), max($"rate").as("rate"))
@@ -509,12 +522,15 @@ object PipelineQueries extends QueryPack {
         .withColumn("rn", row_number().over(wDedup))
         .filter($"rn" === 1)
         .select($"doc_id", $"lang",
-          TextFunctions.tokenCount($"norm_text").as("n_tok"))
+          TextFunctions.tokenCount($"norm_text").as("n_tok"),
+          packShard($"doc_id").as("shard"))
+      // packing is sharded (VERDICT r13 #5) — see pl7
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"lang").orderBy($"doc_id")
+        .partitionBy($"lang", $"shard").orderBy($"doc_id")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       surviving.withColumn("cum", sum($"n_tok").over(w))
-        .groupBy($"lang", floor(($"cum" - 1) / 512.0).cast("long").as("bin"))
+        .groupBy($"lang", $"shard",
+          floor(($"cum" - 1) / 512.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"))
     }),
 
@@ -889,17 +905,18 @@ object PipelineQueries extends QueryPack {
        |  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(norm_text)
        |), surviving AS (
        |  SELECT k.doc_id, k.lang,
-       |    ${TextFunctions.tokenCountSql("k.norm_text")} AS n_tok
+       |    ${TextFunctions.tokenCountSql("k.norm_text")} AS n_tok,
+       |    ${packShardSql("k.doc_id")} AS shard
        |  FROM kept k JOIN dedup d ON d.doc_id = k.doc_id
        |), c AS (
-       |  SELECT doc_id, lang, n_tok,
-       |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |  SELECT doc_id, lang, shard, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM surviving
        |)
-       |SELECT lang, CAST(floor((cum - 1) / 512.0) AS BIGINT) AS bin,
+       |SELECT lang, shard, CAST(floor((cum - 1) / 512.0) AS BIGINT) AS bin,
        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
-       |FROM c GROUP BY lang, bin""".stripMargin
+       |FROM c GROUP BY lang, shard, bin""".stripMargin
   }
 
   /** Materialize the file-layout artifacts (lang-partitioned copy,
@@ -1091,22 +1108,23 @@ object PipelineQueries extends QueryPack {
          |      AS rate
          |  FROM w, t
          |), sel AS (
-         |  SELECT dd.src, dd.doc_id, dd.n_tok, r.share, r.rate
+         |  SELECT dd.src, dd.doc_id, dd.n_tok, r.share, r.rate,
+         |    ${packShardSql("dd.doc_id")} AS shard
          |  FROM dd JOIN r ON r.src = dd.src
          |  WHERE ${PortableHash.hash60Sql("CAST(dd.doc_id AS VARCHAR)")}
          |    < r.rate * 1152921504606846976.0
          |), cumd AS (
-         |  SELECT src, doc_id, n_tok, share, rate,
-         |    sum(n_tok) OVER (PARTITION BY src ORDER BY doc_id
+         |  SELECT src, doc_id, shard, n_tok, share, rate,
+         |    sum(n_tok) OVER (PARTITION BY src, shard ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM sel
          |)
-         |SELECT src AS source,
+         |SELECT src AS source, shard,
          |  CAST(floor((cum - 1) / 512.0) AS BIGINT) AS bin,
          |  CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
          |  max(share) AS share, max(rate) AS rate
-         |FROM cumd GROUP BY source, bin""".stripMargin
+         |FROM cumd GROUP BY source, shard, bin""".stripMargin
     },
     // pl16's twin: identical (hash, vec_id) pick order per label.
     "pl16_cluster_cap_sample" -> {
@@ -1465,19 +1483,20 @@ object PipelineQueries extends QueryPack {
         |  CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang, split""".stripMargin,
     "pl7_pack_sequences" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id, lang,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+        |    ${packShardSql("doc_id")} AS shard
         |  FROM documents
         |), c AS (
-        |  SELECT doc_id, lang, n_tok,
-        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |  SELECT doc_id, lang, shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t
         |)
-        |SELECT lang, CAST(floor((cum - 1) / 512.0) AS BIGINT) AS bin,
+        |SELECT lang, shard, CAST(floor((cum - 1) / 512.0) AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
-        |FROM c GROUP BY lang, bin""".stripMargin,
+        |FROM c GROUP BY lang, shard, bin""".stripMargin,
     "pl5_typed_map" ->
       """SELECT user_id,
         |  CASE WHEN value > 100.0 THEN 'hi' ELSE 'lo' END AS band,

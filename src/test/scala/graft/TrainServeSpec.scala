@@ -72,11 +72,19 @@ class TrainServeSpec extends AnyFunSuite {
     val largest = bySrc.maxBy(_._2.map(_.getAs[Long]("n_docs")).sum)._1
     assert(rates(largest) == rates.values.min,
       s"largest source $largest should be downsampled hardest")
-    bySrc.foreach { case (src, rows) =>
-      val bins = rows.map(_.getAs[Long]("bin")).sorted.toSeq
-      assert(bins == (0L until bins.length.toLong),
-        s"$src: packing bins not contiguous from 0: ${bins.toList}")
-    }
+    // r14 (VERDICT r13 #5): packing is sharded — bins are contiguous
+    // from 0 within each (source, shard) stream, and the selected docs
+    // must actually spread across shards (a degenerate shard hash would
+    // silently restore the single-task sort)
+    val shards = out.map(_.getAs[Long]("shard")).distinct
+    assert(shards.length >= 4,
+      s"selected docs landed on only ${shards.length} shards of 8")
+    out.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard")))
+      .foreach { case ((src, sh), rows) =>
+        val bins = rows.map(_.getAs[Long]("bin")).sorted.toSeq
+        assert(bins == (0L until bins.length.toLong),
+          s"$src/$sh: packing bins not contiguous from 0: ${bins.toList}")
+      }
   }
 
   test("pl29: delta ledger accounting identities") {
