@@ -78,11 +78,18 @@ def main() -> int:
     for r in runs:
         keys |= set(r["queries"])
     med = {}
+    spread = {}
     for k in sorted(keys):
         vals = [r["queries"][k] for r in runs
                 if k in r["queries"] and r["queries"][k] >= 0]
         if vals:
             med[k] = round(statistics.median(vals), 3)
+            # per-key run vector (VERDICT r13 #6): the pinned ~2 GB guest
+            # page cache makes single-run outliers routine on scan keys
+            # (dd13 r13: runs 1.89/2.31/6.74 s around a 2.31 median), so
+            # the record must carry the spread — "median 2.31" without
+            # "max 6.74" reads as a stable number when it is not.
+            spread[k] = [round(v, 3) for v in vals]
     out = {
         "sf": sf,
         "commit": commit,
@@ -94,6 +101,7 @@ def main() -> int:
         "prewarm_sec": round(
             statistics.median([r.get("prewarm_sec", 0.0) for r in runs]), 3),
         "queries": med,
+        "query_runs": spread,
     }
     if prev_path:
         prev = json.load(open(prev_path))
@@ -119,6 +127,13 @@ def main() -> int:
     print(f"{dest}: runs={out['runs']} loads={loads} "
           f"total={out['total']} clean={out['clean']} "
           f"closing_grade={out['closing_grade']}")
+    # widest relative spreads (max/min over the run vector) — the
+    # cache-noise suspects to quote in PLANS with a rewarm-probe verdict
+    # (VERDICT r13 #6)
+    wide = sorted(((max(v) / min(v), k) for k, v in spread.items()
+                   if min(v) > 0), reverse=True)[:5]
+    print("widest spreads (max/min): " + ", ".join(
+        f"{k} x{r:.2f} {spread[k]}" for r, k in wide))
     if "board_ratio" in out:
         adj = out["adjusted_vs_prev"]
         hot = {k: v for k, v in adj.items() if v >= 1.3 or v <= 0.7}
