@@ -740,6 +740,144 @@ object SimilarityQueries extends QueryPack {
           "embedding", k = 10)
         .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
       graft.operators.Retrieval.rrfFuse(sparse, dense, k = 10)
+    }),
+
+    // SIM25 — retrieval ranking-QUALITY gate: nDCG@10 (Järvelin &
+    // Kekäläinen 2002) for the BM25 / dense / RRF stack — the one trust
+    // gate the retrieval family lacked (VERDICT r13 #2): tx13/sim14
+    // prove the ARITHMETIC of scoring and fusion; this key measures
+    // whether the rankings are any GOOD, against a planted relevance,
+    // and whether fusion actually beats its inputs (Cormack, Clarke &
+    // Buettcher 2009's claim, made measurable).
+    //
+    // Gate: PLANS_r14 §sim25 — two falsifications recorded before this
+    // oracle. (1) pure term-coverage relevance is CIRCULAR with BM25
+    // (probed nDCG ≡ 1.0 at both sfs, and fused < sparse — the pin
+    // would be structurally false); (2) the fixture embeddings are
+    // near-isotropic (max pair cos ≈ 0.45-0.49), so any conventional
+    // "semantic neighbor" τ gives an EMPTY channel — τ = 0.35 ≈ p99.7
+    // of the corpus's own pair-cos distribution. Landed relevance is a
+    // two-channel graded pool: rel = term depth (1: ≥2 of the query's
+    // 3 distinct terms; 2: all 3) + semantic bonus (1: cos ≥ 0.35,
+    // self excluded) — each retriever sees only one channel, so
+    // neither saturates, and fusion is graded on surfacing the docs
+    // both channels endorse. Probed: fused mean 0.815/0.934 > best
+    // single 0.792/0.874 at sf0.01/sf0.1 (RetrievalSpec pins it).
+    //
+    // Scale shape: the lists are the tx13/sim14 serve paths verbatim
+    // (index + broadcast query terms; brute dense per sim14's measured
+    // decision); the term channel is one posting-list join on the
+    // shared index; the semantic channel is the same corpus ×
+    // broadcast(queries) scan the dense leg runs; everything after is
+    // (queries × grades)-sized. Hash discipline: integer CASE gains,
+    // ln(rank+1)/ln 2 as one shared AST (no engine-native log2), every
+    // DCG/IDCG term DECIMAL(28,6)-quantized pre-fold, ndcg and the
+    // rollup means re-quantized after division.
+    "sim25_retrieval_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions
+      def q6(c: org.apache.spark.sql.Column) =
+        c.cast(graft.functions.ExactNum.Exact).cast("double")
+      val base = graft.core.Tables.spread(
+        graft.core.Tables.load(s, dir, "documents"))
+      val qs = base.filter($"doc_id" % 50 === 0)
+        .select($"doc_id".as("qid"),
+          concat_ws(" ", slice(TextFunctions.tokens($"text"), 1, 3))
+            .as("qtext"))
+      val sparse = graft.operators.Retrieval.bm25TopKServed(
+          TermFreqBase.tf(s, dir).select(col("doc_id").as("doc"),
+            col("term"), col("tf")),
+          TermFreqBase.dl(s, dir).select(col("doc_id").as("doc"),
+            col("dl")),
+          TermFreqBase.docFreq(s, dir),
+          TermFreqBase.stats(s, dir),
+          qs, "qid", "qtext", k = 10)
+        .select($"query_id", $"doc_id", $"rank")
+      val e = emb(s, dir)
+      val qv = e.filter($"vec_id" % 50 === 0)
+      val dense = Similarity.cosineTopK(e, qv, "vec_id", "embedding",
+          k = 10)
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      val fusedL = graft.operators.Retrieval.rrfFuse(sparse, dense,
+          k = 10)
+        .select($"query_id", $"doc_id", $"fused_rank".as("rank"))
+      // --- the planted two-channel relevance ---
+      val qTerms = qs.select($"qid".as("query_id"),
+        explode(array_distinct(TextFunctions.tokens($"qtext")))
+          .as("term"))
+      val tsig = TermFreqBase.tf(s, dir).select($"doc_id", $"term")
+        .join(broadcast(qTerms), "term")
+        .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("nt"))
+        .filter($"nt" >= 2)
+        .select($"query_id", $"doc_id",
+          when($"nt" >= 3, 2L).otherwise(1L).as("tr"))
+      val cside = e.select($"vec_id".as("doc_id"),
+        $"embedding".as("c_vec"),
+        Similarity.normSeq($"embedding").as("c_norm"))
+      val qn = qv.select($"vec_id".as("query_id"),
+        $"embedding".as("q_vec"),
+        Similarity.normSeq($"embedding").as("q_norm"))
+      val vsig = cside.crossJoin(broadcast(qn))
+        .filter($"doc_id" =!= $"query_id")
+        .filter(Similarity.dotSeq($"q_vec", $"c_vec") /
+          ($"q_norm" * $"c_norm") >= 0.35)
+        .select($"query_id", $"doc_id", lit(1L).as("vr"))
+      val rel = tsig.join(vsig, Seq("query_id", "doc_id"), "full_outer")
+        .select($"query_id", $"doc_id",
+          (coalesce($"tr", lit(0L)) + coalesce($"vr", lit(0L)))
+            .as("rel"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // integer gains 2^g − 1 — CASE, not shift (engine-portable)
+      def gain(g: org.apache.spark.sql.Column) =
+        when(g === 3L, 7.0).when(g === 2L, 3.0)
+          .when(g === 1L, 1.0).otherwise(0.0)
+      val ln2 = log(lit(2.0))
+      // IDCG@10 from the per-query grade counts: ideal position i holds
+      // grade 3 while i ≤ n3, then 2, then 1 — a 10-row explode per
+      // query, never a sort over the relevance table
+      val gcounts = qs.select($"qid".as("query_id"))
+        .join(rel, Seq("query_id"), "left")
+        .groupBy($"query_id").agg(
+          sum(when($"rel" === 3, 1L).otherwise(0L)).as("n3"),
+          sum(when($"rel" === 2, 1L).otherwise(0L)).as("n2"),
+          sum(when($"rel" === 1, 1L).otherwise(0L)).as("n1"))
+      val idcg = gcounts
+        .select($"query_id", $"n3", $"n2", $"n1",
+          explode(sequence(lit(1L), lit(10L))).as("i"))
+        .withColumn("g", when($"i" <= $"n3", 3L)
+          .when($"i" <= $"n3" + $"n2", 2L)
+          .when($"i" <= $"n3" + $"n2" + $"n1", 1L).otherwise(0L))
+        .groupBy($"query_id")
+        .agg(graft.functions.ExactNum.sumExact(
+          gain($"g") / (log($"i".cast("double") + 1.0) / ln2))
+          .as("idcg"))
+      def dcgOf(list: DataFrame, as: String) = list
+        .join(rel, Seq("query_id", "doc_id"), "left")
+        .groupBy($"query_id")
+        .agg(graft.functions.ExactNum.sumExact(
+          gain(coalesce($"rel", lit(0L))) /
+            (log($"rank".cast("double") + 1.0) / ln2)).as(as))
+      def nd(dcg: org.apache.spark.sql.Column) =
+        when($"idcg" > 0.0, q6(coalesce(dcg, lit(0.0)) / $"idcg"))
+          .otherwise(lit(0.0))
+      val perQ = idcg
+        .join(dcgOf(sparse, "dcg_s"), Seq("query_id"), "left")
+        .join(dcgOf(dense, "dcg_d"), Seq("query_id"), "left")
+        .join(dcgOf(fusedL, "dcg_f"), Seq("query_id"), "left")
+        .select($"query_id", nd($"dcg_s").as("ndcg_sparse"),
+          nd($"dcg_d").as("ndcg_dense"), nd($"dcg_f").as("ndcg_fused"))
+      // per-query rows + ONE mean row (query_id NULL) via rollup; the
+      // means re-quantize after the exact-sum / count division
+      val res = perQ.rollup($"query_id")
+        .agg(count(lit(1)).as("n_q"),
+          q6(graft.functions.ExactNum.sumExact($"ndcg_sparse") /
+            count(lit(1))).as("ndcg_sparse"),
+          q6(graft.functions.ExactNum.sumExact($"ndcg_dense") /
+            count(lit(1))).as("ndcg_dense"),
+          q6(graft.functions.ExactNum.sumExact($"ndcg_fused") /
+            count(lit(1))).as("ndcg_fused"))
+      graft.core.ManagedPersist.register(rel, res)
+      res
     }))
 
   /** sim5's DuckDB twin, mirroring Similarity.annLsh(planes=48, bands=4,
@@ -922,6 +1060,126 @@ object SimilarityQueries extends QueryPack {
          |    ORDER BY rrf DESC, doc_id ASC) AS rank
          |  FROM fused f) z
          |WHERE rank <= 10""".stripMargin,
+    // sim25's twin: the tx13 BM25 chain (k=10), the sim14 dense/RRF
+    // legs, the two-channel relevance pool and the same quantized
+    // DCG/IDCG arithmetic (see the key's comment and PLANS_r14 §sim25).
+    "sim25_retrieval_ndcg" -> {
+      import graft.functions.ExactNum.sumExactSql
+      def gain(g: String) =
+        s"CASE $g WHEN 3 THEN 7.0 WHEN 2 THEN 3.0 WHEN 1 THEN 1.0 " +
+          "ELSE 0.0 END"
+      def dcgCte(list: String) =
+        s"""SELECT l.query_id, ${sumExactSql(
+             s"(${gain("coalesce(r.rel, 0)")}) / (ln(l.rank + 1.0) / ln(2.0))")}
+           |    AS dcg
+           |  FROM $list l LEFT JOIN rel r
+           |    ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+           |  GROUP BY 1""".stripMargin
+      s"""WITH sparse AS (
+         |  SELECT query_id, doc_id, rank
+         |  FROM (${TextQueries.bm25RankedSql(10)}) s
+         |), nv AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), cosq AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+         |      AS cos
+         |  FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0
+         |), dense AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, doc_id ASC)
+         |      AS rank
+         |    FROM cosq) d
+         |  WHERE rank <= 10
+         |), fus AS (
+         |  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         |    COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60.0 + CAST(s.rank AS DOUBLE)), 0.0) +
+         |    COALESCE(1.0 / (60.0 + CAST(d.rank AS DOUBLE)), 0.0) AS rrf
+         |  FROM sparse s FULL OUTER JOIN dense d
+         |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+         |), flist AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC)
+         |      AS rank
+         |    FROM fus) z
+         |  WHERE rank <= 10
+         |), toks AS (
+         |  SELECT doc_id AS doc, regexp_extract_all(text, '\\S+') AS t
+         |  FROM documents
+         |), tfq AS (
+         |  SELECT doc, term, count(*) AS tf FROM (
+         |    SELECT doc, unnest(t) AS term FROM toks) u GROUP BY doc, term
+         |), qt AS (
+         |  SELECT doc AS query_id, unnest(list_distinct(t[1:3])) AS term
+         |  FROM toks WHERE doc % 50 = 0
+         |), tsig AS (
+         |  SELECT q.query_id, f.doc AS doc_id,
+         |    CASE WHEN count(*) >= 3 THEN 2 ELSE 1 END AS tr
+         |  FROM qt q JOIN tfq f USING (term)
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |), vsig AS (
+         |  SELECT query_id, doc_id, 1 AS vr FROM cosq WHERE cos >= 0.35
+         |), rel AS (
+         |  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+         |    COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |    CAST(coalesce(t.tr, 0) + coalesce(v.vr, 0) AS BIGINT) AS rel
+         |  FROM tsig t FULL OUTER JOIN vsig v
+         |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+         |), gc AS (
+         |  SELECT q.query_id,
+         |    coalesce(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END), 0) AS n3,
+         |    coalesce(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END), 0) AS n2,
+         |    coalesce(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END), 0) AS n1
+         |  FROM (SELECT DISTINCT query_id FROM qt) q
+         |  LEFT JOIN rel ON rel.query_id = q.query_id
+         |  GROUP BY 1
+         |), idcg AS (
+         |  SELECT query_id,
+         |    ${sumExactSql(s"(${gain("g")}) / (ln(i + 1.0) / ln(2.0))")}
+         |      AS idcg
+         |  FROM (SELECT query_id, i,
+         |      CASE WHEN i <= n3 THEN 3 WHEN i <= n3 + n2 THEN 2
+         |        WHEN i <= n3 + n2 + n1 THEN 1 ELSE 0 END AS g
+         |    FROM gc CROSS JOIN
+         |      (SELECT unnest(generate_series(1, 10)) AS i) p) z
+         |  GROUP BY 1
+         |), dcg_s AS (
+         |  ${dcgCte("sparse")}
+         |), dcg_d AS (
+         |  ${dcgCte("dense")}
+         |), dcg_f AS (
+         |  ${dcgCte("flist")}
+         |), perq AS (
+         |  SELECT i.query_id,
+         |    CASE WHEN idcg > 0 THEN CAST(CAST((coalesce(s.dcg, 0.0)
+         |      / idcg) AS DECIMAL(28,6)) AS DOUBLE) ELSE 0.0 END
+         |      AS ndcg_sparse,
+         |    CASE WHEN idcg > 0 THEN CAST(CAST((coalesce(d.dcg, 0.0)
+         |      / idcg) AS DECIMAL(28,6)) AS DOUBLE) ELSE 0.0 END
+         |      AS ndcg_dense,
+         |    CASE WHEN idcg > 0 THEN CAST(CAST((coalesce(f.dcg, 0.0)
+         |      / idcg) AS DECIMAL(28,6)) AS DOUBLE) ELSE 0.0 END
+         |      AS ndcg_fused
+         |  FROM idcg i
+         |  LEFT JOIN dcg_s s USING (query_id)
+         |  LEFT JOIN dcg_d d USING (query_id)
+         |  LEFT JOIN dcg_f f USING (query_id)
+         |)
+         |SELECT query_id, count(*) AS n_q,
+         |  CAST(CAST((${sumExactSql("ndcg_sparse")} / count(*))
+         |    AS DECIMAL(28,6)) AS DOUBLE) AS ndcg_sparse,
+         |  CAST(CAST((${sumExactSql("ndcg_dense")} / count(*))
+         |    AS DECIMAL(28,6)) AS DOUBLE) AS ndcg_dense,
+         |  CAST(CAST((${sumExactSql("ndcg_fused")} / count(*))
+         |    AS DECIMAL(28,6)) AS DOUBLE) AS ndcg_fused
+         |FROM perq GROUP BY ROLLUP(query_id)""".stripMargin
+    },
     // sim13's twin pairs dimensions by a self-join of the exploded view
     // (the oracle can afford the N·d² shuffle the Spark side's in-row
     // expansion avoids); same fixed-point floor folds (a rounding

@@ -18,6 +18,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "sim1_cosine_topk",     // brute-force baseline: corpus × broadcast(queries)
     "sim7_topk_agg",        // same scoring as sim1; the agg replaces the SORT, not the scan
     "sim2_cosine_neardup",  // brute-force pair scoring (verification baseline)
+    "sim25_retrieval_ndcg", // dense leg + semantic-relevance channel are
+                            // sim14's corpus × broadcast(queries) scans;
+                            // the gate's scale story is sim22's index
+                            // serve path, as for sim14
     "dd8_semantic_contamination", // corpus × broadcast(benchmark): the
                             // benchmark side is small by construction
                             // (an eval suite), so the product is a

@@ -67,4 +67,37 @@ class RetrievalSpec extends AnyFunSuite {
     // query 2 has no dense list at all — sparse-only fusion survives
     assert(out((2L, 30L)) == ((1.0 / 61, 1L)))
   }
+
+  test("sim25 ranking-quality gate: fusion beats each single list on " +
+      "the planted two-channel relevance (VERDICT r13 #2)") {
+    // PLANS_r14 §sim25: each retriever sees only one relevance channel
+    // (term depth vs the semantic cos ≥ 0.35 bonus), so neither single
+    // list can saturate, and RRF is graded on surfacing the docs both
+    // channels endorse — the Cormack, Clarke & Buettcher claim. Runs at
+    // sf0.01 (10 queries): at sf0.001 there is ONE query and the "mean"
+    // is that query's noise (probed: fused < sparse there — a
+    // single-sample artifact, not a fusion property). Probed sf0.01
+    // means: sparse 0.7258, dense 0.7922, fused 0.8153; the pin asserts
+    // the ORDER (fused ≥ both) plus sane bounds, not the exact values.
+    val out = SparkEntry.queries("sim25_retrieval_ndcg")(
+      spark, "/root/testdata/sf0.01").collect()
+    val mean = out.find(_.isNullAt(0))
+      .getOrElse(fail("no rollup mean row"))
+    val (s, d, f) = (mean.getAs[Double]("ndcg_sparse"),
+      mean.getAs[Double]("ndcg_dense"), mean.getAs[Double]("ndcg_fused"))
+    assert(f >= s && f >= d,
+      s"fusion below a single list: sparse=$s dense=$d fused=$f")
+    assert(s > 0.3 && s < 1.0, s"sparse mean out of band: $s")
+    assert(f > 0.5 && f <= 1.0, s"fused mean out of band: $f")
+    // per-query rows are a valid nDCG (in [0,1]) and none of the
+    // queries lost its relevance set (no zero-IDCG collapse)
+    val perQ = out.filterNot(_.isNullAt(0))
+    assert(perQ.nonEmpty)
+    Seq("ndcg_sparse", "ndcg_dense", "ndcg_fused").foreach { c =>
+      assert(perQ.forall(r => {
+        val v = r.getAs[Double](c); v >= 0.0 && v <= 1.0
+      }), s"$c out of [0,1]")
+    }
+    assert(perQ.exists(_.getAs[Double]("ndcg_fused") > 0.0))
+  }
 }
