@@ -784,6 +784,10 @@ object SimilarityQueries extends QueryPack {
         .select($"doc_id".as("qid"),
           concat_ws(" ", slice(TextFunctions.tokens($"text"), 1, 3))
             .as("qtext"))
+      // each top-10 list feeds TWO consumers (its DCG leg + the RRF
+      // fusion) — persisted (≤ queries·10 rows) so the BM25 scoring
+      // chain and the cosine rank window run once, not per consumer;
+      // release is GC-scoped with the other persists below
       val sparse = graft.operators.Retrieval.bm25TopKServed(
           TermFreqBase.tf(s, dir).select(col("doc_id").as("doc"),
             col("term"), col("tf")),
@@ -793,11 +797,33 @@ object SimilarityQueries extends QueryPack {
           TermFreqBase.stats(s, dir),
           qs, "qid", "qtext", k = 10)
         .select($"query_id", $"doc_id", $"rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val e = emb(s, dir)
       val qv = e.filter($"vec_id" % 50 === 0)
-      val dense = Similarity.cosineTopK(e, qv, "vec_id", "embedding",
-          k = 10)
-        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+      // ONE brute cosine scan feeds BOTH the dense top-10 (value- and
+      // tie-break-identical to sim14's cosineTopK leg) and the semantic
+      // relevance channel — two scans would double the key's dominant
+      // cost. queries × vecs rows; persisted for the two consumers,
+      // GC-scoped below.
+      val cside = e.select($"vec_id".as("doc_id"),
+        $"embedding".as("c_vec"),
+        Similarity.normSeq($"embedding").as("c_norm"))
+      val qn = qv.select($"vec_id".as("query_id"),
+        $"embedding".as("q_vec"),
+        Similarity.normSeq($"embedding").as("q_norm"))
+      val cosq = cside.repartition($"doc_id").crossJoin(broadcast(qn))
+        .filter($"doc_id" =!= $"query_id")
+        .select($"query_id", $"doc_id",
+          (Similarity.dotSeq($"q_vec", $"c_vec") /
+            ($"q_norm" * $"c_norm")).as("cos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc)
+      val dense = cosq
+        .withColumn("rank", row_number().over(wD).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"query_id", $"doc_id", $"rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val fusedL = graft.operators.Retrieval.rrfFuse(sparse, dense,
           k = 10)
         .select($"query_id", $"doc_id", $"fused_rank".as("rank"))
@@ -811,16 +837,7 @@ object SimilarityQueries extends QueryPack {
         .filter($"nt" >= 2)
         .select($"query_id", $"doc_id",
           when($"nt" >= 3, 2L).otherwise(1L).as("tr"))
-      val cside = e.select($"vec_id".as("doc_id"),
-        $"embedding".as("c_vec"),
-        Similarity.normSeq($"embedding").as("c_norm"))
-      val qn = qv.select($"vec_id".as("query_id"),
-        $"embedding".as("q_vec"),
-        Similarity.normSeq($"embedding").as("q_norm"))
-      val vsig = cside.crossJoin(broadcast(qn))
-        .filter($"doc_id" =!= $"query_id")
-        .filter(Similarity.dotSeq($"q_vec", $"c_vec") /
-          ($"q_norm" * $"c_norm") >= 0.35)
+      val vsig = cosq.filter($"cos" >= 0.35)
         .select($"query_id", $"doc_id", lit(1L).as("vr"))
       val rel = tsig.join(vsig, Seq("query_id", "doc_id"), "full_outer")
         .select($"query_id", $"doc_id",
@@ -877,6 +894,9 @@ object SimilarityQueries extends QueryPack {
           q6(graft.functions.ExactNum.sumExact($"ndcg_fused") /
             count(lit(1))).as("ndcg_fused"))
       graft.core.ManagedPersist.register(rel, res)
+      graft.core.ManagedPersist.register(cosq, res)
+      graft.core.ManagedPersist.register(sparse, res)
+      graft.core.ManagedPersist.register(dense, res)
       res
     }))
 
