@@ -1083,6 +1083,10 @@ object SimilarityQueries extends QueryPack {
     // sim25's twin: the tx13 BM25 chain (k=10), the sim14 dense/RRF
     // legs, the two-channel relevance pool and the same quantized
     // DCG/IDCG arithmetic (see the key's comment and PLANS_r14 §sim25).
+    // The gc query universe is doc_id % 50 = 0 over `documents` —
+    // IDENTICAL to the Spark side's qs (ADVICE r14: deriving it from qt
+    // would drop a zero-token query doc, an engine divergence; current
+    // fixtures have none, so the hash is unchanged).
     "sim25_retrieval_ndcg" -> {
       import graft.functions.ExactNum.sumExactSql
       def gain(g: String) =
@@ -1156,7 +1160,8 @@ object SimilarityQueries extends QueryPack {
          |    coalesce(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END), 0) AS n3,
          |    coalesce(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END), 0) AS n2,
          |    coalesce(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END), 0) AS n1
-         |  FROM (SELECT DISTINCT query_id FROM qt) q
+         |  FROM (SELECT doc_id AS query_id FROM documents
+         |        WHERE doc_id % 50 = 0) q
          |  LEFT JOIN rel ON rel.query_id = q.query_id
          |  GROUP BY 1
          |), idcg AS (

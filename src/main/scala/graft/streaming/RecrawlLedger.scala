@@ -93,13 +93,27 @@ object RecrawlLedger {
       if (closed.isEmpty) return Iterator.empty
       var st = if (carried.exists()) Option(carried.get()) else None
       val out = closed.sortBy(_.r).map { f =>
-        val chg = st match {
-          case None => "new"
-          case Some(p) if f.ck != p.lastCk => "changed"
-          case _ => "unchanged"
+        st match {
+          // (ts, r) contract violation (ADVICE r14): this fetch's round
+          // precedes (or duplicates) the carried round, i.e. a
+          // smaller-r fetch closed AFTER a larger-r fetch was already
+          // classified — only possible when event time is NOT monotone
+          // in round for this page (see [[classify]]'s precondition).
+          // The batch answer is unrecoverable here (the carried fetch
+          // was classified against a prefix missing this row), so the
+          // row is FLAGGED as "late" rather than silently regressing
+          // the carried (lastR, lastCk) pair and corrupting every
+          // subsequent classification.
+          case Some(p) if f.r <= p.lastR =>
+            ClassifiedFetch(key, f.r, f.period, "late")
+          case None =>
+            st = Some(PageState(f.r, f.ck))
+            ClassifiedFetch(key, f.r, f.period, "new")
+          case Some(p) =>
+            val chg = if (f.ck != p.lastCk) "changed" else "unchanged"
+            st = Some(PageState(f.r, f.ck))
+            ClassifiedFetch(key, f.r, f.period, chg)
         }
-        st = Some(PageState(f.r, f.ck))
-        ClassifiedFetch(key, f.r, f.period, chg)
       }
       st.foreach(carried.update)
       open.clear()
@@ -110,7 +124,21 @@ object RecrawlLedger {
 
   /** Wire a fetch stream into the ledger. Input columns:
     * (canonical_url STRING, ts TIMESTAMP, r LONG, period LONG, ck LONG);
-    * `delay` is the out-of-order horizon (the watermark delay). */
+    * `delay` is the out-of-order horizon (the watermark delay).
+    *
+    * PRECONDITION — ts monotone in r per page: convergence to the
+    * batch lag-by-round ledger requires that for one canonical_url,
+    * r1 < r2 ⇒ ts(r1) < ts(r2) (a crawler's fetch timestamps satisfy
+    * this by construction: round r's fetch HAPPENS before round
+    * r+1's). ARRIVAL order is free — that is the whole point — but the
+    * event times themselves must order like the rounds, because the
+    * watermark closes prefixes by ts while the ledger compares by r.
+    * A violating fetch (its round ≤ the carried round at close time)
+    * is emitted with chg = "late" and does NOT regress the carried
+    * state: the batch answer is already unrecoverable for that row,
+    * and the flag makes the divergence observable instead of silently
+    * corrupting every later classification of the page
+    * (RecrawlLedgerSpec pins both halves). */
   def classify(spark: SparkSession, fetches: DataFrame,
                delay: String = "2 minutes"): Dataset[ClassifiedFetch] = {
     import spark.implicits._

@@ -96,6 +96,46 @@ class RecrawlLedgerSpec extends AnyFunSuite {
         s"batch-only=${(expected -- got.toSet).take(3)}")
   }
 
+  test("(ts, r) contract violation: a smaller-r fetch closing after a " +
+      "larger-r fetch is flagged 'late' and does not regress the ledger") {
+    implicit val sc = spark.sqlContext
+    def ts(m: Long) = new java.sql.Timestamp(m * RoundMs)
+    // page "pg": rounds 0 and 2 carry honest event times; round 1's ts
+    // VIOLATES monotonicity (10 rounds in the future), so it closes
+    // after round 2 was carried. Round 3 then proves the carried state
+    // was not regressed: its ck equals round 2's, so it must classify
+    // "unchanged" (a regressed ledger would say "changed" vs round 1).
+    val rows = Seq(
+      ("pg", ts(0), 0L, 1L, 10L),
+      ("pg", ts(2), 2L, 1L, 30L),
+      ("pg", ts(10), 1L, 1L, 20L), // the violator
+      ("pg", ts(11), 3L, 1L, 30L))
+    val mem = MemoryStream[(String, java.sql.Timestamp, Long, Long, Long)]
+    val classified = RecrawlLedger.classify(spark,
+      mem.toDF().toDF("canonical_url", "ts", "r", "period", "ck"),
+      delay = "2 minutes")
+    withRocksDb {
+      val q = classified.toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("recrawl_late").start()
+      try {
+        mem.addData(rows.take(2)); q.processAllAvailable()
+        mem.addData(rows.slice(2, 3)); q.processAllAvailable() // wm → 8
+        mem.addData(rows.slice(3, 4)); q.processAllAvailable()
+        mem.addData(Seq(("flush", ts(1000000L), 1000000L, 1L, 0L)))
+        q.processAllAvailable()
+        mem.addData(Seq(("flush", ts(1000001L), 1000001L, 1L, 1L)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val got = spark.table("recrawl_late")
+      .filter($"canonical_url" === "pg")
+      .collect().map(r => (r.getLong(1), r.getString(3))).toMap
+    assert(got == Map(0L -> "new", 2L -> "changed", 1L -> "late",
+      3L -> "unchanged"),
+      s"violation handling diverged: $got")
+  }
+
   test("cellUpdates aggregates to the batch pl29 seen-cells") {
     implicit val sc = spark.sqlContext
     val fetches = RecrawlBase.fetches(spark, dir)
