@@ -43,25 +43,31 @@ import graft.functions.{ExactNum, PortableHash, TextFunctions}
   */
 object ImportanceSampling {
 
-  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
-                 groupCol: String, isTarget: Column, buckets: Int,
-                 keepFraction: Double): DataFrame = {
-    require(buckets >= 2 && keepFraction > 0.0 && keepFraction <= 1.0)
-    val toks = docs.select(col(idCol).as("doc"), col(groupCol).as("grp"),
-        isTarget.as("is_tgt"),
+  /** The hashed-gram feature pass — (doc, is_tgt, b), one row per gram
+    * occurrence: features = unigrams (the tokens verbatim) ∪ bigrams
+    * (Dedup.shingleArray(_, 2), the repo's one n-gram definition —
+    * space-joined, so a unigram can never collide with a bigram
+    * string). Exposed so the pl11 serve path builds its durable
+    * docBuckets/model artifacts from the IDENTICAL AST. */
+  def dsirGrams(docs: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, buckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc"), isTarget.as("is_tgt"),
         TextFunctions.tokens(col(textCol)).as("_toks"))
-    // features = unigrams (the tokens verbatim) ∪ bigrams
-    // (Dedup.shingleArray(_, 2), the repo's one n-gram definition —
-    // space-joined, so a unigram can never collide with a bigram
-    // string). The gram subtree is NARROW (no exchange for
-    // ReuseExchange to dedup) and feeds three aggregations, so it is
-    // persisted EAGERLY — without it each consumer re-runs the
-    // regex+md5 pass over the corpus (the ngramJaccardPairs hazard).
-    val grams = toks.select(col("doc"), col("grp"), col("is_tgt"),
+      .select(col("doc"), col("is_tgt"),
         explode(concat(col("_toks"),
           Dedup.shingleArray(col("_toks"), 2))).as("g"))
       .withColumn("b", PortableHash.hash60(col("g")) % buckets)
       .select(col("doc"), col("is_tgt"), col("b"))
+
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 groupCol: String, isTarget: Column, buckets: Int,
+                 keepFraction: Double): DataFrame = {
+    require(buckets >= 2 && keepFraction > 0.0 && keepFraction <= 1.0)
+    // the gram subtree is NARROW (no exchange for ReuseExchange to
+    // dedup) and feeds three aggregations, so it is persisted EAGERLY —
+    // without it each consumer re-runs the regex+md5 pass over the
+    // corpus (the ngramJaccardPairs hazard).
+    val grams = dsirGrams(docs, idCol, textCol, isTarget, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     grams.count()
     val docBuckets = grams.groupBy(col("doc"), col("b"))
@@ -69,6 +75,37 @@ object ImportanceSampling {
     val tModel = grams.filter(col("is_tgt"))
       .groupBy(col("b")).agg(count(lit(1)).as("ct"))
     val rModel = grams.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val base = docs.select(col(idCol).as("doc"), col(groupCol).as("grp"))
+    rankServed(docBuckets, tModel, rModel, base, idCol, groupCol,
+      buckets, keepFraction)
+  }
+
+  /** [[dsirSelect]] with the CORPUS-DETERMINISTIC frames prebuilt — the
+    * deployment shape (VERDICT r14 #4): the hashed-gram doc features
+    * `docBuckets` (doc, b, c) and both Laplace bucket models `tModel`
+    * (b, ct) / `rModel` (b, cr) are functions of the corpus snapshot
+    * alone, built ONCE with the identical ASTs above and served from a
+    * durable artifact (counts round-trip parquet exactly, so weights —
+    * and the pl11 oracle hash — are unchanged); queries pay only the
+    * broadcast model join + per-doc fold + rank window. `base` must
+    * carry (idCol, groupCol) for every corpus doc. */
+  def dsirSelectServed(docBuckets: DataFrame, tModel: DataFrame,
+                       rModel: DataFrame, base: DataFrame, idCol: String,
+                       groupCol: String, buckets: Int,
+                       keepFraction: Double): DataFrame = {
+    require(buckets >= 2 && keepFraction > 0.0 && keepFraction <= 1.0)
+    rankServed(docBuckets, tModel, rModel,
+      base.select(col(idCol).as("doc"), col(groupCol).as("grp")),
+      idCol, groupCol, buckets, keepFraction)
+  }
+
+  /** The scoring+selection core shared by the in-query and served
+    * paths: model totals, the per-doc log-likelihood-ratio fold, and
+    * the per-group quota rank. */
+  private def rankServed(docBuckets: DataFrame, tModel: DataFrame,
+                         rModel: DataFrame, base: DataFrame,
+                         idCol: String, groupCol: String, buckets: Int,
+                         keepFraction: Double): DataFrame = {
     // model totals sum over the vocab-sized model tables, not the corpus
     val tTotal = tModel.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
     val rTotal = rModel.agg(coalesce(sum(col("cr")), lit(0L)).as("nr"))
@@ -89,7 +126,6 @@ object ImportanceSampling {
         sum(col("c")).as("n_grams"))
     // per-doc gram count = Σ bucket counts, derived from the scoring agg
     // — no second corpus tokenize pass; gramless docs fill with zeros
-    val base = docs.select(col(idCol).as("doc"), col(groupCol).as("grp"))
     val wRank = Window.partitionBy(col("grp"))
       .orderBy(col("weight").desc, col("doc").asc)
     val wCnt = Window.partitionBy(col("grp"))

@@ -221,6 +221,17 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  /** Root paths of every file scan in the analyzed plan. */
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
   test("dd13's timed plan reads only FixtureCache artifacts " +
       "(VERDICT r13 #1)") {
     // the r13 key re-derived the twin corpus (tokenize + transform) and
@@ -244,6 +255,50 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(p.replaceFirst("^file:/*", "/").startsWith(root),
         s"dd13 scans a non-artifact path: $p (artifact root $root)")
     }
+  }
+
+  test("tx26's timed plan reads only FixtureCache artifacts " +
+      "(VERDICT r14 #3)") {
+    // r14 rebuilt the unigram/bigram count tables AND the floored
+    // candidate pair set per run (tokenize + shingle self-join — the
+    // slowest sf0.1 key). r15 serves all three from durable artifacts
+    // (termfreq, docbigrams, bleupairs-f20); the timed region must scan
+    // nothing but the cache.
+    val paths = scanPaths(SparkEntry.queries("tx26_bleu_overlap")(spark,
+      dir))
+    assert(paths.nonEmpty, "tx26: no file scans found in the plan")
+    val root = graft.core.FixtureCache.cacheRoot.stripPrefix("file:")
+    paths.foreach { p =>
+      assert(p.replaceFirst("^file:/*", "/").startsWith(root),
+        s"tx26 scans a non-artifact path: $p (artifact root $root)")
+    }
+  }
+
+  test("pl11's timed plan serves the DSIR features/models from " +
+      "artifacts; the documents scan is 2-column (VERDICT r14 #4)") {
+    val df = SparkEntry.queries("pl11_dsir_select")(spark, dir)
+    val root = graft.core.FixtureCache.cacheRoot.stripPrefix("file:")
+    val paths = scanPaths(df)
+    val (artifact, fixture) = paths.partition(
+      _.replaceFirst("^file:/*", "/").startsWith(root))
+    // three artifact scans (docBuckets + both bucket models) and ONE
+    // fixture scan: the (doc_id, source) base off documents
+    assert(artifact.size >= 3,
+      s"pl11: expected the three DSIR artifacts, scanned only $artifact")
+    assert(fixture.forall(_.contains("documents")),
+      s"pl11 scans a fixture table beyond documents: $fixture")
+    // the base read must be COLUMN-PRUNED to (doc_id, source): a `text`
+    // column in the read schema would mean a per-run tokenize survived
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+    // node whose children a plain collect doesn't traverse
+    val docScans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString
+          .contains("documents")) => f.requiredSchema.fieldNames.toSet
+    }
+    assert(docScans.nonEmpty, "pl11: documents scan not found")
+    docScans.foreach(cols => assert(cols == Set("doc_id", "source"),
+      s"pl11's documents scan reads $cols — expected (doc_id, source)"))
   }
 
   test("q71 grid read-off is bucket-bounded (no histogram-wide theta-join)") {
