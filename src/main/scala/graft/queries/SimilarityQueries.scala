@@ -229,6 +229,7 @@ object SimilarityQueries extends QueryPack {
     vectorIndexDir(s, dir)
     vectorIndexScaledDir(s, dir)
     vectorIndexClusteredDir(s, dir)
+    sim26Rel(s, dir)
     ()
   }
 
@@ -238,6 +239,133 @@ object SimilarityQueries extends QueryPack {
   private def dd5K(s: SparkSession, dir: String): Int =
     math.max(4L,
       math.round(math.sqrt(emb(s, dir).count().toDouble))).toInt
+
+  /** The BM25 query set shared by sim14/sim25/sim26: every doc with
+    * doc_id ≡ 0 (mod 50), query text = its first 3 tokens.
+    * (qid, qtext). */
+  private def retrievalQueries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions
+    graft.core.Tables.spread(
+        graft.core.Tables.load(s, dir, "documents"))
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("qid"),
+        concat_ws(" ", slice(TextFunctions.tokens($"text"), 1, 3))
+          .as("qtext"))
+  }
+
+  /** ONE brute cosine scan (query_id, doc_id, cos) over the %50 query
+    * panel — feeds sim25's dense leg AND the semantic relevance
+    * channel (and, at BUILD time, the sim26 relevance artifact). */
+  private def bruteCosq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val qv = e.filter($"vec_id" % 50 === 0)
+    val cside = e.select($"vec_id".as("doc_id"),
+      $"embedding".as("c_vec"),
+      Similarity.normSeq($"embedding").as("c_norm"))
+    val qn = qv.select($"vec_id".as("query_id"),
+      $"embedding".as("q_vec"),
+      Similarity.normSeq($"embedding").as("q_norm"))
+    cside.repartition($"doc_id").crossJoin(broadcast(qn))
+      .filter($"doc_id" =!= $"query_id")
+      .select($"query_id", $"doc_id",
+        (Similarity.dotSeq($"q_vec", $"c_vec") /
+          ($"q_norm" * $"c_norm")).as("cos"))
+  }
+
+  /** The planted two-channel graded relevance pool (PLANS_r14 §sim25 —
+    * two falsifications recorded before the design landed): rel = term
+    * depth (1: ≥2 of the query's 3 distinct terms; 2: all 3) + semantic
+    * bonus (1: cos ≥ 0.35 ≈ p99.7 of the corpus's own pair-cos
+    * distribution, self excluded). (query_id, doc_id, rel ∈ {1,2,3}). */
+  private def relPool(s: SparkSession, dir: String,
+                      cosq: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions
+    val qTerms = retrievalQueries(s, dir).select($"qid".as("query_id"),
+      explode(array_distinct(TextFunctions.tokens($"qtext")))
+        .as("term"))
+    val tsig = TermFreqBase.tf(s, dir).select($"doc_id", $"term")
+      .join(broadcast(qTerms), "term")
+      .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("nt"))
+      .filter($"nt" >= 2)
+      .select($"query_id", $"doc_id",
+        when($"nt" >= 3, 2L).otherwise(1L).as("tr"))
+    val vsig = cosq.filter($"cos" >= 0.35)
+      .select($"query_id", $"doc_id", lit(1L).as("vr"))
+    tsig.join(vsig, Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id",
+        (coalesce($"tr", lit(0L)) + coalesce($"vr", lit(0L)))
+          .as("rel"))
+  }
+
+  /** sim26's relevance pool as a DURABLE artifact — the qrels of a real
+    * retrieval evaluation: judgments are a static per-corpus-snapshot
+    * table, not recomputed per evaluation run. Built once per fixture
+    * generation with [[relPool]]'s exact AST over the brute cosine scan
+    * (longs round-trip parquet exactly), so the artifact ≡ sim25's
+    * in-query pool row for row — and the TWIN recomputes it from
+    * scratch, keeping the oracle honest. */
+  private def sim26Rel(s: SparkSession, dir: String): DataFrame =
+    graft.core.FixtureCache.tableFor(s, dir, "sim26rel1")(
+      relPool(s, dir, bruteCosq(s, dir)))
+
+  /** nDCG@10 scorer shared by sim25/sim26 (Järvelin & Kekäläinen 2002;
+    * see sim25's comment for the full arithmetic discipline): IDCG from
+    * per-query grade counts (a 10-row explode, never a sort over the
+    * relevance table), DCG per supplied list, per-query rows + ONE mean
+    * row via rollup. Integer CASE gains 2^g − 1, one shared
+    * ln(rank+1)/ln 2 AST, every term DECIMAL(28,6)-quantized pre-fold,
+    * ndcg and the rollup means re-quantized after division. `lists` are
+    * (name, (query_id, doc_id, rank ≤ 10)) → output columns
+    * ndcg_<name>, in order. */
+  private def ndcgScore(qIds: DataFrame, rel: DataFrame,
+                        lists: Seq[(String, DataFrame)]): DataFrame = {
+    import org.apache.spark.sql.Column
+    def q6(c: Column) =
+      c.cast(graft.functions.ExactNum.Exact).cast("double")
+    def gain(g: Column) =
+      when(g === 3L, 7.0).when(g === 2L, 3.0)
+        .when(g === 1L, 1.0).otherwise(0.0)
+    val ln2 = log(lit(2.0))
+    val gcounts = qIds
+      .join(rel, Seq("query_id"), "left")
+      .groupBy(col("query_id")).agg(
+        sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n1"))
+    val idcg = gcounts
+      .select(col("query_id"), col("n3"), col("n2"), col("n1"),
+        explode(sequence(lit(1L), lit(10L))).as("i"))
+      .withColumn("g", when(col("i") <= col("n3"), 3L)
+        .when(col("i") <= col("n3") + col("n2"), 2L)
+        .when(col("i") <= col("n3") + col("n2") + col("n1"), 1L)
+        .otherwise(0L))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.ExactNum.sumExact(
+        gain(col("g")) / (log(col("i").cast("double") + 1.0) / ln2))
+        .as("idcg"))
+    def dcgOf(list: DataFrame, as: String) = list
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(graft.functions.ExactNum.sumExact(
+        gain(coalesce(col("rel"), lit(0L))) /
+          (log(col("rank").cast("double") + 1.0) / ln2)).as(as))
+    def nd(dcg: Column) =
+      when(col("idcg") > 0.0, q6(coalesce(dcg, lit(0.0)) / col("idcg")))
+        .otherwise(lit(0.0))
+    val perQ = lists.foldLeft(idcg) { case (acc, (name, list)) =>
+        acc.join(dcgOf(list, s"dcg_$name"), Seq("query_id"), "left")
+      }
+      .select(col("query_id") +: lists.map { case (name, _) =>
+        nd(col(s"dcg_$name")).as(s"ndcg_$name") }: _*)
+    perQ.rollup(col("query_id"))
+      .agg(count(lit(1)).as("n_q"),
+        lists.map { case (name, _) =>
+          q6(graft.functions.ExactNum.sumExact(col(s"ndcg_$name")) /
+            count(lit(1))).as(s"ndcg_$name") }: _*)
+  }
 
   /** DuckDB twin of Similarity.dotSeq: sequential fold over the zipped
     * product list, same order as Spark's `aggregate`. */
@@ -775,15 +903,7 @@ object SimilarityQueries extends QueryPack {
     // rollup means re-quantized after division.
     "sim25_retrieval_ndcg" -> ((s, dir) => {
       import s.implicits._
-      import graft.functions.TextFunctions
-      def q6(c: org.apache.spark.sql.Column) =
-        c.cast(graft.functions.ExactNum.Exact).cast("double")
-      val base = graft.core.Tables.spread(
-        graft.core.Tables.load(s, dir, "documents"))
-      val qs = base.filter($"doc_id" % 50 === 0)
-        .select($"doc_id".as("qid"),
-          concat_ws(" ", slice(TextFunctions.tokens($"text"), 1, 3))
-            .as("qtext"))
+      val qs = retrievalQueries(s, dir)
       // each top-10 list feeds TWO consumers (its DCG leg + the RRF
       // fusion) — persisted (≤ queries·10 rows) so the BM25 scoring
       // chain and the cosine rank window run once, not per consumer;
@@ -798,24 +918,12 @@ object SimilarityQueries extends QueryPack {
           qs, "qid", "qtext", k = 10)
         .select($"query_id", $"doc_id", $"rank")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val e = emb(s, dir)
-      val qv = e.filter($"vec_id" % 50 === 0)
       // ONE brute cosine scan feeds BOTH the dense top-10 (value- and
       // tie-break-identical to sim14's cosineTopK leg) and the semantic
       // relevance channel — two scans would double the key's dominant
       // cost. queries × vecs rows; persisted for the two consumers,
       // GC-scoped below.
-      val cside = e.select($"vec_id".as("doc_id"),
-        $"embedding".as("c_vec"),
-        Similarity.normSeq($"embedding").as("c_norm"))
-      val qn = qv.select($"vec_id".as("query_id"),
-        $"embedding".as("q_vec"),
-        Similarity.normSeq($"embedding").as("q_norm"))
-      val cosq = cside.repartition($"doc_id").crossJoin(broadcast(qn))
-        .filter($"doc_id" =!= $"query_id")
-        .select($"query_id", $"doc_id",
-          (Similarity.dotSeq($"q_vec", $"c_vec") /
-            ($"q_norm" * $"c_norm")).as("cos"))
+      val cosq = bruteCosq(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wD = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id").orderBy($"cos".desc, $"doc_id".asc)
@@ -827,76 +935,75 @@ object SimilarityQueries extends QueryPack {
       val fusedL = graft.operators.Retrieval.rrfFuse(sparse, dense,
           k = 10)
         .select($"query_id", $"doc_id", $"fused_rank".as("rank"))
-      // --- the planted two-channel relevance ---
-      val qTerms = qs.select($"qid".as("query_id"),
-        explode(array_distinct(TextFunctions.tokens($"qtext")))
-          .as("term"))
-      val tsig = TermFreqBase.tf(s, dir).select($"doc_id", $"term")
-        .join(broadcast(qTerms), "term")
-        .groupBy($"query_id", $"doc_id").agg(count(lit(1)).as("nt"))
-        .filter($"nt" >= 2)
-        .select($"query_id", $"doc_id",
-          when($"nt" >= 3, 2L).otherwise(1L).as("tr"))
-      val vsig = cosq.filter($"cos" >= 0.35)
-        .select($"query_id", $"doc_id", lit(1L).as("vr"))
-      val rel = tsig.join(vsig, Seq("query_id", "doc_id"), "full_outer")
-        .select($"query_id", $"doc_id",
-          (coalesce($"tr", lit(0L)) + coalesce($"vr", lit(0L)))
-            .as("rel"))
+      val rel = relPool(s, dir, cosq)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // integer gains 2^g − 1 — CASE, not shift (engine-portable)
-      def gain(g: org.apache.spark.sql.Column) =
-        when(g === 3L, 7.0).when(g === 2L, 3.0)
-          .when(g === 1L, 1.0).otherwise(0.0)
-      val ln2 = log(lit(2.0))
-      // IDCG@10 from the per-query grade counts: ideal position i holds
-      // grade 3 while i ≤ n3, then 2, then 1 — a 10-row explode per
-      // query, never a sort over the relevance table
-      val gcounts = qs.select($"qid".as("query_id"))
-        .join(rel, Seq("query_id"), "left")
-        .groupBy($"query_id").agg(
-          sum(when($"rel" === 3, 1L).otherwise(0L)).as("n3"),
-          sum(when($"rel" === 2, 1L).otherwise(0L)).as("n2"),
-          sum(when($"rel" === 1, 1L).otherwise(0L)).as("n1"))
-      val idcg = gcounts
-        .select($"query_id", $"n3", $"n2", $"n1",
-          explode(sequence(lit(1L), lit(10L))).as("i"))
-        .withColumn("g", when($"i" <= $"n3", 3L)
-          .when($"i" <= $"n3" + $"n2", 2L)
-          .when($"i" <= $"n3" + $"n2" + $"n1", 1L).otherwise(0L))
-        .groupBy($"query_id")
-        .agg(graft.functions.ExactNum.sumExact(
-          gain($"g") / (log($"i".cast("double") + 1.0) / ln2))
-          .as("idcg"))
-      def dcgOf(list: DataFrame, as: String) = list
-        .join(rel, Seq("query_id", "doc_id"), "left")
-        .groupBy($"query_id")
-        .agg(graft.functions.ExactNum.sumExact(
-          gain(coalesce($"rel", lit(0L))) /
-            (log($"rank".cast("double") + 1.0) / ln2)).as(as))
-      def nd(dcg: org.apache.spark.sql.Column) =
-        when($"idcg" > 0.0, q6(coalesce(dcg, lit(0.0)) / $"idcg"))
-          .otherwise(lit(0.0))
-      val perQ = idcg
-        .join(dcgOf(sparse, "dcg_s"), Seq("query_id"), "left")
-        .join(dcgOf(dense, "dcg_d"), Seq("query_id"), "left")
-        .join(dcgOf(fusedL, "dcg_f"), Seq("query_id"), "left")
-        .select($"query_id", nd($"dcg_s").as("ndcg_sparse"),
-          nd($"dcg_d").as("ndcg_dense"), nd($"dcg_f").as("ndcg_fused"))
-      // per-query rows + ONE mean row (query_id NULL) via rollup; the
-      // means re-quantize after the exact-sum / count division
-      val res = perQ.rollup($"query_id")
-        .agg(count(lit(1)).as("n_q"),
-          q6(graft.functions.ExactNum.sumExact($"ndcg_sparse") /
-            count(lit(1))).as("ndcg_sparse"),
-          q6(graft.functions.ExactNum.sumExact($"ndcg_dense") /
-            count(lit(1))).as("ndcg_dense"),
-          q6(graft.functions.ExactNum.sumExact($"ndcg_fused") /
-            count(lit(1))).as("ndcg_fused"))
+      val res = ndcgScore(qs.select($"qid".as("query_id")), rel,
+        Seq("sparse" -> sparse, "dense" -> dense, "fused" -> fusedL))
       graft.core.ManagedPersist.register(rel, res)
       graft.core.ManagedPersist.register(cosq, res)
       graft.core.ManagedPersist.register(sparse, res)
       graft.core.ManagedPersist.register(dense, res)
+      res
+    }),
+
+    // SIM26 — the INDEX-SERVED hybrid retrieval stack, nDCG-gated
+    // (VERDICT r14 #1): sim14/sim25's measured story is that at fixture
+    // scale the brute dense leg beats the index-served one; this key IS
+    // the serve path a deployment actually runs when brute's O(Q·N·d)
+    // stops being an option — the dense leg comes from the durable
+    // √N-cell IVFADC index (sim22's vectorIndexScaledDir) through the
+    // IVFADC+R refine topology (sim24, shortlist 30 → exact re-rank to
+    // 10), fused with the served BM25 leg and scored by the SAME nDCG
+    // machinery against the SAME two-channel relevance as sim25 — so
+    // the quality COST of leaving brute is a measured number, not a
+    // hope (RetrievalSpec pins the band; the gate section in PLANS_r15
+    // records the probed brute-vs-indexed comparison).
+    //
+    // The relevance pool is served from a durable artifact (sim26Rel —
+    // qrels are a static judgment table in any real evaluation), so the
+    // timed region contains NO brute corpus × queries scan: index scans
+    // (cells/codes/vectors + the text index), the posting-list join,
+    // and (queries × grades)-sized arithmetic. The candidate work per
+    // query is nprobe·N/√N = 2√N rows — the pruning that IMPROVES with
+    // corpus growth — against sim25's N; that asymmetry is the whole
+    // point of the key.
+    //
+    // Ranking semantics, stated: the indexed leg ranks by refined
+    // exact L2 (d2_shifted — queryRefined's contract), the brute leg
+    // by cosine; on the fixture's unnormalized vectors these orders
+    // differ even at perfect shortlist recall, and the nDCG delta
+    // between sim25's ndcg_dense and this key's ndcg_indexed therefore
+    // folds BOTH effects (ADC shortlist recall + metric change) — the
+    // honest serving-quality number for THIS index topology.
+    "sim26_indexed_retrieval_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val qs = retrievalQueries(s, dir)
+      val sparse = graft.operators.Retrieval.bm25TopKServed(
+          TermFreqBase.tf(s, dir).select(col("doc_id").as("doc"),
+            col("term"), col("tf")),
+          TermFreqBase.dl(s, dir).select(col("doc_id").as("doc"),
+            col("dl")),
+          TermFreqBase.docFreq(s, dir),
+          TermFreqBase.stats(s, dir),
+          qs, "qid", "qtext", k = 10)
+        .select($"query_id", $"doc_id", $"rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = emb(s, dir)
+      val indexed = graft.operators.VectorIndex.queryRefined(s,
+          vectorIndexScaledDir(s, dir),
+          e.filter($"vec_id" % 50 === 0), "vec_id", "embedding",
+          nprobe = 2, shortlist = 30, k = 10)
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fusedL = graft.operators.Retrieval.rrfFuse(sparse, indexed,
+          k = 10)
+        .select($"query_id", $"doc_id", $"fused_rank".as("rank"))
+      val res = ndcgScore(qs.select($"qid".as("query_id")),
+        sim26Rel(s, dir),
+        Seq("sparse" -> sparse, "indexed" -> indexed,
+          "fused" -> fusedL))
+      graft.core.ManagedPersist.register(sparse, res)
+      graft.core.ManagedPersist.register(indexed, res)
       res
     }))
 
@@ -1201,6 +1308,143 @@ object SimilarityQueries extends QueryPack {
          |    AS DECIMAL(28,6)) AS DOUBLE) AS ndcg_sparse,
          |  CAST(CAST((${sumExactSql("ndcg_dense")} / count(*))
          |    AS DECIMAL(28,6)) AS DOUBLE) AS ndcg_dense,
+         |  CAST(CAST((${sumExactSql("ndcg_fused")} / count(*))
+         |    AS DECIMAL(28,6)) AS DOUBLE) AS ndcg_fused
+         |FROM perq GROUP BY ROLLUP(query_id)""".stripMargin
+    },
+    // sim26's twin — the honest from-scratch oracle for BOTH serve
+    // paths at once: the dense list re-derives the WHOLE IVFADC chain
+    // (sim22's derived-√N-cell twin at shortlist depth 30, the sim24
+    // refine rescore on top), the relevance pool recomputes from
+    // scratch (proving the sim26rel artifact ≡ the in-query sim25
+    // pool), and the nDCG arithmetic is sim25's twin verbatim with
+    // ndcg_indexed replacing ndcg_dense. cosq exists here only for the
+    // semantic relevance channel.
+    "sim26_indexed_retrieval_ndcg" -> {
+      import graft.functions.ExactNum.sumExactSql
+      def gain(g: String) =
+        s"CASE $g WHEN 3 THEN 7.0 WHEN 2 THEN 3.0 WHEN 1 THEN 1.0 " +
+          "ELSE 0.0 END"
+      def dcgCte(list: String) =
+        s"""SELECT l.query_id, ${sumExactSql(
+             s"(${gain("coalesce(r.rel, 0)")}) / (ln(l.rank + 1.0) / ln(2.0))")}
+           |    AS dcg
+           |  FROM $list l LEFT JOIN rel r
+           |    ON r.query_id = l.query_id AND r.doc_id = l.doc_id
+           |  GROUP BY 1""".stripMargin
+      s"""WITH sparse AS (
+         |  SELECT query_id, doc_id, rank
+         |  FROM (${TextQueries.bm25RankedSql(10)}) s
+         |), ann0 AS (
+         |${sim22Sql(2, 2, 8, 8, 8, 2, 30, queryWhere = "p._vid % 50 = 0")}
+         |), qv AS (
+         |  SELECT vec_id AS query_id, embedding AS qvec
+         |  FROM embeddings WHERE vec_id % 50 = 0
+         |), dense AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT r.query_id, r.neighbor_id AS doc_id,
+         |      row_number() OVER (PARTITION BY r.query_id
+         |        ORDER BY r.d2 ASC, r.neighbor_id ASC) AS rank
+         |    FROM (
+         |      SELECT a.query_id, a.neighbor_id,
+         |        ${dotSql("c.embedding", "c.embedding")}
+         |          - 2.0 * ${dotSql("q.qvec", "c.embedding")} AS d2
+         |      FROM ann0 a
+         |      JOIN embeddings c ON c.vec_id = a.neighbor_id
+         |      JOIN qv q ON q.query_id = a.query_id) r) t
+         |  WHERE rank <= 10
+         |), nv AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), cosq AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+         |      AS cos
+         |  FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 50 = 0
+         |), fus AS (
+         |  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         |    COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         |    COALESCE(1.0 / (60.0 + CAST(s.rank AS DOUBLE)), 0.0) +
+         |    COALESCE(1.0 / (60.0 + CAST(d.rank AS DOUBLE)), 0.0) AS rrf
+         |  FROM sparse s FULL OUTER JOIN dense d
+         |    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+         |), flist AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC)
+         |      AS rank
+         |    FROM fus) z
+         |  WHERE rank <= 10
+         |), toks AS (
+         |  SELECT doc_id AS doc, regexp_extract_all(text, '\\S+') AS t
+         |  FROM documents
+         |), tfq AS (
+         |  SELECT doc, term, count(*) AS tf FROM (
+         |    SELECT doc, unnest(t) AS term FROM toks) u GROUP BY doc, term
+         |), qt AS (
+         |  SELECT doc AS query_id, unnest(list_distinct(t[1:3])) AS term
+         |  FROM toks WHERE doc % 50 = 0
+         |), tsig AS (
+         |  SELECT q.query_id, f.doc AS doc_id,
+         |    CASE WHEN count(*) >= 3 THEN 2 ELSE 1 END AS tr
+         |  FROM qt q JOIN tfq f USING (term)
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |), vsig AS (
+         |  SELECT query_id, doc_id, 1 AS vr FROM cosq WHERE cos >= 0.35
+         |), rel AS (
+         |  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+         |    COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |    CAST(coalesce(t.tr, 0) + coalesce(v.vr, 0) AS BIGINT) AS rel
+         |  FROM tsig t FULL OUTER JOIN vsig v
+         |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id
+         |), gc AS (
+         |  SELECT q.query_id,
+         |    coalesce(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END), 0) AS n3,
+         |    coalesce(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END), 0) AS n2,
+         |    coalesce(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END), 0) AS n1
+         |  FROM (SELECT doc_id AS query_id FROM documents
+         |        WHERE doc_id % 50 = 0) q
+         |  LEFT JOIN rel ON rel.query_id = q.query_id
+         |  GROUP BY 1
+         |), idcg AS (
+         |  SELECT query_id,
+         |    ${sumExactSql(s"(${gain("g")}) / (ln(i + 1.0) / ln(2.0))")}
+         |      AS idcg
+         |  FROM (SELECT query_id, i,
+         |      CASE WHEN i <= n3 THEN 3 WHEN i <= n3 + n2 THEN 2
+         |        WHEN i <= n3 + n2 + n1 THEN 1 ELSE 0 END AS g
+         |    FROM gc CROSS JOIN
+         |      (SELECT unnest(generate_series(1, 10)) AS i) p) z
+         |  GROUP BY 1
+         |), dcg_s AS (
+         |  ${dcgCte("sparse")}
+         |), dcg_i AS (
+         |  ${dcgCte("dense")}
+         |), dcg_f AS (
+         |  ${dcgCte("flist")}
+         |), perq AS (
+         |  SELECT i.query_id,
+         |    CASE WHEN idcg > 0 THEN CAST(CAST((coalesce(s.dcg, 0.0)
+         |      / idcg) AS DECIMAL(28,6)) AS DOUBLE) ELSE 0.0 END
+         |      AS ndcg_sparse,
+         |    CASE WHEN idcg > 0 THEN CAST(CAST((coalesce(d.dcg, 0.0)
+         |      / idcg) AS DECIMAL(28,6)) AS DOUBLE) ELSE 0.0 END
+         |      AS ndcg_indexed,
+         |    CASE WHEN idcg > 0 THEN CAST(CAST((coalesce(f.dcg, 0.0)
+         |      / idcg) AS DECIMAL(28,6)) AS DOUBLE) ELSE 0.0 END
+         |      AS ndcg_fused
+         |  FROM idcg i
+         |  LEFT JOIN dcg_s s USING (query_id)
+         |  LEFT JOIN dcg_i d USING (query_id)
+         |  LEFT JOIN dcg_f f USING (query_id)
+         |)
+         |SELECT query_id, count(*) AS n_q,
+         |  CAST(CAST((${sumExactSql("ndcg_sparse")} / count(*))
+         |    AS DECIMAL(28,6)) AS DOUBLE) AS ndcg_sparse,
+         |  CAST(CAST((${sumExactSql("ndcg_indexed")} / count(*))
+         |    AS DECIMAL(28,6)) AS DOUBLE) AS ndcg_indexed,
          |  CAST(CAST((${sumExactSql("ndcg_fused")} / count(*))
          |    AS DECIMAL(28,6)) AS DOUBLE) AS ndcg_fused
          |FROM perq GROUP BY ROLLUP(query_id)""".stripMargin

@@ -43,6 +43,11 @@ class PlanQualitySpec extends AnyFunSuite {
                             // broadcast centroid arrays read from the
                             // durable index (corpus side is index scans
                             // only — pinned in VectorIndexSpec)
+    "sim26_indexed_retrieval_ndcg", // the sim22 probe assignment
+                            // (queries × broadcast √N-row centroid
+                            // table) inside the index-served dense leg;
+                            // NO corpus-sized cross — that absence is
+                            // this key's whole point vs sim25
     "sim20_ann_recall",     // sim18's probe product + the sim1-style
                             // bounded-query brute truth (broadcast
                             // 40-row query set; the truth IS a linear
