@@ -27,6 +27,19 @@ object TextQueries extends QueryPack {
     * and JVM restarts; the cluster-scale analog is checkpointing the
     * shingle table before the candidate self-joins. Fingerprint-keyed —
     * regenerated fixtures invalidate structurally. */
+  /** tx36's durable incrementally-built text index: built over the
+    * historical slice (doc_id % 4 ≠ 0), the new slice appended — once
+    * per fixture GENERATION (the dd4/sim18 split and cache policy).
+    * Serving queries are read-only, so the generation is immutable. */
+  private[graft] def textIndexDir(s: SparkSession, dir: String): String =
+    graft.core.FixtureCache.dirFor(s, dir, "txidx1") { p =>
+      val d = docs(s, dir)
+      graft.operators.TextIndex.build(
+        d.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", p)
+      graft.operators.TextIndex.appendBatch(s, p,
+        d.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+    }
+
   private def sharedShingles(s: SparkSession, dir: String): Dedup.ShingleBase =
     Dedup.ShingleBase(
       graft.core.FixtureCache.tableFor(s, dir, "shingles-k3") {
@@ -174,6 +187,7 @@ object TextQueries extends QueryPack {
     // FixtureCache.tableFor builds eagerly, so CONSTRUCTING the frame
     // materializes the artifact; the frame itself is discarded
     bleuOverlap(s, dir, candidateFloor = 0.02)
+    textIndexDir(s, dir)
     ()
   }
 
@@ -1202,6 +1216,31 @@ object TextQueries extends QueryPack {
         TermFreqBase.docFreq(s, dir),
         TermFreqBase.stats(s, dir),
         qs, "qid", "qtext", k = 5)
+    }),
+
+    // TX36 — BM25 served from the INCREMENTALLY-MAINTAINED durable
+    // text index (VERDICT r14 #2; graft.operators.TextIndex): the
+    // index was built over the historical slice (doc_id % 4 ≠ 0) and
+    // the new slice FOLDED IN by appendBatch — batch-only tokenize,
+    // postings/dl appended, docfreq merged as a vocab-sized additive
+    // join, the stats row summed in exact decimal (associative, so
+    // incremental ≡ from-scratch bit-for-bit). The honest oracle is
+    // the dd4/sim18 pattern: DuckDB re-derives BM25 from the FULL
+    // corpus from scratch — an appended index that drifted from a
+    // from-scratch build in any of the four tables cannot hash-match.
+    // Query panel doc_id % 50 = 25 (disjoint from tx13's % 50 = 0
+    // panel), k = 10. TextIndexSpec pins the table-level equivalence,
+    // that appendBatch's plan never scans historical tf/dl, the
+    // foreachBatch replay guard, and the streaming maintainer serving
+    // a first-micro-batch query.
+    "tx36_bm25_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val qs = graft.core.Tables.spread(docs(s, dir))
+        .filter($"doc_id" % 50 === 25)
+        .select($"doc_id".as("qid"),
+          concat_ws(" ", slice(tokens($"text"), 1, 3)).as("qtext"))
+      graft.operators.TextIndex.serveBm25(s, textIndexDir(s, dir),
+        qs, "qid", "qtext", k = 10)
     }),
 
     // character-bigram entropy per doc — the compression-ratio-family
@@ -2816,7 +2855,8 @@ object TextQueries extends QueryPack {
     * need not agree with it. */
   /** tx13's full BM25 ranking twin, parameterized on the top-k cut so
     * sim14's fusion oracle can reuse the whole chain as a subquery. */
-  private[queries] def bm25RankedSql(k: Int): String = {
+  private[queries] def bm25RankedSql(
+      k: Int, queryWhere: String = "doc % 50 = 0"): String = {
     import graft.functions.ExactNum.sumExactSql
     val termScore =
       "ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)" +
@@ -2842,7 +2882,7 @@ object TextQueries extends QueryPack {
          |  GROUP BY doc, term
          |), qt AS (
          |  SELECT doc AS query_id, unnest(list_distinct(t[1:3])) AS term
-         |  FROM toks WHERE doc % 50 = 0
+         |  FROM toks WHERE $queryWhere
          |), df AS (
          |  SELECT term, count(*) AS df FROM tf
          |  WHERE term IN (SELECT DISTINCT term FROM qt)
@@ -2984,6 +3024,10 @@ object TextQueries extends QueryPack {
          |FROM base b LEFT JOIN w USING (doc)""".stripMargin
     Map(
       "tx13_bm25_topk" -> sql,
+      // tx36's twin: BM25 re-derived FROM SCRATCH over the full corpus
+      // at the tx36 panel — the appended-index ≡ from-scratch oracle
+      "tx36_bm25_incremental" ->
+        bm25RankedSql(10, queryWhere = "doc % 50 = 25"),
       "tx14_lm_perplexity" -> tx14Sql,
       "tx31_kn_perplexity" -> tx31Sql,
       "tx15_char_entropy" -> tx15Sql)
