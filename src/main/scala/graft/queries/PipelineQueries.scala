@@ -439,6 +439,50 @@ object PipelineQueries extends QueryPack {
             .as("change_rate"))
     }),
 
+    // PL31 — recrawl SCHEDULING policy, closing the pl29/RecrawlLedger
+    // loop with the decision the ledger exists to drive (VERDICT r14
+    // #5): per page, the Poisson change-rate estimate λ̂ from the
+    // observed change history — Cho & Garcia-Molina 2003's
+    // incomplete-observation-corrected estimator
+    // λ̂ = −ln((n − X + 0.5)/(n + 0.5)) / Ī (n comparisons, X detected
+    // changes, Ī = mean observed inter-fetch gap: the planted ~7.7%
+    // fetch failures make polling irregular, which is the regime the
+    // correction exists for) — and the next-fetch interval 1/λ̂. The
+    // scheduler consumes λ̂ as its priority sort key (a distributed
+    // sort at scale, deliberately NOT a global rank window here).
+    //
+    // READ THE NUMBER RIGHT (PLANS_r15 §pl31 probe): period-p pages'
+    // true rate is 1/p; periods 2-4 track it (0.57/0.38/0.24). Period
+    // 1 is RIGHT-CENSORED — every access sees a change (X ≡ n), so the
+    // +0.5 correction caps λ̂ ≈ ln(2n+1)/Ī instead of diverging: the
+    // paper's documented limit for pages changing at or above the
+    // polling rate. The λ̂ ORDERING, which the probe shows separates
+    // the period bands page-wise, is what drives the schedule.
+    //
+    // Scale shape: RecrawlBase's fetch derivation (one corpus scan +
+    // one content equi-join), the page-partitioned lag window (npages
+    // groups × ~rounds rows), and a per-page agg — pages-sized output.
+    // Cold pages (<2 observed fetches) carry no estimate by
+    // construction and are a scheduler default outside this frame.
+    // λ̂ is the one ln-bearing term: DECIMAL(28,6)-quantized, and
+    // next_interval derives from the QUANTIZED λ̂ (re-quantized), so
+    // the key carries a full hash oracle.
+    "pl31_recrawl_schedule" -> ((s, dir) => {
+      import s.implicits._
+      def q6(c: org.apache.spark.sql.Column) =
+        c.cast(graft.functions.ExactNum.Exact).cast("double")
+      RecrawlBase.comparisons(s, dir)
+        .groupBy($"canonical_url", $"period")
+        .agg(count(lit(1)).as("n_cmp"),
+          sum($"chg").as("n_chg"),
+          sum($"gap").as("t_span"))
+        .withColumn("lambda_hat", q6(
+          -log((($"n_cmp" - $"n_chg").cast("double") + lit(0.5)) /
+               ($"n_cmp".cast("double") + lit(0.5))) /
+          ($"t_span".cast("double") / $"n_cmp".cast("double"))))
+        .withColumn("next_interval", q6(lit(1.0) / $"lambda_hat"))
+    }),
+
     // PL30 — quality-weighted temperature mix → token packing, the
     // pl7×pl15 seam closed as ONE oracled chain (VERDICT r12 #6's
     // alternative): per-source weight w_s = √n_s · q̄_s (mT5's
@@ -976,7 +1020,73 @@ object PipelineQueries extends QueryPack {
     ()
   }
 
+  /** The shared recrawl fetch-chain CTEs (par → u → f → c): the pl29
+    * twin's derivation verbatim, reused by pl31's twin so the two
+    * oracles cannot drift from one definition — the SQL mirror of
+    * RecrawlBase. */
+  private def recrawlFetchCtesSql: String = {
+    import graft.functions.PortableHash
+    s"""par AS (
+       |  SELECT greatest(50, count(*) // 10) AS npages FROM documents
+       |), u AS (
+       |  SELECT doc_id, npages,
+       |    ${graft.operators.UrlCanon.renderUrlSql("doc_id", "npages")}
+       |      AS url,
+       |    doc_id % npages AS p, doc_id // npages AS r,
+       |    1 + (doc_id % npages) % 4 AS period
+       |  FROM documents CROSS JOIN par
+       |  WHERE doc_id % 13 <> 7
+       |), f AS (
+       |  SELECT doc_id, npages, p, r, period,
+       |    ${graft.operators.UrlCanon.canonicalizeSql("url")}
+       |      AS canonical_url,
+       |    p + (r - r % period) * npages AS base_id
+       |  FROM u
+       |), c AS (
+       |  SELECT f.canonical_url, f.r, f.period,
+       |    ${PortableHash.hash60Sql("d.text")} AS ck
+       |  FROM f JOIN documents d ON d.doc_id = f.base_id
+       |)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    // pl31's twin: the shared fetch chain, BOTH lags (content key and
+    // round), the per-page (n, X, T) fold and the Cho & Garcia-Molina
+    // estimator with explicit double casts (a bare 0.5 in DuckDB is
+    // DECIMAL and would run the ratio in decimal arithmetic);
+    // λ̂ DECIMAL(28,6)-quantized, next_interval from the quantized λ̂.
+    "pl31_recrawl_schedule" ->
+      s"""WITH $recrawlFetchCtesSql, lagd AS (
+         |  SELECT canonical_url, r, period, ck,
+         |    lag(ck) OVER (PARTITION BY canonical_url ORDER BY r)
+         |      AS prev_ck,
+         |    lag(r) OVER (PARTITION BY canonical_url ORDER BY r)
+         |      AS prev_r
+         |  FROM c
+         |), comp AS (
+         |  SELECT canonical_url, period,
+         |    CASE WHEN ck <> prev_ck THEN 1 ELSE 0 END AS chg,
+         |    r - prev_r AS gap
+         |  FROM lagd WHERE prev_ck IS NOT NULL
+         |), pp AS (
+         |  SELECT canonical_url, period,
+         |    CAST(count(*) AS BIGINT) AS n_cmp,
+         |    CAST(sum(chg) AS BIGINT) AS n_chg,
+         |    CAST(sum(gap) AS BIGINT) AS t_span
+         |  FROM comp GROUP BY 1, 2
+         |), lam AS (
+         |  SELECT canonical_url, period, n_cmp, n_chg, t_span,
+         |    CAST(CAST((
+         |      -ln((CAST(n_cmp - n_chg AS DOUBLE) + 0.5) /
+         |          (CAST(n_cmp AS DOUBLE) + 0.5)) /
+         |      (CAST(t_span AS DOUBLE) / CAST(n_cmp AS DOUBLE))
+         |    ) AS DECIMAL(28,6)) AS DOUBLE) AS lambda_hat
+         |  FROM pp
+         |)
+         |SELECT canonical_url, period, n_cmp, n_chg, t_span, lambda_hat,
+         |  CAST(CAST((CAST(1.0 AS DOUBLE) / lambda_hat)
+         |    AS DECIMAL(28,6)) AS DOUBLE) AS next_interval
+         |FROM lam""".stripMargin,
     // pl26's twin: the same aggregate over the flat table — the key's
     // content is the LAYOUT (pruned scan, spec-pinned), not the math.
     "pl26_partition_prune" ->
@@ -1067,30 +1177,10 @@ object PipelineQueries extends QueryPack {
     },
     // pl29's twin: same render/canonicalize pair, same planted
     // fetch-failure and change-schedule arithmetic, same lag
-    // comparison and class-size grid.
+    // comparison and class-size grid. The fetch-chain CTEs are shared
+    // with pl31's twin via recrawlFetchCtesSql.
     "pl29_recrawl_delta" -> {
-      import graft.functions.PortableHash
-      s"""WITH par AS (
-         |  SELECT greatest(50, count(*) // 10) AS npages FROM documents
-         |), u AS (
-         |  SELECT doc_id, npages,
-         |    ${graft.operators.UrlCanon.renderUrlSql("doc_id", "npages")}
-         |      AS url,
-         |    doc_id % npages AS p, doc_id // npages AS r,
-         |    1 + (doc_id % npages) % 4 AS period
-         |  FROM documents CROSS JOIN par
-         |  WHERE doc_id % 13 <> 7
-         |), f AS (
-         |  SELECT doc_id, npages, p, r, period,
-         |    ${graft.operators.UrlCanon.canonicalizeSql("url")}
-         |      AS canonical_url,
-         |    p + (r - r % period) * npages AS base_id
-         |  FROM u
-         |), c AS (
-         |  SELECT f.canonical_url, f.r, f.period,
-         |    ${PortableHash.hash60Sql("d.text")} AS ck
-         |  FROM f JOIN documents d ON d.doc_id = f.base_id
-         |), lagd AS (
+      s"""WITH $recrawlFetchCtesSql, lagd AS (
          |  SELECT canonical_url, r, period, ck,
          |    lag(ck) OVER (PARTITION BY canonical_url ORDER BY r) AS prev
          |  FROM c

@@ -58,6 +58,24 @@ object RecrawlBase {
       .select($"canonical_url", $"r", $"period", $"chg")
   }
 
+  /** Per-page change OBSERVATIONS — the estimator's input (pl31): one
+    * row per consecutive observed fetch pair, (canonical_url, period,
+    * chg 0/1, gap in rounds). Same page-partitioned lag window as
+    * [[classified]]; gaps > 1 are the planted fetch failures — exactly
+    * the irregular-polling regime Cho & Garcia-Molina's correction
+    * exists for. */
+  def comparisons(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lagW = Window.partitionBy($"canonical_url").orderBy($"r")
+    fetches(s, dir)
+      .withColumn("prev_ck", lag($"ck", 1).over(lagW))
+      .withColumn("prev_r", lag($"r", 1).over(lagW))
+      .filter($"prev_ck".isNotNull)
+      .select($"canonical_url", $"period",
+        when($"ck" =!= $"prev_ck", 1L).otherwise(0L).as("chg"),
+        ($"r" - $"prev_r").as("gap"))
+  }
+
   /** Per-period page-class sizes from pure arithmetic — no corpus pass. */
   def classSizes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

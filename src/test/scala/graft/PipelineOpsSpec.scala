@@ -323,4 +323,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     assert(again == out.map(_.toString).toSet)
   }
+
+  test("pl31: every period-1 page out-prioritizes every period-4 page, " +
+      "and period means order 1 > 2 > 3 > 4 (VERDICT r14 #5)") {
+    // PLANS_r15 §pl31 probe: the λ̂ bands are disjoint between the
+    // fastest and slowest classes at both probed sfs (min period-1
+    // 2.518 > max period-4 0.268), so the pin is page-wise, not just
+    // on means — the property the crawl scheduler actually relies on.
+    val rows = SparkEntry.queries("pl31_recrawl_schedule")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byPeriod = rows.groupBy(_.getAs[Long]("period"))
+    assert(byPeriod.keySet == Set(1L, 2L, 3L, 4L),
+      s"missing period strata: ${byPeriod.keySet}")
+    def lams(p: Long) = byPeriod(p).map(_.getAs[Double]("lambda_hat"))
+    assert(lams(1L).min > lams(4L).max,
+      s"period-1 band overlaps period-4: min1=${lams(1L).min} " +
+        s"max4=${lams(4L).max}")
+    val means = (1L to 4L).map(p => lams(p).sum / lams(p).size)
+    assert(means.sliding(2).forall(w => w(0) > w(1)),
+      s"period mean λ̂ not strictly decreasing: $means")
+    // next_interval is the inverse schedule: fast pages recrawl sooner
+    rows.foreach { r =>
+      val l = r.getAs[Double]("lambda_hat")
+      val i = r.getAs[Double]("next_interval")
+      assert(l > 0.0 && i > 0.0 && math.abs(i * l - 1.0) < 1e-3,
+        s"next_interval is not 1/λ̂: λ̂=$l interval=$i")
+    }
+  }
 }
