@@ -113,6 +113,11 @@ class PlanQualitySpec extends AnyFunSuite {
     "pl29_recrawl_delta",   // tx25's 1-row page-universe broadcast at
                             // the render stage + the 4-row period-class
                             // size grid (both constant at any corpus)
+    "pl31_recrawl_schedule", // the same RecrawlBase fetch derivation as
+                            // pl29 — only the 1-row npages broadcast
+    "tx36_bm25_incremental", // tx13's 1-row corpus-stats broadcast
+                            // (n_docs, avgdl), served from the
+                            // maintained index's stats table
     "pl30_quality_mix_pack", // pl15's 1-row totals broadcast (w_tot,
                             // budget) onto the source-weight frame
     "pl18_source_drift")    // sources×buckets grid completion: both sides
