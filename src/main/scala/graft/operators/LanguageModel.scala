@@ -74,20 +74,28 @@ object LanguageModel {
       docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
         .agg(countDistinct(col("w")).as("v"))
     }
+    scoreAndFold(docs, idCol, docBigrams,
+      laplaceModelScored(docBigrams, vocab))
+  }
+
+  /** The per-bigram Laplace log-prob model (w1, w2, lp) — extracted so
+    * tx14 can serve it from a durable artifact (corpus-deterministic;
+    * doubles round-trip parquet bit-exactly, so serving changes no
+    * hashes). Prefix totals, the vocab scalar, and the log itself fold
+    * into the MODEL rows (vocabulary-sized) before any corpus-scale
+    * join — ln evaluates once per distinct bigram, not once per
+    * (doc, bigram), and scoring is a single equi-join. */
+  def laplaceModelScored(docBigrams: DataFrame,
+                         vocab: DataFrame): DataFrame = {
     val model = docBigrams.groupBy(col("w1"), col("w2"))
       .agg(sum(col("n_occ")).as("c12"))
     val prefix = model.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"))
-    // fold prefix totals, the vocab scalar, and the log itself into the
-    // MODEL rows (vocabulary-sized) before the corpus-scale join — ln
-    // evaluates once per distinct bigram, not once per (doc, bigram),
-    // and scoring is a single equi-join instead of join+join+crossJoin
-    val modelScored = model.join(prefix, Seq("w1"))
+    model.join(prefix, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("lp", log((col("c12") + 1).cast("double") /
         (col("c1") + col("v")).cast("double")))
       .select(col("w1"), col("w2"), col("lp"))
-    scoreAndFold(docs, idCol, docBigrams, modelScored)
   }
 
   /** Interpolated Kneser–Ney bigram perplexity — the smoothing real
@@ -115,6 +123,16 @@ object LanguageModel {
                          docBigrams: DataFrame,
                          discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    scoreAndFold(docs, idCol, docBigrams,
+      knModelScored(docBigrams, discount))
+  }
+
+  /** The per-bigram interpolated-KN log-prob model (w1, w2, lp) —
+    * extracted so tx31 can serve it from a durable artifact (same
+    * rationale as [[laplaceModelScored]]). */
+  def knModelScored(docBigrams: DataFrame,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
     val model = docBigrams.groupBy(col("w1"), col("w2"))
       .agg(sum(col("n_occ")).as("c12"))
     // c(w₁·) and N₁₊(w₁·) in one pass over the model
@@ -124,7 +142,7 @@ object LanguageModel {
     val tot = model.agg(count(lit(1)).as("nbb"))
     // every c12 ≥ 1 > D, so the max() of the textbook form is vacuous
     // here (trained and scored on the same corpus — no unseen bigrams)
-    val modelScored = model.join(prefix, Seq("w1"))
+    model.join(prefix, Seq("w1"))
       .join(cont, Seq("w2"))
       .crossJoin(broadcast(tot))
       .withColumn("lp", log(
@@ -134,8 +152,16 @@ object LanguageModel {
           col("c1").cast("double")) *
           (col("n1p").cast("double") / col("nbb").cast("double"))))
       .select(col("w1"), col("w2"), col("lp"))
-    scoreAndFold(docs, idCol, docBigrams, modelScored)
   }
+
+  /** Per-doc perplexity against a PREBUILT per-bigram log-prob model —
+    * the serve path for both smoothing variants: the model is a
+    * corpus-snapshot artifact (train once), scoring is one equi-join +
+    * per-doc decimal fold. */
+  def perplexityServed(docs: DataFrame, idCol: String,
+                       docBigrams: DataFrame,
+                       modelScored: DataFrame): DataFrame =
+    scoreAndFold(docs, idCol, docBigrams, modelScored)
 
   /** Shared scoring tail: join doc bigrams to the per-bigram log-prob
     * model, fold per doc (decimal-exact), left-join back to every doc.
