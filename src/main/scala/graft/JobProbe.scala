@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.scheduler._
+import scala.collection.mutable
+
+/** Dev harness (optimization rounds): run one or more SparkEntry queries
+  * and attribute wall time to the Spark jobs and stages inside each —
+  * the local[N] stand-in for the Spark UI's stage table (the UI is
+  * disabled in the bench session contract). For every query: 2 timed
+  * noop-sink runs (the Bench shape), then a per-job breakdown of the
+  * SECOND run (codegen/JIT warm) with stage task-time totals, shuffle
+  * bytes, and peak task counts, so "where do the seconds go" is a
+  * printed fact rather than a guess.
+  *
+  * `runMain graft.JobProbe <query> [<query> ...]`; SPARK_GRAFT_SF_DIR /
+  * SPARK_GRAFT_CPUS as in Bench. Not part of the driver contract.
+  */
+object JobProbe {
+
+  private case class StageRec(var name: String, var taskTime: Long = 0L,
+    var tasks: Int = 0, var shufRead: Long = 0L, var shufWrite: Long = 0L,
+    var input: Long = 0L, var submitted: Long = 0L, var completed: Long = 0L)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.Sessions.local(cpus)
+    graft.core.Tables.names.foreach { t =>
+      try graft.core.Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+    try SparkEntry.prewarm(spark, sfDir) catch { case _: Throwable => () }
+
+    val stages = mutable.Map.empty[Int, StageRec]
+    val jobs = mutable.ArrayBuffer.empty[(Int, Long, Long, Seq[Int])]
+    var collecting = false
+    val listener = new SparkListener {
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        if (collecting) stages.getOrElseUpdate(e.stageInfo.stageId,
+          StageRec(e.stageInfo.name)).submitted = System.nanoTime()
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        if (collecting) stages.get(e.stageInfo.stageId).foreach { r =>
+          r.completed = System.nanoTime()
+          r.name = e.stageInfo.name
+        }
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (collecting && e.taskMetrics != null) {
+          val r = stages.getOrElseUpdate(e.stageId, StageRec("?"))
+          r.taskTime += e.taskMetrics.executorRunTime
+          r.tasks += 1
+          r.shufRead += e.taskMetrics.shuffleReadMetrics.totalBytesRead
+          r.shufWrite += e.taskMetrics.shuffleWriteMetrics.bytesWritten
+          r.input += e.taskMetrics.inputMetrics.bytesRead
+        }
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        if (collecting)
+          jobs += ((e.jobId, System.nanoTime(), -1L, e.stageIds.toSeq))
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        if (collecting) {
+          val i = jobs.lastIndexWhere(_._1 == e.jobId)
+          if (i >= 0) jobs(i) = jobs(i).copy(_3 = System.nanoTime())
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    args.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      // run 1: codegen/JIT warm (the Bench best-of-2 shape)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val w1 = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      stages.clear(); jobs.clear()
+      collecting = true
+      val t1 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val w2 = (System.nanoTime() - t1) / 1e9
+      collecting = false
+      spark.catalog.clearCache()
+      Thread.sleep(200) // let listener events drain
+      println(f"\nJOBPROBE $name run1=$w1%.3f run2=$w2%.3f  " +
+        f"jobs=${jobs.size} stages=${stages.size}")
+      val jobsSorted = jobs.sortBy(_._2)
+      var prevEnd = t1
+      jobsSorted.foreach { case (jid, s, e, sids) =>
+        val gap = (s - prevEnd) / 1e9
+        val dur = if (e > 0) (e - s) / 1e9 else -1.0
+        prevEnd = if (e > 0) e else s
+        val sstr = sids.flatMap(stages.get).map(r =>
+          f"[${r.name.take(46)}%s tt=${r.taskTime / 1000.0}%.1fs " +
+          f"n=${r.tasks} in=${r.input / 1048576.0}%.0fM " +
+          f"sr=${r.shufRead / 1048576.0}%.1fM]").mkString(" ")
+        println(f"  job $jid%3d gap=$gap%6.3f dur=$dur%6.3f $sstr")
+      }
+      val tailGap = (t1 + ((w2 * 1e9).toLong) -
+        (if (jobsSorted.nonEmpty) jobsSorted.map(j => math.max(j._2, j._3)).max else t1)) / 1e9
+      println(f"  tail-after-last-job=$tailGap%.3f (plan/driver time outside jobs)")
+    }
+    spark.stop()
+  }
+}

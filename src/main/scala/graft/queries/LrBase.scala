@@ -58,34 +58,87 @@ object LrBase {
 
   /** Run the 16 GD rounds over a (persisted) [[feats]] frame. Returns
     * (per-round weights w_1..w_16, per-round n_correct at w_0..w_15
-    * [+ w_16 when `finalNc`]). Each round is one aggregation job; pass
-    * t computes the gradient at w_{t-1} AND the accuracy at w_{t-1} in
-    * the same fold (they share the margin expression). */
+    * [+ w_16 when `finalNc`]). Each round is one gradient-aggregation
+    * job; pass t computes the gradient at w_{t-1} AND the accuracy at
+    * w_{t-1} in the same fold (they share the margin arithmetic).
+    *
+    * Execution (optimization r15, guide §1.2 "per-task work"): the
+    * rounds used to run as DataFrame aggs, but the weights enter the
+    * plan as round-dependent LITERALS, so every round re-planned and
+    * re-generated a fresh codegen class that never got JIT-compiled —
+    * measured ~0.11 s/round of driver gap + interpreted-class task
+    * time at sf0.1 against ~5 ms of actual arithmetic; probed
+    * alternatives (weights as a broadcast 1-row join; AQE off;
+    * two-level long/decimal DataFrame sums) all measured WORSE
+    * (JobProbe/BenchOne records in OPTIMIZATION_r15.md). The loop is
+    * therefore the classic MLlib gradient shape (one compiled
+    * mapPartitions fold per round over the cached frame — Spark's own
+    * LogisticRegression trains exactly this way via treeAggregate):
+    * per-partition partial sums in Long (each per-row term
+    * floor(c·1e6) is an integer with |term| ≤ 1e6·|x|, so a 1 GB
+    * partition stays ≥4 orders inside Long range), merged on the
+    * driver in BigInt — bit-identical totals to the former
+    * sum(DECIMAL(38,0)) at ANY corpus size, in the identical IEEE
+    * expression order (m, p, e and the floors are the same double ops
+    * the Catalyst expressions compiled to). The per-round job is
+    * data-independent 48-byte output; model state stays 4 doubles on
+    * the driver. */
   def train(feats: DataFrame, finalNc: Boolean)
       : (Seq[Array[Double]], Seq[Long]) = {
-    def sumF6(c: Column) =
-      sum(floor(c * 1e6)
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-        .cast("double") / 1e6
     var w = Array(0.0, 0.0, 0.0, 0.0)
     val ws = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     val ncs = scala.collection.mutable.ArrayBuffer[Long]()
     val passes = if (finalNc) Rounds + 1 else Rounds
+    // one compiled projection of the 4 training columns, reused by every
+    // round — reading the caller's persisted/cached feats blocks
+    val rdd = feats.select(col("x1"), col("x2"), col("x3"), col("y"))
+      .queryExecution.toRdd
     for (t <- 1 to passes) {
-      val m = margin(w)
-      val ncCol = sum(when((m >= 0.0) === (col("y") === 1.0), 1L)
-        .otherwise(0L)).as("nc")
+      val w0 = w(0); val w1 = w(1); val w2 = w(2); val w3 = w(3)
+      // 7 Long partials per partition: Σfloor(e·1e6), Σfloor(e·x1·1e6),
+      // Σfloor(e·x2·1e6), Σfloor(e·x3·1e6), n, nc — the same integers
+      // the former DataFrame agg folded, in the same IEEE order.
+      val partials = rdd.mapPartitions { it =>
+        var s0 = 0L; var s1 = 0L; var s2 = 0L; var s3 = 0L
+        var n = 0L; var nc = 0L
+        val grad = t <= Rounds
+        while (it.hasNext) {
+          val r = it.next()
+          // a null feature row contributed nothing to the old agg's
+          // moment sums or nc, but WAS counted by count(lit(1)) —
+          // preserved exactly (no such rows in any current fixture)
+          if (r.anyNull) { if (grad) n += 1L }
+          else {
+          val x1 = r.getDouble(0); val x2 = r.getDouble(1)
+          val x3 = r.getDouble(2); val y = r.getDouble(3)
+          val m = w0 + w1 * x1 + w2 * x2 + w3 * x3
+          if ((m >= 0.0) == (y == 1.0)) nc += 1L
+          if (grad) {
+            val p = 0.5 + 0.5 * m / (1.0 + math.abs(m))
+            val e = y - p
+            s0 += math.floor(e * 1e6).toLong
+            s1 += math.floor(e * x1 * 1e6).toLong
+            s2 += math.floor(e * x2 * 1e6).toLong
+            s3 += math.floor(e * x3 * 1e6).toLong
+            n += 1L
+          }
+          }
+        }
+        Iterator.single(Array(s0, s1, s2, s3, n, nc))
+      }.collect()
+      // driver-side exact merge: ≤numPartitions 6-long arrays, summed in
+      // BigInt so unbounded-corpus totals can never wrap
+      def tot(i: Int): BigInt =
+        partials.foldLeft(BigInt(0))((a, p) => a + BigInt(p(i)))
+      ncs += tot(5).toLong // nc(w_{t-1}) [or nc(w_16) on the extra pass]
       if (t <= Rounds) {
-        val p = lit(0.5) + lit(0.5) * m / (lit(1.0) + abs(m))
-        val e = col("y") - p
-        val g = feats.agg(sumF6(e).as("g0"), sumF6(e * col("x1")).as("g1"),
-          sumF6(e * col("x2")).as("g2"), sumF6(e * col("x3")).as("g3"),
-          count(lit(1)).as("n"), ncCol).collect()(0)
-        ncs += g.getLong(5) // nc(w_{t-1})
-        val n = g.getLong(4).toDouble
-        w = Array.tabulate(4)(j => w(j) + Eta * g.getDouble(j) / n)
+        val n = tot(4).toDouble
+        // g_i = BigInt total → double → /1e6: the identical value and
+        // rounding the DECIMAL(38,0).cast(double)/1e6 chain produced
+        w = Array.tabulate(4)(j =>
+          w(j) + Eta * (tot(j).toDouble / 1e6) / n)
         ws += w.clone()
-      } else ncs += feats.agg(ncCol).collect()(0).getLong(0) // nc(w_16)
+      }
     }
     (ws.toSeq, ncs.toSeq)
   }
