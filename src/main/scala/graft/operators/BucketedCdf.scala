@@ -104,11 +104,21 @@ object BucketedCdf {
       .agg(percentile_approx(col(vCol).cast("double"),
         array((1 until nb).map(i => lit(i.toDouble / nb)): _*),
         lit(1000)).as("__bds"))
-    // 2. monotone bucket id (strict `>` so equal values share a bucket)
+    // 2. monotone bucket id (strict `>` so equal values share a bucket).
+    //    Spelled as a STATIC sum of nb−1 codegen'd comparisons, not an
+    //    `aggregate()` higher-order fold (optimization r15, guide §4 /
+    //    §1.2 per-task work): HOF lambdas execute interpreted per array
+    //    element, and this expression runs once per histogram row — the
+    //    fold was the hot instruction in every BucketedCdf caller's
+    //    dominant stage (q81's deviation pass: 40 s of task CPU at
+    //    sf0.1, ~2/3 of it here; same shape in q71/q66/pl17). The sum
+    //    of indicators is the identical count, so cum is byte-identical.
+    val vD = col(vCol).cast("double")
     val withB = h.join(broadcast(bounds), gcols)
       .withColumn("__b",
-        aggregate(col("__bds"), lit(0), (acc, bd) =>
-          acc + when(col(vCol).cast("double") > bd, 1).otherwise(0)))
+        (1 until nb).map(i =>
+            when(vD > col("__bds").getItem(i - 1), 1).otherwise(0))
+          .reduce(_ + _))
     // 3. exact offsets, IN-PLAN (VERDICT r13 #3): the r13 form collected
     //    the per-(group, bucket) counts to the driver and folded offsets
     //    there — correct, but it made every DataFrame CONSTRUCTION pay
