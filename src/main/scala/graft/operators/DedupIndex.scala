@@ -45,7 +45,10 @@ object DedupIndex {
   case class IndexMeta(shingle_k: Int, num_hashes: Int, bands: Int)
 
   def readMeta(spark: SparkSession, root: String): IndexMeta = {
-    val r = spark.read.parquet(s"$root/meta").collect().head
+    // memoized meta row (graft.core.Frames): one footer job + one
+    // collect job per (session, root) lifetime instead of per call;
+    // every mutator below invalidates the root's entries
+    val r = graft.core.Frames.headRow(spark, s"$root/meta")
     IndexMeta(r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"),
       r.getAs[Int]("bands"))
   }
@@ -86,6 +89,7 @@ object DedupIndex {
     val sig = spark.read.parquet(s"$root/sig")
     Dedup.bandedFromSig(sig, numHashes, bands)
       .write.mode("overwrite").parquet(s"$root/banded")
+    graft.core.Frames.invalidate(root)
     IndexMeta(shingleK, numHashes, bands)
   }
 
@@ -111,7 +115,7 @@ object DedupIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     sigNew.count()
     val bandedNew = Dedup.bandedFromSig(sigNew, meta.num_hashes, meta.bands)
-    val bandedOld = spark.read.parquet(s"$root/banded")
+    val bandedOld = graft.core.Frames.parquet(spark, s"$root/banded")
     val newNew = bandedNew.as("a")
       .join(bandedNew.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -126,10 +130,11 @@ object DedupIndex {
       .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
         greatest(col("a.doc"), col("b.doc")).as("doc_b"))
     val cands = newNew.union(newOld).distinct()
-    val shOld = spark.read.parquet(s"$root/shingles")
+    val shOld = graft.core.Frames.parquet(spark, s"$root/shingles")
     val shAll = shNew.union(shOld)
     val sizesAll = sigNew.select(col("doc"), col("n_sh"))
-      .union(spark.read.parquet(s"$root/sig").select(col("doc"), col("n_sh")))
+      .union(graft.core.Frames.parquet(spark, s"$root/sig")
+        .select(col("doc"), col("n_sh")))
     val common = cands
       .join(shAll.select(col("doc").as("doc_a"), col("sh_h")), Seq("doc_a"))
       .join(shAll.select(col("doc").as("doc_b"), col("sh_h")),
@@ -167,5 +172,6 @@ object DedupIndex {
       .write.mode("append").parquet(s"$root/banded")
     shNew.unpersist()
     sigNew.unpersist()
+    graft.core.Frames.invalidate(root)
   }
 }

@@ -372,7 +372,7 @@ object Graph {
                           maxOrientedWedges: Long = DefaultMaxOrientedWedges)
       : DataFrame = {
     import spark.implicits._
-    val m = spark.read.parquet(s"$root/meta").head
+    val m = graft.core.Frames.headRow(spark, s"$root/meta")
     val nEdges = m.getAs[Long]("n_edges")
     if (nEdges == 0L) {
       return Seq((0L, 0L, 0L, 0L)).toDF(
@@ -391,7 +391,7 @@ object Graph {
     // parquet scans — spreading them too would pay the repartition
     // shuffle three times per run (measured: 2.7 s vs the direct path's
     // 1.4 at sf0.1 before this split)
-    val raw = spark.read.parquet(s"$root/oriented")
+    val raw = graft.core.Frames.parquet(spark, s"$root/oriented")
     val tri = closedWedgeCount(graft.core.Tables.spread(raw), raw,
       nEdges, m.getAs[Long]("max_id"),
       broadcastEdgeLimit, wedgeBroadcastLimit)

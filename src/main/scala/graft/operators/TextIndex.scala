@@ -100,6 +100,7 @@ object TextIndex {
           .coalesce(1).write.mode("overwrite").parquet(s"$root/stats")
       } finally dl.unpersist()
     } finally tf.unpersist()
+    graft.core.Frames.invalidate(root)
   }
 
   /** Fold a NEW doc batch into the index — the daily-ingest step.
@@ -133,13 +134,13 @@ object TextIndex {
         dlB.write.mode("append").parquet(s"$root/dl")
         // vocab-sized merge: df adds across doc-disjoint batches
         val dfB = tfB.groupBy(col("term")).agg(count(lit(1)).as("dfb"))
-        val merged = spark.read.parquet(s"$root/docfreq")
+        val merged = graft.core.Frames.parquet(spark, s"$root/docfreq")
           .join(dfB, Seq("term"), "full_outer")
           .select(col("term"),
             (coalesce(col("df"), lit(0L)) +
               coalesce(col("dfb"), lit(0L))).as("df"))
         swapIn(spark, root, "docfreq", merged)
-        val oldStats = spark.read.parquet(s"$root/stats")
+        val oldStats = graft.core.Frames.parquet(spark, s"$root/stats")
           .select(col("n_docs"), col("sum_dl"))
         val newStats = oldStats.crossJoin(statsOf(docs, dlB)
             .select(col("n_docs").as("_nb"), col("sum_dl").as("_sb")))
@@ -149,6 +150,7 @@ object TextIndex {
         swapIn(spark, root, "stats", withAvgdl(newStats).coalesce(1))
       } finally dlB.unpersist()
     } finally tfB.unpersist()
+    graft.core.Frames.invalidate(root)
     if (batchId >= 0L) fs.mkdirs(marker)
   }
 
@@ -160,11 +162,11 @@ object TextIndex {
                 k: Int): DataFrame = {
     recover(spark, root)
     Retrieval.bm25TopKServed(
-      spark.read.parquet(s"$root/tf"),
-      spark.read.parquet(s"$root/dl"),
-      spark.read.parquet(s"$root/docfreq"),
-      spark.read.parquet(s"$root/stats").select(col("n_docs"),
-        col("avgdl")),
+      graft.core.Frames.parquet(spark, s"$root/tf"),
+      graft.core.Frames.parquet(spark, s"$root/dl"),
+      graft.core.Frames.parquet(spark, s"$root/docfreq"),
+      graft.core.Frames.parquet(spark, s"$root/stats")
+        .select(col("n_docs"), col("avgdl")),
       queries, queryIdCol, queryTextCol, k)
   }
 
@@ -192,6 +194,7 @@ object TextIndex {
         new org.apache.hadoop.fs.Path(s"$root/$name")),
       s"TextIndex: rename of $root/_swap_$name -> $root/$name failed; " +
         s"table '$name' is offline until recover() succeeds")
+    graft.core.Frames.invalidate(s"$root/$name")
   }
 
   /** Heal a crash between a swap's delete and its rename (the
@@ -202,9 +205,11 @@ object TextIndex {
     Swapped.foreach { t =>
       val live = new org.apache.hadoop.fs.Path(s"$root/$t")
       val tmp = new org.apache.hadoop.fs.Path(s"$root/_swap_$t")
-      if (!fs.exists(live) && fs.exists(tmp))
+      if (!fs.exists(live) && fs.exists(tmp)) {
         require(fs.rename(tmp, live),
           s"TextIndex.recover: healing rename $tmp -> $live failed")
+        graft.core.Frames.invalidate(s"$root/$t")
+      }
     }
   }
 }

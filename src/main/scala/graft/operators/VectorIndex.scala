@@ -263,6 +263,7 @@ object VectorIndex {
     members.write.mode("append").parquet(s"$root/cells")
     vecs.select(col(idCol).as("_vid"), col(vecCol).as("vec"))
       .write.mode("append").parquet(s"$root/vectors")
+    graft.core.Frames.invalidate(root)
   }
 
   /** ANN top-k against the persisted index: probe each query's `nprobe`
@@ -289,12 +290,13 @@ object VectorIndex {
     // from the query's residual against each probed centroid —
     // (query, label)-keyed maps, Q·nprobe rows of m·ks doubles.
     ProductQuantization.adcRankCells(
-      spark.read.parquet(s"$root/codes"),
+      graft.core.Frames.parquet(spark, s"$root/codes"),
       ProductQuantization.lutMaps(ProductQuantization.adcLutResidual(
         ProductQuantization.queryResiduals(queries, idCol, vecCol,
           probes, centArr), model)),
       meta.m, k,
-      masked(spark, root, spark.read.parquet(s"$root/cells")), probes)
+      masked(spark, root,
+        graft.core.Frames.parquet(spark, s"$root/cells")), probes)
   }
 
   /** [[query]] + exact re-ranking — the IVFADC+R serving topology
@@ -328,7 +330,7 @@ object VectorIndex {
       .select(col("query_id"), col("neighbor_id"))
     // candidates are already tombstone-masked by query(); the vector
     // fetch is Q·shortlist rows against the _vid-keyed vectors table
-    val cv = spark.read.parquet(s"$root/vectors")
+    val cv = graft.core.Frames.parquet(spark, s"$root/vectors")
       .select(col("_vid").as("neighbor_id"), col("vec").as("_cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val w = org.apache.spark.sql.expressions.Window
@@ -358,7 +360,7 @@ object VectorIndex {
   private def masked(spark: SparkSession, root: String,
                      df: DataFrame): DataFrame =
     if (!pathExists(spark, tombstonePath(root))) df
-    else df.join(spark.read.parquet(tombstonePath(root)),
+    else df.join(graft.core.Frames.parquet(spark, tombstonePath(root)),
       Seq("_vid"), "left_anti")
 
   /** DELETE by id: append the ids to a tombstone set — O(batch) like
@@ -369,9 +371,11 @@ object VectorIndex {
     * daily ingest appends AND deletes without ever touching the frozen
     * models. */
   def deleteIds(spark: SparkSession, root: String, ids: DataFrame,
-                idCol: String): Unit =
+                idCol: String): Unit = {
     ids.select(col(idCol).as("_vid")).distinct()
       .write.mode("append").parquet(tombstonePath(root))
+    graft.core.Frames.invalidate(root)
+  }
 
   /** Index HEALTH / drift profile — the retrain trigger for the frozen
     * models: per coarse cell, the live member count and the mean/max
@@ -402,10 +406,12 @@ object VectorIndex {
              recallK: Int = 10, nprobe: Int = 2): DataFrame = {
     recoverCompact(spark, root)
     val centArr = frozen(spark, root)._3
-    val vecs = masked(spark, root, spark.read.parquet(s"$root/vectors"))
+    val vecs = masked(spark, root,
+      graft.core.Frames.parquet(spark, s"$root/vectors"))
     // membership comes from the STORED cells (what queries actually
     // serve), not a re-assignment — one distance fold per vector
-    val base = vecs.join(spark.read.parquet(s"$root/cells"), "_vid")
+    val base = vecs.join(
+      graft.core.Frames.parquet(spark, s"$root/cells"), "_vid")
       .join(broadcast(centArr), "label")
       .select(col("label"),
         (Similarity.dotSeqHof(col("vec"), col("vec")) + col("c2") -
@@ -418,7 +424,8 @@ object VectorIndex {
         max(col("sq_dist")).as("max_sq_dist"))
     if (recallSample <= 0) return base
     import org.apache.spark.sql.expressions.Window
-    val sample = vecs.join(spark.read.parquet(s"$root/cells"), "_vid")
+    val sample = vecs.join(
+      graft.core.Frames.parquet(spark, s"$root/cells"), "_vid")
       .orderBy(graft.functions.PortableHash
         .hash60(col("_vid").cast("string")), col("_vid"))
       .limit(recallSample)
@@ -504,6 +511,7 @@ object VectorIndex {
           s"table '$t' is offline until recoverCompact succeeds")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tombstonePath(root)), true)
+    graft.core.Frames.invalidate(root)
   }
 
   /** Repair a crash that landed between a mid-[[compact]] delete and
@@ -519,10 +527,12 @@ object VectorIndex {
     Seq("cells", "codes", "vectors").foreach { t =>
       val live = new org.apache.hadoop.fs.Path(s"$root/$t")
       val tmp = new org.apache.hadoop.fs.Path(s"$root/_compact_$t")
-      if (!fs.exists(live) && fs.exists(tmp))
+      if (!fs.exists(live) && fs.exists(tmp)) {
         require(fs.rename(tmp, live),
           s"recoverCompact: healing rename $tmp -> $live failed; " +
             s"table '$t' remains offline")
+        graft.core.Frames.invalidate(s"$root/$t")
+      }
     }
   }
 }

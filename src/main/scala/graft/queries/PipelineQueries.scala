@@ -234,7 +234,8 @@ object PipelineQueries extends QueryPack {
     // executed plan AND row-identity with the flat-table filter.
     "pl26_partition_prune" -> ((s, dir) => {
       import s.implicits._
-      s.read.parquet(graft.sources.FileSources.langPartitionedDocsDir(s, dir))
+      graft.core.Frames.parquet(s,
+          graft.sources.FileSources.langPartitionedDocsDir(s, dir))
         .filter($"lang" === "en")
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
@@ -299,7 +300,7 @@ object PipelineQueries extends QueryPack {
     // the ORC codec lossless on the text payload, not just numerics.
     "s5_orc_docs" -> ((s, dir) => {
       import s.implicits._
-      s.read.orc(graft.sources.FileSources.orcDocsDir(s, dir))
+      graft.core.Frames.orc(s, graft.sources.FileSources.orcDocsDir(s, dir))
         .filter($"n_chars" >= 200L)
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),

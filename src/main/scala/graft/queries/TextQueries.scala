@@ -477,8 +477,8 @@ object TextQueries extends QueryPack {
           s"$root/idx", docs(s, dir).filter(col("doc_id") % 4 === 3),
           "doc_id", "text", jaccardThreshold = 0.3)
         .withColumn("gen", lit(3L))
-      s.read.parquet(s"$root/r1")
-        .unionByName(s.read.parquet(s"$root/r2"))
+      graft.core.Frames.parquet(s, s"$root/r1")
+        .unionByName(graft.core.Frames.parquet(s, s"$root/r2"))
         .unionByName(live)
     }),
 

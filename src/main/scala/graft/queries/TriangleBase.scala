@@ -29,5 +29,5 @@ object TriangleBase {
 
   /** The frozen exact Σ out·in of the base — gr2's degrade decision. */
   def wedgeWork(s: SparkSession, root: String): Long =
-    s.read.parquet(s"$root/meta").head.getAs[Long]("wedge_work")
+    graft.core.Frames.headRow(s, s"$root/meta").getAs[Long]("wedge_work")
 }
