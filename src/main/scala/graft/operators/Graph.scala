@@ -121,6 +121,14 @@ object Graph {
             s"($dampPct * (sum((rank * 1000) div deg) div 1000)) div 100")
           .as("rank"))
         .select(col("dst").as("node"), col("rank"))
+        // materialize each iterate (optimization r15): un-materialized,
+        // round i's rank lineage nests rounds 1..i-1, so the per-round
+        // broadcast re-executed every earlier round's aggregation from
+        // the ew cache — O(iters²) agg passes (measured: 15 aggs for 5
+        // rounds at sf0.1). The checkpoint is node-sized — the same
+        // per-iteration materialization GraphX/MLlib iterates carry —
+        // and integer values are unchanged (gr1 re-oracled).
+        .localCheckpoint()
     }
     ranks.select(col("node"),
       (col("rank").cast("double") / lit(1000000.0)).as("rank"))
@@ -564,6 +572,11 @@ object Graph {
     var prevSurvivors = -1L
     var lastSurvivors = -2L
     for (r <- 1 to rounds) {
+      // surv's per-round localCheckpoint stays (optimization r15,
+      // probed): dropping it to save 8 materialization jobs turned the
+      // two semi-joins' build sides into unsized agg subtrees — the
+      // planner lost the known-small relation and the joins regressed
+      // off the broadcast path (gr7 2.1 → 3.5-5.0 s at sf0.1).
       val surv = live.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("a").as("n"))
         .localCheckpoint()
