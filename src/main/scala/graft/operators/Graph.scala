@@ -560,15 +560,31 @@ object Graph {
     * within `rounds` rather than a silent approximation (a
     * data-dependent loop-to-fixpoint is not twin-replayable; a fixed
     * unroll with a proven fixpoint is — the sim9/tx35/pl27 unroll
-    * discipline). localCheckpoint per round keeps the plan from
-    * growing linearly with rounds; at cluster scale that is a
-    * checkpoint to durable storage. Input: one row per undirected edge
-    * (a, b); output: (node, deg_in_core) over the fixpoint edge set. */
+    * discipline). The edge set is checkpointed once and each round's
+    * NODE-sized survivor set per round — live_r is derived lazily as
+    * live0 ⋉ surv_r ⋉ surv_r (exact, by survivor monotonicity), so the
+    * plan stays depth-constant without re-materializing edges; at
+    * cluster scale those are checkpoints to durable storage. Input:
+    * one row per undirected edge (a, b); output: (node, deg_in_core)
+    * over the fixpoint edge set. */
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(rounds >= 2, "need >= 2 rounds for the fixpoint check")
-    var live = edges.select(col("a"), col("b"))
+    // The undirected edge set is materialized ONCE; rounds never
+    // re-checkpoint it (optimization r15). Survivor sets shrink
+    // monotonically (a node outside surv_{r-1} has no edges in round
+    // r's live set, so its degree is 0 < k ⇒ surv_r ⊆ surv_{r-1}),
+    // hence live_r = live0 ⋉ surv_r(a) ⋉ surv_r(b) EXACTLY — the
+    // previous shape's per-round EDGE-SET-sized localCheckpoint was
+    // redundant work (8 materialization jobs + their broadcast
+    // companions; gr7 ran 39 jobs, mostly driver gaps between tiny
+    // jobs). Only the NODE-sized survivor set is checkpointed per
+    // round — which also keeps the semi-join build sides sized
+    // (broadcast; the probed counter-experiment above) and the plan
+    // depth constant in rounds.
+    val live0 = edges.select(col("a"), col("b"))
       .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
+    var live = live0
     var prevSurvivors = -1L
     var lastSurvivors = -2L
     for (r <- 1 to rounds) {
@@ -584,11 +600,10 @@ object Graph {
         prevSurvivors = lastSurvivors
         lastSurvivors = surv.count()
       }
-      live = live
+      live = live0
         .join(surv.select(col("n").as("a")), Seq("a"), "left_semi")
         .join(surv.select(col("n").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint()
     }
     require(prevSurvivors == lastSurvivors,
       s"k-core peel did not reach fixpoint in $rounds rounds " +
