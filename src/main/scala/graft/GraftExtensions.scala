@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.VectorDot
+import graft.functions.{VectorDot, VectorDotFixed}
 
 /** The engine's SparkSessionExtensions entry point — permanent SQL
   * function registration (vs. the per-session temp registration in
@@ -25,5 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("vector_dot_fixed"),
+      new ExpressionInfo(classOf[VectorDotFixed].getName, "vector_dot_fixed"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorDotFixed(exprs(0), exprs(1))))
   }
 }

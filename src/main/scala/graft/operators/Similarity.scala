@@ -177,28 +177,34 @@ object Similarity {
   private def planeSigns(p: Int, dims: Int): Column =
     array((0 until dims).map(d => lit(planeSignJava(p, d))): _*)
 
-  /** Per-id (norm, LSH signature) in ONE codegen hash-agg pass over the
-    * exploded (id, dim, x) view: `planes` fixed-point projection sums +
-    * the squared norm, then signs packed to a long. */
+  /** Per-id (norm, LSH signature) as `planes` codegen'd per-row
+    * fixed-point fold expressions ([[graft.functions.VectorDotFixed]])
+    * + the squared-norm fold, then signs packed to a long.
+    *
+    * r15 shape (guide §4): the former build exploded each vector to
+    * (id, dim, x) rows and ran one SUM aggregate per plane — a 64× row
+    * blowup into a hash aggregate with planes+1 sum buffers (29M buffer
+    * updates, 7.7 s task CPU at sf0.1, sim5's dominant stage). Each
+    * plane's sum is an integer sum of per-element floored terms, so the
+    * per-row loop is bit-identical (associativity; VectorDotFixedSpec
+    * pins it against the exploded-agg shape). Ids with NULL or empty
+    * vectors are filtered — the explode emitted no rows for them, so
+    * they were absent from the old output too. */
   def signatures(vecs: DataFrame, idCol: String, vecCol: String,
                  planes: Int, dims: Int): DataFrame = {
-    // repartition before the explode: a single-file parquet corpus scans
-    // as ONE task, and the planes× projection sums — the dominant CPU of
-    // the signature build — would run single-threaded above it (same
-    // spread-before-CPU rule as Dedup.shingles); on a multi-file cluster
-    // layout the exchange is ~free relative to the agg it parallelizes.
-    val ex = vecs.repartition(col(idCol))
-      .select(col(idCol).as("id"),
-        posexplode(col(vecCol)).as(Seq("dim", "xf")))
-      .select(col("id"), col("dim").cast("long").as("dim"),
-        col("xf").cast("double").as("x"))
-    val projAggs = (0 until planes).map(p =>
-      sum(term(col("x") * element_at(planeSigns(p, dims),
-        (col("dim") + 1).cast("int")))).as(s"pr$p"))
-    val normAgg = sum(term(col("x") * col("x"))).as("n2")
-    val aggs = projAggs :+ normAgg
-    ex.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
+    import graft.functions.VectorDotFixed.vector_dot_fixed
+    // repartition before the projection: a single-file parquet corpus
+    // scans as ONE task, and the planes× per-row folds — the dominant
+    // CPU of the signature build — would run single-threaded above it
+    // (same spread-before-CPU rule as Dedup.shingles); on a multi-file
+    // cluster layout the exchange is ~free relative to the map it
+    // parallelizes.
+    val v = vecs.repartition(col(idCol))
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val projCols = (0 until planes).map(p =>
+      vector_dot_fixed(col(vecCol), planeSigns(p, dims)).as(s"pr$p"))
+    v.select(col(idCol).as("id") +: projCols :+
+        vector_dot_fixed(col(vecCol), col(vecCol)).as("n2"): _*)
       .select(col("id"),
         sqrt(col("n2").cast("double") / Scale).as("nrm"),
         (0 until planes).map(p =>
