@@ -101,9 +101,15 @@ object HtmlExtract {
       "<a href=\"/terms\">Terms of use</a></footer>' || '</body></html>'"
 
   /** Extract title + boilerplate-filtered text from an HTML column.
-    * Output per row: (idCol, title, n_blocks, n_kept, extracted_text,
-    * content_chars, boiler_chars) — one narrow projection, no shuffle. */
-  def extract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    * Output per row: (idCol, carry…, title, n_blocks, n_kept,
+    * extracted_text, content_chars, boiler_chars) — one narrow
+    * projection, no shuffle. `carry` names input columns passed through
+    * unchanged (optimization r15: pl25 carries canonical_url through the
+    * extraction instead of re-joining the URL-dedup subtree afterwards —
+    * that join recomputed the whole scan+agg+window chain a second
+    * time). */
+  def extract(df: DataFrame, idCol: String, htmlCol: String,
+              carry: Seq[String] = Nil): DataFrame = {
     val h = col(htmlCol)
     val sumLen = (arr: Column) =>
       aggregate(transform(arr, x => length(x)), lit(0), (a, x) => a + x)
@@ -123,15 +129,14 @@ object HtmlExtract {
             when(length(t) >= MinBlockChars &&
               (length(t) - length(nl)) * 3 <= length(t), t)),
           x => x.isNotNull))
-      .select(
-        col(idCol),
+      .select((col(idCol) +: carry.map(col)) ++ Seq(
         regexp_extract(h, TitlePattern, 1).as("title"),
         size(col("_blocks")).cast("long").as("n_blocks"),
         size(col("_kept")).cast("long").as("n_kept"),
         array_join(transform(col("_kept"), t => trim(t)), " ")
           .as("extracted_text"),
         sumLen(col("_kept")).as("content_chars"),
-        (sumLen(col("_bt")) - sumLen(col("_kept"))).as("boiler_chars"))
+        (sumLen(col("_bt")) - sumLen(col("_kept"))).as("boiler_chars")): _*)
   }
 
   /** The DuckDB twin of [[extract]] over a rendered-html relation

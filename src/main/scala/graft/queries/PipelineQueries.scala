@@ -209,13 +209,16 @@ object PipelineQueries extends QueryPack {
         .filter(!$"is_dup")
         .select($"doc_id", $"canonical_url")
       val surv = urlKept.join(d.select($"doc_id", $"text"), "doc_id")
+      // canonical_url rides THROUGH the extraction (r15): the former
+      // post-extract `q.join(urlKept)` recomputed the entire URL-dedup
+      // subtree (scan + count-agg + window) a second time — urlKept is
+      // unique per doc_id, so the carry is row-identical to the join.
       val ex = HtmlExtract.extract(
-        surv.select($"doc_id",
+        surv.select($"doc_id", $"canonical_url",
           HtmlExtract.renderHtml($"doc_id", $"text").as("html")),
-        "doc_id", "html")
+        "doc_id", "html", carry = Seq("canonical_url"))
       val q = ex.filter($"content_chars" >= 40 && $"n_kept" >= 1)
-      q.join(urlKept, "doc_id")
-        .withColumn("keeper", min($"doc_id").over(
+      q.withColumn("keeper", min($"doc_id").over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(md5($"extracted_text"))))
         .select($"doc_id", $"canonical_url", $"n_blocks", $"n_kept",
