@@ -63,12 +63,23 @@ object JobProbe {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // janino compile totals straight from Spark's codegen source — the
+    // local[N] box has no UI, and "32 tasks blocked on one compile"
+    // inflates task time by 32x while wall pays it once; this separates
+    // compile seconds from real work per run.
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def compMs: Long =
+      CodegenMetrics.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum
+    def compN: Long = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       // run 1: codegen/JIT warm (the Bench best-of-2 shape)
+      val (c0, m0) = (compN, compMs)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val w1 = (System.nanoTime() - t0) / 1e9
+      val (c1, m1) = (compN, compMs)
       // cache NOT cleared between the two runs — Bench's best-of-2 shape
       // (clearCache() runs after the pair), so run2's breakdown matches
       // the number Bench actually records for the key
@@ -80,8 +91,11 @@ object JobProbe {
       collecting = false
       spark.catalog.clearCache()
       Thread.sleep(200) // let listener events drain
+      val (c2, m2) = (compN, compMs)
       println(f"\nJOBPROBE $name run1=$w1%.3f run2=$w2%.3f  " +
-        f"jobs=${jobs.size} stages=${stages.size}")
+        f"jobs=${jobs.size} stages=${stages.size}  " +
+        f"compile run1=${c1 - c0}%d/${(m1 - m0) / 1000.0}%.2fs " +
+        f"run2=${c2 - c1}%d/${(m2 - m1) / 1000.0}%.2fs")
       val jobsSorted = jobs.sortBy(_._2)
       var prevEnd = t1
       jobsSorted.foreach { case (jid, s, e, sids) =>

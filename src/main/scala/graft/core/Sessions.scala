@@ -40,6 +40,16 @@ object Sessions {
       // executor heap at every tested SF.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
+      // Static conf (first-session only). Spark's generated-class cache
+      // defaults to 100 entries; one window-heavy query alone compiles
+      // ~135 classes (JobProbe CodegenMetrics), so a multi-query run
+      // evicts and re-janino-compiles its own classes — on local[32]
+      // every task of the next stage blocks behind each ~0.5-1 s
+      // compile. 4096 entries of generated classes is a few hundred MB
+      // of metaspace at worst, well inside the 8 GB harness JVM;
+      // parameterized for smaller driver JVMs in production.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
     if (utc) b = b.config("spark.sql.session.timeZone", "UTC")
     val spark = b.getOrCreate()
