@@ -27,25 +27,37 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vector_dot expects two array<float> arguments, got " +
+      s"vector_dot expects two array<float|double> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
   override def dataType: DataType = DoubleType
 
+  // Per-side element width (optimization r15): the PQ/IVF hot paths fold
+  // array<double> residuals and codeword arrays — accepting double
+  // elements here lets those call sites drop the interpreted HOF fold.
+  // CAST(double AS double) is the identity, so widening an operand
+  // changes nothing about the fold's IEEE order or results.
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val (ld, rd) = (isDouble(left), isDouble(right))
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc += (if (ld) x.getDouble(i) else x.getFloat(i).toDouble) *
+        (if (rd) y.getDouble(i) else y.getFloat(i).toDouble)
       i += 1
     }
     acc
@@ -56,11 +68,15 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val getL = if (isDouble(left)) s"$a.getDouble($i)"
+        else s"((double) $a.getFloat($i))"
+      val getR = if (isDouble(right)) s"$b.getDouble($i)"
+        else s"((double) $b.getFloat($i))"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += $getL * $getR;
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -84,14 +84,14 @@ object ProductQuantization {
     val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     model.cb.toDF("sub", "code", "c_arr")
-      .withColumn("c2", Similarity.dotSeqHof(col("c_arr"), col("c_arr")))
+      .withColumn("c2", Similarity.dotSeq(col("c_arr"), col("c_arr")))
   }
 
   /** Per-subspace nearest-codeword assignment of a subvector table. */
   private def assign(sub: DataFrame, model: PqModel): DataFrame =
     sub.join(broadcast(cbDf(model)), "sub")
       .withColumn("_score", col("c2") -
-        lit(2.0) * Similarity.dotSeqHof(col("sv"), col("c_arr")))
+        lit(2.0) * Similarity.dotSeq(col("sv"), col("c_arr")))
       .groupBy(col("_vid"), col("sub"))
       .agg(min(struct(col("_score"), col("code"))).as("_best"))
       .select(col("_vid"), col("sub"), col("_best.code").as("code"))
@@ -182,8 +182,8 @@ object ProductQuantization {
         slice(col("_v"), col("subi") * model.subDim + 1,
           lit(model.subDim)).as("sv"))
       .join(broadcast(cbDf(model)), "sub")
-      .withColumn("qq", Similarity.dotSeqHof(col("sv"), col("sv")))
-      .withColumn("qc", Similarity.dotSeqHof(col("sv"), col("c_arr")))
+      .withColumn("qq", Similarity.dotSeq(col("sv"), col("sv")))
+      .withColumn("qc", Similarity.dotSeq(col("sv"), col("c_arr")))
       .select(col("query_id"), col("label"), col("sub"), col("code"),
         (col("qq") - lit(2.0) * col("qc") + col("c2")).as("d"))
 
@@ -257,8 +257,8 @@ object ProductQuantization {
              model: PqModel): DataFrame =
     subvectors(queries, idCol, vecCol, model.m, model.subDim, "query_id")
       .join(broadcast(cbDf(model)), "sub")
-      .withColumn("qq", Similarity.dotSeqHof(col("sv"), col("sv")))
-      .withColumn("qc", Similarity.dotSeqHof(col("sv"), col("c_arr")))
+      .withColumn("qq", Similarity.dotSeq(col("sv"), col("sv")))
+      .withColumn("qc", Similarity.dotSeq(col("sv"), col("c_arr")))
       .select(col("query_id"), col("sub"), col("code"),
         (col("qq") - lit(2.0) * col("qc") + col("c2")).as("d"))
 

@@ -362,12 +362,12 @@ object Similarity {
       val centDf = centRows.groupBy(_._1).toSeq
         .map { case (l, rs) => (l, rs.sortBy(_._2).map(_._3)) }
         .sortBy(_._1).toDF("label", "c_arr")
-        .withColumn("c2", dotSeqHof(col("c_arr"), col("c_arr")))
+        .withColumn("c2", dotSeq(col("c_arr"), col("c_arr")))
       val assigned = vecs
         .select(col(idCol).as("_vid"), col(vecCol).as("_vec"))
         .crossJoin(broadcast(centDf))
         .withColumn("_score",
-          col("c2") - lit(2.0) * dotSeqHof(col("_vec"), col("c_arr")))
+          col("c2") - lit(2.0) * dotSeq(col("_vec"), col("c_arr")))
         .groupBy(col("_vid"))
         .agg(min(struct(col("_score"), col("label"))).as("_best"))
         .select(col("_vid"), col("_best.label").as("label"))
@@ -490,7 +490,7 @@ object Similarity {
       .groupBy(_._1).toSeq
       .map { case (l, rs) => (l, rs.sortBy(_._2).map(_._3)) }
       .sortBy(_._1).toDF("label", "c_arr")
-      .withColumn("c2", dotSeqHof(col("c_arr"), col("c_arr")))
+      .withColumn("c2", dotSeq(col("c_arr"), col("c_arr")))
   }
 
   /** Nearest-centroid-ARRAY assignment: broadcast cross join + per-row
@@ -505,7 +505,7 @@ object Similarity {
     val scored = vecs.select(col(idCol).as("_vid"), col(vecCol).as("_vec"))
       .crossJoin(broadcast(centArr))
       .withColumn("_score",
-        col("c2") - lit(2.0) * dotSeqHof(col("_vec"), col("c_arr")))
+        col("c2") - lit(2.0) * dotSeq(col("_vec"), col("c_arr")))
     if (nprobe == 1)
       scored.groupBy(col("_vid"))
         .agg(min(struct(col("_score"), col("label"))).as("_best"))
@@ -851,9 +851,7 @@ object Similarity {
     val flip = if (w(w.indices.maxBy(i => math.abs(w(i)))) < 0) -1.0 else 1.0
     val pc = w.map(_ * flip)
     val pcCol = array(pc.map(lit): _*)
-    // HOF fold, not VectorDot: the component literal is array<double>
-    // while the corpus column is array<float> — zip_with casts per element
-    val projected = vecs.select(col(idCol), dotSeqHof(col(vecCol),
+    val projected = vecs.select(col(idCol), dotSeq(col(vecCol),
       pcCol).as("pc1_score"))
     (pc, projected)
   }

@@ -339,8 +339,8 @@ object VectorIndex {
     cand.join(cv, "neighbor_id")
       .join(broadcast(q), "query_id")
       .withColumn("d2_shifted",
-        Similarity.dotSeqHof(col("_cv"), col("_cv"))
-          - lit(2.0) * Similarity.dotSeqHof(col("_qv"), col("_cv")))
+        Similarity.dotSeq(col("_cv"), col("_cv"))
+          - lit(2.0) * Similarity.dotSeq(col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("d2_shifted"),
@@ -414,8 +414,8 @@ object VectorIndex {
       graft.core.Frames.parquet(spark, s"$root/cells"), "_vid")
       .join(broadcast(centArr), "label")
       .select(col("label"),
-        (Similarity.dotSeqHof(col("vec"), col("vec")) + col("c2") -
-          lit(2.0) * Similarity.dotSeqHof(col("vec"), col("c_arr")))
+        (Similarity.dotSeq(col("vec"), col("vec")) + col("c2") -
+          lit(2.0) * Similarity.dotSeq(col("vec"), col("c_arr")))
           .as("sq_dist"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"),
@@ -451,13 +451,13 @@ object VectorIndex {
       .select(col("query_id"), col("neighbor_id"))
     val c = vecs.select(col("_vid").as("neighbor_id"),
       col("vec").as("cv"),
-      Similarity.dotSeqHof(col("vec"), col("vec")).as("c2x"))
+      Similarity.dotSeq(col("vec"), col("vec")).as("c2x"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("neighbor_id").asc)
     val truth = c.crossJoin(broadcast(probe))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("d2", col("c2x") -
-        lit(2.0) * Similarity.dotSeqHof(col("qv"), col("cv")))
+        lit(2.0) * Similarity.dotSeq(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= recallK)
       .select(col("query_id"), col("neighbor_id"))

@@ -584,7 +584,7 @@ object SimilarityQueries extends QueryPack {
         .select($"query_id", $"neighbor_id")
       val c = e.select($"vec_id".as("neighbor_id"),
         $"embedding".as("cv"),
-        Similarity.dotSeqHof($"embedding", $"embedding").as("c2"))
+        Similarity.dotSeq($"embedding", $"embedding").as("c2"))
       val q = qs.select($"vec_id".as("query_id"), $"embedding".as("qv"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id")
@@ -592,7 +592,7 @@ object SimilarityQueries extends QueryPack {
       val truth = c.crossJoin(broadcast(q))
         .filter($"neighbor_id" =!= $"query_id")
         .withColumn("d2",
-          $"c2" - lit(2.0) * Similarity.dotSeqHof($"qv", $"cv"))
+          $"c2" - lit(2.0) * Similarity.dotSeq($"qv", $"cv"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 5)
         .select($"query_id", $"neighbor_id")
@@ -626,7 +626,7 @@ object SimilarityQueries extends QueryPack {
         .select($"query_id", $"neighbor_id")
       val c = e.select($"vec_id".as("neighbor_id"),
         $"embedding".as("cv"),
-        Similarity.dotSeqHof($"embedding", $"embedding").as("c2"))
+        Similarity.dotSeq($"embedding", $"embedding").as("c2"))
       val q = qs.select($"vec_id".as("query_id"), $"embedding".as("qv"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id")
@@ -634,7 +634,7 @@ object SimilarityQueries extends QueryPack {
       val truth = c.crossJoin(broadcast(q))
         .filter($"neighbor_id" =!= $"query_id")
         .withColumn("d2",
-          $"c2" - lit(2.0) * Similarity.dotSeqHof($"qv", $"cv"))
+          $"c2" - lit(2.0) * Similarity.dotSeq($"qv", $"cv"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= 5)
         .select($"query_id", $"neighbor_id")
@@ -686,12 +686,12 @@ object SimilarityQueries extends QueryPack {
         .crossJoin(broadcast(qs))
         .filter($"neighbor_id" =!= $"query_id")
         .select($"query_id", $"neighbor_id",
-          Similarity.dotSeqHof($"qv", $"cv").as("d64"),
-          Similarity.dotSeqHof(slice($"qv", 1, 32), slice($"cv", 1, 32))
+          Similarity.dotSeq($"qv", $"cv").as("d64"),
+          Similarity.dotSeq(slice($"qv", 1, 32), slice($"cv", 1, 32))
             .as("d32"),
-          Similarity.dotSeqHof(slice($"qv", 1, 16), slice($"cv", 1, 16))
+          Similarity.dotSeq(slice($"qv", 1, 16), slice($"cv", 1, 16))
             .as("d16"),
-          Similarity.dotSeqHof(slice($"qv", 1, 8), slice($"cv", 1, 8))
+          Similarity.dotSeq(slice($"qv", 1, 8), slice($"cv", 1, 8))
             .as("d8"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def top(dcol: String) = {
@@ -807,10 +807,10 @@ object SimilarityQueries extends QueryPack {
       val cent = sharedKmeans(s, dir, k = 8, iters = 2)
       val centArr = Similarity.centroidArrays(cent)
       val best = e.select($"vec_id", $"embedding",
-          Similarity.dotSeqHof($"embedding", $"embedding").as("x2"))
+          Similarity.dotSeq($"embedding", $"embedding").as("x2"))
         .crossJoin(broadcast(centArr))
         .withColumn("score", $"c2" - lit(2.0) *
-          Similarity.dotSeqHof($"embedding", $"c_arr"))
+          Similarity.dotSeq($"embedding", $"c_arr"))
         .groupBy($"vec_id")
         .agg(min(struct($"score", $"label")).as("b"), max($"x2").as("x2"))
       best.groupBy($"b.label".as("label"))

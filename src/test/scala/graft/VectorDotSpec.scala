@@ -60,8 +60,25 @@ class VectorDotSpec extends AnyFunSuite {
     assert(out(2).getDouble(1) == 0.0)
   }
 
+  test("double and mixed float/double arrays are bit-identical to the HOF fold") {
+    // the r15 widening: the PQ/IVF hot paths fold array<double> residuals
+    // and codeword arrays against float corpus vectors
+    val mixed = (0L until 200L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat),
+        Seq.fill(64)(rnd.nextGaussian())))
+      .toDF("id", "f", "d")
+      .withColumn("f", $"f".cast("array<float>"))
+    val cmp = mixed.select(
+      VectorDot.vector_dot($"f", $"d").as("n_fd"),
+      Similarity.dotSeqHof($"f", $"d").as("h_fd"),
+      VectorDot.vector_dot($"d", $"d").as("n_dd"),
+      Similarity.dotSeqHof($"d", $"d").as("h_dd")).collect()
+    assert(cmp.forall(r =>
+      r.getDouble(0) == r.getDouble(1) && r.getDouble(2) == r.getDouble(3)))
+  }
+
   test("type mismatch is an analysis error") {
-    val bad = Seq((1, Seq(1.0, 2.0))).toDF("id", "a")
+    val bad = Seq((1, Seq("x", "y"))).toDF("id", "a")
     intercept[org.apache.spark.sql.AnalysisException] {
       bad.select(VectorDot.vector_dot($"a", $"a")).collect()
     }
