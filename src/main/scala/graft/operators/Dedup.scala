@@ -643,15 +643,22 @@ object Dedup {
     *
     * Scale shape: one narrow explode (~n_tokens rows/doc), a hash agg on
     * the span key, one equi-join back, and two per-doc aggs — never
-    * O(N²). The span GROUP BY key is the span STRING so the DuckDB twin
-    * is exactly portable; a 100 TB run would swap in the 8-byte
-    * xxhash64 key (the [[ngramJaccardPairs]] discipline, collision odds
-    * ~n²/2⁶⁵) to keep the shuffle fixed-width.
+    * O(N²). The span GROUP BY key is the engine-portable hash60 of the
+    * span string (the [[crossDocDupSpans]] discipline, optimization
+    * r15): the duplicate-decision shuffle carries an 8-byte key instead
+    * of a ~50-byte 8-token string, and the DuckDB twin folds the
+    * IDENTICAL hash, so even collisions (odds ~n²/2⁶⁰) are
+    * bit-identical across engines. Coverage counts via the same run
+    * merge as [[crossDocDupSpans]] — duplicated starts at gap ≤ spanLen
+    * fuse into one interval, so dup_tokens = Σ(en−st+1) equals the
+    * distinct-covered-position count the former O(hits·spanLen)
+    * explode+distinct produced, row for row.
     *
     * Output: (idCol, n_tokens, n_dup_spans, dup_tokens, dup_fraction). */
   def repeatedSpanProfile(docs: DataFrame, idCol: String, textCol: String,
                           spanLen: Int): DataFrame = {
     require(spanLen >= 2)
+    import graft.functions.PortableHash
     val toks = docs.select(col(idCol).as("doc"),
       TextFunctions.tokens(col(textCol)).as("_toks"))
     val sizes = toks.select(col("doc"),
@@ -660,17 +667,24 @@ object Dedup {
         posexplode(shingleArray(col("_toks"), spanLen))
           .as(Seq("pos0", "span")))
       .select(col("doc"), (col("pos0") + 1).cast("long").as("pos"),
-        col("span"))
-    val dup = spans.groupBy(col("span")).agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2).select(col("span"))
-    val hits = spans.join(dup, "span")
+        PortableHash.hash60(col("span")).as("h"))
+    val dup = spans.groupBy(col("h")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select(col("h"))
+    val hits = spans.join(dup, "h").select(col("doc"), col("pos"))
     val nDup = hits.groupBy(col("doc"))
       .agg(count(lit(1)).as("n_dup_spans"))
-    val covered = hits.select(col("doc"),
-        explode(sequence(col("pos"), col("pos") + (spanLen - 1)))
-          .as("tpos"))
-      .distinct()
-      .groupBy(col("doc")).agg(count(lit(1)).as("dup_tokens"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    val covered = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) > spanLen, 1L)
+          .otherwise(0L))
+      .withColumn("g", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc"), col("g"))
+      .agg(min(col("pos")).as("st"),
+        (max(col("pos")) + (spanLen - 1)).as("en"))
+      .groupBy(col("doc"))
+      .agg(sum(col("en") - col("st") + 1).as("dup_tokens"))
     sizes.join(nDup, Seq("doc"), "left").join(covered, Seq("doc"), "left")
       .na.fill(0L, Seq("n_dup_spans", "dup_tokens"))
       .withColumn("dup_fraction",

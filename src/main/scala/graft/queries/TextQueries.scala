@@ -2027,22 +2027,32 @@ object TextQueries extends QueryPack {
     "dd4_incremental_dedup" -> dd4Sql,
     "dd12_multigen_dedup" -> dd12Sql,
     "dd2_simhash" -> dd2Sql,
-    "tx12_repeated_spans" ->
-      """WITH tok AS (
-        |  SELECT doc_id AS doc, regexp_extract_all(text, '\S+') AS t
+    // tx12's twin folds the IDENTICAL hash60 span key the Spark side
+    // groups on (the tx34 collision-identical discipline — re-keyed in
+    // optimization r15 so the duplicate-decision shuffle is fixed-width;
+    // span string materialized in its own CTE before hashing, see
+    // tx34's shadowing note). Coverage stays the definitional
+    // explode+distinct here; the Spark side's gap≤spanLen run merge
+    // produces the same distinct-covered count.
+    "tx12_repeated_spans" -> {
+      val h = graft.functions.PortableHash.hash60Sql("span")
+      s"""WITH tok AS (
+        |  SELECT doc_id AS doc, regexp_extract_all(text, '\\S+') AS t
         |  FROM documents
         |), sizes AS (
         |  SELECT doc, CAST(len(t) AS BIGINT) AS n_tokens FROM tok
-        |), spans AS (
-        |  SELECT doc, CAST(i AS BIGINT) AS pos,
-        |    array_to_string(t[i:i+7], ' ') AS span
+        |), spans0 AS (
+        |  SELECT doc, CAST(si AS BIGINT) AS pos,
+        |    array_to_string(t[si:si+7], ' ') AS span
         |  FROM (SELECT doc, t,
-        |          unnest(generate_series(1, len(t) - 7)) AS i
+        |          unnest(generate_series(1, len(t) - 7)) AS si
         |        FROM tok) x
+        |), spans AS (
+        |  SELECT doc, pos, $h AS hh FROM spans0
         |), dup AS (
-        |  SELECT span FROM spans GROUP BY span HAVING count(*) >= 2
+        |  SELECT hh FROM spans GROUP BY hh HAVING count(*) >= 2
         |), hits AS (
-        |  SELECT s.doc, s.pos FROM spans s JOIN dup USING (span)
+        |  SELECT s.doc, s.pos FROM spans s JOIN dup USING (hh)
         |), ndup AS (
         |  SELECT doc, count(*) AS n_dup_spans FROM hits GROUP BY doc
         |), cov AS (
@@ -2061,7 +2071,8 @@ object TextQueries extends QueryPack {
         |    ELSE CAST(0 AS DOUBLE) END AS dup_fraction
         |FROM sizes z
         |LEFT JOIN ndup n USING (doc)
-        |LEFT JOIN cov c USING (doc)""".stripMargin,
+        |LEFT JOIN cov c USING (doc)""".stripMargin
+    },
     // tx34's twin: identical hash60 k-gram keys (collision-identical),
     // the same min≠max cross-doc criterion and the same gap≤k run
     // merge — lag() is NULL on each doc's first hit in both engines,
