@@ -737,9 +737,9 @@ object Similarity {
     *
     * Outer-product accumulation expressed relationally: ONE generate pass
     * expands each vector's d(d+1)/2 upper-triangle product terms IN-ROW
-    * (nested `transform` over index sequences — no self-join of the
-    * exploded view, which would shuffle N·d rows to pair them), and ONE
-    * hash agg over the cell keys reduces them. Partial aggregation
+    * (the codegen'd [[graft.functions.VectorOuterFixed]] loop — no
+    * self-join of the exploded view, which would shuffle N·d rows to
+    * pair them), and ONE hash agg over the cell keys reduces them. Partial aggregation
     * collapses every partition to ≤ d(d+1)/2 cells map-side, so the
     * exchange carries O(partitions · d²) rows regardless of corpus size —
     * the same math a treeAggregate outer-product loop does, with codegen
@@ -767,23 +767,46 @@ object Similarity {
     val stats = ex.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum12(col("x")).as("s"),
         sum12(col("x") * col("x")).as("s2"))
-    val pairs = flatten(transform(
-      sequence(lit(0), size(v) - 1),
-      i => transform(sequence(i, size(v) - 1),
-        j => struct(i.cast("long").as("i"), j.cast("long").as("j"),
-          (element_at(v, i + 1).cast("double") *
-            element_at(v, j + 1).cast("double")).as("p")))))
-    val cells = vecs.select(explode(pairs).as("c"))
-      .select(col("c.i"), col("c.j"), col("c.p"))
+    // upper-triangle term expansion via the codegen'd fixed-point loop
+    // (optimization r15 — the former nested transform/struct HOF form
+    // evaluated interpreted per element, ~300 µs/row at d=64, the key's
+    // dominant stage). Each flat term is bit-identical to the HOF AST's
+    // floor(p·1e12)::long, so the DECIMAL(38,0) fold below is unchanged;
+    // (i, j) recover arithmetically from the flat index (exact — spec-
+    // pinned against the HOF construction term-for-term).
+    // the corpus-sized agg keys on the PLAIN (d, k) columns — (i, j)
+    // derive from ijOf's sqrt/when tree only on the aggregated
+    // ≤ #lengths·d² frame (inlined per term row, the optimizer
+    // duplicates that tree ~20× into the join's pushed null filter —
+    // measured 5× slower than the HOF form it replaced), and a second
+    // exact decimal fold merges cells across distinct vector lengths
+    import graft.functions.VectorOuterFixed.{ijOf, vector_outer_fixed}
+    val flat = vecs.select(size(v).cast("long").as("d"),
+      posexplode(vector_outer_fixed(v)).as(Seq("k", "t")))
+    val part = flat.groupBy(col("d"), col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("t")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sd"))
+    val (ci, cj) = ijOf(col("k").cast("long"), col("d"))
+    val cells = part.select(ci.as("i"), cj.as("j"), col("n"), col("sd"))
       .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum12(col("p")).as("s_ij"))
+      .agg(sum(col("n")).as("n"),
+        (sum(col("sd")).cast("double") / Scale).as("s_ij"))
     val si = stats.select(col("dim").as("i"), col("s").as("s_i"),
       col("s2").as("s2_i"))
     val sj = stats.select(col("dim").as("j"), col("s").as("s_j"),
       col("s2").as("s2_j"))
     def varOf(s: Column, s2: Column, n: Column): Column =
       (s2 - s * s / n) / (n - 1)
-    cells.join(broadcast(si), "i").join(broadcast(sj), "j")
+    // LEFT joins, not inner: structurally equivalent (stats has one row
+    // per dim and every cell's i, j is a dim of the same input, so a
+    // match always exists — output row-identical, oracle-pinned), but
+    // an INNER join adds IsNotNull(i)/IsNotNull(j) predicates that the
+    // optimizer pushes through BOTH aggregates — i and j are grouping
+    // expressions over (d, k) — landing ijOf's sqrt/when trees on the
+    // corpus-sized term frame (measured: 6.7 s vs 0.6 s at sf0.01)
+    cells.join(broadcast(si), Seq("i"), "left")
+      .join(broadcast(sj), Seq("j"), "left")
       .withColumn("cov", (col("s_ij") - col("s_i") * col("s_j") / col("n"))
         / (col("n") - 1))
       .withColumn("corr", col("cov") /
