@@ -36,8 +36,16 @@ object JobProbe {
     var collecting = false
     val listener = new SparkListener {
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
-        if (collecting) stages.getOrElseUpdate(e.stageInfo.stageId,
-          StageRec(e.stageInfo.name)).submitted = System.nanoTime()
+        if (collecting) {
+          // the broadcast-exchange thread pool makes every stage NAME
+          // "withThreadLocalCaptured..."; the first graft frame in the
+          // stage's callsite details is the one that says WHICH operator
+          val site = e.stageInfo.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("JobProbe"))
+            .map(_.trim.stripPrefix("at ")).getOrElse(e.stageInfo.name)
+          stages.getOrElseUpdate(e.stageInfo.stageId,
+            StageRec(site)).submitted = System.nanoTime()
+        }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         if (collecting) stages.get(e.stageInfo.stageId).foreach { r =>
           r.completed = System.nanoTime()
@@ -63,6 +71,20 @@ object JobProbe {
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // the noop write plans its own QueryExecution — a DataFrame's own
+    // queryExecution is never executed, so its metrics stay zero; this
+    // captures the execution the write actually ran
+    @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution = null
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = lastQe = qe
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
     // janino compile totals straight from Spark's codegen source — the
     // local[N] box has no UI, and "32 tasks blocked on one compile"
     // inflates task time by 32x while wall pays it once; this separates
@@ -86,9 +108,67 @@ object JobProbe {
       stages.clear(); jobs.clear()
       collecting = true
       val t1 = System.nanoTime()
+      lastQe = null
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val w2 = (System.nanoTime() - t1) / 1e9
       collecting = false
+      // per-operator SQL metrics of run 2 — the SQL-tab stand-in: every
+      // plan node (subqueries and AQE final plans included) whose timing
+      // metrics crossed 200 ms, heaviest first
+      if (sys.env.contains("JOBPROBE_METRICS")) {
+        val seen = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, String)]
+        val visited = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[Object, java.lang.Boolean]())
+        def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          val fin = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case o => o
+          }
+          fin.foreach {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+                if a ne fin => walk(a)
+            // AQE hides executed operators inside leaf QueryStageExec
+            // wrappers; cached relations hide theirs the same way
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(qs.plan)
+            case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              walk(im.relation.cachedPlan)
+            case n if visited.add(n) =>
+              val ms = n.metrics.map { case (k, m) =>
+                val v = if (m.metricType == "timing") m.value
+                  else if (m.metricType == "nsTiming") m.value / 1000000L
+                  else -1L
+                (k, v)
+              }.filter(_._2 >= sys.env.getOrElse("JOBPROBE_METRICS", "200").toLong)
+              if (ms.nonEmpty) {
+                val top = ms.values.max
+                // a codegen pipeline's name says nothing about what's
+                // inside — append its operator chain
+                val label = n match {
+                  case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+                    s"${n.nodeName}[" + w.collect {
+                      case c if !c.isInstanceOf[
+                        org.apache.spark.sql.execution.WholeStageCodegenExec] =>
+                        c.nodeName.replace("Execution", "")
+                    }.take(5).mkString(">") + "]"
+                  case _ => n.nodeName
+                }
+                seen += ((top, label,
+                  ms.map { case (k, v) => s"$k=${v / 1000.0}s" }.mkString(" ")))
+              }
+              n.subqueries.foreach(walk)
+            case _ => ()
+          }
+        }
+        Thread.sleep(300) // listener bus drains before reading lastQe
+        if (lastQe == null) println("  METRIC-DEBUG lastQe is null")
+        if (lastQe != null) walk(lastQe.executedPlan)
+        seen.sortBy(-_._1).take(14).foreach { case (_, nn, ms) =>
+          println(s"  METRIC $nn: $ms")
+        }
+      }
       spark.catalog.clearCache()
       Thread.sleep(200) // let listener events drain
       val (c2, m2) = (compN, compMs)
