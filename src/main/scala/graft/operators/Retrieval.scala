@@ -112,9 +112,17 @@ object Retrieval {
     // index parquet scans as ONE task, and the broadcast joins + ln +
     // decimal folds fuse into that scan stage — measured 1.7 s of the
     // 3 s tx13 wall on one core at sf0.1 until this exchange (the
-    // Tables.spread rationale, applied to the index scan)
-    val scored = graft.core.Tables.spread(tf)
-      .join(broadcast(qTerms.join(broadcast(df), "term")), "term")
+    // Tables.spread rationale, applied to the index scan).
+    // Score per (term, doc) FIRST, expand to queries AFTER (optimization
+    // r15, guide §2.3): s(t, d) does not depend on the query, and
+    // queries share terms — joining (query_id, term) before the
+    // arithmetic evaluated the ln/divide chain once per (query, term,
+    // doc) row, Σ_q Σ_{t∈q} df(t) evaluations where Σ_t df(t) suffice
+    // (measured 1.13M vs 116k at sf0.1 — the query load's term overlap
+    // is the usual IR case, not an artifact). Per-(query, doc) sums fold
+    // the identical term_score values, so scores are bit-identical.
+    val sTD = graft.core.Tables.spread(tf)
+      .join(broadcast(df), "term")
       .join(dl, "doc")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -125,6 +133,8 @@ object Retrieval {
         (col("tf").cast("double") * lit(k1 + 1.0)) /
         (col("tf").cast("double") + lit(k1) *
           (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .select(col("term"), col("doc"), col("term_score"))
+    val scored = sTD.join(broadcast(qTerms), "term")
       .groupBy(col("query_id"), col("doc"))
       .agg(count(lit(1)).as("n_hit"),
         ExactNum.sumExact(col("term_score")).as("score"))
