@@ -33,7 +33,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * ±1 — every operand is ≤ 2^53 so the estimate is off by at most one,
   * and the correction is exact.
   */
-case class VectorOuterFixed(child: Expression) extends UnaryExpression {
+case class VectorOuterFixed(child: Expression,
+                            withLinear: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -50,11 +52,12 @@ case class VectorOuterFixed(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(v: Any): Any =
-    VectorOuterFixed.terms(v.asInstanceOf[ArrayData], isDouble)
+    VectorOuterFixed.terms(v.asInstanceOf[ArrayData], isDouble, withLinear)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.VectorOuterFixed.terms($a, $isDouble);")
+      s"${ev.value} = " +
+        s"graft.functions.VectorOuterFixed.terms($a, $isDouble, $withLinear);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -62,10 +65,18 @@ case class VectorOuterFixed(child: Expression) extends UnaryExpression {
 
 object VectorOuterFixed {
 
-  /** The compiled term loop — shared by eval and generated code. */
-  def terms(v: ArrayData, isDouble: Boolean): ArrayData = {
+  /** The compiled term loop — shared by eval and generated code.
+    * `withLinear` appends the d LINEAR fixed-point terms
+    * floor(x_i·1e12) after the d(d+1)/2 quadratic ones (flat index
+    * k ∈ [T, T+d) ⇒ dim = k − T), so one explode+agg pass yields the
+    * covariance cells AND the per-dim moment sums together —
+    * [[graft.operators.Similarity.covarianceMatrix]]'s one-corpus-pass
+    * shape. Each linear term is exactly the `floor(x·1e12)::long` the
+    * per-dim sum12 fold quantized. */
+  def terms(v: ArrayData, isDouble: Boolean, withLinear: Boolean): ArrayData = {
     val d = v.numElements()
-    val out = new Array[Long](d * (d + 1) / 2)
+    val quad = d * (d + 1) / 2
+    val out = new Array[Long](if (withLinear) quad + d else quad)
     var k = 0
     var i = 0
     while (i < d) {
@@ -79,12 +90,20 @@ object VectorOuterFixed {
       }
       i += 1
     }
+    if (withLinear) {
+      var i2 = 0
+      while (i2 < d) {
+        val xi = if (isDouble) v.getDouble(i2) else v.getFloat(i2).toDouble
+        out(quad + i2) = java.lang.Math.floor(xi * 1.0e12).toLong
+        i2 += 1
+      }
+    }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** Column API: `vector_outer_fixed(v)`. */
-  def vector_outer_fixed(v: Column): Column =
-    Bridge.column(VectorOuterFixed(Bridge.expr(v)))
+  def vector_outer_fixed(v: Column, withLinear: Boolean = false): Column =
+    Bridge.column(VectorOuterFixed(Bridge.expr(v), withLinear))
 
   /** (i, j) of flat index `k` (all 0-based, i-major upper triangle) for
     * row-vector length `d`, as Columns: i from the monotone offset

@@ -756,42 +756,57 @@ object Similarity {
     * per-cell in double from the exact sums with one AST shared with the
     * oracle — fully hash-checkable. */
   def covarianceMatrix(vecs: DataFrame, vecCol: String): DataFrame = {
-    def sum12(c: Column): Column =
-      sum(floor(c * Scale)
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-        .cast("double") / Scale
     val v = col(vecCol)
-    val ex = vecs.select(posexplode(v).as(Seq("pos0", "xf")))
-      .select(col("pos0").cast("long").as("dim"),
-        col("xf").cast("double").as("x"))
-    val stats = ex.groupBy(col("dim"))
-      .agg(count(lit(1)).as("n"), sum12(col("x")).as("s"),
-        sum12(col("x") * col("x")).as("s2"))
-    // upper-triangle term expansion via the codegen'd fixed-point loop
-    // (optimization r15 — the former nested transform/struct HOF form
-    // evaluated interpreted per element, ~300 µs/row at d=64, the key's
-    // dominant stage). Each flat term is bit-identical to the HOF AST's
-    // floor(p·1e12)::long, so the DECIMAL(38,0) fold below is unchanged;
-    // (i, j) recover arithmetically from the flat index (exact — spec-
-    // pinned against the HOF construction term-for-term).
-    // the corpus-sized agg keys on the PLAIN (d, k) columns — (i, j)
+    // ONE corpus pass (optimization r15): the codegen'd fixed-point
+    // loop emits each vector's d(d+1)/2 upper-triangle quadratic terms
+    // PLUS its d linear terms (flat index k ≥ T = d(d+1)/2 ⇒ dim =
+    // k − T), so the single (d, k) hash agg yields the covariance
+    // cells AND the per-dim moment sums — the former separate
+    // posexplode + sum12 stats pass re-scanned the corpus and folded
+    // 2 more decimals per element (7.8 s task CPU at sf0.1). Each
+    // quadratic term is bit-identical to the HOF AST's
+    // floor(x_i·x_j·1e12)::long and each linear term to sum12's
+    // floor(x·1e12)::long, so every downstream DECIMAL(38,0) fold is
+    // unchanged (spec-pinned term-for-term; the former nested
+    // transform/struct HOF form evaluated interpreted per element,
+    // ~300 µs/row at d=64).
+    // The corpus-sized agg keys on the PLAIN (d, k) columns — (i, j)
     // derive from ijOf's sqrt/when tree only on the aggregated
     // ≤ #lengths·d² frame (inlined per term row, the optimizer
     // duplicates that tree ~20× into the join's pushed null filter —
     // measured 5× slower than the HOF form it replaced), and a second
-    // exact decimal fold merges cells across distinct vector lengths
+    // exact decimal fold merges cells across distinct vector lengths.
     import graft.functions.VectorOuterFixed.{ijOf, vector_outer_fixed}
     val flat = vecs.select(size(v).cast("long").as("d"),
-      posexplode(vector_outer_fixed(v)).as(Seq("k", "t")))
+      posexplode(vector_outer_fixed(v, withLinear = true))
+        .as(Seq("k", "t")))
+    // persisted: cells, the diagonal s2 read-off and the linear moment
+    // sums all consume this one corpus aggregate (the q83/sim21 persist
+    // discipline; released by the caller's clearCache / session end)
     val part = flat.groupBy(col("d"), col("k"))
       .agg(count(lit(1)).as("n"),
         sum(col("t")
           .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sd"))
-    val (ci, cj) = ijOf(col("k").cast("long"), col("d"))
-    val cells = part.select(ci.as("i"), cj.as("j"), col("n"), col("sd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // quadratic/linear split at T = d(d+1)/2 (÷2 exact in binary, the
+    // quotient an integer ≤ 2^53 — the ijOf convention)
+    val tQ = (col("d") * (col("d") + 1L) / 2L).cast("long")
+    val kL = col("k").cast("long")
+    val (ci, cj) = ijOf(kL, col("d"))
+    val cells = part.filter(kL < tQ)
+      .select(ci.as("i"), cj.as("j"), col("n"), col("sd"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("n")).as("n"),
         (sum(col("sd")).cast("double") / Scale).as("s_ij"))
+    // per-dim moments: s from the linear tail, s2 from the diagonal
+    // cells (floor((x·x)·1e12) ≡ the diagonal term — same AST), both
+    // exact-decimal merges ⇒ doubles identical to the former sum12s
+    val linS = part.filter(kL >= tQ)
+      .groupBy((kL - tQ).as("dim"))
+      .agg((sum(col("sd")).cast("double") / Scale).as("s"))
+    val stats = linS.join(
+      cells.filter(col("i") === col("j"))
+        .select(col("i").as("dim"), col("s_ij").as("s2")), "dim")
     val si = stats.select(col("dim").as("i"), col("s").as("s_i"),
       col("s2").as("s2_i"))
     val sj = stats.select(col("dim").as("j"), col("s").as("s_j"),
@@ -805,7 +820,7 @@ object Similarity {
     // optimizer pushes through BOTH aggregates — i and j are grouping
     // expressions over (d, k) — landing ijOf's sqrt/when trees on the
     // corpus-sized term frame (measured: 6.7 s vs 0.6 s at sf0.01)
-    cells.join(broadcast(si), Seq("i"), "left")
+    val out = cells.join(broadcast(si), Seq("i"), "left")
       .join(broadcast(sj), Seq("j"), "left")
       .withColumn("cov", (col("s_ij") - col("s_i") * col("s_j") / col("n"))
         / (col("n") - 1))
@@ -813,6 +828,8 @@ object Similarity {
         (sqrt(varOf(col("s_i"), col("s2_i"), col("n"))) *
           sqrt(varOf(col("s_j"), col("s2_j"), col("n")))))
       .select(col("i"), col("j"), col("n"), col("cov"), col("corr"))
+    graft.core.ManagedPersist.register(part, out)
+    out
   }
 
   /** Per-dimension z-standardization of the corpus embeddings — the
