@@ -83,6 +83,37 @@ class VectorOuterFixedSpec extends AnyFunSuite {
     assert(gotFull.length == 12 * 13 / 2)
   }
 
+  test("withLinear appends floor(x_i*1e12) terms that match sum12's quantization") {
+    val df = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "v").withColumn("v", $"v".cast("array<float>"))
+    val T = 16 * 17 / 2
+    // per-dim exact-decimal sums of the linear tail == the sum12 fold
+    // over the exploded corpus (identical floor(x*1e12)::long terms)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val got = df.select(posexplode(
+        VectorOuterFixed.vector_outer_fixed($"v", withLinear = true))
+        .as(Seq("k", "t")))
+      .filter($"k" >= T)
+      .groupBy(($"k".cast("long") - T).as("dim"))
+      .agg((sum($"t".cast(dec)).cast("double") / Similarity.Scale).as("s"))
+      .orderBy($"dim").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = df.select(posexplode($"v").as(Seq("pos0", "xf")))
+      .groupBy($"pos0".cast("long").as("dim"))
+      .agg((sum(floor($"xf".cast("double") * Similarity.Scale).cast(dec))
+        .cast("double") / Similarity.Scale).as("s"))
+      .orderBy($"dim").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.sameElements(want))
+    // and the quadratic prefix is unchanged by the flag
+    val q1 = df.select(explode(VectorOuterFixed.vector_outer_fixed($"v"))
+      .as("t")).collect().map(_.getLong(0))
+    val q2 = df.select(posexplode(
+        VectorOuterFixed.vector_outer_fixed($"v", withLinear = true))
+        .as(Seq("k", "t")))
+      .filter($"k" < T).select($"t").collect().map(_.getLong(0))
+    assert(q1.sorted.sameElements(q2.sorted))
+  }
+
   test("type mismatch is an analysis error") {
     val bad = Seq((1, Seq("x"))).toDF("id", "v")
     intercept[org.apache.spark.sql.AnalysisException] {
